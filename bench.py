@@ -1,0 +1,76 @@
+#!/usr/bin/env python
+"""Benchmark runner — headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: the flagship graph pipeline + heaviest operators of each
+# family (join/agg, window, vector top-k, LSH dedup, text, streaming).
+HEADLINE = [
+    "pricing_summary",
+    "shipping_priority",
+    "local_supplier_volume",
+    "topk_orders_per_customer",
+    "sessionize_events",
+    "graph_build_entities",
+    "graph_build_relations",
+    "subgraph_expand_d1",
+    "knn_cosine_topk",
+    "ann_lsh_topk",
+    "minhash_lsh_pairs",
+    "ngram_jaccard_pairs",
+    "winnow_fingerprints",
+    "simhash_signatures",
+    "token_profile",
+    "stream_tumbling_30m",
+]
+
+
+def main() -> None:
+    from vector_graph_rag_spark.queries import load_all
+    from vector_graph_rag_spark.session import get_spark
+
+    spark = get_spark(app_name="vgrag_bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    registry = load_all()
+
+    # Warm the JVM + parquet footers with a trivial action.
+    spark.read.parquet(os.path.join(SF_DIR, "region.parquet")).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        q = registry[name]
+        t0 = time.perf_counter()
+        n = q.fn(spark, SF_DIR).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

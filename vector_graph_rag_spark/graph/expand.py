@@ -1,0 +1,111 @@
+"""k-hop subgraph expansion as iterative DataFrame joins.
+
+Replicates SubGraph.expand (/root/reference/src/vector_graph_rag/graph/
+knowledge_graph.py:258-358) exactly:
+
+- step 0: relations adjacent to the SEED entities are merged into the
+  relation set (knowledge_graph.py:281-301);
+- each degree d ≥ 1:
+    (a) entities referenced by the current relation set are added
+        (knowledge_graph.py:309-320);
+    (b) only the NEW entities of step (a) spawn next-hop relations
+        (knowledge_graph.py:322-333) — this "new entities only" rule is the
+        subtle part and is preserved via a left_anti join;
+- finally every passage_id reachable from the relation set is collected
+  (knowledge_graph.py:349-356).
+
+Scale design: the frontier (new entities per hop) is small relative to the
+edge tables, so each hop is a broadcast-able hash join against
+`entity_relation`; accumulated sets stay as DataFrames (union + distinct —
+a shuffle on the id, same partitioning every hop).  Each hop optionally
+localCheckpoints to cut lineage growth (SURVEY §7 risk: iterative plans).
+The loop itself is driver-side control flow over a FIXED small degree
+(default 1, config.py:97-99) — no data-dependent iteration count.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from vector_graph_rag_spark.graph.builder import GraphTables
+
+
+@dataclass
+class ExpansionResult:
+    entity_ids: DataFrame    # (entity_id)
+    relation_ids: DataFrame  # (relation_id)
+    passage_ids: DataFrame   # (passage_id)
+    history: list = field(default_factory=list)
+
+
+def _ids(df: DataFrame, col: str) -> DataFrame:
+    return df.select(F.col(col)).distinct()
+
+
+def expand_subgraph(
+    graph: GraphTables,
+    seed_entities: DataFrame,
+    seed_relations: DataFrame | None = None,
+    degree: int = 1,
+    checkpoint: bool = False,
+    collect_history: bool = False,
+) -> ExpansionResult:
+    """seed_entities(entity_id), seed_relations(relation_id) → expanded sets.
+
+    All inputs/outputs are single-column id DataFrames; callers join back to
+    the node tables for payloads (set-oriented — the reference's lazy fetch
+    + memo cache, knowledge_graph.py:362-457, is unnecessary here).
+    """
+    er = graph.entity_relation  # entity_id, relation_id
+    rp = graph.relation_passage  # relation_id, passage_id
+
+    entities = _ids(seed_entities, "entity_id")
+    relations = (
+        _ids(seed_relations, "relation_id")
+        if seed_relations is not None
+        else seed_entities.sparkSession.createDataFrame([], "relation_id string")
+    )
+
+    # Step 0 (knowledge_graph.py:281-301): seed-entity-adjacent relations.
+    step0 = er.join(F.broadcast(entities), "entity_id").select("relation_id")
+    relations = relations.unionByName(step0).distinct()
+    if checkpoint:
+        relations = relations.localCheckpoint(eager=False)
+    if collect_history:
+        pass  # counts appended after loop to avoid extra actions per step
+
+    history = []
+    for d in range(1, degree + 1):
+        # (a) entities of current relations (both endpoints via entity_relation).
+        hop_entities = er.join(relations, "relation_id").select("entity_id").distinct()
+        new_entities = hop_entities.join(entities, "entity_id", "left_anti")
+        entities = entities.unionByName(new_entities.select("entity_id")).distinct()
+        # (b) ONLY new entities spawn next-hop relations (knowledge_graph.py:322-327).
+        hop_relations = (
+            er.join(new_entities, "entity_id").select("relation_id").distinct()
+        )
+        relations = relations.unionByName(hop_relations).distinct()
+        if checkpoint:
+            entities = entities.localCheckpoint(eager=False)
+            relations = relations.localCheckpoint(eager=False)
+        if collect_history:
+            history.append(
+                {
+                    "degree": d,
+                    "total_entities": entities.count(),
+                    "total_relations": relations.count(),
+                }
+            )
+
+    # Passages reachable from the final relation set (knowledge_graph.py:349-356).
+    passages = rp.join(relations, "relation_id").select("passage_id").distinct()
+
+    return ExpansionResult(
+        entity_ids=entities,
+        relation_ids=relations,
+        passage_ids=passages,
+        history=history,
+    )

@@ -1,0 +1,296 @@
+"""Deduplication operator queries (north-star training-data-pipeline ops).
+
+Not present in the reference (its only dedup is the build-time
+normalized-key dedup, builder.py:76-109 — generalized here to corpus scale):
+
+- exact dedup: hash-groupBy on normalized text — one shuffle on the hash.
+- MinHash: k=16 universal hashes over 3-token shingles; LSH banding (4×4)
+  turns the quadratic all-pairs problem into an equi-join on band keys —
+  the 100 TB path for near-dup detection.
+- SimHash: 16-bit sign-aggregated token fingerprint.
+- n-gram Jaccard: exact verify step run AFTER candidate pruning.
+
+All hashing is the cross-engine md5-derived family (functions/hashing.py),
+so every query has an exact DuckDB twin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from vector_graph_rag_spark.functions.hashing import seeded_hash60, seeded_hash60_sql
+from vector_graph_rag_spark.functions.text import normalize_phrase, tokens
+from vector_graph_rag_spark.queries import register
+from vector_graph_rag_spark.queries.sql_common import norm_sql
+from vector_graph_rag_spark.sources.tables import load_table
+
+N_MINHASH = 16
+N_BANDS = 4
+ROWS_PER_BAND = 4
+
+# --- shared SQL: tokens / shingles over `documents` -------------------------
+
+_SHINGLES_CTE = """
+toks_raw AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, tok, row_number() OVER (PARTITION BY doc_id ORDER BY pos) - 1 AS pos
+  FROM toks_raw WHERE tok <> ''
+),
+shingles AS (
+  SELECT doc_id, pos,
+         tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS shingle
+  FROM toks
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+  QUALIFY lead(tok, 2) OVER w IS NOT NULL
+)
+"""
+
+
+def _shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, pos, shingle) — 3-token shingles, JVM-side array ops only."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", tokens("text").alias("toks"))
+    shingle_arr = F.when(
+        F.size("toks") >= 3,
+        F.expr(
+            "transform(sequence(0, size(toks)-3),"
+            " i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return t.select("doc_id", F.posexplode(shingle_arr).alias("pos", "shingle"))
+
+
+# --- exact dedup (hash-groupBy on normalized text) --------------------------
+
+_EXACT_SQL = f"""
+WITH keyed AS (
+  SELECT doc_id, md5({norm_sql('text')}) AS text_key FROM documents
+)
+SELECT text_key, MIN(doc_id) AS keeper_doc_id, COUNT(*) AS n_dups
+FROM keyed GROUP BY text_key
+"""
+
+
+@register("dedup_exact", oracle=_EXACT_SQL, description="exact dedup: hash-groupBy on normalized text")
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.md5(normalize_phrase("text")).alias("text_key"))
+        .groupBy("text_key")
+        .agg(F.min("doc_id").alias("keeper_doc_id"), F.count(F.lit(1)).alias("n_dups"))
+    )
+
+
+# --- minhash signatures (long form: doc_id, h_idx, minhash) -----------------
+
+
+def _minhash_wide_sql() -> str:
+    mins = ", ".join(
+        f"MIN({seeded_hash60_sql('shingle', i)}) AS m{i}" for i in range(N_MINHASH)
+    )
+    return f"sig AS (SELECT doc_id, {mins} FROM shingles GROUP BY doc_id)"
+
+
+_MINHASH_SQL = (
+    f"WITH {_SHINGLES_CTE},\n{_minhash_wide_sql()}\n"
+    + "\nUNION ALL\n".join(
+        f"SELECT doc_id, {i} AS h_idx, m{i} AS minhash FROM sig"
+        for i in range(N_MINHASH)
+    )
+)
+
+
+def _minhash_wide_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shingles_df(spark, sf_dir)
+    aggs = [
+        F.min(seeded_hash60("shingle", i)).alias(f"m{i}") for i in range(N_MINHASH)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+@register("minhash_signatures", oracle=_MINHASH_SQL, description="k=16 minhash over 3-token shingles")
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = _minhash_wide_df(spark, sf_dir)
+    stack_expr = "stack({}, {}) as (h_idx, minhash)".format(
+        N_MINHASH, ", ".join(f"{i}, m{i}" for i in range(N_MINHASH))
+    )
+    return sig.select("doc_id", F.expr(stack_expr)).select(
+        "doc_id", F.col("h_idx").cast("int").alias("h_idx"), "minhash"
+    )
+
+
+# --- minhash-LSH candidate pairs + signature-estimated jaccard --------------
+
+
+def _band_key_sql(alias: str, b: int) -> str:
+    cols = " || ',' || ".join(
+        f"CAST({alias}.m{b * ROWS_PER_BAND + r} AS VARCHAR)" for r in range(ROWS_PER_BAND)
+    )
+    return f"md5({cols})"
+
+
+_LSH_BANDS = "\nUNION ALL\n".join(
+    f"SELECT doc_id, {b} AS band, {_band_key_sql('sig', b)} AS band_key FROM sig sig"
+    for b in range(N_BANDS)
+)
+
+_EST_EQ = " + ".join(
+    f"(CASE WHEN a.m{i} = b.m{i} THEN 1 ELSE 0 END)" for i in range(N_MINHASH)
+)
+
+_LSH_SQL = f"""
+WITH {_SHINGLES_CTE},
+{_minhash_wide_sql()},
+bands AS ({_LSH_BANDS}),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM bands x JOIN bands y ON x.band = y.band AND x.band_key = y.band_key
+  WHERE x.doc_id < y.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+       CAST(({_EST_EQ}) AS DOUBLE) / {N_MINHASH} AS est_jaccard
+FROM cand c JOIN sig a ON a.doc_id = c.doc_a JOIN sig b ON b.doc_id = c.doc_b
+"""
+
+
+@register("minhash_lsh_pairs", oracle=_LSH_SQL, description="LSH banding (4x4) candidate pairs + estimated jaccard")
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = _minhash_wide_df(spark, sf_dir).cache()
+    bands = None
+    for b in range(N_BANDS):
+        key = F.md5(
+            F.concat_ws(
+                ",", *[F.col(f"m{b * ROWS_PER_BAND + r}").cast("string") for r in range(ROWS_PER_BAND)]
+            )
+        )
+        part = sig.select("doc_id", F.lit(b).alias("band"), key.alias("band_key"))
+        bands = part if bands is None else bands.unionByName(part)
+    x = bands.select(F.col("doc_id").alias("doc_a"), "band", "band_key")
+    y = bands.select(F.col("doc_id").alias("doc_b"), "band", "band_key")
+    cand = (
+        x.join(y, ["band", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    a = sig.select(F.col("doc_id").alias("doc_a"), *[F.col(f"m{i}").alias(f"am{i}") for i in range(N_MINHASH)])
+    b_ = sig.select(F.col("doc_id").alias("doc_b"), *[F.col(f"m{i}").alias(f"bm{i}") for i in range(N_MINHASH)])
+    eq = sum(
+        F.when(F.col(f"am{i}") == F.col(f"bm{i}"), 1).otherwise(0) for i in range(N_MINHASH)
+    )
+    return (
+        cand.join(a, "doc_a")
+        .join(b_, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (eq.cast("double") / F.lit(N_MINHASH)).alias("est_jaccard"),
+        )
+    )
+
+
+# --- exact n-gram jaccard on candidate pairs (verify step) ------------------
+
+_JACCARD_SQL = f"""
+WITH {_SHINGLES_CTE},
+doc_shingles AS (SELECT DISTINCT doc_id, shingle FROM shingles),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM doc_shingles GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM doc_shingles a JOIN doc_shingles b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+jac AS (
+  SELECT i.doc_a, i.doc_b, i.n_inter,
+         round(CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter), 6) AS jaccard
+  FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a JOIN sizes sb ON sb.doc_id = i.doc_b
+  WHERE i.n_inter >= 2
+)
+SELECT doc_a, doc_b, jaccard,
+       CAST(row_number() OVER (ORDER BY jaccard DESC, doc_a ASC, doc_b ASC) AS INT) AS rk
+FROM jac
+QUALIFY rk <= 100
+"""
+
+
+@register("ngram_jaccard_pairs", oracle=_JACCARD_SQL, description="exact 3-gram jaccard verify, top-100 pairs")
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shingles_df(spark, sf_dir).select("doc_id", "shingle").distinct().cache()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+        .filter(F.col("n_inter") >= 2)
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_inter").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_inter")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    w = Window.orderBy(F.desc("jaccard"), F.asc("doc_a"), F.asc("doc_b"))
+    return (
+        jac.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 100)
+        .select("doc_a", "doc_b", "jaccard", "rk")
+    )
+
+
+# --- simhash (16-bit sign-aggregated token fingerprint) ---------------------
+
+N_SIMHASH_BITS = 16
+
+
+def _simhash_sql() -> str:
+    bit_terms = " + ".join(
+        f"(CASE WHEN SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) >= 0 THEN {1 << b} ELSE 0 END)"
+        for b in range(N_SIMHASH_BITS)
+    )
+    from vector_graph_rag_spark.functions.hashing import hash60_sql
+
+    return f"""
+WITH toks_raw AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+dtoks AS (SELECT DISTINCT doc_id, tok FROM toks_raw WHERE tok <> ''),
+hashed AS (SELECT doc_id, {hash60_sql('tok')} AS h FROM dtoks)
+SELECT doc_id, CAST({bit_terms} AS BIGINT) AS simhash
+FROM hashed GROUP BY doc_id
+"""
+
+
+@register("simhash_signatures", oracle=_simhash_sql(), description="16-bit simhash over distinct tokens")
+def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_graph_rag_spark.functions.hashing import hash60
+
+    d = load_table(spark, sf_dir, "documents")
+    dtoks = (
+        d.select("doc_id", F.explode(tokens("text")).alias("tok"))
+        .distinct()
+        .select("doc_id", hash60("tok").alias("h"))
+    )
+    bit_sum = None
+    for b in range(N_SIMHASH_BITS):
+        sign = F.when(F.shiftright(F.col("h"), b).bitwiseAND(1) == 1, 1).otherwise(-1)
+        term = F.when(F.sum(sign) >= 0, F.lit(1 << b)).otherwise(F.lit(0))
+        bit_sum = term if bit_sum is None else bit_sum + term
+    return dtoks.groupBy("doc_id").agg(bit_sum.cast("bigint").alias("simhash"))

@@ -1,0 +1,198 @@
+"""Text-analysis operator queries (north-star training-data-pipeline ops).
+
+Language-ID (function-word heuristic), quality scoring (length / punctuation
+/ stopword ratios), token counting (whitespace + BPE-ish regex), and
+document fingerprinting (winnowing over rolling shingle hashes).  All
+JVM-side built-ins — the hot path has zero Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from vector_graph_rag_spark.functions.hashing import hash60, hash60_sql
+from vector_graph_rag_spark.functions.text import tokens
+from vector_graph_rag_spark.queries import register
+from vector_graph_rag_spark.queries.dedup import _SHINGLES_CTE, _shingles_df
+from vector_graph_rag_spark.sources.tables import load_table
+
+# BPE-ish token pattern: letter runs, digit runs, single non-space symbols.
+_BPE_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+# --- token / length profile -------------------------------------------------
+
+_PROFILE_SQL = f"""
+SELECT doc_id,
+       length(text) AS n_chars,
+       CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS n_tokens,
+       CAST(len(regexp_extract_all(text, '{_BPE_PATTERN}')) AS BIGINT) AS n_bpe_tokens,
+       CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS BIGINT) AS n_punct,
+       round(CAST(length(text) AS DOUBLE) /
+             NULLIF(len(list_filter(string_split(text, ' '), t -> t <> '')), 0), 6) AS chars_per_token
+FROM documents
+"""
+
+
+@register("token_profile", oracle=_PROFILE_SQL, description="token counting: whitespace + BPE-ish regex")
+def token_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(tokens("text")).cast("bigint")
+    return d.select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        F.regexp_count("text", F.lit(_BPE_PATTERN)).cast("bigint").alias("n_bpe_tokens"),
+        F.regexp_count("text", F.lit("[^A-Za-z0-9 ]")).cast("bigint").alias("n_punct"),
+        F.round(
+            F.length("text").cast("double") / F.nullif(n_tokens, F.lit(0)), 6
+        ).alias("chars_per_token"),
+    )
+
+
+# --- quality score ----------------------------------------------------------
+
+_STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "on", "for", "with"]
+_STOP_SQL_LIST = ", ".join(repr(s) for s in _STOPWORDS)
+
+_QUALITY_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+tok_stats AS (
+  SELECT doc_id,
+         COUNT(*) FILTER (WHERE tok <> '') AS n_tokens,
+         COUNT(*) FILTER (WHERE tok IN ({_STOP_SQL_LIST})) AS n_stop
+  FROM toks GROUP BY doc_id
+)
+SELECT d.doc_id,
+       round(CAST(t.n_stop AS DOUBLE) / NULLIF(t.n_tokens, 0), 6) AS stopword_ratio,
+       round(CAST(len(regexp_extract_all(d.text, '[^A-Za-z0-9 ]')) AS DOUBLE)
+             / NULLIF(length(d.text), 0), 6) AS punct_ratio,
+       CASE WHEN t.n_tokens >= 20
+             AND CAST(t.n_stop AS DOUBLE) / NULLIF(t.n_tokens, 0) >= 0.01
+             AND CAST(len(regexp_extract_all(d.text, '[^A-Za-z0-9 ]')) AS DOUBLE)
+                 / NULLIF(length(d.text), 0) <= 0.2
+            THEN 1 ELSE 0 END AS passes_quality
+FROM documents d JOIN tok_stats t ON d.doc_id = t.doc_id
+"""
+
+
+@register("quality_score", oracle=_QUALITY_SQL, description="quality gates: stopword/punct ratios + length")
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    n_tokens = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(_STOPWORDS)))
+    stop_ratio = F.round(n_stop.cast("double") / F.nullif(n_tokens, F.lit(0)), 6)
+    punct_ratio = F.round(
+        F.regexp_count("text", F.lit("[^A-Za-z0-9 ]")).cast("double")
+        / F.nullif(F.length("text"), F.lit(0)),
+        6,
+    )
+    passes = (
+        F.when(
+            (n_tokens >= 20)
+            & (n_stop.cast("double") / F.nullif(n_tokens, F.lit(0)) >= 0.01)
+            & (
+                F.regexp_count("text", F.lit("[^A-Za-z0-9 ]")).cast("double")
+                / F.nullif(F.length("text"), F.lit(0))
+                <= 0.2
+            ),
+            1,
+        )
+        .otherwise(0)
+        .cast("int")
+    )
+    return d.select(
+        "doc_id",
+        stop_ratio.alias("stopword_ratio"),
+        punct_ratio.alias("punct_ratio"),
+        passes.alias("passes_quality"),
+    )
+
+
+# --- language ID (function-word heuristic) ----------------------------------
+
+# (lang, priority, words) — tiny characteristic function-word lexicons.
+_LEXICON = [
+    ("en", 0, ["the", "a", "of", "and"]),
+    ("de", 1, ["der", "die", "das", "und"]),
+    ("es", 2, ["el", "la", "los", "que"]),
+    ("fr", 3, ["le", "les", "des", "et"]),
+    ("zh", 4, ["de", "shi", "le", "bu"]),
+]
+
+_LEX_VALUES = ", ".join(
+    f"('{lang}', {pri}, '{w}')" for lang, pri, words in _LEXICON for w in words
+)
+
+_LANGID_SQL = f"""
+WITH lex(lang, pri, word) AS (VALUES {_LEX_VALUES}),
+toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+hits AS (
+  SELECT t.doc_id, l.lang, l.pri, COUNT(*) AS n_hits
+  FROM toks t JOIN lex l ON t.tok = l.word
+  GROUP BY t.doc_id, l.lang, l.pri
+),
+ranked AS (
+  SELECT doc_id, lang, n_hits,
+         row_number() OVER (PARTITION BY doc_id ORDER BY n_hits DESC, pri ASC) AS rk
+  FROM hits
+)
+SELECT d.doc_id, COALESCE(r.lang, 'und') AS predicted_lang,
+       COALESCE(r.n_hits, 0) AS n_hits
+FROM documents d LEFT JOIN ranked r ON d.doc_id = r.doc_id AND r.rk = 1
+"""
+
+
+@register("lang_id_heuristic", oracle=_LANGID_SQL, description="function-word language-ID heuristic")
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    lex = spark.createDataFrame(
+        [(lang, pri, w) for lang, pri, words in _LEXICON for w in words],
+        "lang string, pri int, word string",
+    )
+    toks = d.select("doc_id", F.explode(tokens("text")).alias("tok"))
+    hits = (
+        toks.join(F.broadcast(lex), toks.tok == lex.word)
+        .groupBy("doc_id", "lang", "pri")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("n_hits"), F.asc("pri"))
+    best = hits.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") == 1)
+    return d.select("doc_id").join(best, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("lang", F.lit("und")).alias("predicted_lang"),
+        F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+    )
+
+
+# --- winnowing fingerprints (rolling-hash document fingerprinting) ----------
+
+_WINNOW_SQL = f"""
+WITH {_SHINGLES_CTE},
+hashed AS (
+  SELECT doc_id, pos, {hash60_sql('shingle')} AS h FROM shingles
+),
+winmin AS (
+  SELECT doc_id,
+         MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+  FROM hashed
+)
+SELECT DISTINCT doc_id, fp FROM winmin
+"""
+
+
+@register("winnow_fingerprints", oracle=_WINNOW_SQL, description="winnowing: min rolling shingle-hash per window of 4")
+def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shingles_df(spark, sf_dir).select(
+        "doc_id", "pos", hash60("shingle").alias("h")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, 3)
+    return (
+        sh.withColumn("fp", F.min("h").over(w)).select("doc_id", "fp").distinct()
+    )
