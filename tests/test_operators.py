@@ -1,0 +1,237 @@
+"""Unit tests: chunker parity, CRUD cascades, LLM runner/rerank, multimodal,
+catalog round-trip — mirroring the reference's test strategy (SURVEY §5:
+storage ops, graph-layer behavior, edge cases)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+# --- chunker (reference tests chunk semantics implicitly via loaders) -------
+
+
+def test_chunk_text_short_passthrough():
+    from vector_graph_rag_spark.sources.loaders import chunk_text
+
+    assert chunk_text("short", 1000, 200) == ["short"]
+
+
+def test_chunk_text_greedy_packing_and_separator_priority():
+    from vector_graph_rag_spark.sources.loaders import chunk_text
+
+    # "\n\n" present → split on it, greedy-pack parts up to chunk_size.
+    text = "para1 aaaa\n\npara2 bbbb\n\npara3 cccc"
+    chunks = chunk_text(text, chunk_size=25, chunk_overlap=5)
+    assert chunks == ["para1 aaaa\n\npara2 bbbb", "para3 cccc"]
+    # single separator only at lower priority → ". " chosen when no newlines
+    text2 = "aaaa. bbbb. cccc"
+    chunks2 = chunk_text(text2, chunk_size=11, chunk_overlap=2)
+    assert chunks2 == ["aaaa. bbbb", "cccc"]
+
+
+def test_chunk_text_char_window_fallback():
+    from vector_graph_rag_spark.sources.loaders import chunk_text
+
+    text = "x" * 2500  # no separators at all
+    chunks = chunk_text(text, chunk_size=1000, chunk_overlap=200)
+    # stride 800 windows of ≤1000 chars
+    assert chunks[0] == "x" * 1000
+    assert len(chunks) == 4  # offsets 0, 800, 1600, 2400
+    assert chunks[-1] == "x" * 100
+
+
+def test_chunk_text_oversized_part_splits():
+    from vector_graph_rag_spark.sources.loaders import chunk_text
+
+    big = "y" * 50
+    text = f"aaa bbb {big[:0]}" + " " + big  # spaces present; big part > size
+    chunks = chunk_text("aaa " + big, chunk_size=20, chunk_overlap=5)
+    assert chunks[0] == "aaa"
+    assert all(len(c) <= 20 for c in chunks)
+    assert "".join(chunks).count("y") >= 50  # windows overlap duplicates ys
+
+
+def test_chunk_documents_df(spark):
+    from vector_graph_rag_spark.sources.loaders import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, "a" * 50 + " " + "b" * 50 + " " + "c" * 50)], "doc_id long, text string"
+    )
+    out = chunk_documents(docs, chunk_size=60, chunk_overlap=10).collect()
+    assert all(r.total_chunks == len(out) for r in out)
+    assert [r.chunk_index for r in out] == list(range(len(out)))
+
+
+# --- CRUD cascade (reference tests/test_graph.py:233-288) -------------------
+
+
+@pytest.fixture(scope="module")
+def small_graph(spark):
+    from vector_graph_rag_spark.graph.builder import build_graph
+
+    docs = spark.createDataFrame(
+        [
+            ("p1", "", [("Alice", "knows", "Bob"), ("Bob", "likes", "Carol")]),
+            ("p2", "", [("alice", "knows", "bob")]),  # dup relation, case-insensitive
+            ("p3", "", [("Carol", "sees", "Dave")]),
+        ],
+        "doc_id string, text string, triplets array<struct<subject:string,predicate:string,object:string>>",
+    )
+    return build_graph(docs)
+
+
+def test_build_case_insensitive_dedup(small_graph):
+    ents = {r.name for r in small_graph.entities.collect()}
+    # first-seen raw forms kept
+    assert ents == {"Alice", "Bob", "Carol", "Dave"}
+    rels = small_graph.relations.collect()
+    assert len(rels) == 3  # "Alice knows Bob" == "alice knows bob"
+    knows = [r for r in rels if r.predicate == "knows"][0]
+    assert sorted(knows.passage_ids) == ["p1", "p2"]
+
+
+def test_cascade_delete_passage(spark, small_graph):
+    from vector_graph_rag_spark.graph.crud import delete_passages
+
+    g2 = delete_passages(small_graph, ["p2"])
+    assert g2.passages.count() == 2
+    knows = [r for r in g2.relations.collect() if r.predicate == "knows"][0]
+    assert knows.passage_ids == ["p1"]  # p2 stripped, relation kept
+    # entities kept even if orphaned
+    assert g2.entities.count() == 4
+
+
+def test_cascade_delete_relation(spark, small_graph):
+    from vector_graph_rag_spark.functions.text import relation_id as rid_fn
+    from vector_graph_rag_spark.graph.crud import delete_relations
+
+    rid = small_graph.relations.filter(F.col("predicate") == "sees").collect()[0].id
+    g2 = delete_relations(small_graph, [rid])
+    assert g2.relations.count() == 2
+    assert g2.entity_relation.filter(F.col("relation_id") == rid).count() == 0
+    # passages keep rows; p3's relation_ids array stripped
+    p3 = [p for p in g2.passages.collect() if p.id == "p3"][0]
+    assert p3.relation_ids == []
+
+
+def test_upsert_passages(spark, small_graph):
+    from vector_graph_rag_spark.graph.crud import upsert_passages
+
+    new_docs = spark.createDataFrame(
+        [("p3", "", [("Dave", "meets", "Eve")])],
+        "doc_id string, text string, triplets array<struct<subject:string,predicate:string,object:string>>",
+    )
+    g2 = upsert_passages(small_graph, new_docs)
+    assert g2.passages.count() == 3
+    rels = {r.predicate: r for r in g2.relations.collect()}
+    assert "meets" in rels
+    # Reference cascade semantics: the old 'sees' relation is KEPT but its
+    # passage ref is stripped (graph.py:656-670 rewrites arrays only).
+    assert rels["sees"].passage_ids == []
+    assert rels["meets"].passage_ids == ["p3"]
+    assert {r.name for r in g2.entities.collect()} >= {"Eve"}
+
+
+# --- catalog round-trip (milvus.py:847-978 parity) --------------------------
+
+
+def test_catalog_roundtrip(spark, small_graph, tmp_path):
+    from vector_graph_rag_spark.sources.catalog import GraphCatalog
+
+    cat = GraphCatalog(str(tmp_path))
+    assert cat.list_graphs() == []
+    cat.write_graph("g1", small_graph)
+    listed = cat.list_graphs()
+    assert listed == [{"name": "g1", "has_all_tables": True}]
+    g = cat.read_graph(spark, "g1")
+    assert g.entities.count() == 4
+    stats = cat.graph_stats(spark, "g1")
+    assert stats == {"entities": 4, "relations": 3, "passages": 3}
+    assert cat.delete_graph("g1") is True
+    assert cat.list_graphs() == []
+    assert cat.delete_graph("g1") is False
+
+
+# --- LLM runner + rerank ----------------------------------------------------
+
+
+def test_llm_map_operator_cache_split(spark):
+    from vector_graph_rag_spark.llm.runner import MockModelRunner, llm_map_operator
+
+    import hashlib
+
+    df = spark.createDataFrame([("q1",), ("q2",), ("q3",)], "prompt string")
+    cache = spark.createDataFrame(
+        [(hashlib.md5(b"q2").hexdigest(), "cached-answer")],
+        "prompt_md5 string, response string",
+    )
+    out = llm_map_operator(
+        df, "prompt", MockModelRunner({"q1": "fixture-answer"}), cache=cache
+    ).collect()
+    by_prompt = {r.prompt: r for r in out}
+    assert by_prompt["q2"].response == "cached-answer" and by_prompt["q2"].from_cache
+    assert by_prompt["q1"].response == "fixture-answer" and not by_prompt["q1"].from_cache
+    assert by_prompt["q3"].response.startswith("mock:")
+
+
+def test_rerank_parse_and_repair():
+    from vector_graph_rag_spark.llm.rerank import parse_rerank_response
+
+    ids = ["r1", "r2", "r3"]
+    texts = ["alice knows bob", "bob likes carol", "carol sees dave"]
+    resp = (
+        '{"thought_process": "...", "useful_relations": '
+        '["[r2] bob likes carol", "[bogus] carol sees dave", "[r2] bob likes carol", "junk"]}'
+    )
+    # valid id passes; bogus id repaired by exact text; dup dropped; junk dropped
+    assert parse_rerank_response(resp, ids, texts) == ["r2", "r3"]
+    assert parse_rerank_response("not json", ids, texts) == []
+
+
+# --- multimodal stubs -------------------------------------------------------
+
+
+def test_multimodal_decode_fake_kernel(spark):
+    from vector_graph_rag_spark.operators.multimodal import (
+        decode_assets,
+        fake_kernel,
+        resize_images,
+        sample_frames,
+        synthetic_assets,
+    )
+    from vector_graph_rag_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents").limit(30)
+    assets = synthetic_assets(spark, docs)
+    decoded = decode_assets(assets, kernel=fake_kernel).collect()
+    assert len(decoded) == 30
+    assert all(0.0 <= r.feature <= 1.0 for r in decoded)
+    assert all(len(r.checksum) == 32 for r in decoded)
+
+    resized = resize_images(assets, max_side=100).collect()
+    for r in resized:
+        if r.modality == "image" and max(r.width, r.height) > 100:
+            assert max(r.target_width, r.target_height) <= 100
+
+    frames = sample_frames(assets, every_ms=500)
+    vid = assets.filter(F.col("modality") == "video").count()
+    assert frames.select("asset_id").distinct().count() == vid
+
+
+def test_multimodal_decode_default_raises(spark):
+    from vector_graph_rag_spark.operators.multimodal import (
+        decode_assets,
+        synthetic_assets,
+    )
+    from vector_graph_rag_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents").limit(2)
+    with pytest.raises(Exception) as exc_info:
+        decode_assets(synthetic_assets(spark, docs)).collect()
+    assert "NotImplementedError" in str(exc_info.value) or "decode for modality" in str(
+        exc_info.value
+    )

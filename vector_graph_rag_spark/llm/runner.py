@@ -1,0 +1,121 @@
+"""Pluggable, cache-fronted, mockable model-call operator.
+
+The reference makes four kinds of LLM calls — triplet extraction
+(extractor.py:83-233), query NER (extractor.py:236-375), rerank
+(reranker.py:95-296), answer generation (reranker.py:299-384) — each a
+map-shaped string→string operation fronted by an MD5-keyed file cache
+(cache.py:15-156).  Spark-native shape:
+
+- ONE operator: `llm_map_operator(df, prompt_col, runner)` — an
+  Arrow-batched `mapInPandas` that calls a pluggable `ModelRunner` per
+  batch.  Batching amortizes HTTP round-trips exactly like the reference's
+  batch_size=32 embed/insert batching (config.py:120-122).
+- the cache is a TABLE: join inputs against the cache on prompt_md5;
+  only misses reach the runner (anti-join), and new results are returned
+  for write-back.  At 100 TB this turns "N LLM calls" into "N - hits",
+  with the hit lookup a broadcast or shuffle join, never a driver loop.
+- `MockModelRunner` makes the whole engine hermetic: deterministic
+  fixture-table responses (FIXTURES.md §3.3) so every downstream operator
+  is oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Protocol
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+class ModelRunner(Protocol):
+    """Batch string→string model call. Implementations must be picklable
+    (they ship to executors inside the mapInPandas closure)."""
+
+    def run_batch(self, prompts: list[str]) -> list[str]: ...
+
+
+class MockModelRunner:
+    """Deterministic mock: response = lookup table else a derived echo."""
+
+    def __init__(self, fixture: dict[str, str] | None = None, default_prefix: str = "mock:"):
+        self.fixture = fixture or {}
+        self.default_prefix = default_prefix
+
+    def run_batch(self, prompts: list[str]) -> list[str]:
+        return [
+            self.fixture.get(p, f"{self.default_prefix}{p[:64]}") for p in prompts
+        ]
+
+
+class OpenAICompatRunner:
+    """Real backend (OpenAI-compatible HTTP API), gated behind import-try —
+    present for completeness, never used in correctness runs."""
+
+    def __init__(self, model: str, base_url: str | None = None, api_key: str | None = None,
+                 temperature: float = 0.0):
+        self.model, self.base_url, self.api_key = model, base_url, api_key
+        self.temperature = temperature
+
+    def run_batch(self, prompts: list[str]) -> list[str]:
+        try:
+            from openai import OpenAI  # type: ignore
+        except ImportError as e:  # pragma: no cover
+            raise NotImplementedError("openai client not installed in this container") from e
+        client = OpenAI(base_url=self.base_url, api_key=self.api_key)
+        out = []
+        for p in prompts:
+            resp = client.chat.completions.create(
+                model=self.model,
+                temperature=self.temperature,
+                messages=[{"role": "user", "content": p}],
+            )
+            out.append(resp.choices[0].message.content or "")
+        return out
+
+
+def llm_map_operator(
+    df: DataFrame,
+    prompt_col: str,
+    runner: ModelRunner,
+    output_col: str = "response",
+    cache: DataFrame | None = None,
+) -> DataFrame:
+    """df + prompt column → df + response column, cache-table-fronted.
+
+    `cache` schema: (prompt_md5 string, response string).  Rows with a cache
+    hit never reach the runner; the output carries `from_cache` so callers
+    can write back `from_cache = false` rows (cache.py:110-124 write-back).
+    """
+    keyed = df.withColumn("__pmd5", F.md5(F.col(prompt_col)))
+    if cache is not None:
+        c = cache.select(
+            F.col("prompt_md5").alias("__pmd5"),
+            F.col("response").alias("__cached"),
+        )
+        keyed = keyed.join(F.broadcast(c), "__pmd5", "left")
+    else:
+        keyed = keyed.withColumn("__cached", F.lit(None).cast("string"))
+
+    hits = keyed.filter(F.col("__cached").isNotNull())
+    misses = keyed.filter(F.col("__cached").isNull())
+
+    out_schema = ", ".join(
+        f"`{name}` {dtype}" for name, dtype in misses.dtypes if name != "__cached"
+    ) + f", `{output_col}` string"
+
+    def _call(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            responses = runner.run_batch(list(pdf[prompt_col]))
+            yield pdf.drop(columns=["__cached"]).assign(**{output_col: responses})
+
+    called = misses.mapInPandas(_call, out_schema).withColumn(
+        "from_cache", F.lit(False)
+    )
+    hit_rows = (
+        hits.withColumn(output_col, F.col("__cached"))
+        .drop("__cached")
+        .withColumn("from_cache", F.lit(True))
+    )
+    return called.unionByName(hit_rows).drop("__pmd5")

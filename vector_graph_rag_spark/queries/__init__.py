@@ -46,6 +46,7 @@ def load_all() -> dict[str, DeclaredQuery]:
         dedup,
         textstats,
         streaming,
+        composites,
     )
 
     return REGISTRY

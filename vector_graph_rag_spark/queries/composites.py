@@ -1,0 +1,313 @@
+"""Composite / remaining-operator queries: full retrieve pipeline with
+backfill, multi-query threshold dedup, eviction top-k branch, mock
+embedding, chunker (rows-only), CRUD cascade delete, degree-2 expansion.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from vector_graph_rag_spark.functions.embedding import mock_embedding, mock_embedding_sql
+from vector_graph_rag_spark.functions.hashing import hash60, hash60_sql
+from vector_graph_rag_spark.functions.vector import cosine
+from vector_graph_rag_spark.operators.retrieval import retrieve_with_backfill
+from vector_graph_rag_spark.operators.topk import (
+    cosine_topk,
+    score_threshold_first_seen_dedup,
+)
+from vector_graph_rag_spark.queries import register
+from vector_graph_rag_spark.queries.graphrag import SEED_NAMES, _graph, _seed_entities
+from vector_graph_rag_spark.queries.sql_common import TRIPS_CTE, norm_sql
+from vector_graph_rag_spark.queries.vector import _cos_sql
+from vector_graph_rag_spark.sources.tables import load_table
+
+_SEEDS_VALUES = ", ".join(f"({s!r})" for s in SEED_NAMES)
+
+# Expansion CTE chain shared by retrieve-shaped oracles (degree 1).
+_EXPAND_CTES = f"""
+seeds AS (SELECT sha256('entity:' || {norm_sql('s.name')}) AS entity_id
+          FROM (VALUES {_SEEDS_VALUES}) s(name)),
+step0 AS (
+  SELECT DISTINCT er.relation_id FROM entity_relation er
+  JOIN seeds s ON er.entity_id = s.entity_id
+),
+hop_entities AS (
+  SELECT DISTINCT er.entity_id FROM entity_relation er
+  JOIN step0 r ON er.relation_id = r.relation_id
+),
+new_entities AS (
+  SELECT entity_id FROM hop_entities EXCEPT SELECT entity_id FROM seeds
+),
+hop_relations AS (
+  SELECT DISTINCT er.relation_id FROM entity_relation er
+  JOIN new_entities n ON er.entity_id = n.entity_id
+),
+final_relations AS (
+  SELECT relation_id FROM step0 UNION SELECT relation_id FROM hop_relations
+)
+"""
+
+# --- full retrieve + mock rerank + fan-out + naive backfill (rag.py:587-647)
+
+_RETRIEVE_SQL = f"""
+WITH {TRIPS_CTE},
+{_EXPAND_CTES},
+evicted AS (  -- no-eviction branch: lexicographic order (retriever.py:263-265)
+  SELECT relation_id, row_number() OVER (ORDER BY relation_id) AS sel_order
+  FROM final_relations
+),
+selected AS (SELECT * FROM evicted WHERE sel_order <= 5),
+graph_passages AS (
+  SELECT passage_id, prio, 0 AS src_rank, 'graph' AS src FROM (
+    SELECT rp.passage_id, s.sel_order AS prio,
+           row_number() OVER (PARTITION BY rp.passage_id ORDER BY s.sel_order, rp.relation_id) AS seen
+    FROM relation_passage rp JOIN selected s ON rp.relation_id = s.relation_id
+  ) WHERE seen = 1
+),
+naive AS (
+  SELECT doc_id AS passage_id,
+         row_number() OVER (ORDER BY doc_id) AS prio,
+         1 AS src_rank, 'naive' AS src
+  FROM docs
+),
+unioned AS (
+  SELECT * FROM graph_passages UNION ALL SELECT * FROM naive
+),
+deduped AS (
+  SELECT *, row_number() OVER (PARTITION BY passage_id ORDER BY src_rank, prio) AS seen
+  FROM unioned
+),
+ranked AS (
+  SELECT passage_id, src,
+         CAST(row_number() OVER (ORDER BY src_rank, prio, passage_id) AS INT) AS final_rank
+  FROM deduped WHERE seen = 1
+)
+SELECT passage_id, final_rank, src FROM ranked WHERE final_rank <= 10
+"""
+
+
+@register(
+    "graph_rag_retrieve_backfill",
+    oracle=_RETRIEVE_SQL,
+    description="full retrieve: expand→evict→rerank(5)→fan-out→naive backfill (rag.py:587-647)",
+)
+def graph_rag_retrieve_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_graph_rag_spark.config import EngineConfig
+
+    g = _graph(spark, sf_dir)
+    # Pin the no-eviction branch (the graph here has no relation embeddings;
+    # the eviction branch is oracle-checked separately by
+    # eviction_topk_branch).
+    cfg = EngineConfig(relation_number_threshold=10**9)
+    return retrieve_with_backfill(
+        g, _seed_entities(spark), cfg=cfg, top_k=10, num_select=5
+    )
+
+
+# --- multi-query threshold filter + first-seen dedup (retriever.py:134-154) --
+
+_FIRST_SEEN_SQL = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id, embedding::DOUBLE[] AS cvec FROM embeddings),
+scored AS (
+  SELECT q.query_id, c.vec_id, round({_cos_sql('c.cvec', 'q.qvec')}, 6) AS score
+  FROM c CROSS JOIN q
+),
+hits AS (
+  SELECT query_id, vec_id, score,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS INT) AS rank
+  FROM scored
+),
+topk AS (SELECT * FROM hits WHERE rank <= 20),
+thresholded AS (SELECT * FROM topk WHERE score > 0.2),
+first_seen AS (
+  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY query_id, rank) AS seen
+  FROM thresholded
+)
+SELECT vec_id, query_id AS first_query_id, score, rank FROM first_seen WHERE seen = 1
+"""
+
+
+@register(
+    "hits_first_seen_dedup",
+    oracle=_FIRST_SEEN_SQL,
+    description="score>t filter + first-seen dedup across query hit lists (retriever.py:134-154)",
+)
+def hits_first_seen_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_embedding")
+    )
+    hits = cosine_topk(emb, queries, k=20, corpus_id="vec_id", corpus_vec="embedding")
+    deduped = score_threshold_first_seen_dedup(
+        hits, threshold=0.2, id_col="vec_id", order_cols=("query_id", "rank")
+    )
+    return deduped.select(
+        "vec_id", F.col("query_id").alias("first_query_id"), "score", "rank"
+    )
+
+
+# --- eviction top-k branch: filtered search within candidates (retriever.py:267-285)
+
+_EVICT_TOPK_SQL = f"""
+WITH {TRIPS_CTE},
+rels AS (SELECT DISTINCT rel_id FROM trips),
+rel_emb AS (
+  SELECT r.rel_id, e.embedding::DOUBLE[] AS v
+  FROM rels r JOIN embeddings e ON e.vec_id = {hash60_sql('r.rel_id')} % 500
+),
+q AS (SELECT embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT rel_emb.rel_id, round({_cos_sql('rel_emb.v', 'q.qvec')}, 6) AS score
+  FROM rel_emb CROSS JOIN q
+)
+SELECT rel_id AS relation_id, score,
+       CAST(row_number() OVER (ORDER BY score DESC, rel_id ASC) AS INT) AS evict_order
+FROM scored
+QUALIFY evict_order <= 50
+"""
+
+
+@register(
+    "eviction_topk_branch",
+    oracle=_EVICT_TOPK_SQL,
+    description="eviction branch: vector top-k within candidate id-set (retriever.py:267-285)",
+)
+def eviction_topk_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = _graph(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    rels = g.relations.select(F.col("id").alias("rel_id")).withColumn(
+        "vec_id", hash60("rel_id") % 500
+    )
+    rel_emb = rels.join(emb.select("vec_id", F.col("embedding").alias("v")), "vec_id")
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
+    w = Window.orderBy(F.desc("score"), F.asc("rel_id"))
+    return (
+        rel_emb.crossJoin(F.broadcast(q))
+        .withColumn("score", F.round(cosine("v", "qvec"), 6))
+        .withColumn("evict_order", F.row_number().over(w))
+        .filter(F.col("evict_order") <= 50)
+        .select(F.col("rel_id").alias("relation_id"), "score", "evict_order")
+    )
+
+
+# --- deterministic mock embedding (#38, embeddings.py:206-323) --------------
+
+_EMBED_DIM = 8
+
+_MOCK_EMBED_SQL = f"""
+WITH embedded AS (
+  SELECT doc_id, {mock_embedding_sql('text', _EMBED_DIM)} AS emb FROM documents
+)
+SELECT doc_id, generate_subscripts(emb, 1) - 1 AS dim_idx,
+       round(unnest(emb), 6) AS val
+FROM embedded
+"""
+
+
+@register(
+    "mock_embed_documents",
+    oracle=_MOCK_EMBED_SQL,
+    description="deterministic hash-mock embedding, L2-normalized (embeddings.py:206-323 stand-in)",
+)
+def mock_embed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", mock_embedding("text", _EMBED_DIM).alias("emb"))
+        .select("doc_id", F.posexplode("emb").alias("dim_idx", "val"))
+        .select("doc_id", "dim_idx", F.round("val", 6).alias("val"))
+    )
+
+
+# --- chunker (UDTF-shaped 1→N; greedy packing not SQL-expressible → rows-only)
+
+
+@register(
+    "chunk_documents",
+    oracle=None,
+    description="TextChunker parity: greedy packing + overlap fallback (chunker.py:17-98); rows-only check",
+)
+def chunk_documents_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_graph_rag_spark.sources.loaders import chunk_documents
+
+    d = load_table(spark, sf_dir, "documents")
+    return chunk_documents(d, chunk_size=120, chunk_overlap=24).orderBy(
+        "doc_id", "chunk_index"
+    )
+
+
+# --- CRUD cascade delete (graph.py:634-672) ---------------------------------
+
+_CASCADE_SQL = f"""
+WITH {TRIPS_CTE},
+doomed AS (SELECT doc_id AS passage_id FROM docs WHERE doc_id IN
+           (SELECT CAST(doc_id AS VARCHAR) FROM documents WHERE source = 'src0')),
+surviving_rp AS (
+  SELECT rp.relation_id, rp.passage_id FROM relation_passage rp
+  WHERE rp.passage_id NOT IN (SELECT passage_id FROM doomed)
+),
+rels AS (SELECT DISTINCT rel_id AS relation_id FROM trips)
+SELECT r.relation_id,
+       (SELECT COUNT(*) FROM surviving_rp s WHERE s.relation_id = r.relation_id) AS n_passages
+FROM rels r
+"""
+
+
+@register(
+    "crud_cascade_delete",
+    oracle=_CASCADE_SQL,
+    description="cascade passage delete: strip refs, keep nodes (graph.py:634-672)",
+)
+def crud_cascade_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_graph_rag_spark.graph.crud import delete_passages
+
+    g = _graph(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    doomed = docs.filter(F.col("source") == "src0").select(
+        F.col("doc_id").cast("string").alias("passage_id")
+    )
+    g2 = delete_passages(g, doomed)
+    return g2.relations.select(
+        "id",
+        F.size(F.coalesce("passage_ids", F.array())).cast("bigint").alias("n_passages"),
+    ).withColumnRenamed("id", "relation_id")
+
+
+# --- degree-2 expansion (proves the driver loop generalizes) ----------------
+
+_EXPAND2_SQL = f"""
+WITH {TRIPS_CTE},
+{_EXPAND_CTES},
+entities_d1 AS (
+  SELECT entity_id FROM seeds UNION SELECT entity_id FROM new_entities
+),
+hop2_entities AS (
+  SELECT DISTINCT er.entity_id FROM entity_relation er
+  JOIN final_relations r ON er.relation_id = r.relation_id
+),
+new_entities_d2 AS (
+  SELECT entity_id FROM hop2_entities EXCEPT SELECT entity_id FROM entities_d1
+),
+hop2_relations AS (
+  SELECT DISTINCT er.relation_id FROM entity_relation er
+  JOIN new_entities_d2 n ON er.entity_id = n.entity_id
+),
+final_d2 AS (
+  SELECT relation_id FROM final_relations UNION SELECT relation_id FROM hop2_relations
+)
+SELECT relation_id FROM final_d2
+"""
+
+
+@register(
+    "subgraph_expand_d2",
+    oracle=_EXPAND2_SQL,
+    description="degree-2 BFS expansion (knowledge_graph.py:258-358, degree loop)",
+)
+def subgraph_expand_d2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_graph_rag_spark.graph.expand import expand_subgraph
+
+    g = _graph(spark, sf_dir)
+    res = expand_subgraph(g, _seed_entities(spark), degree=2, checkpoint=True)
+    return res.relation_ids.select("relation_id")
