@@ -1,0 +1,45 @@
+"""Streaming tests: stateful sessionization agrees with its batch twin."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+def test_stateful_sessionize_matches_batch(spark):
+    from vector_graph_rag_spark.queries import load_all
+    from vector_graph_rag_spark.streaming.sessionize import run_sessionize_on_events
+
+    streamed = run_sessionize_on_events(
+        spark, f"{SF_SMOKE}/events.parquet"
+    ).select(
+        "user_id",
+        F.col("session_start").cast("long").alias("start_epoch"),
+        "n_events",
+    )
+    s_rows = {(r.user_id, r.start_epoch, r.n_events) for r in streamed.collect()}
+
+    batch = load_all()["sessionize_events"].fn(spark, SF_SMOKE)
+    b_rows = {
+        (r.user_id, r.session_start, r.n_events)
+        for r in batch.select(
+            "user_id",
+            F.unix_timestamp("session_start", "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            "n_events",
+        ).collect()
+    }
+
+    # The stream closes a session only when a LATER event arrives for that
+    # user (single availableNow batch: no timeout fires), so streamed ==
+    # batch minus each user's final session.
+    assert s_rows <= b_rows
+    last_per_user = {}
+    for u, start, n in b_rows:
+        if u not in last_per_user or start > last_per_user[u][1]:
+            last_per_user[u] = (u, start, n)
+    expected = b_rows - set(last_per_user.values())
+    assert s_rows == expected
+    assert len(s_rows) > 0

@@ -47,6 +47,7 @@ def load_all() -> dict[str, DeclaredQuery]:
         textstats,
         streaming,
         composites,
+        extended,
     )
 
     return REGISTRY

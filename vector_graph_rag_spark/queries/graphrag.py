@@ -26,9 +26,35 @@ _SEED_SQL_LIST = ", ".join(
 )
 
 
+# Bump when builder/derivation semantics change — invalidates materialized
+# graph caches.
+_GRAPH_SCHEMA_VERSION = "v1"
+
+
 def _graph(spark: SparkSession, sf_dir: str):
-    docs = synthetic_triplet_docs(load_table(spark, sf_dir, "documents"))
-    return build_graph(docs)
+    """Materialized knowledge graph for a testdata SF.
+
+    The reference indexes once into Milvus and queries the stored graph
+    (rag.py:242-388); the equivalent here is build-once → parquet →
+    scan-per-query.  The materialization is cached under /tmp keyed by
+    (source dir, schema version); inputs are read-only and the build is
+    deterministic, so the cache can never go stale within a version.
+    """
+    import os
+
+    from vector_graph_rag_spark.sources.catalog import TABLE_NAMES, GraphCatalog
+
+    name = "testdata_" + os.path.basename(sf_dir.rstrip("/")) + "_" + _GRAPH_SCHEMA_VERSION
+    cat = GraphCatalog("/tmp/vgrag_spark_graphs")
+    gdir = os.path.join(cat.root, name)
+    complete = all(
+        os.path.exists(os.path.join(gdir, f"{t}.parquet", "_SUCCESS"))
+        for t in TABLE_NAMES
+    )
+    if not complete:
+        docs = synthetic_triplet_docs(load_table(spark, sf_dir, "documents"))
+        cat.write_graph(name, build_graph(docs))
+    return cat.read_graph(spark, name)
 
 
 def _seed_entities(spark: SparkSession) -> DataFrame:
