@@ -48,6 +48,7 @@ def load_all() -> dict[str, DeclaredQuery]:
         streaming,
         composites,
         extended,
+        analytics,
     )
 
     return REGISTRY

@@ -1,0 +1,319 @@
+"""Graph analytics + pipeline operators beyond point retrieval.
+
+- Connected components (bounded min-label propagation) and degree
+  histograms over the derived knowledge graph: the "graph reasoning at
+  scale" surface (BASELINE.json north star).  PySpark has no GraphX
+  binding and GraphFrames isn't available, so components are the standard
+  iterative min-label-propagation expressed as DataFrame joins — the same
+  algorithm GraphX's `connectedComponents` runs, and the one that scales:
+  each round is one shuffle-on-entity-id join + partial-aggregated min.
+  The round count is FIXED (k=4) so the result is deterministic and has an
+  exact SQL twin even on graphs whose diameter exceeds k; production use
+  loops to fixpoint with per-round checkpoint to cut lineage.
+- Rerank line repair (reference reranker.py:81-92 `_correct_line`): LLM
+  output ids are repaired by exact text match, hallucinations dropped.
+- Salted two-phase aggregation: skew-mitigation pattern whose result is
+  byte-identical to the plain groupBy — the oracle IS the unsalted SQL.
+- Multimodal binary profile: text→binary payload with typed metadata
+  (byte length, sha256, block count) — the opaque-binary-column plumbing
+  for image/audio payloads (decode kernels live in operators/multimodal).
+- File-type router (reference loaders/__init__.py:52-143 dispatch).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from vector_graph_rag_spark.queries import register
+from vector_graph_rag_spark.queries.sql_common import TRIPS_CTE
+from vector_graph_rag_spark.sources.tables import load_table
+
+# --- connected components: k=4 rounds of min-label propagation --------------
+
+_CC_ROUND = """
+{dst} AS (
+  SELECT l.id, MIN(LEAST(l.comp, COALESCE(nl.comp, l.comp))) AS comp
+  FROM {src} l
+  LEFT JOIN edges e ON e.a = l.id
+  LEFT JOIN {src} nl ON nl.id = e.b
+  GROUP BY l.id
+)"""
+
+_CC_SQL = (
+    f"""
+WITH {TRIPS_CTE},
+nodes AS (
+  SELECT DISTINCT id FROM (
+        SELECT subj_entity_id AS id FROM trips
+    UNION ALL
+        SELECT obj_entity_id FROM trips
+  )
+),
+edges AS (
+  SELECT DISTINCT a, b FROM (
+        SELECT subj_entity_id AS a, obj_entity_id AS b FROM trips
+    UNION ALL
+        SELECT obj_entity_id, subj_entity_id FROM trips
+  )
+),
+l0 AS (SELECT id, id AS comp FROM nodes),"""
+    + ",".join(_CC_ROUND.format(src=f"l{i}", dst=f"l{i + 1}") for i in range(4))
+    + """
+SELECT id, comp FROM l4
+"""
+)
+
+
+@register(
+    "entity_components_k4",
+    oracle=_CC_SQL,
+    description="connected components via 4 rounds of min-label propagation (GraphX-style CC as DataFrame joins)",
+)
+def entity_components_k4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_graph_rag_spark.queries.graphrag import _graph
+
+    g = _graph(spark, sf_dir)
+    directed = g.relations.select(
+        F.col("src_entity_id").alias("a"), F.col("dst_entity_id").alias("b")
+    )
+    edges = (
+        directed.unionByName(directed.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+    )
+    labels = g.entities.select("id", F.col("id").alias("comp"))
+    for _ in range(4):
+        nbr_min = (
+            edges.join(
+                labels.select(F.col("id").alias("b"), F.col("comp").alias("nbr_comp")),
+                "b",
+            )
+            .groupBy("a")
+            .agg(F.min("nbr_comp").alias("min_nbr"))
+            .withColumnRenamed("a", "id")
+        )
+        labels = labels.join(nbr_min, "id", "left").select(
+            "id",
+            F.least("comp", F.coalesce("min_nbr", "comp")).alias("comp"),
+        )
+    return labels
+
+
+# --- degree histogram -------------------------------------------------------
+
+_DEGREE_SQL = f"""
+WITH {TRIPS_CTE},
+deg AS (
+  SELECT entity_id, COUNT(*) AS degree FROM entity_relation GROUP BY entity_id
+)
+SELECT degree, COUNT(*) AS n_entities FROM deg GROUP BY degree
+"""
+
+
+@register(
+    "entity_degree_histogram",
+    oracle=_DEGREE_SQL,
+    description="entity degree distribution over the entity-relation edge table",
+)
+def entity_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_graph_rag_spark.queries.graphrag import _graph
+
+    g = _graph(spark, sf_dir)
+    deg = g.entity_relation.groupBy("entity_id").agg(F.count(F.lit(1)).alias("degree"))
+    return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_entities"))
+
+
+# --- rerank line repair (#35: reranker.py:81-92 _correct_line) --------------
+#
+# Simulated LLM rerank output built deterministically FROM the data: the
+# top-5 relations by id carry (rank 1-2) their correct id, (rank 3-5) a
+# hallucinated id with exact correct text — repaired by text match — plus
+# one fully bogus line that must be dropped.
+
+_RERANK_SQL = f"""
+WITH {TRIPS_CTE},
+rels AS (
+  SELECT DISTINCT rel_id AS id, rel_text AS text FROM trips
+),
+top5 AS (
+  SELECT id, text, row_number() OVER (ORDER BY id) AS line_no
+  FROM rels ORDER BY id LIMIT 5
+),
+llm_lines AS (
+      SELECT line_no,
+             CASE WHEN line_no <= 2 THEN id ELSE 'hallucinated-' || line_no END AS claimed_id,
+             text
+      FROM top5
+  UNION ALL
+      SELECT 6, 'hallucinated-6', 'no such relation text zzz'
+),
+by_id AS (
+  SELECT l.line_no, l.claimed_id, l.text, r.id AS id_match
+  FROM llm_lines l LEFT JOIN rels r ON r.id = l.claimed_id
+),
+by_text AS (
+  SELECT b.line_no, b.claimed_id, b.text, b.id_match,
+         (SELECT MIN(r.id) FROM rels r WHERE r.text = b.text) AS text_match
+  FROM by_id b
+)
+SELECT CAST(line_no AS INT) AS line_no,
+       COALESCE(id_match, text_match) AS resolved_id,
+       text,
+       CASE WHEN id_match IS NOT NULL THEN 'id'
+            ELSE 'text' END AS resolution
+FROM by_text
+WHERE COALESCE(id_match, text_match) IS NOT NULL
+"""
+
+
+@register(
+    "rerank_line_repair",
+    oracle=_RERANK_SQL,
+    description="LLM rerank output repair: keep valid ids, fix hallucinated ids by exact text match, drop unmatched (reranker.py:81-92)",
+)
+def rerank_line_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_graph_rag_spark.queries.graphrag import _graph
+
+    g = _graph(spark, sf_dir)
+    rels = g.relations.select("id", "text")
+    top5 = (
+        rels.orderBy("id")
+        .limit(5)
+        .withColumn("line_no", F.row_number().over(Window.orderBy("id")))
+    )
+    llm_lines = top5.select(
+        "line_no",
+        F.when(F.col("line_no") <= 2, F.col("id"))
+        .otherwise(F.concat(F.lit("hallucinated-"), F.col("line_no")))
+        .alias("claimed_id"),
+        "text",
+    ).unionByName(
+        top5.sparkSession.createDataFrame(
+            [(6, "hallucinated-6", "no such relation text zzz")],
+            "line_no int, claimed_id string, text string",
+        )
+    )
+    by_id = llm_lines.join(
+        rels.select(F.col("id").alias("id_match")),
+        llm_lines.claimed_id == F.col("id_match"),
+        "left",
+    )
+    text_match = rels.groupBy("text").agg(F.min("id").alias("text_match"))
+    return (
+        by_id.join(F.broadcast(text_match), "text", "left")
+        .select(
+            "line_no",
+            F.coalesce("id_match", "text_match").alias("resolved_id"),
+            "text",
+            F.when(F.col("id_match").isNotNull(), F.lit("id"))
+            .otherwise(F.lit("text"))
+            .alias("resolution"),
+        )
+        .filter(F.col("resolved_id").isNotNull())
+    )
+
+
+# --- salted two-phase aggregation (skew mitigation, result-identical) -------
+
+_SALTED_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+)
+SELECT tok, COUNT(*) AS n
+FROM toks WHERE tok <> ''
+GROUP BY tok
+"""
+
+
+@register(
+    "salted_token_counts",
+    oracle=_SALTED_SQL,
+    description="two-phase salted aggregation (salt=8 on doc_id) — skew-proof token counts, byte-identical to plain groupBy",
+)
+def salted_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_graph_rag_spark.functions.text import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(tokens("text")).alias("tok"))
+    # Phase 1: pre-aggregate on (tok, salt) so no single reducer sees a hot
+    # token's full row set; phase 2 merges the ≤8 partials per token.  At
+    # 100 TB a handful of stop-words would otherwise pin one task per word.
+    phase1 = (
+        toks.withColumn("salt", (F.col("doc_id") % 8).cast("int"))
+        .groupBy("tok", "salt")
+        .agg(F.count(F.lit(1)).alias("partial"))
+    )
+    return phase1.groupBy("tok").agg(F.sum("partial").alias("n"))
+
+
+# --- multimodal binary payload profile --------------------------------------
+
+_BINARY_SQL = """
+SELECT doc_id,
+       octet_length(encode(text)) AS n_bytes,
+       sha256(text) AS payload_sha,
+       CAST(ceil(octet_length(encode(text)) / 64.0) AS BIGINT) AS n_blocks
+FROM documents
+"""
+
+
+@register(
+    "multimodal_binary_profile",
+    oracle=_BINARY_SQL,
+    description="opaque binary payload column + typed metadata (byte length, sha256, 64B block count) — multimodal column plumbing",
+)
+def multimodal_binary_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    payload = F.col("text").cast("binary")
+    return d.select(
+        "doc_id",
+        F.length(payload).cast("bigint").alias("n_bytes"),
+        F.sha2(payload, 256).alias("payload_sha"),
+        F.ceil(F.length(payload) / F.lit(64.0)).cast("bigint").alias("n_blocks"),
+    )
+
+
+# --- file-type router (#7: loaders/__init__.py:52-143) ----------------------
+
+_EXTS = ["pdf", "docx", "doc", "txt", "md", "html", "htm", "csv", "bin"]
+_EXT_SQL_LIST = ", ".join(f"'{e}'" for e in _EXTS)
+
+_ROUTER_SQL = f"""
+WITH files AS (
+  SELECT doc_id, source || '/' || doc_id || '.' ||
+         ([{_EXT_SQL_LIST}])[CAST(doc_id % 9 AS INT) + 1] AS path,
+         ([{_EXT_SQL_LIST}])[CAST(doc_id % 9 AS INT) + 1] AS ext
+  FROM documents
+),
+routed AS (
+  SELECT ext,
+         CASE WHEN ext IN ('pdf', 'docx', 'doc') THEN 'converter'
+              WHEN ext IN ('txt', 'md') THEN 'text'
+              WHEN ext IN ('html', 'htm') THEN 'html'
+              ELSE 'unsupported' END AS handler
+  FROM files
+)
+SELECT handler, ext, COUNT(*) AS n_files
+FROM routed GROUP BY handler, ext
+"""
+
+
+@register(
+    "file_type_router",
+    oracle=_ROUTER_SQL,
+    description="extension-dispatch routing over a file listing (loaders/__init__.py:52-143)",
+)
+def file_type_router(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    ext = F.element_at(
+        F.array(*[F.lit(e) for e in _EXTS]), (F.col("doc_id") % 9).cast("int") + 1
+    )
+    routed = d.select(
+        ext.alias("ext"),
+        F.when(ext.isin("pdf", "docx", "doc"), F.lit("converter"))
+        .when(ext.isin("txt", "md"), F.lit("text"))
+        .when(ext.isin("html", "htm"), F.lit("html"))
+        .otherwise(F.lit("unsupported"))
+        .alias("handler"),
+    )
+    return routed.groupBy("handler", "ext").agg(F.count(F.lit(1)).alias("n_files"))
