@@ -27,8 +27,12 @@ def windowed_event_aggregate(
     events_path: str,
     window_duration: str = "30 minutes",
     watermark: str = "1 hour",
+    slide_duration: str | None = None,
 ) -> DataFrame:
-    """readStream(events) → watermark → tumbling-window count/sum → batch DF.
+    """readStream(events) → watermark → tumbling/sliding-window count/sum → batch DF.
+
+    ``slide_duration`` < ``window_duration`` makes windows overlap (each
+    event lands in window/slide windows); None = tumbling.
 
     Returns (window_start_epoch, event_type, n, total_value_micros) — value
     sum in exact integer micros so the result is order-independent.
@@ -45,9 +49,14 @@ def windowed_event_aggregate(
     )
     if dict(stream.dtypes).get("ts") == "bigint":
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    win = (
+        F.window("ts", window_duration, slide_duration)
+        if slide_duration
+        else F.window("ts", window_duration)
+    )
     agg = (
         stream.withWatermark("ts", watermark)
-        .groupBy(F.window("ts", window_duration).alias("w"), "event_type")
+        .groupBy(win.alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(F.col("value").cast("decimal(18,6)")).alias("total_value_dec"),
