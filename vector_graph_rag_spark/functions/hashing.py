@@ -60,8 +60,17 @@ def hash60_sql(expr: str) -> str:
 
 def seeded_hash60(col: Column | str, i: int) -> Column:
     """i-th universal hash of the md5 base hash, in [0, MERSENNE_P)."""
+    return seeded_hash60_from_base(hash60(col) % F.lit(MERSENNE_P), i)
+
+
+def seeded_hash60_from_base(base: Column, i: int) -> Column:
+    """i-th universal hash given the pre-reduced base (= hash60(x) % P).
+
+    Computing the md5 base ONCE and deriving the k seeded hashes from it is
+    the k× cheaper form for signature builders (minhash computes 16-32 of
+    these per shingle — one md5 instead of 16-32).
+    """
     a, b = _A_PARAMS[i], _B_PARAMS[i]
-    base = hash60(col) % F.lit(MERSENNE_P)
     return (F.lit(a) * base + F.lit(b)) % F.lit(MERSENNE_P)
 
 

@@ -19,7 +19,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from vector_graph_rag_spark.functions.hashing import seeded_hash60, seeded_hash60_sql
+from vector_graph_rag_spark.functions.hashing import (
+    MERSENNE_P,
+    hash60,
+    seeded_hash60_from_base,
+    seeded_hash60_sql,
+)
 from vector_graph_rag_spark.functions.text import normalize_phrase, tokens
 from vector_graph_rag_spark.queries import register
 from vector_graph_rag_spark.queries.sql_common import norm_sql
@@ -106,9 +111,14 @@ _MINHASH_SQL = (
 
 
 def _minhash_wide_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = _shingles_df(spark, sf_dir)
+    # One md5 per shingle; the 16 signature hashes are affine transforms of
+    # the reduced base (seeded_hash60_from_base) — 16× less hashing work.
+    sh = _shingles_df(spark, sf_dir).select(
+        "doc_id", (hash60("shingle") % F.lit(MERSENNE_P)).alias("hbase")
+    )
     aggs = [
-        F.min(seeded_hash60("shingle", i)).alias(f"m{i}") for i in range(N_MINHASH)
+        F.min(seeded_hash60_from_base(F.col("hbase"), i)).alias(f"m{i}")
+        for i in range(N_MINHASH)
     ]
     return sh.groupBy("doc_id").agg(*aggs)
 

@@ -189,10 +189,29 @@ SELECT DISTINCT doc_id, fp FROM winmin
 
 @register("winnow_fingerprints", oracle=_WINNOW_SQL, description="winnowing: min rolling shingle-hash per window of 4")
 def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = _shingles_df(spark, sf_dir).select(
-        "doc_id", "pos", hash60("shingle").alias("h")
+    # Fingerprinting is doc-local, so the whole pipeline stays inside one
+    # row as JVM array expressions — ZERO shuffles (vs. the naive
+    # explode → window-by-doc → global-distinct plan, which shuffles twice).
+    # The rolling min over windows of 4 and the per-doc dedup both happen on
+    # the in-row hashed-shingle array; only the final explode emits rows.
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", tokens("text").alias("toks"))
+    hashed = F.expr(
+        "transform(sequence(0, size(toks) - 3),"
+        " i -> cast(conv(substring(md5(concat_ws(' ', toks[i], toks[i+1], toks[i+2])), 1, 15), 16, 10) as bigint))"
     )
-    w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, 3)
     return (
-        sh.withColumn("fp", F.min("h").over(w)).select("doc_id", "fp").distinct()
+        t.filter(F.size("toks") >= 3)
+        .select("doc_id", hashed.alias("h"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        "transform(sequence(0, size(h) - 1),"
+                        " j -> array_min(slice(h, j + 1, 4)))"
+                    )
+                )
+            ).alias("fp"),
+        )
     )
