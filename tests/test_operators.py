@@ -235,3 +235,24 @@ def test_multimodal_decode_default_raises(spark):
     assert "NotImplementedError" in str(exc_info.value) or "decode for modality" in str(
         exc_info.value
     )
+
+
+def test_cosine_topk_matmul_equals_jvm_path(spark):
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_SMOKE
+    from vector_graph_rag_spark.operators.topk import cosine_topk, cosine_topk_matmul
+    from vector_graph_rag_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_embedding")
+    )
+    jvm = cosine_topk(emb, queries, k=10, corpus_id="vec_id", corpus_vec="embedding")
+    mm = cosine_topk_matmul(
+        emb, queries, k=10, corpus_id="vec_id", corpus_vec="embedding"
+    )
+    jvm_rows = sorted(map(tuple, jvm.collect()))
+    mm_rows = sorted(map(tuple, mm.collect()))
+    assert len(jvm_rows) == 500
+    assert jvm_rows == mm_rows

@@ -60,6 +60,23 @@ def knn_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "knn_cosine_topk_matmul",
+    oracle=_KNN_SQL,
+    description="same top-20 via numpy block-matmul mapInPandas (large-query-batch scale path)",
+)
+def knn_cosine_topk_matmul(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_graph_rag_spark.operators.topk import cosine_topk_matmul
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_embedding")
+    )
+    return cosine_topk_matmul(
+        emb, queries, k=20, corpus_id="vec_id", corpus_vec="embedding"
+    )
+
+
 # --- score-threshold filter (retriever.py:134-154 shape) --------------------
 
 _THRESH_SQL = f"""
