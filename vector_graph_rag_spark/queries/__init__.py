@@ -49,6 +49,7 @@ def load_all() -> dict[str, DeclaredQuery]:
         composites,
         extended,
         analytics,
+        sampling,
     )
 
     return REGISTRY

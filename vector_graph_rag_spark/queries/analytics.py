@@ -317,3 +317,97 @@ def file_type_router(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("handler"),
     )
     return routed.groupBy("handler", "ext").agg(F.count(F.lit(1)).alias("n_files"))
+
+
+# --- PageRank: 3 fixed power iterations over the entity graph ---------------
+#
+# The HippoRAG lineage of the reference makes PageRank the canonical graph-
+# reasoning primitive; here it is the standard power iteration expressed as
+# DataFrame joins (one shuffle-on-dst join + partial-aggregated sum per
+# round — identical shuffle shape to GraphX's Pregel step).  Determinism
+# across engines: per-iteration contributions rank/out_deg are rounded to
+# 12 decimals and summed as DECIMAL(38,12), which is EXACT and therefore
+# independent of partial-sum order — double sums would drift between
+# Spark's and DuckDB's aggregation trees.  Iteration count is fixed (k=3)
+# so the oracle is the same recurrence unrolled; production loops to
+# convergence with per-round localCheckpoint.  Dangling-node mass is
+# dropped (not redistributed) on both sides — same recurrence, same result.
+
+_PR_ROUND = """
+{dst} AS (
+  SELECT n.id,
+         round(0.15 / nn.n + 0.85 * COALESCE(s.c, 0), 12) AS rank
+  FROM nodes n CROSS JOIN nn
+  LEFT JOIN (
+    SELECT e.b AS id,
+           CAST(SUM(CAST(round(r.rank / d.out_deg, 12) AS DECIMAL(38,12))) AS DOUBLE) AS c
+    FROM edges e
+    JOIN {src} r ON r.id = e.a
+    JOIN outdeg d ON d.id = e.a
+    GROUP BY e.b
+  ) s ON s.id = n.id
+)"""
+
+_PAGERANK_SQL = (
+    f"""
+WITH {TRIPS_CTE},
+nodes AS (
+  SELECT DISTINCT id FROM (
+        SELECT subj_entity_id AS id FROM trips
+    UNION ALL
+        SELECT obj_entity_id FROM trips
+  )
+),
+edges AS (
+  SELECT DISTINCT subj_entity_id AS a, obj_entity_id AS b FROM trips
+),
+nn AS (SELECT COUNT(*) AS n FROM nodes),
+outdeg AS (SELECT a AS id, COUNT(*) AS out_deg FROM edges GROUP BY a),
+r0 AS (SELECT id, round(1.0 / (SELECT n FROM nn), 12) AS rank FROM nodes),"""
+    + ",".join(_PR_ROUND.format(src=f"r{i}", dst=f"r{i + 1}") for i in range(3))
+    + """
+SELECT id, round(rank, 6) AS pagerank FROM r3
+"""
+)
+
+
+@register(
+    "entity_pagerank_k3",
+    oracle=_PAGERANK_SQL,
+    description="PageRank, 3 power iterations over directed entity edges (decimal-exact per-round sums)",
+)
+def entity_pagerank_k3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_graph_rag_spark.queries.graphrag import _graph
+
+    g = _graph(spark, sf_dir)
+    edges = (
+        g.relations.select(
+            F.col("src_entity_id").alias("a"), F.col("dst_entity_id").alias("b")
+        )
+        .distinct()
+    )
+    nodes = g.entities.select("id")
+    n = nodes.count()  # scalar; one cheap count job even at full scale
+    outdeg = edges.groupBy(F.col("a").alias("id")).agg(
+        F.count(F.lit(1)).alias("out_deg")
+    )
+    ranks = nodes.select("id", F.round(F.lit(1.0) / F.lit(float(n)), 12).alias("rank"))
+    for _ in range(3):
+        contribs = (
+            edges.join(ranks.withColumnRenamed("id", "a"), "a")
+            .join(outdeg.withColumnRenamed("id", "a"), "a")
+            .select(
+                F.col("b").alias("id"),
+                F.round(F.col("rank") / F.col("out_deg"), 12)
+                .cast("decimal(38,12)")
+                .alias("c"),
+            )
+        )
+        summed = contribs.groupBy("id").agg(F.sum("c").cast("double").alias("c"))
+        ranks = nodes.join(summed, "id", "left").select(
+            "id",
+            F.round(
+                F.lit(0.15 / n) + F.lit(0.85) * F.coalesce("c", F.lit(0.0)), 12
+            ).alias("rank"),
+        )
+    return ranks.select("id", F.round("rank", 6).alias("pagerank"))
