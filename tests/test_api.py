@@ -1,0 +1,112 @@
+"""API-layer tests — full route surface via Flask's test client.
+
+Mirrors the reference's API contract (src/vector_graph_rag/api/app.py,
+tests/test_api.py): index → query → inspect → mutate → delete, all
+against one throwaway graph catalog.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+flask = pytest.importorskip("flask")
+
+DOCS = [
+    # Derived triplets: (alpha owns beta) (beta feeds gamma) (gamma likes delta) + (src publishes alpha)
+    {"doc_id": "d1", "text": "alpha owns beta beta feeds gamma gamma likes delta", "source": "web"},
+    {"doc_id": "d2", "text": "beta rules epsilon epsilon sees zeta zeta meets eta", "source": "web"},
+    {
+        "doc_id": "d3",
+        "text": "pre-extracted document",
+        "triplets": [
+            {"subject": "alpha", "predicate": "knows", "object": "omega"},
+            {"subject": "omega", "predicate": "hates", "object": "zeta"},
+        ],
+    },
+]
+
+
+@pytest.fixture(scope="module")
+def client(spark, tmp_path_factory):
+    from vector_graph_rag_spark.api import create_app
+
+    root = str(tmp_path_factory.mktemp("api_graphs"))
+    app = create_app(spark, catalog_root=root)
+    app.config["TESTING"] = True
+    with app.test_client() as c:
+        yield c
+
+
+def test_health_and_settings(client):
+    assert client.get("/health").get_json()["status"] == "healthy"
+    s = client.get("/settings").get_json()
+    assert s["entity_top_k"] == 20 and s["final_top_k"] == 3
+
+
+def test_add_documents_builds_graph(client):
+    r = client.post("/add_documents", json={"graph_name": "g1", "documents": DOCS})
+    body = r.get_json()
+    assert r.status_code == 200
+    assert body["graph_name"] == "g1"
+    assert body["passages"] == 3
+    assert body["entities"] > 0 and body["relations"] > 0
+    names = [g["name"] for g in client.get("/graphs").get_json()["graphs"]]
+    assert "g1" in names and "g1__staging" not in names
+
+
+def test_stats_and_neighbors(client):
+    stats = client.get("/graph/g1/stats").get_json()
+    assert stats["passages"] == 3
+    from vector_graph_rag_spark.functions.text import entity_id_str
+
+    beta = entity_id_str("beta")
+    nbrs = client.get(f"/graph/g1/neighbors/{beta}").get_json()["neighbors"]
+    nbr_names = {n["name"] for n in nbrs}
+    # beta: alpha (owns), gamma (feeds), epsilon (rules), web (publishes d2? no — publishes links source→tok1)
+    assert {"alpha", "gamma", "epsilon"} <= nbr_names
+
+
+def test_query_returns_ranked_passages(client):
+    r = client.post(
+        "/query",
+        json={"graph_name": "g1", "seed_entities": ["beta"], "top_k": 3, "degree": 1},
+    )
+    passages = r.get_json()["passages"]
+    assert passages, "expected at least one passage"
+    assert passages[0]["rank"] == 1
+    ids = [p["passage_id"] for p in passages]
+    assert "d1" in ids and "d2" in ids
+    # missing seeds → 400; unknown graph → 404
+    assert client.post("/query", json={"graph_name": "g1"}).status_code == 400
+    assert (
+        client.post("/query", json={"graph_name": "nope", "seed_entities": ["x"]}).status_code
+        == 404
+    )
+
+
+def test_document_crud_roundtrip(client):
+    assert client.get("/documents/d1", query_string={"graph_name": "g1"}).get_json()[
+        "doc_id"
+    ] == "d1"
+    page = client.get(
+        "/documents", query_string={"graph_name": "g1", "limit": 2, "offset": 1}
+    ).get_json()["documents"]
+    assert [d["doc_id"] for d in page] == ["d2", "d3"]
+
+    client.put(
+        "/documents/d2",
+        json={"graph_name": "g1", "text": "theta greets iota iota joins kappa kappa exits theta"},
+    )
+    assert "theta" in client.get(
+        "/documents/d2", query_string={"graph_name": "g1"}
+    ).get_json()["text"]
+
+    client.delete("/documents/d3", query_string={"graph_name": "g1"})
+    assert client.get("/documents/d3", query_string={"graph_name": "g1"}).status_code == 404
+    assert client.get("/graph/g1/stats").get_json()["passages"] == 2
+
+
+def test_delete_graph(client):
+    client.post("/add_documents", json={"graph_name": "g2", "documents": DOCS[:1]})
+    assert client.delete("/graph/g2").get_json()["deleted"] == "g2"
+    assert client.delete("/graph/g2").status_code == 404

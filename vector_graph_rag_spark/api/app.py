@@ -1,0 +1,290 @@
+"""Thin HTTP layer over the Spark engine — route parity with the reference
+FastAPI app (src/vector_graph_rag/api/app.py:300-890).
+
+Design: every handler is a bounded driver-side wrapper that declares a
+DataFrame plan and collects a SMALL result (stats, top-k passages, a page
+of documents).  No data flows through the HTTP process beyond request/
+response payloads; the heavy lifting stays in Spark jobs.  Flask is used
+because it is what this container ships (the reference uses FastAPI —
+same route surface, different micro-framework); it is imported lazily so
+the engine has no hard web dependency.
+
+Route map (reference file:line):
+- GET    /health                         app.py:300-303
+- GET    /graphs                         app.py:305-319
+- GET    /settings                       app.py:321-337
+- DELETE /graph/<name>                   app.py:339-377
+- POST   /add_documents                  app.py:379-421
+- POST   /query                          app.py:550-669
+- GET    /graph/<name>/stats             app.py:671-695
+- GET    /graph/<name>/neighbors/<id>    app.py:697-763
+- GET    /documents                      app.py:786-818
+- GET    /documents/<id>                 app.py:765-784
+- PUT    /documents/<id>                 app.py:820-852
+- DELETE /documents/<id>                 app.py:854-886
+
+Online ms-latency serving is explicitly out of scope (SURVEY §7): queries
+run as micro-batch Spark jobs, which matches how the reference's eval
+harness consumes the engine (300-question batches).
+
+Mutation safety: updates write the new graph to a ``<name>__staging``
+directory FIRST (reads of the old graph stay valid while the new plan
+executes), then swap.  On a real deployment the swap is a catalog pointer
+flip (Delta/Iceberg commit); on local parquet it is a directory rename.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from vector_graph_rag_spark.config import DEFAULT_CONFIG, EngineConfig
+from vector_graph_rag_spark.graph.builder import build_graph, synthetic_triplet_docs
+from vector_graph_rag_spark.graph.crud import delete_passages, upsert_passages
+from vector_graph_rag_spark.graph.retrieve import (
+    retrieve_passages,
+    seed_frontier_from_names,
+)
+from vector_graph_rag_spark.sources.catalog import GraphCatalog
+
+_TRIPLET_SCHEMA = (
+    "doc_id string, text string, "
+    "triplets array<struct<subject:string,predicate:string,object:string>>"
+)
+
+
+def _docs_dataframe(spark: SparkSession, documents: list[dict]):
+    """Request docs → (doc_id, text, triplets) DataFrame.
+
+    Docs carrying pre-extracted ``triplets`` use them verbatim (the
+    reference's pre-extracted-triplet ingest, rag.py:279-283); docs
+    without run the deterministic mock extractor (the LLM extractor is a
+    pluggable stage, llm/extractor.py:83-233 — mocked per FIXTURES.md §3).
+    """
+    with_t = [
+        (
+            str(d["doc_id"]),
+            d["text"],
+            [
+                (t["subject"], t["predicate"], t["object"])
+                for t in d["triplets"]
+            ],
+        )
+        for d in documents
+        if d.get("triplets")
+    ]
+    without_t = [
+        (str(d["doc_id"]), d["text"], d.get("source", "api"))
+        for d in documents
+        if not d.get("triplets")
+    ]
+    parts = []
+    if with_t:
+        parts.append(spark.createDataFrame(with_t, _TRIPLET_SCHEMA))
+    if without_t:
+        raw = spark.createDataFrame(without_t, "doc_id string, text string, source string")
+        parts.append(synthetic_triplet_docs(raw))
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
+    return df
+
+
+def create_app(
+    spark: SparkSession,
+    catalog_root: str | None = None,
+    config: EngineConfig = DEFAULT_CONFIG,
+):
+    """Build the Flask app bound to one SparkSession + graph catalog."""
+    from flask import Flask, jsonify, request
+
+    catalog = GraphCatalog(catalog_root or os.path.join(config.storage_root, "graphs"))
+    app = Flask("vector_graph_rag_spark")
+
+    def _exists(name: str) -> bool:
+        return os.path.isdir(catalog._graph_dir(name))
+
+    def _not_found(name: str):
+        return jsonify({"error": f"graph '{name}' not found"}), 404
+
+    def _swap_write(name: str, tables) -> None:
+        staging = name + "__staging"
+        catalog.write_graph(staging, tables)  # materializes BEFORE the swap
+        catalog.delete_graph(name)
+        os.rename(catalog._graph_dir(staging), catalog._graph_dir(name))
+
+    # --- system ------------------------------------------------------------
+
+    @app.get("/health")
+    def health():
+        return jsonify({"status": "healthy", "engine": "spark", "ok": True})
+
+    @app.get("/graphs")
+    def graphs():
+        return jsonify({"graphs": catalog.list_graphs()})
+
+    @app.get("/settings")
+    def settings():
+        d = dataclasses.asdict(config)
+        d.pop("extra", None)
+        return jsonify(d)
+
+    @app.delete("/graph/<name>")
+    def drop_graph(name: str):
+        existed = catalog.delete_graph(name)
+        if not existed:
+            return _not_found(name)
+        return jsonify({"deleted": name})
+
+    # --- documents / indexing ---------------------------------------------
+
+    @app.post("/add_documents")
+    def add_documents():
+        body = request.get_json(force=True)
+        name = body.get("graph_name", "default")
+        documents = body.get("documents") or []
+        if not documents:
+            return jsonify({"error": "no documents"}), 400
+        docs = _docs_dataframe(spark, documents)
+        if _exists(name):
+            tables = upsert_passages(catalog.read_graph(spark, name), docs)
+        else:
+            tables = build_graph(docs)
+        _swap_write(name, tables)
+        return jsonify({"graph_name": name, **catalog.graph_stats(spark, name)})
+
+    @app.get("/documents")
+    def list_documents():
+        name = request.args.get("graph_name", "default")
+        limit = int(request.args.get("limit", 10))
+        offset = int(request.args.get("offset", 0))
+        if not _exists(name):
+            return _not_found(name)
+        g = catalog.read_graph(spark, name)
+        # Bounded page: order by id, skip offset.  At scale a keyset cursor
+        # (WHERE id > last_seen) replaces the offset scan.
+        rows = (
+            g.passages.select("id", "text")
+            .orderBy("id")
+            .limit(offset + limit)
+            .collect()[offset:]
+        )
+        return jsonify(
+            {"documents": [{"doc_id": r["id"], "text": r["text"]} for r in rows]}
+        )
+
+    @app.get("/documents/<doc_id>")
+    def get_document(doc_id: str):
+        name = request.args.get("graph_name", "default")
+        if not _exists(name):
+            return _not_found(name)
+        g = catalog.read_graph(spark, name)
+        rows = g.passages.filter(F.col("id") == doc_id).select("id", "text").collect()
+        if not rows:
+            return jsonify({"error": f"document '{doc_id}' not found"}), 404
+        return jsonify({"doc_id": rows[0]["id"], "text": rows[0]["text"]})
+
+    @app.put("/documents/<doc_id>")
+    def update_document(doc_id: str):
+        body = request.get_json(force=True)
+        name = body.get("graph_name", "default")
+        if not _exists(name):
+            return _not_found(name)
+        doc = {**body, "doc_id": doc_id}
+        tables = upsert_passages(
+            catalog.read_graph(spark, name), _docs_dataframe(spark, [doc])
+        )
+        _swap_write(name, tables)
+        return jsonify({"doc_id": doc_id, "updated": True})
+
+    @app.delete("/documents/<doc_id>")
+    def delete_document(doc_id: str):
+        name = request.args.get("graph_name", "default")
+        if not _exists(name):
+            return _not_found(name)
+        g = catalog.read_graph(spark, name)
+        doomed = spark.createDataFrame([(doc_id,)], "passage_id string")
+        _swap_write(name, delete_passages(g, doomed))
+        return jsonify({"doc_id": doc_id, "deleted": True})
+
+    # --- graph reads -------------------------------------------------------
+
+    @app.get("/graph/<name>/stats")
+    def stats(name: str):
+        if not _exists(name):
+            return _not_found(name)
+        return jsonify({"graph_name": name, **catalog.graph_stats(spark, name)})
+
+    @app.get("/graph/<name>/neighbors/<entity_id>")
+    def neighbors(name: str, entity_id: str):
+        if not _exists(name):
+            return _not_found(name)
+        limit = int(request.args.get("limit", 20))
+        g = catalog.read_graph(spark, name)
+        er = g.entity_relation
+        nbrs = (
+            er.filter(F.col("entity_id") == entity_id)
+            .join(er.withColumnRenamed("entity_id", "neighbor_id"), "relation_id")
+            .filter(F.col("neighbor_id") != entity_id)
+            .select("neighbor_id")
+            .distinct()
+            .join(g.entities.withColumnRenamed("id", "neighbor_id"), "neighbor_id")
+            .select("neighbor_id", "name")
+            .orderBy("neighbor_id")
+            .limit(limit)
+            .collect()
+        )
+        return jsonify(
+            {
+                "entity_id": entity_id,
+                "neighbors": [{"entity_id": r["neighbor_id"], "name": r["name"]} for r in nbrs],
+            }
+        )
+
+    # --- query -------------------------------------------------------------
+
+    @app.post("/query")
+    def query():
+        body = request.get_json(force=True)
+        name = body.get("graph_name", "default")
+        seeds = body.get("seed_entities") or []
+        if not seeds:
+            # The reference NERs the free-text question (app.py:550-669);
+            # the deterministic stand-in requires explicit seed entities.
+            return jsonify({"error": "seed_entities required"}), 400
+        if not _exists(name):
+            return _not_found(name)
+        g = catalog.read_graph(spark, name)
+        result = retrieve_passages(
+            g,
+            seed_frontier_from_names(spark, seeds),
+            degree=int(body.get("degree", config.expansion_degree)),
+            final_top_k=int(body.get("top_k", config.final_top_k)),
+        ).collect()
+        return jsonify(
+            {
+                "passages": [
+                    {
+                        "passage_id": r["passage_id"],
+                        "rank": r["rank"],
+                        "n_supporting_relations": r["n_supporting_relations"],
+                        "text": r["text"],
+                    }
+                    for r in result
+                ]
+            }
+        )
+
+    return app
+
+
+def run_server(spark=None, host: str = "127.0.0.1", port: int = 8000):
+    """Dev server (reference app.py:914 run_server)."""
+    if spark is None:
+        from vector_graph_rag_spark.session import get_spark
+
+        spark = get_spark()
+    create_app(spark).run(host=host, port=port)

@@ -64,6 +64,22 @@ def relation_text(subject: Column | str, predicate: Column | str, obj: Column | 
     return F.concat_ws(" ", s, p, o)
 
 
+def normalize_phrase_str(s: str) -> str:
+    """Driver-side Python twin of :func:`normalize_phrase` — for building
+    lookup keys from request payloads (API seeds, test fixtures)."""
+    import re
+
+    # .strip(" ") not .strip(): Spark's trim removes spaces only.
+    return re.sub(_NORM_PATTERN, " ", s.lower()).strip(" ")
+
+
+def entity_id_str(name: str) -> str:
+    """Driver-side Python twin of :func:`entity_id`."""
+    import hashlib
+
+    return hashlib.sha256(("entity:" + normalize_phrase_str(name)).encode()).hexdigest()
+
+
 def tokens(col: Column | str) -> Column:
     """Whitespace tokenization with empties removed — array<string>.
 
