@@ -256,3 +256,62 @@ def test_cosine_topk_matmul_equals_jvm_path(spark):
     mm_rows = sorted(map(tuple, mm.collect()))
     assert len(jvm_rows) == 500
     assert jvm_rows == mm_rows
+
+
+def test_asof_join_semantics(spark):
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from vector_graph_rag_spark.operators.timeseries import asof_join
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+    left = spark.createDataFrame(
+        [(1, "u", t(10)), (2, "u", t(20)), (3, "v", t(10))],
+        "lid int, user string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [("u", t(5), 1, 50.0), ("u", t(10), 2, 100.0), ("u", t(10), 3, 200.0),
+         ("u", t(15), 4, 300.0)],
+        "user string, ts timestamp, rid int, value double",
+    )
+    got = {
+        r["lid"]: r["asof_value"]
+        for r in asof_join(
+            left, right, on=["user"], right_vals=("value",), right_order="rid"
+        ).collect()
+    }
+    # lid=1: ties at ts=10 broken by rid -> 200; lid=2: latest at 15; lid=3: no match.
+    assert got == {1: 200.0, 2: 300.0, 3: None}
+    strict = {
+        r["lid"]: r["asof_value"]
+        for r in asof_join(
+            left, right, on=["user"], right_vals=("value",), right_order="rid",
+            allow_exact=False,
+        ).collect()
+    }
+    assert strict[1] == 50.0  # exact-ts row excluded
+
+
+def test_range_join_bucket_boundary(spark):
+    import datetime as dt
+
+    from vector_graph_rag_spark.operators.timeseries import range_join_bucketed
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)  # exactly on a 900s bucket edge
+    s = lambda sec: base + dt.timedelta(seconds=sec)  # noqa: E731
+    left = spark.createDataFrame(
+        [(1, "u", s(899))], "lid int, user string, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        # 899 excluded (not strictly after), 900/1799 in (next bucket), 1800 out.
+        [("u", s(899), 10), ("u", s(900), 11), ("u", s(1799), 12), ("u", s(1800), 13)],
+        "user string, ts timestamp, rid int",
+    )
+    got = sorted(
+        r["rid"]
+        for r in range_join_bucketed(
+            left, right, on=["user"], width_seconds=900
+        ).collect()
+    )
+    assert got == [11, 12]

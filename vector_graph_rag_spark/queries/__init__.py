@@ -50,6 +50,7 @@ def load_all() -> dict[str, DeclaredQuery]:
         extended,
         analytics,
         sampling,
+        timeseries,
     )
 
     return REGISTRY

@@ -1,0 +1,122 @@
+"""Time-series join queries over `events` — as-of and bounded range joins.
+
+The Spark implementations are the shuffle-minimal compositions in
+``operators/timeseries.py``; the oracles are portable SQL (the window
+formulation — DuckDB's native ``ASOF JOIN`` gives the same result on this
+data but has no tie-break, so the deterministic window twin is declared).
+Timestamps are emitted as formatted strings (FIXTURES.md §3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vector_graph_rag_spark.queries import register
+from vector_graph_rag_spark.sources.tables import load_table
+
+_TS_FMT = "yyyy-MM-dd HH:mm:ss"
+_TS_FMT_SQL = "%Y-%m-%d %H:%M:%S"
+
+# --- as-of join: each click ↔ latest at-or-before purchase per user ---------
+
+_ASOF_SQL = f"""
+WITH unioned AS (
+      SELECT user_id, ts, event_id, value AS r_value, 0 AS tag
+      FROM events WHERE event_type = 'purchase'
+  UNION ALL
+      SELECT user_id, ts, event_id, NULL, 1
+      FROM events WHERE event_type = 'click'
+),
+carried AS (
+  SELECT user_id, ts, event_id, tag,
+         last_value(r_value IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts, tag, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS last_purchase_value
+  FROM unioned
+)
+SELECT event_id, user_id,
+       strftime(ts, '{_TS_FMT_SQL}') AS ts,
+       round(last_purchase_value, 6) AS last_purchase_value
+FROM carried WHERE tag = 1
+"""
+
+
+@register(
+    "events_asof_last_purchase",
+    oracle=_ASOF_SQL,
+    description="as-of join (merge_asof / ASOF JOIN semantics): each click carries the latest prior purchase value, one window shuffle",
+)
+def events_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_graph_rag_spark.operators.timeseries import asof_join
+
+    e = load_table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    joined = asof_join(
+        clicks,
+        purchases,
+        on=["user_id"],
+        right_vals=("value",),
+        right_order="event_id",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", _TS_FMT).alias("ts"),
+        F.round("asof_value", 6).alias("last_purchase_value"),
+    )
+
+
+# --- bounded range join: events within 15 min after each signup -------------
+
+_RANGE_SQL = f"""
+WITH signups AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'signup'
+),
+counted AS (
+  SELECT s.event_id, s.user_id, s.ts, COUNT(e.event_id) AS n_following
+  FROM signups s
+  LEFT JOIN events e
+    ON e.user_id = s.user_id
+   AND e.ts > s.ts
+   AND e.ts <= s.ts + INTERVAL 15 MINUTE
+  GROUP BY s.event_id, s.user_id, s.ts
+)
+SELECT event_id, user_id, strftime(ts, '{_TS_FMT_SQL}') AS ts,
+       n_following
+FROM counted
+"""
+
+
+@register(
+    "events_range_join_15m",
+    oracle=_RANGE_SQL,
+    description="bounded range join via time-bucket equi-join + residual filter (no inequality cross product)",
+)
+def events_range_join_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_graph_rag_spark.operators.timeseries import range_join_bucketed
+
+    e = load_table(spark, sf_dir, "events")
+    signups = e.filter(F.col("event_type") == "signup").select(
+        "event_id", "user_id", "ts"
+    )
+    matches = range_join_bucketed(
+        signups,
+        e.select("user_id", "ts", "event_id"),
+        on=["user_id"],
+        width_seconds=15 * 60,
+    )
+    counts = matches.groupBy("event_id").agg(
+        F.count(F.lit(1)).alias("n_following")
+    )
+    # Left-join back so zero-match signups keep n_following = 0.
+    return signups.join(counts, "event_id", "left").select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", _TS_FMT).alias("ts"),
+        F.coalesce("n_following", F.lit(0)).alias("n_following"),
+    )
