@@ -315,3 +315,42 @@ def test_range_join_bucket_boundary(spark):
         ).collect()
     )
     assert got == [11, 12]
+
+
+def test_ivf_index_partition_pruning(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_SMOKE
+    from vector_graph_rag_spark.operators.ivf import ivf_search, write_ivf_index
+    from vector_graph_rag_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    corpus = emb.select("vec_id", "embedding")
+    cent = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cvec")
+    )
+    path = str(tmp_path / "ivf_index")
+    write_ivf_index(corpus, cent, path)
+
+    queries = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 105)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    result = ivf_search(spark, path, queries, cent, k=10, nprobe=2)
+
+    # Matches the in-query IVF declared query (same centroids/probes/k).
+    from vector_graph_rag_spark.queries.extended import ann_ivf_topk
+
+    expected = sorted(map(tuple, ann_ivf_topk(spark, SF_SMOKE).collect()))
+    assert sorted(map(tuple, result.collect())) == expected
+
+    # The scan is partition-pruned: the probe filter reaches the file index
+    # as a PartitionFilter (inputFiles() reflects the unpruned relation, so
+    # assert on the executed plan instead).
+    import re
+
+    pruned = spark.read.parquet(path).filter(F.col("cell_id").isin([0, 3]))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[[^\]]*IN \(0,3\)[^\]]*\]", plan)
+    assert m, f"no partition filter in plan:\n{plan[:2000]}"
+    n_cells = spark.read.parquet(path).select("cell_id").distinct().count()
+    assert n_cells > 2 and pruned.count() < emb.count()

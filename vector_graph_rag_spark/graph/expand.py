@@ -80,12 +80,17 @@ def expand_subgraph(
     history = []
     for d in range(1, degree + 1):
         # (a) entities of current relations (both endpoints via entity_relation).
-        hop_entities = er.join(relations, "relation_id").select("entity_id").distinct()
-        new_entities = hop_entities.join(entities, "entity_id", "left_anti")
+        # Frontiers are bounded (eviction / relation_number_threshold) and
+        # orders of magnitude smaller than the edge table — broadcast them
+        # so `er` is never shuffled inside the hop loop.
+        hop_entities = (
+            er.join(F.broadcast(relations), "relation_id").select("entity_id").distinct()
+        )
+        new_entities = hop_entities.join(F.broadcast(entities), "entity_id", "left_anti")
         entities = entities.unionByName(new_entities.select("entity_id")).distinct()
         # (b) ONLY new entities spawn next-hop relations (knowledge_graph.py:322-327).
         hop_relations = (
-            er.join(new_entities, "entity_id").select("relation_id").distinct()
+            er.join(F.broadcast(new_entities), "entity_id").select("relation_id").distinct()
         )
         relations = relations.unionByName(hop_relations).distinct()
         if checkpoint:
@@ -101,7 +106,7 @@ def expand_subgraph(
             )
 
     # Passages reachable from the final relation set (knowledge_graph.py:349-356).
-    passages = rp.join(relations, "relation_id").select("passage_id").distinct()
+    passages = rp.join(F.broadcast(relations), "relation_id").select("passage_id").distinct()
 
     return ExpansionResult(
         entity_ids=entities,

@@ -1,0 +1,106 @@
+"""IVF index as a partition-pruned parquet layout — the 100 TB ANN path.
+
+The in-query IVF variant (`queries/extended.py::ann_ivf_topk`) recomputes
+cell assignment per query batch; at corpus scale the assignment is an
+INDEX you build once and exploit at read time.  Here the index is simply
+the corpus written ``partitionBy(cell_id)``: probing nprobe cells becomes
+a literal ``cell_id IN (...)`` filter that Catalyst turns into PARTITION
+PRUNING — the scan reads only the probed cells' files, so query cost is
+O(corpus/nlist · nprobe), not O(corpus).  (This mirrors Milvus' IVF
+coarse quantizer, milvus.py index params; the reference delegates it to
+the vector DB, we express it as storage layout.)
+
+Centroids are assumed small (nlist ≪ corpus) — they broadcast for
+assignment and collect to the driver for probe-cell selection.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from vector_graph_rag_spark.functions.vector import cosine
+
+
+def assign_cells(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    centroid_id: str = "centroid_id",
+    centroid_vec: str = "cvec",
+) -> DataFrame:
+    """corpus + argmax-cosine centroid → corpus with a ``cell_id`` column.
+
+    Broadcast nested-loop over the (bounded) centroid table; ties break to
+    the lowest centroid id for determinism.
+    """
+    w = Window.partitionBy(corpus_id).orderBy(F.desc("__cs"), F.asc(centroid_id))
+    return (
+        corpus.crossJoin(F.broadcast(centroids))
+        .withColumn("__cs", F.round(cosine(corpus_vec, centroid_vec), 6))
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .select(*corpus.columns, F.col(centroid_id).alias("cell_id"))
+    )
+
+
+def write_ivf_index(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    path: str,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+) -> None:
+    """Materialize the corpus partitioned by cell id (the IVF index)."""
+    assign_cells(
+        corpus, centroids, corpus_id=corpus_id, corpus_vec=corpus_vec
+    ).write.mode("overwrite").partitionBy("cell_id").parquet(path)
+
+
+def ivf_search(
+    spark: SparkSession,
+    index_path: str,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "qvec",
+) -> DataFrame:
+    """Top-k over ONLY the nprobe nearest cells per query.
+
+    Probe cells are chosen by scoring the query batch against the centroid
+    table and collected to a literal IN-list, so the index scan carries a
+    partition filter (`PartitionFilters: [cell_id IN (...)]`) and never
+    touches unprobed cells.
+    """
+    w_probe = Window.partitionBy(query_id).orderBy(
+        F.desc("__cs"), F.asc("centroid_id")
+    )
+    probes = (
+        queries.crossJoin(F.broadcast(centroids))
+        .withColumn("__cs", F.round(cosine(query_vec, "cvec"), 6))
+        .withColumn("__rk", F.row_number().over(w_probe))
+        .filter(F.col("__rk") <= nprobe)
+        .select(query_id, "centroid_id")
+    )
+    probe_rows = probes.collect()  # bounded: |queries| × nprobe
+    cells = sorted({r["centroid_id"] for r in probe_rows})
+
+    index = spark.read.parquet(index_path).filter(F.col("cell_id").isin(cells))
+    pairs = spark.createDataFrame(
+        [(r[query_id], r["centroid_id"]) for r in probe_rows],
+        f"{query_id} bigint, cell_id bigint",
+    )
+    w_rank = Window.partitionBy(query_id).orderBy(F.desc("score"), F.asc(corpus_id))
+    return (
+        index.join(F.broadcast(pairs), "cell_id")
+        .join(F.broadcast(queries), query_id)
+        .withColumn("score", F.round(cosine(corpus_vec, query_vec), 6))
+        .withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= k)
+        .select(query_id, corpus_id, "score", "rank")
+    )

@@ -60,3 +60,31 @@ def stream_sliding_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
         window_duration="30 minutes",
         slide_duration="15 minutes",
     )
+
+
+# Stream-stream interval join — the streaming twin of events_range_join_15m;
+# the oracle is the plain inequality join over the same bounded data.
+_SS_JOIN_SQL = """
+SELECT s.event_id AS signup_event_id,
+       e.event_id AS matched_event_id,
+       s.user_id
+FROM events s
+JOIN events e
+  ON e.user_id = s.user_id
+ AND e.ts > s.ts
+ AND e.ts <= s.ts + INTERVAL 15 MINUTE
+WHERE s.event_type = 'signup'
+"""
+
+
+@register(
+    "stream_interval_join_15m",
+    oracle=_SS_JOIN_SQL,
+    description="stream-stream inner join, watermarked both sides, time-bounded condition (state expires at ts+width)",
+)
+def stream_interval_join_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_graph_rag_spark.streaming.ingest import stream_stream_interval_join
+
+    return stream_stream_interval_join(
+        spark, os.path.join(sf_dir, "events.parquet"), left_type="signup"
+    )

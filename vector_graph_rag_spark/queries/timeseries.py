@@ -120,3 +120,32 @@ def events_range_join_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("ts", _TS_FMT).alias("ts"),
         F.coalesce("n_following", F.lit(0)).alias("n_following"),
     )
+
+
+# --- exact percentiles per event type ---------------------------------------
+#
+# Spark's `percentile` (exact, interpolated) == DuckDB `quantile_cont`; the
+# approximate scale path is `approx_percentile` (t-digest) — not declared
+# because its sketch differs across engines, but the call shape is identical.
+
+_PCTL_SQL = """
+SELECT event_type,
+       round(quantile_cont(value, 0.50), 6) AS p50,
+       round(quantile_cont(value, 0.95), 6) AS p95,
+       round(quantile_cont(value, 0.99), 6) AS p99
+FROM events GROUP BY event_type
+"""
+
+
+@register(
+    "events_value_percentiles",
+    oracle=_PCTL_SQL,
+    description="exact interpolated percentiles (p50/p95/p99) per event type",
+)
+def events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.50)), 6).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.95)), 6).alias("p95"),
+        F.round(F.percentile("value", F.lit(0.99)), 6).alias("p99"),
+    )

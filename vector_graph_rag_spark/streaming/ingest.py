@@ -81,3 +81,84 @@ def windowed_event_aggregate(
         "n",
         F.col("total_value_dec").cast("double").alias("total_value"),
     )
+
+
+def stream_stream_interval_join(
+    spark: SparkSession,
+    events_path: str,
+    left_type: str = "signup",
+    width: str = "15 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream inner join: events of ``left_type`` matched to all
+    same-user events in ``(ts, ts + width]`` — the streaming twin of
+    ``operators.timeseries.range_join_bucketed``.
+
+    Both sides carry a watermark and the join condition is time-bounded in
+    BOTH directions, which is what lets Spark expire join state: a left
+    row can stop waiting once the watermark passes ``ts + width``.
+    Without the bound, state grows forever — the cardinal stream-join
+    sin at scale.  Inner-join matches emit in append mode as soon as both
+    sides arrive; with the bounded availableNow source that is every match.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(events_path).schema
+    base_dir, file_name = os.path.split(events_path)
+
+    def _stream():
+        s = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", file_name)
+            .parquet(base_dir)
+        )
+        if dict(s.dtypes).get("ts") == "bigint":
+            s = s.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return s
+
+    left = (
+        _stream()
+        .filter(F.col("event_type") == left_type)
+        .select(
+            F.col("event_id").alias("l_event_id"),
+            F.col("user_id").alias("l_user_id"),
+            F.col("ts").alias("l_ts"),
+        )
+        .withWatermark("l_ts", watermark)
+    )
+    right = (
+        _stream()
+        .select(
+            F.col("event_id").alias("r_event_id"),
+            F.col("user_id").alias("r_user_id"),
+            F.col("ts").alias("r_ts"),
+        )
+        .withWatermark("r_ts", watermark)
+    )
+    joined = left.join(
+        right,
+        F.expr(
+            f"""
+            l_user_id = r_user_id AND
+            r_ts > l_ts AND
+            r_ts <= l_ts + INTERVAL {width}
+            """
+        ),
+    )
+    name = "evt_join_" + uuid.uuid4().hex[:12]
+    query = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        query.awaitTermination()
+    finally:
+        if query.isActive:
+            query.stop()
+    return spark.table(name).select(
+        F.col("l_event_id").alias("signup_event_id"),
+        F.col("r_event_id").alias("matched_event_id"),
+        F.col("l_user_id").alias("user_id"),
+    )
