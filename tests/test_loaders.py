@@ -54,3 +54,22 @@ def test_convert_binary_unsupported_raises(spark, tmp_path):
     assert "NotImplementedError" in str(ei.value) or isinstance(
         ei.value, NotImplementedError
     )
+
+
+def test_multiformat_document_roundtrip(spark, tmp_path):
+    from tests.conftest import SF_SMOKE
+    from vector_graph_rag_spark.sources.formats import read_documents, write_documents
+    from vector_graph_rag_spark.sources.tables import load_table
+
+    base = load_table(spark, SF_SMOKE, "documents")
+    want = sorted(map(tuple, base.collect()))
+    for fmt in ("csv", "json", "orc", "parquet"):
+        path = str(tmp_path / f"docs_{fmt}")
+        write_documents(base, path, format=fmt)
+        got = sorted(map(tuple, read_documents(spark, path, format=fmt).collect()))
+        assert got == want, f"round-trip mismatch for {fmt}"
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        read_documents(spark, "/nope", format="avro")

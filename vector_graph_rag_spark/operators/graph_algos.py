@@ -1,0 +1,73 @@
+"""Reusable graph algorithms as DataFrame joins (GraphX-equivalent dataflows).
+
+- ``min_label_propagation``: the connected-components kernel — per round
+  one shuffle join (edges ⋈ labels) + partial-aggregated MIN.  Shared by
+  entity connected components and near-duplicate clustering.
+- ``triangle_count``: ordered 3-way self-join; the ``a < b < c`` edge
+  orientation means every triangle is counted exactly once and the join
+  tree never materializes a direction-duplicated pair.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def min_label_propagation(
+    nodes: DataFrame, edges: DataFrame, rounds: int, checkpoint: bool = False
+) -> DataFrame:
+    """nodes(id) + undirected edges(a,b) → (id, comp) after fixed rounds.
+
+    ``comp`` is the MIN node id reachable within ``rounds`` hops — with
+    rounds ≥ graph diameter this is exact connected components.  Fixed
+    round counts keep declared queries deterministic/oracle-checkable;
+    production loops to fixpoint (converged when no label changes) with
+    per-round checkpoint to cut lineage.
+    """
+    labels = nodes.select("id", F.col("id").alias("comp"))
+    for _ in range(rounds):
+        nbr_min = (
+            edges.join(
+                labels.select(F.col("id").alias("b"), F.col("comp").alias("nbr_comp")),
+                "b",
+            )
+            .groupBy("a")
+            .agg(F.min("nbr_comp").alias("min_nbr"))
+            .withColumnRenamed("a", "id")
+        )
+        labels = labels.join(nbr_min, "id", "left").select(
+            "id",
+            F.least("comp", F.coalesce("min_nbr", "comp")).alias("comp"),
+        )
+        if checkpoint:
+            labels = labels.localCheckpoint(eager=False)
+    return labels
+
+
+def undirect(edges: DataFrame) -> DataFrame:
+    """directed edges(a,b) → symmetric closure, self-loops dropped."""
+    sym = edges.unionByName(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    return sym.filter(F.col("a") != F.col("b")).distinct()
+
+
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """undirected edges(a,b) → 1-row (n_triangles).
+
+    Edges are canonicalized to ``a < b`` so each triangle (a<b<c) is
+    produced by exactly one join path: (a,b) ⋈ (b,c) ⋈ (a,c).
+    """
+    e = (
+        edges.select(
+            F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    e2 = e.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    e3 = e.select(F.col("a").alias("a"), F.col("b").alias("c"))
+    return (
+        e.join(e2, "b")
+        .join(e3, ["a", "c"])
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )

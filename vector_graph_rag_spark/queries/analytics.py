@@ -73,30 +73,20 @@ SELECT id, comp FROM l4
 def entity_components_k4(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vector_graph_rag_spark.queries.graphrag import _graph
 
+    from vector_graph_rag_spark.operators.graph_algos import (
+        min_label_propagation,
+        undirect,
+    )
+
     g = _graph(spark, sf_dir)
     directed = g.relations.select(
         F.col("src_entity_id").alias("a"), F.col("dst_entity_id").alias("b")
     )
-    edges = (
-        directed.unionByName(directed.select(F.col("b").alias("a"), F.col("a").alias("b")))
-        .distinct()
+    # `undirect` drops self-loops where the SQL twin keeps them; a
+    # self-loop can never change a min-label, so results agree.
+    return min_label_propagation(
+        g.entities.select("id"), undirect(directed), rounds=4
     )
-    labels = g.entities.select("id", F.col("id").alias("comp"))
-    for _ in range(4):
-        nbr_min = (
-            edges.join(
-                labels.select(F.col("id").alias("b"), F.col("comp").alias("nbr_comp")),
-                "b",
-            )
-            .groupBy("a")
-            .agg(F.min("nbr_comp").alias("min_nbr"))
-            .withColumnRenamed("a", "id")
-        )
-        labels = labels.join(nbr_min, "id", "left").select(
-            "id",
-            F.least("comp", F.coalesce("min_nbr", "comp")).alias("comp"),
-        )
-    return labels
 
 
 # --- degree histogram -------------------------------------------------------
@@ -411,3 +401,36 @@ def entity_pagerank_k3(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rank"),
         )
     return ranks.select("id", F.round("rank", 6).alias("pagerank"))
+
+
+# --- triangle count over the undirected entity graph ------------------------
+
+_TRIANGLE_SQL = f"""
+WITH {TRIPS_CTE},
+uedges AS (
+  SELECT DISTINCT LEAST(subj_entity_id, obj_entity_id) AS a,
+                  GREATEST(subj_entity_id, obj_entity_id) AS b
+  FROM trips WHERE subj_entity_id <> obj_entity_id
+)
+SELECT COUNT(*) AS n_triangles
+FROM uedges e1
+JOIN uedges e2 ON e2.a = e1.b
+JOIN uedges e3 ON e3.a = e1.a AND e3.b = e2.b
+"""
+
+
+@register(
+    "entity_triangle_count",
+    oracle=_TRIANGLE_SQL,
+    description="triangle count via ordered 3-way self-join (each triangle counted once)",
+)
+def entity_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_graph_rag_spark.operators.graph_algos import triangle_count
+    from vector_graph_rag_spark.queries.graphrag import _graph
+
+    g = _graph(spark, sf_dir)
+    return triangle_count(
+        g.relations.select(
+            F.col("src_entity_id").alias("a"), F.col("dst_entity_id").alias("b")
+        )
+    )

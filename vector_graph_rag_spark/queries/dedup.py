@@ -304,3 +304,78 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
         term = F.when(F.sum(sign) >= 0, F.lit(1 << b)).otherwise(F.lit(0))
         bit_sum = term if bit_sum is None else bit_sum + term
     return dtoks.groupBy("doc_id").agg(bit_sum.cast("bigint").alias("simhash"))
+
+
+# --- near-dup clusters: LSH pairs → connected components → canonical doc ----
+#
+# The end-to-end dedup pipeline shape for a 100 TB corpus: candidate pairs
+# from LSH banding (never all-pairs), threshold on estimated jaccard,
+# 3 rounds of min-label propagation over the pair graph, keep the MIN
+# doc_id of each cluster as canonical.  Composes the shared CC kernel
+# (operators/graph_algos.py) with the minhash machinery above; the oracle
+# unrolls the same recurrence.
+
+_NEARDUP_THRESHOLD_EQ = 8  # est_jaccard >= 8/16 = 0.5
+
+_CC_ROUND_DOC = """
+{dst} AS (
+  SELECT l.id, MIN(LEAST(l.comp, COALESCE(nl.comp, l.comp))) AS comp
+  FROM {src} l
+  LEFT JOIN edges e ON e.a = l.id
+  LEFT JOIN {src} nl ON nl.id = e.b
+  GROUP BY l.id
+)"""
+
+_NEARDUP_CLUSTERS_SQL = (
+    f"""
+WITH {_SHINGLES_CTE},
+{_minhash_wide_sql()},
+bands AS ({_LSH_BANDS}),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM bands x JOIN bands y ON x.band = y.band AND x.band_key = y.band_key
+  WHERE x.doc_id < y.doc_id
+),
+pairs AS (
+  SELECT c.doc_a, c.doc_b
+  FROM cand c JOIN sig a ON a.doc_id = c.doc_a JOIN sig b ON b.doc_id = c.doc_b
+  WHERE ({_EST_EQ}) >= {_NEARDUP_THRESHOLD_EQ}
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+l0 AS (SELECT doc_id AS id, doc_id AS comp FROM documents),"""
+    + ",".join(_CC_ROUND_DOC.format(src=f"l{i}", dst=f"l{i + 1}") for i in range(3))
+    + """
+SELECT id AS doc_id, comp AS cluster,
+       CAST(CASE WHEN id = comp THEN 1 ELSE 0 END AS INT) AS is_canonical
+FROM l3
+"""
+)
+
+
+@register(
+    "neardup_clusters",
+    oracle=_NEARDUP_CLUSTERS_SQL,
+    description="dedup pipeline: LSH pairs -> est_jaccard>=0.5 -> 3-round CC -> canonical=min doc_id per cluster",
+)
+def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_graph_rag_spark.operators.graph_algos import (
+        min_label_propagation,
+        undirect,
+    )
+
+    pairs = minhash_lsh_pairs(spark, sf_dir).filter(
+        F.col("est_jaccard") >= _NEARDUP_THRESHOLD_EQ / N_MINHASH
+    )
+    docs = load_table(spark, sf_dir, "documents").select(F.col("doc_id").alias("id"))
+    labels = min_label_propagation(
+        docs, undirect(pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))), rounds=3
+    )
+    return labels.select(
+        F.col("id").alias("doc_id"),
+        F.col("comp").alias("cluster"),
+        (F.col("id") == F.col("comp")).cast("int").alias("is_canonical"),
+    )
