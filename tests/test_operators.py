@@ -354,3 +354,42 @@ def test_ivf_index_partition_pruning(spark, tmp_path):
     assert m, f"no partition filter in plan:\n{plan[:2000]}"
     n_cells = spark.read.parquet(path).select("cell_id").distinct().count()
     assert n_cells > 2 and pruned.count() < emb.count()
+
+
+def test_stream_incremental_index_equals_batch_build(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_SMOKE
+    from vector_graph_rag_spark.graph.builder import build_graph, synthetic_triplet_docs
+    from vector_graph_rag_spark.sources.catalog import GraphCatalog
+    from vector_graph_rag_spark.sources.tables import load_table
+    from vector_graph_rag_spark.streaming.index import stream_index_documents
+
+    docs = load_table(spark, SF_SMOKE, "documents").filter(F.col("doc_id") < 40)
+    # Two parquet files -> two micro-batches with maxFilesPerTrigger=1.
+    docs_dir = str(tmp_path / "doc_stream")
+    docs.filter(F.col("doc_id") < 20).coalesce(1).write.parquet(docs_dir + "/p1")
+    docs.filter(F.col("doc_id") >= 20).coalesce(1).write.parquet(docs_dir + "/p2")
+    import glob
+    import shutil
+
+    flat = str(tmp_path / "flat")
+    import os
+
+    os.makedirs(flat)
+    for i, f in enumerate(sorted(glob.glob(docs_dir + "/p*/part-*.parquet"))):
+        shutil.copy(f, f"{flat}/{i}.parquet")
+
+    cat = GraphCatalog(str(tmp_path / "graphs"))
+    n = stream_index_documents(spark, flat, "inc", cat)
+    assert n == 2
+
+    streamed = cat.read_graph(spark, "inc")
+    batch = build_graph(synthetic_triplet_docs(docs))
+    for t in ("entities", "relations", "passages", "entity_relation", "relation_passage"):
+        # unionByName inside the merge path may reorder columns; compare on
+        # a canonical (sorted-name) projection.
+        cols = sorted(getattr(batch, t).columns)
+        got = sorted(map(tuple, getattr(streamed, t).select(cols).collect()))
+        want = sorted(map(tuple, getattr(batch, t).select(cols).collect()))
+        assert got == want, f"table {t} differs between streamed and batch build"

@@ -1,0 +1,81 @@
+"""Physical-plan audits — the scale contract, asserted.
+
+SCALE.md's global invariants, pinned by tests so a regression that
+reintroduces a row-wise Python UDF, an unintended cartesian product, or a
+lost pushdown fails CI rather than surfacing as a 100 TB incident.
+Plans are compiled, not executed (queries with eager driver work are
+audited via their lazy parts elsewhere).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_SMOKE
+
+# Representative lazy queries across every family (streaming/eager-collect
+# queries excluded: building their DataFrame runs work).
+AUDITED = [
+    "pricing_summary",
+    "shipping_priority",
+    "topk_orders_per_customer",
+    "token_profile",
+    "quality_score",
+    "dedup_exact",
+    "minhash_lsh_pairs",
+    "neardup_clusters",
+    "knn_cosine_topk",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "graph_build_entities",
+    "entity_point_lookup",
+    "entity_pagerank_k3",
+    "entity_triangle_count",
+    "events_asof_last_purchase",
+    "events_range_join_15m",
+    "train_test_split_hash",
+    "stratified_sample_per_source",
+    "sessionize_events",
+    "events_value_percentiles",
+]
+
+
+def _plan(spark, name: str) -> str:
+    from vector_graph_rag_spark.queries import load_all
+
+    df = load_all()[name].fn(spark, SF_SMOKE)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+@pytest.mark.parametrize("name", AUDITED)
+def test_no_rowwise_python_and_no_cartesian(spark, name):
+    plan = _plan(spark, name)
+    # Row-at-a-time Python UDFs are banned from the hot path; Arrow-batched
+    # pandas (ArrowEvalPython / MapInPandas) is the sanctioned escape hatch.
+    assert "BatchEvalPython" not in plan, f"{name} has a row-wise Python UDF"
+    assert "CartesianProduct" not in plan, f"{name} has an unbounded cartesian product"
+
+
+def test_column_pruning_reaches_scan(spark):
+    # token_profile touches only (doc_id, text): the documents scan must not
+    # read lang/source/n_chars.
+    plan = _plan(spark, "token_profile")
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan, plan[-1500:]
+
+
+def test_predicate_pushdown_reaches_scan(spark):
+    # The as-of join filters event_type twice (clicks, purchases); both
+    # predicates must reach the parquet scan.
+    plan = _plan(spark, "events_asof_last_purchase")
+    assert "EqualTo(event_type,click)" in plan
+    assert "EqualTo(event_type,purchase)" in plan
+
+
+def test_broadcast_frontier_in_expansion(spark):
+    # Subgraph expansion must broadcast frontiers, never shuffle the edge
+    # table inside the hop loop.
+    plan = _plan(spark, "subgraph_expand_d1")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan

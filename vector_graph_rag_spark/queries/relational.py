@@ -371,3 +371,44 @@ def events_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+# --- CUBE: all grouping-set combinations in one pass ------------------------
+
+_CUBE_SQL = f"""
+WITH ev AS (
+  SELECT event_type, strftime(ts, '%Y-%m') AS m, value FROM events
+)
+SELECT CASE WHEN GROUPING(event_type) = 1 THEN 'ALL' ELSE event_type END AS event_type,
+       CASE WHEN GROUPING(m) = 1 THEN 'ALL' ELSE m END AS month,
+       COUNT(*) AS n,
+       CAST(SUM({dec('value', 6)}) AS DOUBLE) AS total_value
+FROM ev GROUP BY CUBE(event_type, m)
+"""
+
+
+@register(
+    "events_cube_month_type",
+    oracle=_CUBE_SQL,
+    description="CUBE(event_type, month): all 4 grouping sets in one shuffle, GROUPING() labels totals",
+)
+def events_cube_month_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", F.date_format("ts", "yyyy-MM").alias("m"), "value"
+    )
+    return (
+        e.cube("event_type", "m")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_dec("value", 6)).cast("double").alias("total_value"),
+            # grouping() is only legal inside the aggregate list.
+            F.grouping("event_type").alias("g_et"),
+            F.grouping("m").alias("g_m"),
+        )
+        .select(
+            F.when(F.col("g_et") == 1, F.lit("ALL")).otherwise(F.col("event_type")).alias("event_type"),
+            F.when(F.col("g_m") == 1, F.lit("ALL")).otherwise(F.col("m")).alias("month"),
+            "n",
+            "total_value",
+        )
+    )
