@@ -79,3 +79,32 @@ def test_broadcast_frontier_in_expansion(spark):
     plan = _plan(spark, "subgraph_expand_d1")
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
+    # The cluster deployment layout (SCALE.md): edge tables bucketed by
+    # entity id join WITHOUT an exchange — co-located sort-merge join.
+    from vector_graph_rag_spark.queries.graphrag import _graph
+
+    er = _graph(spark, SF_SMOKE).entity_relation
+    for t in ("er_bkt_a", "er_bkt_b"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        (
+            er.write.bucketBy(4, "entity_id")
+            .sortBy("entity_id")
+            .option("path", str(tmp_path / t))
+            .saveAsTable(t)
+        )
+    try:
+        j = (
+            spark.table("er_bkt_a")
+            .hint("merge")
+            .join(spark.table("er_bkt_b").withColumnRenamed("relation_id", "r2"), "entity_id")
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, f"bucketed join still shuffles:\n{plan[:1500]}"
+        assert j.count() > 0
+    finally:
+        for t in ("er_bkt_a", "er_bkt_b"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")

@@ -379,3 +379,78 @@ def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("comp").alias("cluster"),
         (F.col("id") == F.col("comp")).cast("int").alias("is_canonical"),
     )
+
+
+# --- LSH with hot-bucket cap (skew guard) -----------------------------------
+#
+# At 100 TB, stop-shingle band keys produce mega-buckets whose within-
+# bucket self-join is quadratic — the standard guard drops (or samples)
+# buckets above a cap before pair generation, trading a sliver of recall
+# for a bounded worst case.  Cap=2 here so the drop is observable at test
+# scale (4 size-3 buckets exist at sf0.01); production caps are 100-1000s.
+
+_LSH_BUCKET_CAP = 2
+
+_LSH_CAPPED_SQL = f"""
+WITH {_SHINGLES_CTE},
+{_minhash_wide_sql()},
+bands_all AS ({_LSH_BANDS}),
+bands AS (
+  SELECT doc_id, band, band_key FROM bands_all
+  QUALIFY COUNT(*) OVER (PARTITION BY band, band_key) <= {_LSH_BUCKET_CAP}
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM bands x JOIN bands y ON x.band = y.band AND x.band_key = y.band_key
+  WHERE x.doc_id < y.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+       CAST(({_EST_EQ}) AS DOUBLE) / {N_MINHASH} AS est_jaccard
+FROM cand c JOIN sig a ON a.doc_id = c.doc_a JOIN sig b ON b.doc_id = c.doc_b
+"""
+
+
+@register(
+    "minhash_lsh_pairs_capped",
+    oracle=_LSH_CAPPED_SQL,
+    description="LSH pairs with hot-bucket cap: buckets above the cap are dropped before the quadratic within-bucket join",
+)
+def minhash_lsh_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    sig = _minhash_wide_df(spark, sf_dir)
+    bands = None
+    for b in range(N_BANDS):
+        key = F.md5(
+            F.concat_ws(
+                ",", *[F.col(f"m{b * ROWS_PER_BAND + r}").cast("string") for r in range(ROWS_PER_BAND)]
+            )
+        )
+        part = sig.select("doc_id", F.lit(b).alias("band"), key.alias("band_key"))
+        bands = part if bands is None else bands.unionByName(part)
+    w = Window.partitionBy("band", "band_key")
+    bands = bands.withColumn("__bn", F.count(F.lit(1)).over(w)).filter(
+        F.col("__bn") <= _LSH_BUCKET_CAP
+    )
+    x = bands.select(F.col("doc_id").alias("doc_a"), "band", "band_key")
+    y = bands.select(F.col("doc_id").alias("doc_b"), "band", "band_key")
+    cand = (
+        x.join(y, ["band", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    a = sig.select(F.col("doc_id").alias("doc_a"), *[F.col(f"m{i}").alias(f"am{i}") for i in range(N_MINHASH)])
+    b_ = sig.select(F.col("doc_id").alias("doc_b"), *[F.col(f"m{i}").alias(f"bm{i}") for i in range(N_MINHASH)])
+    eq = sum(
+        F.when(F.col(f"am{i}") == F.col(f"bm{i}"), 1).otherwise(0) for i in range(N_MINHASH)
+    )
+    return (
+        cand.join(a, "doc_a")
+        .join(b_, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (eq.cast("double") / F.lit(N_MINHASH)).alias("est_jaccard"),
+        )
+    )
