@@ -110,3 +110,44 @@ def test_delete_graph(client):
     client.post("/add_documents", json={"graph_name": "g2", "documents": DOCS[:1]})
     assert client.delete("/graph/g2").get_json()["deleted"] == "g2"
     assert client.delete("/graph/g2").status_code == 404
+
+
+def test_import_route(client, tmp_path_factory):
+    d = tmp_path_factory.mktemp("import_files")
+    (d / "a.txt").write_text("red owns blue blue feeds green green likes gray tail tokens")
+    (d / "b.md").write_text("tiny doc")  # <9 tokens -> triplet-less passage
+    r = client.post(
+        "/import",
+        json={
+            "graph_name": "imp",
+            "sources": [str(d / "a.txt"), str(d / "b.md"), str(d / "c.pdf"), "https://x.test/p"],
+        },
+    ).get_json()
+    assert r["imported"] == 2
+    assert {s["kind"] for s in r["skipped"]} <= {"pdf", "url", "unsupported"}
+    assert len(r["skipped"]) == 2
+    stats = client.get("/graph/imp/stats").get_json()
+    assert stats["passages"] == 2 and stats["relations"] > 0
+    assert client.post("/import", json={"graph_name": "imp"}).status_code == 400
+
+
+def test_upload_route(client):
+    import io
+
+    r = client.post(
+        "/upload",
+        data={
+            "graph_name": "up",
+            "files": [
+                (io.BytesIO(b"ant bites bee bee stings cat cat chases dog end"), "doc1.txt"),
+                (io.BytesIO(b"\x00\x01binary"), "img.png"),
+            ],
+        },
+        content_type="multipart/form-data",
+    ).get_json()
+    assert r["imported"] == 1
+    assert r["skipped"] == [{"source": "img.png", "kind": "unsupported"}]
+    passages = client.get("/documents", query_string={"graph_name": "up"}).get_json()[
+        "documents"
+    ]
+    assert len(passages) == 1 and "ant bites bee" in passages[0]["text"]

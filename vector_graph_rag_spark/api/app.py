@@ -74,12 +74,12 @@ def _docs_dataframe(spark: SparkSession, documents: list[dict]):
             ],
         )
         for d in documents
-        if d.get("triplets")
+        if d.get("triplets") is not None
     ]
     without_t = [
         (str(d["doc_id"]), d["text"], d.get("source", "api"))
         for d in documents
-        if not d.get("triplets")
+        if d.get("triplets") is None
     ]
     parts = []
     if with_t:
@@ -148,13 +148,83 @@ def create_app(
         documents = body.get("documents") or []
         if not documents:
             return jsonify({"error": "no documents"}), 400
+        _index_docs(name, documents)
+        return jsonify({"graph_name": name, **catalog.graph_stats(spark, name)})
+
+    def _index_docs(name: str, documents: list[dict]):
         docs = _docs_dataframe(spark, documents)
         if _exists(name):
             tables = upsert_passages(catalog.read_graph(spark, name), docs)
         else:
             tables = build_graph(docs)
         _swap_write(name, tables)
-        return jsonify({"graph_name": name, **catalog.graph_stats(spark, name)})
+
+    def _doc_from_text(path: str, text: str) -> dict:
+        import hashlib
+
+        d = {
+            "doc_id": hashlib.sha256(path.encode()).hexdigest()[:16],
+            "text": text,
+            "source": path,
+        }
+        # The mock extractor needs ≥9 whitespace tokens (graph/builder.py
+        # synthetic rule); shorter texts index as triplet-less passages.
+        if len(text.split()) < 9:
+            d["triplets"] = []
+        return d
+
+    @app.post("/import")
+    def import_documents():
+        """File/URL import (reference app.py:423-474): route by type, read
+        supported text files through the binaryFile source + mapInPandas
+        converter, index; PDF/DOCX/URL report skipped (decode stubbed in
+        this container, sources/loaders.py)."""
+        from vector_graph_rag_spark.sources.loaders import (
+            convert_binary_documents,
+            route_files,
+        )
+
+        body = request.get_json(force=True)
+        name = body.get("graph_name", "default")
+        sources = body.get("sources") or []
+        if not sources:
+            return jsonify({"error": "no sources"}), 400
+        listing = spark.createDataFrame([(s,) for s in sources], "path string")
+        routed = {r["path"]: r["kind"] for r in route_files(listing).collect()}
+        readable = [p for p, k in routed.items() if k == "text" and os.path.isfile(p)]
+        skipped = [
+            {"source": p, "kind": k}
+            for p, k in routed.items()
+            if p not in readable
+        ]
+        imported = 0
+        if readable:
+            binary = spark.read.format("binaryFile").load(readable)
+            texts = convert_binary_documents(binary).collect()
+            docs = [_doc_from_text(r["path"], r["text"]) for r in texts]
+            _index_docs(name, docs)
+            imported = len(docs)
+        return jsonify({"graph_name": name, "imported": imported, "skipped": skipped})
+
+    @app.post("/upload")
+    def upload_files():
+        """Multipart upload (reference app.py:476-548): .txt/.md decode as
+        UTF-8 and index; other types report skipped (converter stubbed).
+        Payloads are request-bounded, so driver-side decode is safe."""
+        name = request.form.get("graph_name", "default")
+        files = request.files.getlist("files")
+        if not files:
+            return jsonify({"error": "no files"}), 400
+        docs, skipped = [], []
+        for f in files:
+            fname = f.filename or "unnamed"
+            if fname.lower().endswith((".txt", ".md")):
+                docs.append(_doc_from_text(fname, f.read().decode("utf-8", "replace")))
+            else:
+                skipped.append({"source": fname, "kind": "unsupported"})
+        if docs:
+            _index_docs(name, docs)
+        return jsonify({"graph_name": name, "imported": len(docs), "skipped": skipped})
 
     @app.get("/documents")
     def list_documents():

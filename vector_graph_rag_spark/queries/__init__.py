@@ -51,6 +51,7 @@ def load_all() -> dict[str, DeclaredQuery]:
         analytics,
         sampling,
         timeseries,
+        ranking,
     )
 
     return REGISTRY
