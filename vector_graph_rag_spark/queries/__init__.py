@@ -52,6 +52,7 @@ def load_all() -> dict[str, DeclaredQuery]:
         sampling,
         timeseries,
         ranking,
+        hybrid,
     )
 
     return REGISTRY

@@ -44,12 +44,14 @@ _BM25_QUERIES = [
     ("q_customer_order", ["customer", "order"]),
 ]
 
-_QUERY_VALUES = ", ".join(
-    f"({qid!r}, {term!r})" for qid, terms in _BM25_QUERIES for term in terms
-)
+def query_values_sql(fixture: list[tuple[str, list[str]]]) -> str:
+    return ", ".join(f"({qid!r}, {term!r})" for qid, terms in fixture for term in terms)
 
-_BM25_SQL = f"""
-WITH toks AS (
+
+def bm25_scores_ctes(query_values: str) -> str:
+    """CTE chain ``toks .. scored`` — BM25 per-(query, doc) scores; reused by
+    the hybrid-fusion oracle (queries/hybrid.py)."""
+    return f"""toks AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
 ),
 toks_ne AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
@@ -59,7 +61,7 @@ df AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM toks_ne GROUP BY tok),
 corpus AS (
   SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl
 ),
-qterms(query_id, tok) AS (VALUES {_QUERY_VALUES}),
+qterms(query_id, tok) AS (VALUES {query_values}),
 term_scores AS (
   SELECT q.query_id, tf.doc_id,
          round(
@@ -78,20 +80,13 @@ scored AS (
          CAST(SUM(CAST(term_score AS DECIMAL(18,6))) AS DOUBLE) AS score,
          COUNT(*) AS n_terms_matched
   FROM term_scores GROUP BY query_id, doc_id
-)
-SELECT query_id, doc_id, score, n_terms_matched,
-       CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS INT) AS rank
-FROM scored
-QUALIFY rank <= 10
-"""
+)"""
 
 
-@register(
-    "bm25_keyword_topk",
-    oracle=_BM25_SQL,
-    description="BM25 lexical top-k retrieval (k1=1.2, b=0.75, rational idf) — hybrid-retrieval twin of knn_cosine_topk",
-)
-def bm25_keyword_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def bm25_scores(
+    spark: SparkSession, sf_dir: str, fixture: list[tuple[str, list[str]]]
+) -> DataFrame:
+    """BM25 per-(query, doc) scores — the Spark twin of :func:`bm25_scores_ctes`."""
     d = load_table(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.explode(tokens("text")).alias("tok"))
     tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
@@ -102,7 +97,7 @@ def bm25_keyword_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
     )
     qterms = spark.createDataFrame(
-        [(qid, t) for qid, terms in _BM25_QUERIES for t in terms],
+        [(qid, t) for qid, terms in fixture for t in terms],
         "query_id string, tok string",
     )
     # Query side and corpus stats broadcast; tf/dl co-group on doc_id.
@@ -121,10 +116,28 @@ def bm25_keyword_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(idf * (F.col("tf") * F.lit(K1 + 1.0)) / denom, 6),
         )
     )
-    scored = term_scores.groupBy("query_id", "doc_id").agg(
+    return term_scores.groupBy("query_id", "doc_id").agg(
         F.sum(F.col("term_score").cast("decimal(18,6)")).cast("double").alias("score"),
         F.count(F.lit(1)).alias("n_terms_matched"),
     )
+
+
+_BM25_SQL = f"""
+WITH {bm25_scores_ctes(query_values_sql(_BM25_QUERIES))}
+SELECT query_id, doc_id, score, n_terms_matched,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS INT) AS rank
+FROM scored
+QUALIFY rank <= 10
+"""
+
+
+@register(
+    "bm25_keyword_topk",
+    oracle=_BM25_SQL,
+    description="BM25 lexical top-k retrieval (k1=1.2, b=0.75, rational idf) — hybrid-retrieval twin of knn_cosine_topk",
+)
+def bm25_keyword_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scored = bm25_scores(spark, sf_dir, _BM25_QUERIES)
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
