@@ -15,12 +15,18 @@ knowledge_graph.py:258-358) exactly:
   (knowledge_graph.py:349-356).
 
 Scale design: the frontier (new entities per hop) is small relative to the
-edge tables, so each hop is a broadcast-able hash join against
-`entity_relation`; accumulated sets stay as DataFrames (union + distinct —
-a shuffle on the id, same partitioning every hop).  Each hop optionally
-localCheckpoints to cut lineage growth (SURVEY §7 risk: iterative plans).
-The loop itself is driver-side control flow over a FIXED small degree
-(default 1, config.py:97-99) — no data-dependent iteration count.
+edge tables, so each hop is a broadcast LEFT SEMI join against
+`entity_relation` — the edge table is never shuffled.  Set-dedup is
+deferred: relation accumulations stay as lazy unions and are deduped once
+per hop (when they become the next broadcast frontier) and once at the end,
+instead of after every union — for degree 1 that is 3 shuffles total
+(frontier dedup, hop-entity dedup, final relation dedup) instead of 5.
+Entity sets need no union-dedup at all: each hop's new entities are
+anti-joined against the accumulated set, so the union is already disjoint.
+Each hop optionally localCheckpoints to cut lineage growth (SURVEY §7 risk:
+iterative plans).  The loop itself is driver-side control flow over a FIXED
+small degree (default 1, config.py:97-99) — no data-dependent iteration
+count.
 """
 
 from __future__ import annotations
@@ -63,50 +69,61 @@ def expand_subgraph(
     rp = graph.relation_passage  # relation_id, passage_id
 
     entities = _ids(seed_entities, "entity_id")
-    relations = (
+    seed_rel = (
         _ids(seed_relations, "relation_id")
         if seed_relations is not None
         else seed_entities.sparkSession.createDataFrame([], "relation_id string")
     )
 
     # Step 0 (knowledge_graph.py:281-301): seed-entity-adjacent relations.
-    step0 = er.join(F.broadcast(entities), "entity_id").select("relation_id")
-    relations = relations.unionByName(step0).distinct()
-    if checkpoint:
-        relations = relations.localCheckpoint(eager=False)
-    if collect_history:
-        pass  # counts appended after loop to avoid extra actions per step
+    # `er` holds distinct (entity, relation) pairs, so a semi join keeps it
+    # un-fanned-out; the union with seed relations stays lazy/undeduped —
+    # it is deduped when it becomes the hop-1 broadcast frontier below.
+    step0 = er.join(F.broadcast(entities), "entity_id", "left_semi").select("relation_id")
+    relations_raw = seed_rel.unionByName(step0)
 
     history = []
+    relations = relations_raw  # deduped form, maintained per hop
     for d in range(1, degree + 1):
         # (a) entities of current relations (both endpoints via entity_relation).
         # Frontiers are bounded (eviction / relation_number_threshold) and
         # orders of magnitude smaller than the edge table — broadcast them
         # so `er` is never shuffled inside the hop loop.
+        relations = relations_raw.distinct()
+        if checkpoint:
+            relations = relations.localCheckpoint(eager=False)
         hop_entities = (
-            er.join(F.broadcast(relations), "relation_id").select("entity_id").distinct()
+            er.join(F.broadcast(relations), "relation_id", "left_semi")
+            .select("entity_id")
+            .distinct()
         )
         new_entities = hop_entities.join(F.broadcast(entities), "entity_id", "left_anti")
-        entities = entities.unionByName(new_entities.select("entity_id")).distinct()
+        # `entities` is distinct and `new_entities` is anti-joined against it,
+        # so the union is already a set — no dedup shuffle needed.
+        entities = entities.unionByName(new_entities.select("entity_id"))
         # (b) ONLY new entities spawn next-hop relations (knowledge_graph.py:322-327).
-        hop_relations = (
-            er.join(F.broadcast(new_entities), "entity_id").select("relation_id").distinct()
-        )
-        relations = relations.unionByName(hop_relations).distinct()
+        hop_relations = er.join(
+            F.broadcast(new_entities), "entity_id", "left_semi"
+        ).select("relation_id")
+        relations_raw = relations.unionByName(hop_relations)
         if checkpoint:
             entities = entities.localCheckpoint(eager=False)
-            relations = relations.localCheckpoint(eager=False)
         if collect_history:
             history.append(
                 {
                     "degree": d,
                     "total_entities": entities.count(),
-                    "total_relations": relations.count(),
+                    "total_relations": relations_raw.distinct().count(),
                 }
             )
 
+    relations = relations_raw.distinct()
     # Passages reachable from the final relation set (knowledge_graph.py:349-356).
-    passages = rp.join(F.broadcast(relations), "relation_id").select("passage_id").distinct()
+    passages = (
+        rp.join(F.broadcast(relations), "relation_id", "left_semi")
+        .select("passage_id")
+        .distinct()
+    )
 
     return ExpansionResult(
         entity_ids=entities,
