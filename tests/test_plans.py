@@ -37,6 +37,12 @@ AUDITED = [
     "stratified_sample_per_source",
     "sessionize_events",
     "events_value_percentiles",
+    "bm25_keyword_topk",
+    "hybrid_rrf_topk",
+    "quantized_cosine_topk",
+    "ann_recall_eval",
+    "customer_balance_quartiles",
+    "orders_moving_avg",
 ]
 
 
@@ -71,6 +77,14 @@ def test_predicate_pushdown_reaches_scan(spark):
     plan = _plan(spark, "events_asof_last_purchase")
     assert "EqualTo(event_type,click)" in plan
     assert "EqualTo(event_type,purchase)" in plan
+
+
+def test_bm25_prunes_documents_scan(spark):
+    # BM25 touches only (doc_id, text); lang/source/n_chars must be pruned.
+    plan = _plan(spark, "bm25_keyword_topk")
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan, plan[-1500:]
+    # The query-term and df sides are tiny and must broadcast.
+    assert "BroadcastHashJoin" in plan
 
 
 def test_broadcast_frontier_in_expansion(spark):

@@ -62,6 +62,24 @@ def stream_sliding_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Streaming exact dedup — the stream twin of dedup_exact; only the key set
+# is emitted (which duplicate survives is arrival-order-dependent).
+_STREAM_DEDUP_SQL = """
+SELECT DISTINCT user_id, event_type FROM events
+"""
+
+
+@register(
+    "stream_dedup_users",
+    oracle=_STREAM_DEDUP_SQL,
+    description="streaming exact dedup via dropDuplicatesWithinWatermark (bounded state), key set output",
+)
+def stream_dedup_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_graph_rag_spark.streaming.ingest import streaming_dedup_keys
+
+    return streaming_dedup_keys(spark, os.path.join(sf_dir, "events.parquet"))
+
+
 # Stream-stream interval join — the streaming twin of events_range_join_15m;
 # the oracle is the plain inequality join over the same bounded data.
 _SS_JOIN_SQL = """

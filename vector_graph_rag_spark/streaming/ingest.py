@@ -83,6 +83,53 @@ def windowed_event_aggregate(
     )
 
 
+def streaming_dedup_keys(
+    spark: SparkSession,
+    events_path: str,
+    keys: list[str] = ("user_id", "event_type"),
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup: first event per key, state expiring with the
+    watermark — the stream twin of the batch ``dedup_exact`` operator.
+
+    Uses ``dropDuplicatesWithinWatermark`` so per-key state is dropped once
+    the watermark passes (bounded state — a plain ``dropDuplicates`` on a
+    stream accumulates keys forever, the dedup analogue of the unbounded
+    join-state sin).  Only the key columns are returned: *which* duplicate
+    survives depends on arrival order (racy under parallelism), but the key
+    set itself is deterministic and oracle-checkable.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(events_path).schema
+    base_dir, file_name = os.path.split(events_path)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", file_name)
+        .parquet(base_dir)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    deduped = (
+        stream.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(list(keys))
+        .select(*keys)
+    )
+    name = "evt_dedup_" + uuid.uuid4().hex[:12]
+    query = (
+        deduped.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        query.awaitTermination()
+    finally:
+        if query.isActive:
+            query.stop()
+    return spark.table(name)
+
+
 def stream_stream_interval_join(
     spark: SparkSession,
     events_path: str,
