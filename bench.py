@@ -29,6 +29,8 @@ HEADLINE = [
     "subgraph_expand_d1",
     "knn_cosine_topk",
     "ann_lsh_topk",
+    "bm25_keyword_topk",
+    "hybrid_rrf_topk",
     "minhash_lsh_pairs",
     "ngram_jaccard_pairs",
     "winnow_fingerprints",

@@ -43,6 +43,8 @@ AUDITED = [
     "ann_recall_eval",
     "customer_balance_quartiles",
     "orders_moving_avg",
+    "hamming_binary_topk",
+    "orders_grouping_sets",
 ]
 
 

@@ -303,6 +303,44 @@ def orders_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- GROUPING SETS (completes the rollup/cube/grouping-sets trio) -----------
+
+_GSETS_SQL = f"""
+SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+       coalesce(order_month, 'ALL') AS order_month,
+       COUNT(*) AS n_orders,
+       CAST(SUM({dec('o_totalprice')}) AS DOUBLE) AS total
+FROM (SELECT o_orderpriority, strftime(date_trunc('month', o_orderdate), '%Y-%m') AS order_month,
+             o_totalprice
+      FROM orders)
+GROUP BY GROUPING SETS ((o_orderpriority), (order_month))
+"""
+
+
+@register(
+    "orders_grouping_sets",
+    oracle=_GSETS_SQL,
+    description="GROUPING SETS partial aggregates (by priority, by month) in one pass",
+)
+def orders_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.date_format("o_orderdate", "yyyy-MM").alias("order_month"),
+        "o_totalprice",
+    )
+    return spark.sql(
+        """
+        SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+               coalesce(order_month, 'ALL') AS order_month,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        FROM {o}
+        GROUP BY GROUPING SETS ((o_orderpriority), (order_month))
+        """,
+        o=o,
+    )
+
+
 # --- scalar subquery: above-mean filter -------------------------------------
 
 _ABOVE_MEAN_SQL = f"""

@@ -207,6 +207,67 @@ def quantized_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- binary (sign) quantization + Hamming ranking ----------------------------
+
+# Hamming distance between sign bit-vectors without bit packing:
+# with s ∈ {0,1} per dim, |sa - sb| summed = Σsa + Σsb - 2·(sa·sb) — exact
+# integer arithmetic in both engines (values ≪ 2^53 in doubles).
+_HAMMING_SQL = """
+WITH c AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[], x -> CASE WHEN x >= 0.0 THEN 1.0 ELSE 0.0 END) AS sb
+  FROM embeddings
+),
+pc AS (SELECT vec_id, sb, CAST(list_sum(sb) AS BIGINT) AS ones FROM c),
+q AS (SELECT vec_id AS query_id, sb AS qsb, ones AS qones FROM pc WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, pc.vec_id,
+         pc.ones + q.qones - 2 * CAST(list_dot_product(pc.sb, q.qsb) AS BIGINT) AS hamming
+  FROM pc CROSS JOIN q
+)
+SELECT query_id, vec_id, hamming,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY hamming ASC, vec_id ASC) AS INT) AS rank
+FROM scored
+QUALIFY rank <= 20
+"""
+
+
+@register(
+    "hamming_binary_topk",
+    oracle=_HAMMING_SQL,
+    description="sign-quantized binary vectors ranked by Hamming distance (Milvus BINARY_VECTOR analogue, integer-exact)",
+)
+def hamming_binary_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    sb = F.transform(
+        F.col("embedding").cast("array<double>"),
+        lambda x: F.when(x >= 0.0, F.lit(1.0)).otherwise(F.lit(0.0)),
+    )
+    c = emb.select("vec_id", sb.alias("sb")).withColumn(
+        "ones",
+        F.aggregate("sb", F.lit(0.0), lambda acc, x: acc + x).cast("long"),
+    )
+    q = c.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("sb").alias("qsb"),
+        F.col("ones").alias("qones"),
+    )
+    dot = F.aggregate(
+        F.zip_with("sb", "qsb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    ).cast("long")
+    scored = c.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "vec_id",
+        (F.col("ones") + F.col("qones") - F.lit(2) * dot).alias("hamming"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("hamming"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 20)
+        .select("query_id", "vec_id", "hamming", "rank")
+    )
+
+
 # --- ANN recall harness ------------------------------------------------------
 
 _RECALL_SQL = f"""
