@@ -412,3 +412,61 @@ def events_cube_month_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+# --- FULL OUTER join: per-nation high-balance customers vs suppliers --------
+
+# The >9000 balance filters make each side miss some nations, so the outer
+# join genuinely produces one-sided rows (coalesced to zeros) — the join
+# shape the engine's other queries don't cover.
+_FULL_OUTER_SQL = f"""
+WITH cust AS (
+  SELECT c_nationkey AS nationkey, COUNT(*) AS n_cust,
+         CAST(SUM({dec('c_acctbal')}) AS DOUBLE) AS cust_bal
+  FROM customer WHERE c_acctbal > 9000 GROUP BY 1
+),
+supp AS (
+  SELECT s_nationkey AS nationkey, COUNT(*) AS n_supp,
+         CAST(SUM({dec('s_acctbal')}) AS DOUBLE) AS supp_bal
+  FROM supplier WHERE s_acctbal > 9000 GROUP BY 1
+)
+SELECT nationkey,
+       coalesce(n_cust, 0) AS n_cust,
+       coalesce(cust_bal, 0.0) AS cust_bal,
+       coalesce(n_supp, 0) AS n_supp,
+       coalesce(supp_bal, 0.0) AS supp_bal
+FROM cust FULL JOIN supp USING (nationkey)
+"""
+
+
+@register(
+    "nation_balance_full_outer",
+    oracle=_FULL_OUTER_SQL,
+    description="FULL OUTER join of asymmetric per-nation aggregates (one-sided rows coalesced)",
+)
+def nation_balance_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    cust = (
+        c.filter(F.col("c_acctbal") > 9000)
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.sum(_dec("c_acctbal")).cast("double").alias("cust_bal"),
+        )
+    )
+    supp = (
+        s.filter(F.col("s_acctbal") > 9000)
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n_supp"),
+            F.sum(_dec("s_acctbal")).cast("double").alias("supp_bal"),
+        )
+    )
+    return cust.join(supp, "nationkey", "full").select(
+        "nationkey",
+        F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+        F.coalesce("cust_bal", F.lit(0.0)).alias("cust_bal"),
+        F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+        F.coalesce("supp_bal", F.lit(0.0)).alias("supp_bal"),
+    )
