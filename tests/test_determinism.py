@@ -1,0 +1,46 @@
+"""Determinism under repartitioning — the oracle-parity prerequisite.
+
+Every declared query claims a result that is bit-identical regardless of
+physical parallelism (FIXTURES.md §3: decimal-exact sums, pre-rank
+rounding, explicit tie-breaks).  These tests actually vary the shuffle
+parallelism and re-run representative float-heavy queries: if a query
+leaked addition-order or partition-order dependence, the two runs would
+diverge here before they diverged against DuckDB on a cluster.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_SMOKE
+
+# Float-heavy / order-sensitive representatives of each family.
+REPARTITION_CHECKED = [
+    "pricing_summary",          # decimal-exact multi-agg
+    "bm25_keyword_topk",        # rounded term scores + decimal sum + rank
+    "hybrid_rrf_topk",          # rank fusion across two lists
+    "entity_pagerank_k3",       # iterative decimal-exact propagation
+    "minhash_lsh_pairs",        # hash joins + est fraction
+    "orders_moving_avg",        # window frame over decimal sums
+]
+
+
+def _run(spark, name: str, shuffle_partitions: int):
+    from vector_graph_rag_spark.queries import load_all
+    from vector_graph_rag_spark.testing import normalize_frame
+
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        return normalize_frame(load_all()[name].fn(spark, SF_SMOKE).toPandas())
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+@pytest.mark.parametrize("name", REPARTITION_CHECKED)
+def test_identical_across_shuffle_parallelism(spark, name):
+    lo = _run(spark, name, 3)
+    hi = _run(spark, name, 17)
+    assert list(lo.columns) == list(hi.columns)
+    assert len(lo) == len(hi), f"{name}: row count differs across parallelism"
+    assert lo.equals(hi), f"{name}: values differ across shuffle parallelism"

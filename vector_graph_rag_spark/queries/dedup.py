@@ -265,6 +265,90 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- minhash estimation quality (est vs exact jaccard on LSH pairs) ---------
+#
+# The dedup analogue of ann_recall_eval: for every LSH candidate pair,
+# compare the signature-estimated jaccard against the exact shingle-set
+# jaccard — the error distribution is what justifies k=16 signatures (and
+# at 100 TB, running the exact verify only on LSH survivors).
+
+_EST_QUALITY_SQL = f"""
+WITH {_SHINGLES_CTE},
+{_minhash_wide_sql()},
+bands AS ({_LSH_BANDS}),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM bands x JOIN bands y ON x.band = y.band AND x.band_key = y.band_key
+  WHERE x.doc_id < y.doc_id
+),
+est AS (
+  SELECT c.doc_a, c.doc_b, CAST(({_EST_EQ}) AS DOUBLE) / {N_MINHASH} AS est_jaccard
+  FROM cand c JOIN sig a ON a.doc_id = c.doc_a JOIN sig b ON b.doc_id = c.doc_b
+),
+doc_shingles AS (SELECT DISTINCT doc_id, shingle FROM shingles),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM doc_shingles GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM doc_shingles a JOIN doc_shingles b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+exact AS (
+  SELECT e.doc_a, e.doc_b, e.est_jaccard,
+         round(CAST(coalesce(i.n_inter, 0) AS DOUBLE)
+               / (sa.n + sb.n - coalesce(i.n_inter, 0)), 6) AS jaccard
+  FROM est e
+  LEFT JOIN inter i ON i.doc_a = e.doc_a AND i.doc_b = e.doc_b
+  JOIN sizes sa ON sa.doc_id = e.doc_a
+  JOIN sizes sb ON sb.doc_id = e.doc_b
+)
+SELECT doc_a, doc_b, est_jaccard, jaccard,
+       round(abs(est_jaccard - jaccard), 6) AS abs_err
+FROM exact
+"""
+
+
+@register(
+    "minhash_estimate_quality",
+    oracle=_EST_QUALITY_SQL,
+    description="est vs exact jaccard per LSH pair (signature-quality eval, dedup twin of ann_recall_eval)",
+)
+def minhash_estimate_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    est = minhash_lsh_pairs(spark, sf_dir)
+    sh = _shingles_df(spark, sf_dir).select("doc_id", "shingle").distinct().cache()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    # Exact intersections only for LSH survivors: prune the shingle join
+    # with the candidate pair set before aggregating.
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .join(est.select("doc_a", "doc_b"), ["doc_a", "doc_b"], "left_semi")
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    ni = F.coalesce("n_inter", F.lit(0))
+    return (
+        est.join(inter, ["doc_a", "doc_b"], "left")
+        .join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(ni.cast("double") / (F.col("na") + F.col("nb") - ni), 6),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "est_jaccard",
+            "jaccard",
+            F.round(F.abs(F.col("est_jaccard") - F.col("jaccard")), 6).alias("abs_err"),
+        )
+    )
+
+
 # --- simhash (16-bit sign-aggregated token fingerprint) ---------------------
 
 N_SIMHASH_BITS = 16
