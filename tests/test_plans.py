@@ -45,6 +45,9 @@ AUDITED = [
     "orders_moving_avg",
     "hamming_binary_topk",
     "orders_grouping_sets",
+    "minhash_estimate_quality",
+    "entity_2hop_paths_beam",
+    "nation_balance_full_outer",
 ]
 
 

@@ -405,3 +405,88 @@ def recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits.join(gold_sizes, "lang").select(
         "lang", "k", (F.col("n_hit").cast("double") / F.col("n_gold")).alias("recall")
     )
+
+
+# --- beam-bounded 2-hop path enumeration ------------------------------------
+#
+# Multi-hop reasoning paths (the explainability view of expansion): from the
+# seed entities, enumerate e0 -[r1]-> e1 -[r2]-> e2 paths over the
+# undirected relation graph.  Fan-out is BEAM-CAPPED at 5 edges per source
+# entity (deterministic: order by relation id, neighbor id) — unbounded path
+# enumeration is combinatorial at 100 TB, the beam keeps candidate volume
+# linear in frontier size, the same trade the eviction threshold makes.
+
+_BEAM_WIDTH = 5
+
+_PATHS_SQL = f"""
+WITH {TRIPS_CTE},
+dir_edges AS (
+  SELECT DISTINCT src, dst, rel_id FROM (
+        SELECT subj_entity_id AS src, obj_entity_id AS dst, rel_id FROM trips
+    UNION ALL
+        SELECT obj_entity_id, subj_entity_id, rel_id FROM trips
+  ) WHERE src <> dst
+),
+beam AS (
+  SELECT src, dst, rel_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY src ORDER BY rel_id, dst) AS rk
+    FROM dir_edges
+  ) WHERE rk <= {_BEAM_WIDTH}
+),
+seeds AS (SELECT unnest([{_SEED_SQL_LIST}]) AS entity_id)
+SELECT s.entity_id AS entity0, b1.rel_id AS rel1, b1.dst AS entity1,
+       b2.rel_id AS rel2, b2.dst AS entity2
+FROM seeds s
+JOIN beam b1 ON b1.src = s.entity_id
+JOIN beam b2 ON b2.src = b1.dst
+WHERE b2.rel_id <> b1.rel_id AND b2.dst <> b1.dst AND b2.dst <> s.entity_id
+"""
+
+
+@register(
+    "entity_2hop_paths_beam",
+    oracle=_PATHS_SQL,
+    description="beam-capped 2-hop path enumeration from seeds (multi-hop reasoning paths, bounded fan-out)",
+)
+def entity_2hop_paths_beam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = _graph(spark, sf_dir)
+    fwd = g.relations.select(
+        F.col("src_entity_id").alias("src"),
+        F.col("dst_entity_id").alias("dst"),
+        F.col("id").alias("rel_id"),
+    )
+    rev = g.relations.select(
+        F.col("dst_entity_id").alias("src"),
+        F.col("src_entity_id").alias("dst"),
+        F.col("id").alias("rel_id"),
+    )
+    dir_edges = fwd.unionByName(rev).filter(F.col("src") != F.col("dst")).distinct()
+    w = Window.partitionBy("src").orderBy(F.asc("rel_id"), F.asc("dst"))
+    beam = (
+        dir_edges.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _BEAM_WIDTH)
+        .select("src", "dst", "rel_id")
+    )
+    seeds = _seed_entities(spark)
+    # hop 1 is seed-bounded (|seeds| * beam) — broadcast it into hop 2.
+    hop1 = beam.join(
+        F.broadcast(seeds), beam.src == seeds.entity_id, "inner"
+    ).select(
+        F.col("entity_id").alias("entity0"),
+        F.col("rel_id").alias("rel1"),
+        F.col("dst").alias("entity1"),
+    )
+    b2 = beam.select(
+        F.col("src").alias("b2_src"),
+        F.col("dst").alias("entity2"),
+        F.col("rel_id").alias("rel2"),
+    )
+    return (
+        b2.join(F.broadcast(hop1), F.col("b2_src") == F.col("entity1"))
+        .filter(
+            (F.col("rel2") != F.col("rel1"))
+            & (F.col("entity2") != F.col("entity1"))
+            & (F.col("entity2") != F.col("entity0"))
+        )
+        .select("entity0", "rel1", "entity1", "rel2", "entity2")
+    )
