@@ -82,6 +82,38 @@ class GraphCatalog:
         _write(tables.entity_relation, "entity_relation", "entity_id")
         _write(tables.relation_passage, "relation_passage", "relation_id")
 
+    def compact_graph(
+        self, spark: SparkSession, name: str, target_files: int = 1
+    ) -> dict[str, int]:
+        """Rewrite each table at ``target_files`` files per table — the
+        small-files maintenance job.
+
+        Incremental CRUD (upsert_passages, cascade deletes) rewrites tables
+        at task parallelism, so a long-lived graph accumulates many small
+        parquet files; at 100 TB scan cost is dominated by file-open and
+        footer reads, so periodic compaction (here `coalesce`, on a cluster
+        the same job with a size-based target) restores scan efficiency.
+        Writes go through a staging directory + atomic swap so concurrent
+        readers never see a half-compacted table.  Returns files-per-table
+        after compaction.
+        """
+        d = self._graph_dir(name)
+        out: dict[str, int] = {}
+        for t in TABLE_NAMES:
+            path = os.path.join(d, f"{t}.parquet")
+            staging = path + ".compacting"
+            spark.read.parquet(path).coalesce(target_files).write.mode(
+                "overwrite"
+            ).parquet(staging)
+            shutil.rmtree(path)
+            os.rename(staging, path)
+            out[t] = sum(
+                1
+                for f in os.listdir(path)
+                if f.startswith("part-") and not f.endswith(".crc")
+            )
+        return out
+
     def read_graph(self, spark: SparkSession, name: str) -> GraphTables:
         d = self._graph_dir(name)
         r = {t: spark.read.parquet(os.path.join(d, f"{t}.parquet")) for t in TABLE_NAMES}
