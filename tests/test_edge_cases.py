@@ -1,0 +1,104 @@
+"""Edge-case battery mirroring the reference's tests/test_graph.py:304-384:
+empty text, unicode (CJK), 10K-char text, special-char ids,
+delete-then-recreate the same id, and empty-seed expansion.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+DOCS_SCHEMA = (
+    "doc_id string, text string, "
+    "triplets array<struct<subject:string,predicate:string,object:string>>"
+)
+
+
+def _build(spark, rows):
+    from vector_graph_rag_spark.graph.builder import build_graph
+
+    return build_graph(spark.createDataFrame(rows, DOCS_SCHEMA))
+
+
+def test_empty_text_tripletless_passage(spark):
+    # Reference test_graph.py:304-311 — empty text, no triplets: the passage
+    # row exists with empty adjacency; no entities or relations appear.
+    g = _build(spark, [("p_empty", "", [])])
+    p = g.passages.collect()
+    assert len(p) == 1 and p[0].id == "p_empty" and p[0].text == ""
+    assert p[0].entity_ids == [] and p[0].relation_ids == []
+    assert g.entities.count() == 0 and g.relations.count() == 0
+    assert g.entity_relation.count() == 0 and g.relation_passage.count() == 0
+
+
+def test_cjk_entities_collapse_to_one_normalized_key(spark):
+    # processing_phrases maps every non-[A-Za-z0-9 ] char to a space
+    # (extractor.py:17-28), so CJK names normalize to "" and dedup onto ONE
+    # entity whose stored name is the first-seen raw form — replicating the
+    # reference's behavior for unicode input (test_graph.py:344-353 keeps
+    # the passage; the collapse follows from its dedup key).
+    g = _build(spark, [("p_cjk", "北京 位于 中国", [("北京", "位于", "中国")])])
+    ents = g.entities.collect()
+    assert len(ents) == 1
+    assert ents[0].name == "北京"  # first seen (subject before object)
+    assert g.passages.count() == 1
+    assert g.relations.count() == 1
+
+
+def test_10k_char_text_roundtrip(spark):
+    # Reference test_graph.py:332-342 — long text survives build unmodified.
+    big = ("tok " * 2500).strip()
+    g = _build(spark, [("p_big", big, [("A", "has", "B")])])
+    assert g.passages.select("text").collect()[0].text == big
+
+
+def test_special_char_ids(spark):
+    # Reference test_graph.py:320-330 — ids with slashes/colons/emoji.
+    weird = "doc/with:special🎉chars"
+    g = _build(spark, [(weird, "x", [("A", "b", "C")])])
+    assert g.passages.collect()[0].id == weird
+    rp = g.relation_passage.collect()
+    assert all(r.passage_id == weird for r in rp)
+
+
+def test_delete_then_recreate_same_id(spark):
+    # Reference test_graph.py:356-371 — delete a passage, recreate the same
+    # id: adjacency is rebuilt, not resurrected from stale arrays.
+    from vector_graph_rag_spark.graph.crud import delete_passages, upsert_passages
+
+    g = _build(
+        spark,
+        [
+            ("p1", "one", [("A", "knows", "B")]),
+            ("p2", "two", [("B", "knows", "C")]),
+        ],
+    )
+    g2 = delete_passages(g, ["p1"])
+    assert {r.id for r in g2.passages.collect()} == {"p2"}
+    recreated = spark.createDataFrame(
+        [("p1", "one again", [("A", "meets", "D")])], DOCS_SCHEMA
+    )
+    g3 = upsert_passages(g2, recreated)
+    p1 = {r.id: r for r in g3.passages.collect()}["p1"]
+    assert p1.text == "one again"
+    rels_of_p1 = {
+        r.relation_id
+        for r in g3.relation_passage.collect()
+        if r.passage_id == "p1"
+    }
+    texts = {
+        r.id: r.text for r in g3.relations.collect()
+    }
+    assert {texts[i] for i in rels_of_p1} == {"A meets D"}
+
+
+def test_empty_seed_expansion(spark):
+    # Degenerate retrieval: no seed entities → every expansion set is empty
+    # (the reference's SubGraph starts empty and stays empty).
+    from vector_graph_rag_spark.graph.expand import expand_subgraph
+
+    g = _build(spark, [("p1", "one", [("A", "knows", "B")])])
+    seeds = spark.createDataFrame([], "entity_id string")
+    res = expand_subgraph(g, seeds, degree=2)
+    assert res.entity_ids.count() == 0
+    assert res.relation_ids.count() == 0
+    assert res.passage_ids.count() == 0

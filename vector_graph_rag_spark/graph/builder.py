@@ -218,7 +218,15 @@ def build_graph(docs: DataFrame) -> GraphTables:
             "left",
         )
         .drop("passage_id")
-        .select("id", "text", "entity_ids", "relation_ids")
+        # Triplet-less passages (empty/short text) keep EMPTY adjacency
+        # arrays, not NULLs — the reference always stores lists
+        # (rag.py:347-352).
+        .select(
+            "id",
+            "text",
+            F.coalesce("entity_ids", F.array().cast("array<string>")).alias("entity_ids"),
+            F.coalesce("relation_ids", F.array().cast("array<string>")).alias("relation_ids"),
+        )
     )
 
     return GraphTables(

@@ -28,7 +28,7 @@ _SEED_SQL_LIST = ", ".join(
 
 # Bump when builder/derivation semantics change — invalidates materialized
 # graph caches.
-_GRAPH_SCHEMA_VERSION = "v1"
+_GRAPH_SCHEMA_VERSION = "v2"  # v2: triplet-less passages get empty (not NULL) adjacency arrays
 
 
 def _graph(spark: SparkSession, sf_dir: str):
