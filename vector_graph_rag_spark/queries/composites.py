@@ -311,3 +311,50 @@ def subgraph_expand_d2(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = _graph(spark, sf_dir)
     res = expand_subgraph(g, _seed_entities(spark), degree=2, checkpoint=True)
     return res.relation_ids.select("relation_id")
+
+
+# --- naive RAG standalone (#43: query_naive / retrieve_naive, rag.py:562-585)
+
+_NAIVE_QUESTIONS = [
+    ("q1", "what joins the customer data"),
+    ("q2", "how fast is the merge sort"),
+    ("q3", "which batch window orders rows"),
+]
+
+_NAIVE_Q_VALUES = ", ".join(f"({qid!r}, {q!r})" for qid, q in _NAIVE_QUESTIONS)
+
+_NAIVE_SQL = f"""
+WITH q(question_id, question) AS (VALUES {_NAIVE_Q_VALUES}),
+qe AS (SELECT question_id, {mock_embedding_sql('question', _EMBED_DIM)} AS qv FROM q),
+pe AS (SELECT doc_id, {mock_embedding_sql('text', _EMBED_DIM)} AS pv FROM documents),
+scored AS (
+  SELECT qe.question_id, pe.doc_id, round({_cos_sql('pe.pv', 'qe.qv')}, 6) AS score
+  FROM pe CROSS JOIN qe
+)
+SELECT question_id, doc_id, score,
+       CAST(row_number() OVER (PARTITION BY question_id ORDER BY score DESC, doc_id ASC) AS INT) AS rank
+FROM scored
+QUALIFY rank <= 3
+"""
+
+
+@register(
+    "naive_rag_topk",
+    oracle=_NAIVE_SQL,
+    description="naive RAG standalone: embed question + passages (mock), cosine top-3 (rag.py:562-585)",
+)
+def naive_rag_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    pe = d.select("doc_id", mock_embedding("text", _EMBED_DIM).alias("pv"))
+    q = spark.createDataFrame(_NAIVE_QUESTIONS, "question_id string, question string")
+    qe = q.select(
+        "question_id", mock_embedding("question", _EMBED_DIM).alias("qv")
+    )
+    w = Window.partitionBy("question_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        pe.crossJoin(F.broadcast(qe))
+        .withColumn("score", F.round(cosine("pv", "qv"), 6))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("question_id", "doc_id", "score", "rank")
+    )
