@@ -434,3 +434,75 @@ def entity_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("src_entity_id").alias("a"), F.col("dst_entity_id").alias("b")
         )
     )
+
+
+# --- entity neighborhood Jaccard (structural similarity / link prediction) --
+#
+# Similarity of two entities = Jaccard of their relation sets — the
+# structural twin of the text/embedding similarity operators, and the
+# standard link-prediction primitive.  Candidate pairs come from a
+# self-join on shared relations (bucket-local, like the shingle join in
+# ngram_jaccard_pairs) so the all-pairs product never materializes.
+
+_ENTITY_JACCARD_SQL = f"""
+WITH {TRIPS_CTE},
+deg AS (SELECT entity_id, COUNT(*) AS n FROM entity_relation GROUP BY entity_id),
+inter AS (
+  SELECT a.entity_id AS ent_a, b.entity_id AS ent_b, COUNT(*) AS n_inter
+  FROM entity_relation a JOIN entity_relation b
+    ON a.relation_id = b.relation_id AND a.entity_id < b.entity_id
+  GROUP BY a.entity_id, b.entity_id
+),
+jac AS (
+  SELECT i.ent_a, i.ent_b,
+         round(CAST(i.n_inter AS DOUBLE) / (da.n + db.n - i.n_inter), 6) AS jaccard
+  FROM inter i
+  JOIN deg da ON da.entity_id = i.ent_a
+  JOIN deg db ON db.entity_id = i.ent_b
+)
+SELECT ent_a, ent_b, jaccard,
+       CAST(row_number() OVER (ORDER BY jaccard DESC, ent_a ASC, ent_b ASC) AS INT) AS rk
+FROM jac
+QUALIFY rk <= 50
+"""
+
+
+@register(
+    "entity_neighbor_jaccard",
+    oracle=_ENTITY_JACCARD_SQL,
+    description="entity structural similarity: Jaccard of relation sets over shared-relation pairs, top-50",
+)
+def entity_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_graph_rag_spark.queries.graphrag import _graph
+
+    er = _graph(spark, sf_dir).entity_relation
+    deg = er.groupBy("entity_id").agg(F.count(F.lit(1)).alias("n"))
+    a = er.select(F.col("entity_id").alias("ent_a"), "relation_id")
+    b = er.select(F.col("entity_id").alias("ent_b"), "relation_id")
+    inter = (
+        a.join(b, "relation_id")
+        .filter(F.col("ent_a") < F.col("ent_b"))
+        .groupBy("ent_a", "ent_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    da = deg.select(F.col("entity_id").alias("ent_a"), F.col("n").alias("na"))
+    db = deg.select(F.col("entity_id").alias("ent_b"), F.col("n").alias("nb"))
+    jac = (
+        inter.join(da, "ent_a")
+        .join(db, "ent_b")
+        .select(
+            "ent_a",
+            "ent_b",
+            F.round(
+                F.col("n_inter").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_inter")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    w = Window.orderBy(F.desc("jaccard"), F.asc("ent_a"), F.asc("ent_b"))
+    return (
+        jac.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 50)
+        .select("ent_a", "ent_b", "jaccard", "rk")
+    )
