@@ -149,3 +149,91 @@ def events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("value", F.lit(0.95)), 6).alias("p95"),
         F.round(F.percentile("value", F.lit(0.99)), 6).alias("p99"),
     )
+
+
+# --- ordered funnel: signup -> click -> purchase ----------------------------
+#
+# Sequence analytics: per user, the first signup, the first click strictly
+# after it, the first purchase strictly after that; the funnel row counts
+# survivors per stage.  Expressed as three cascaded conditional-min
+# aggregations (each one shuffle on user_id, reusing the same partitioning)
+# — no per-user sort, no window over the full event history.
+
+_FUNNEL_SQL = """
+WITH s AS (
+  SELECT user_id, MIN(CASE WHEN event_type = 'signup' THEN ts END) AS s_ts
+  FROM events GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, s.s_ts,
+         MIN(CASE WHEN e.event_type = 'click' AND e.ts > s.s_ts THEN e.ts END) AS c_ts
+  FROM events e JOIN s ON s.user_id = e.user_id
+  WHERE s.s_ts IS NOT NULL
+  GROUP BY e.user_id, s.s_ts
+),
+p AS (
+  SELECT e.user_id, c.s_ts, c.c_ts,
+         MIN(CASE WHEN e.event_type = 'purchase' AND e.ts > c.c_ts THEN e.ts END) AS p_ts
+  FROM events e JOIN c ON c.user_id = e.user_id
+  WHERE c.c_ts IS NOT NULL
+  GROUP BY e.user_id, c.s_ts, c.c_ts
+)
+SELECT (SELECT COUNT(DISTINCT user_id) FROM events) AS n_users,
+       (SELECT COUNT(*) FROM s WHERE s_ts IS NOT NULL) AS n_signup,
+       (SELECT COUNT(*) FROM c WHERE c_ts IS NOT NULL) AS n_signup_click,
+       (SELECT COUNT(*) FROM p WHERE p_ts IS NOT NULL) AS n_full_funnel
+"""
+
+
+@register(
+    "events_funnel_3stage",
+    oracle=_FUNNEL_SQL,
+    description="ordered funnel signup->click->purchase via cascaded conditional mins (one shuffle key)",
+)
+def events_funnel_3stage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    s = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("s_ts")
+    )
+    c = (
+        e.join(s.filter(F.col("s_ts").isNotNull()), "user_id")
+        .groupBy("user_id", "s_ts")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click") & (F.col("ts") > F.col("s_ts")),
+                    F.col("ts"),
+                )
+            ).alias("c_ts")
+        )
+    )
+    p = (
+        e.join(c.filter(F.col("c_ts").isNotNull()), "user_id")
+        .groupBy("user_id", "s_ts", "c_ts")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase") & (F.col("ts") > F.col("c_ts")),
+                    F.col("ts"),
+                )
+            ).alias("p_ts")
+        )
+    )
+    return (
+        e.agg(F.countDistinct("user_id").alias("n_users"))
+        .crossJoin(
+            s.filter(F.col("s_ts").isNotNull()).agg(
+                F.count(F.lit(1)).alias("n_signup")
+            )
+        )
+        .crossJoin(
+            c.filter(F.col("c_ts").isNotNull()).agg(
+                F.count(F.lit(1)).alias("n_signup_click")
+            )
+        )
+        .crossJoin(
+            p.filter(F.col("p_ts").isNotNull()).agg(
+                F.count(F.lit(1)).alias("n_full_funnel")
+            )
+        )
+    )
