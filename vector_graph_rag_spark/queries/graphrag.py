@@ -490,3 +490,60 @@ def entity_2hop_paths_beam(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("entity0", "rel1", "entity1", "rel2", "entity2")
     )
+
+
+# --- the flagship, oracle-checked (#39/#42: retrieve_passages) --------------
+#
+# entry()'s full pipeline — mock-NER seeds → degree-1 expansion →
+# relation→passage support counting → top-3 — declared so the flagship
+# composite itself is hash-gated against DuckDB, not just smoke-checked.
+
+_FULL_QUERY_SQL = f"""
+WITH {TRIPS_CTE},
+seeds AS (SELECT sha256('entity:' || {norm_sql('s.name')}) AS entity_id
+          FROM (VALUES {", ".join(f"({s!r})" for s in SEED_NAMES)}) s(name)),
+step0 AS (
+  SELECT DISTINCT er.relation_id FROM entity_relation er
+  JOIN seeds s ON er.entity_id = s.entity_id
+),
+hop_entities AS (
+  SELECT DISTINCT er.entity_id FROM entity_relation er
+  JOIN step0 r ON er.relation_id = r.relation_id
+),
+new_entities AS (
+  SELECT entity_id FROM hop_entities EXCEPT SELECT entity_id FROM seeds
+),
+hop_relations AS (
+  SELECT DISTINCT er.relation_id FROM entity_relation er
+  JOIN new_entities n ON er.entity_id = n.entity_id
+),
+final_relations AS (
+  SELECT relation_id FROM step0 UNION SELECT relation_id FROM hop_relations
+),
+scored AS (
+  SELECT rp.passage_id, COUNT(*) AS n_supporting_relations
+  FROM relation_passage rp
+  JOIN final_relations fr ON fr.relation_id = rp.relation_id
+  GROUP BY rp.passage_id
+),
+ranked AS (
+  SELECT passage_id, n_supporting_relations,
+         CAST(row_number() OVER (ORDER BY n_supporting_relations DESC, passage_id ASC) AS INT) AS rank
+  FROM scored
+)
+SELECT r.passage_id, r.rank, r.n_supporting_relations, d.text
+FROM ranked r JOIN docs d ON d.doc_id = r.passage_id
+WHERE r.rank <= 3
+"""
+
+
+@register(
+    "graph_rag_full_query",
+    oracle=_FULL_QUERY_SQL,
+    description="flagship composite oracle-checked: seeds -> d1 expansion -> support-count rerank -> top-3 passages (rag.py:587-647)",
+)
+def graph_rag_full_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_graph_rag_spark.graph.retrieve import retrieve_passages
+
+    g = _graph(spark, sf_dir)
+    return retrieve_passages(g, _seed_entities(spark), degree=1, final_top_k=3)
