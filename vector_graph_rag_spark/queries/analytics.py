@@ -506,3 +506,45 @@ def entity_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 50)
         .select("ent_a", "ent_b", "jaccard", "rk")
     )
+
+
+# --- multimodal decode via mapInPandas, oracle-checked -----------------------
+#
+# The only Arrow/Python operator under the hash gate: synthetic assets
+# (content = UTF-8 text bytes) run through the real mapInPandas decode
+# contract with the deterministic fake kernel; the oracle recomputes
+# n_bytes/md5/feature with pure SQL byte arithmetic.  This pins the Arrow
+# batch round-trip (binary columns included), not just the JVM plan.
+
+_DECODE_SQL = """
+SELECT 'asset_' || CAST(doc_id AS VARCHAR) AS asset_id,
+       ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS modality,
+       octet_length(encode(text)) AS n_bytes,
+       md5(text) AS checksum,
+       round(list_sum(list_transform(string_split(text, '')[1:64], x -> unicode(x)))
+             / (255.0 * LEAST(octet_length(encode(text)), 64)), 6) AS feature
+FROM documents
+"""
+
+
+@register(
+    "multimodal_decode_features",
+    oracle=_DECODE_SQL,
+    description="mapInPandas binary decode (fake kernel) under the hash gate — Arrow round-trip pinned",
+)
+def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_graph_rag_spark.operators.multimodal import (
+        decode_assets,
+        fake_kernel,
+        synthetic_assets,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    decoded = decode_assets(synthetic_assets(spark, docs), kernel=fake_kernel)
+    return decoded.select(
+        "asset_id",
+        "modality",
+        "n_bytes",
+        "checksum",
+        F.round("feature", 6).alias("feature"),
+    )
