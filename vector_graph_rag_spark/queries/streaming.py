@@ -62,6 +62,48 @@ def stream_sliding_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Native session windows — the declarative twin of the stateful
+# applyInPandasWithState sessionizer.  Oracle: gap-rule sessionization in
+# exact integer MICROS (session_window starts a new session at gap >= the
+# duration; double-seconds arithmetic could round across that boundary).
+_SESSION_SQL = f"""
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us, value FROM events
+),
+flagged AS (
+  SELECT user_id, event_id, us, value,
+         CASE WHEN lag(us) OVER w IS NULL
+                OR us - lag(us) OVER w >= 1800 * 1000000 THEN 1 ELSE 0 END AS new_s
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+),
+sess AS (
+  SELECT user_id, us, value,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+)
+SELECT user_id,
+       MIN(us) // 1000000 AS session_start_epoch,
+       COUNT(*) AS n,
+       CAST(SUM({dec('value', 6)}) AS DOUBLE) AS total_value
+FROM sess GROUP BY user_id, sid
+"""
+
+
+@register(
+    "stream_session_window_30m",
+    oracle=_SESSION_SQL,
+    description="native session_window streaming agg (gap 30m, watermark) vs exact-micros gap-rule oracle",
+)
+def stream_session_window_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_graph_rag_spark.streaming.ingest import session_windowed_aggregate
+
+    return session_windowed_aggregate(
+        spark, os.path.join(sf_dir, "events.parquet"), gap="30 minutes"
+    )
+
+
 # Streaming exact dedup — the stream twin of dedup_exact; only the key set
 # is emitted (which duplicate survives is arrival-order-dependent).
 _STREAM_DEDUP_SQL = """

@@ -83,6 +83,59 @@ def windowed_event_aggregate(
     )
 
 
+def session_windowed_aggregate(
+    spark: SparkSession,
+    events_path: str,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Native session windows: events within ``gap`` of each other merge
+    into one session per user (`F.session_window`), state closing once the
+    watermark passes the session end.  The declarative twin of the custom
+    `applyInPandasWithState` sessionizer (streaming/sessionize.py) — same
+    sessions, zero custom state code.
+
+    Returns (user_id, session_start_epoch, n, total_value).
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(events_path).schema
+    base_dir, file_name = os.path.split(events_path)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", file_name)
+        .parquet(base_dir)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("total_value_dec"),
+        )
+    )
+    name = "evt_sess_" + uuid.uuid4().hex[:12]
+    query = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        query.awaitTermination()
+    finally:
+        if query.isActive:
+            query.stop()
+    return spark.table(name).select(
+        "user_id",
+        F.col("w.start").cast("long").alias("session_start_epoch"),
+        "n",
+        F.col("total_value_dec").cast("double").alias("total_value"),
+    )
+
+
 def streaming_dedup_keys(
     spark: SparkSession,
     events_path: str,
