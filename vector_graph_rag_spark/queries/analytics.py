@@ -548,3 +548,119 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "checksum",
         F.round("feature", 6).alias("feature"),
     )
+
+
+# --- personalized PageRank from the seed entities ---------------------------
+#
+# The HippoRAG-family ranking primitive (the reference's lineage ranks
+# passages by PPR from query entities): identical power iteration to
+# entity_pagerank_k3 but teleport mass goes ONLY to the seed entities —
+# scores become query-relative relevance, not global centrality.  Same
+# decimal-exact per-round sums; same fixed k=3 for the unrolled oracle.
+
+_PPR_ROUND = """
+{dst} AS (
+  SELECT n.id,
+         round((CASE WHEN sn.id IS NOT NULL THEN 0.15 / ns.n ELSE 0.0 END)
+               + 0.85 * COALESCE(s.c, 0), 12) AS rank
+  FROM nodes n CROSS JOIN ns
+  LEFT JOIN snodes sn ON sn.id = n.id
+  LEFT JOIN (
+    SELECT e.b AS id,
+           CAST(SUM(CAST(round(r.rank / d.out_deg, 12) AS DECIMAL(38,12))) AS DOUBLE) AS c
+    FROM edges e
+    JOIN {src} r ON r.id = e.a
+    JOIN outdeg d ON d.id = e.a
+    GROUP BY e.b
+  ) s ON s.id = n.id
+)"""
+
+
+def _ppr_sql() -> str:
+    from vector_graph_rag_spark.queries.graphrag import SEED_NAMES
+    from vector_graph_rag_spark.queries.sql_common import norm_sql
+
+    seed_list = ", ".join(
+        f"sha256('entity:' || {norm_sql(repr(s))})" for s in SEED_NAMES
+    )
+    return (
+        f"""
+WITH {TRIPS_CTE},
+nodes AS (
+  SELECT DISTINCT id FROM (
+        SELECT subj_entity_id AS id FROM trips
+    UNION ALL
+        SELECT obj_entity_id FROM trips
+  )
+),
+edges AS (
+  SELECT DISTINCT subj_entity_id AS a, obj_entity_id AS b FROM trips
+),
+snodes AS (SELECT id FROM nodes WHERE id IN ({seed_list})),
+ns AS (SELECT COUNT(*) AS n FROM snodes),
+outdeg AS (SELECT a AS id, COUNT(*) AS out_deg FROM edges GROUP BY a),
+r0 AS (
+  SELECT n.id,
+         round(CASE WHEN sn.id IS NOT NULL THEN 1.0 / ns.n ELSE 0.0 END, 12) AS rank
+  FROM nodes n CROSS JOIN ns LEFT JOIN snodes sn ON sn.id = n.id
+),"""
+        + ",".join(_PPR_ROUND.format(src=f"r{i}", dst=f"r{i + 1}") for i in range(3))
+        + """
+SELECT id, round(rank, 6) AS ppr FROM r3
+"""
+    )
+
+
+@register(
+    "entity_ppr_seeds_k3",
+    oracle=_ppr_sql(),
+    description="personalized PageRank from seed entities, 3 iterations (HippoRAG-style query-relative relevance)",
+)
+def entity_ppr_seeds_k3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_graph_rag_spark.queries.graphrag import _graph, _seed_entities
+
+    g = _graph(spark, sf_dir)
+    edges = (
+        g.relations.select(
+            F.col("src_entity_id").alias("a"), F.col("dst_entity_id").alias("b")
+        )
+        .distinct()
+    )
+    nodes = g.entities.select("id")
+    seeds = _seed_entities(spark).withColumnRenamed("entity_id", "id")
+    snodes = nodes.join(F.broadcast(seeds), "id", "left_semi")
+    ns = snodes.count()  # bounded by the (small) seed set
+    is_seed = F.col("sid").isNotNull()
+    flagged = nodes.join(
+        F.broadcast(snodes.select(F.col("id"), F.lit(1).alias("sid"))), "id", "left"
+    )
+    outdeg = edges.groupBy(F.col("a").alias("id")).agg(
+        F.count(F.lit(1)).alias("out_deg")
+    )
+    ranks = flagged.select(
+        "id",
+        F.round(
+            F.when(is_seed, F.lit(1.0) / F.lit(float(ns))).otherwise(F.lit(0.0)), 12
+        ).alias("rank"),
+    )
+    for _ in range(3):
+        contribs = (
+            edges.join(ranks.withColumnRenamed("id", "a"), "a")
+            .join(outdeg.withColumnRenamed("id", "a"), "a")
+            .select(
+                F.col("b").alias("id"),
+                F.round(F.col("rank") / F.col("out_deg"), 12)
+                .cast("decimal(38,12)")
+                .alias("c"),
+            )
+        )
+        summed = contribs.groupBy("id").agg(F.sum("c").cast("double").alias("c"))
+        ranks = flagged.join(summed, "id", "left").select(
+            "id",
+            F.round(
+                F.when(is_seed, F.lit(0.15) / F.lit(float(ns))).otherwise(F.lit(0.0))
+                + F.lit(0.85) * F.coalesce("c", F.lit(0.0)),
+                12,
+            ).alias("rank"),
+        )
+    return ranks.select("id", F.round("rank", 6).alias("ppr"))
