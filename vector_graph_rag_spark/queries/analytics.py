@@ -576,7 +576,9 @@ _PPR_ROUND = """
 )"""
 
 
-def _ppr_sql() -> str:
+def _ppr_ctes() -> str:
+    """CTE chain ``trips .. r3`` — shared by the PPR query and the
+    PPR-ranked retrieval composite."""
     from vector_graph_rag_spark.queries.graphrag import SEED_NAMES
     from vector_graph_rag_spark.queries.sql_common import norm_sql
 
@@ -584,8 +586,7 @@ def _ppr_sql() -> str:
         f"sha256('entity:' || {norm_sql(repr(s))})" for s in SEED_NAMES
     )
     return (
-        f"""
-WITH {TRIPS_CTE},
+        f"""{TRIPS_CTE},
 nodes AS (
   SELECT DISTINCT id FROM (
         SELECT subj_entity_id AS id FROM trips
@@ -605,10 +606,11 @@ r0 AS (
   FROM nodes n CROSS JOIN ns LEFT JOIN snodes sn ON sn.id = n.id
 ),"""
         + ",".join(_PPR_ROUND.format(src=f"r{i}", dst=f"r{i + 1}") for i in range(3))
-        + """
-SELECT id, round(rank, 6) AS ppr FROM r3
-"""
     )
+
+
+def _ppr_sql() -> str:
+    return f"WITH {_ppr_ctes()}\nSELECT id, round(rank, 6) AS ppr FROM r3\n"
 
 
 @register(
@@ -664,3 +666,60 @@ def entity_ppr_seeds_k3(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rank"),
         )
     return ranks.select("id", F.round("rank", 6).alias("ppr"))
+
+
+# --- PPR-ranked passage retrieval (the HippoRAG retrieval shape) ------------
+#
+# Passages ranked by the summed personalized-PageRank mass of their
+# entities — the retrieval strategy of the reference's lineage (HippoRAG),
+# here as one declarative pipeline: PPR (3 rounds) → entity→passage edges
+# → decimal-exact score sum → top-10.
+
+_PPR_RETRIEVE_SQL_TAIL = """
+ep AS (
+  SELECT DISTINCT er.entity_id, rp.passage_id
+  FROM entity_relation er JOIN relation_passage rp ON rp.relation_id = er.relation_id
+),
+scored AS (
+  SELECT ep.passage_id,
+         CAST(SUM(CAST(round(r.rank, 6) AS DECIMAL(18,6))) AS DOUBLE) AS ppr_score,
+         COUNT(*) AS n_entities
+  FROM ep JOIN r3 r ON r.id = ep.entity_id
+  GROUP BY ep.passage_id
+)
+SELECT passage_id, ppr_score, n_entities,
+       CAST(row_number() OVER (ORDER BY ppr_score DESC, passage_id ASC) AS INT) AS rank
+FROM scored
+QUALIFY rank <= 10
+"""
+
+
+@register(
+    "graph_rag_ppr_retrieve",
+    oracle=f"WITH {_ppr_ctes()},\n{_PPR_RETRIEVE_SQL_TAIL}",
+    description="PPR-ranked passage retrieval: seed PPR mass summed per passage, top-10 (HippoRAG retrieval shape)",
+)
+def graph_rag_ppr_retrieve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_graph_rag_spark.queries.graphrag import _graph
+
+    g = _graph(spark, sf_dir)
+    ppr = entity_ppr_seeds_k3(spark, sf_dir).withColumnRenamed("id", "entity_id")
+    ep = (
+        g.entity_relation.join(g.relation_passage, "relation_id")
+        .select("entity_id", "passage_id")
+        .distinct()
+    )
+    scored = (
+        ep.join(ppr, "entity_id")
+        .groupBy("passage_id")
+        .agg(
+            F.sum(F.col("ppr").cast("decimal(18,6)")).cast("double").alias("ppr_score"),
+            F.count(F.lit(1)).alias("n_entities"),
+        )
+    )
+    w = Window.orderBy(F.desc("ppr_score"), F.asc("passage_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("passage_id", "ppr_score", "n_entities", "rank")
+    )
