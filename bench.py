@@ -27,6 +27,8 @@ HEADLINE = [
     "graph_build_entities",
     "graph_build_relations",
     "subgraph_expand_d1",
+    "graph_rag_full_query",
+    "graph_rag_ppr_retrieve",
     "knn_cosine_topk",
     "ann_lsh_topk",
     "bm25_keyword_topk",
