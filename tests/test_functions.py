@@ -84,3 +84,92 @@ def test_cosine_zero_guard(spark):
     ).select(cosine("a", "b").alias("c"))
     vals = [r.c for r in df.collect()]
     assert vals == [0.0, 1.0]
+
+
+# --- embedding backend parity (reference embeddings.py:17-30,96-112,134-136) --
+
+
+def test_instruction_templates_query_only():
+    from vector_graph_rag_spark.functions.embedding import (
+        INSTRUCTION_TEMPLATES,
+        apply_instruction,
+        model_family,
+    )
+
+    # Family detection (embeddings.py:43-50).
+    assert model_family("Qwen3-Embedding-0.6B") == "qwen3"
+    assert model_family("BAAI/bge-large-en-v1.5") == "bge"
+    assert model_family("facebook/contriever") is None
+
+    # Instruction applies to queries ONLY; documents pass through verbatim
+    # in both families (embeddings.py:17-30).
+    instr = INSTRUCTION_TEMPLATES["qwen3"]["default_instruction"]
+    q = apply_instruction(["what is x?"], "query", instr, "qwen3")
+    assert q == [f"Instruct: {instr}\nQuery: what is x?"]
+    d = apply_instruction(["a passage"], "document", instr, "qwen3")
+    assert d == ["a passage"]
+
+    b = apply_instruction(["find y"], "query", "Represent this", "bge")
+    assert b == ["Represent this: find y"]
+
+    # No instruction or unknown template → no-op (embeddings.py:100-105).
+    assert apply_instruction(["t"], "query", None, "qwen3") == ["t"]
+    assert apply_instruction(["t"], "query", "i", None) == ["t"]
+    assert apply_instruction(["t"], "query", "i", "nope") == ["t"]
+
+
+def test_truncation_before_pooling():
+    from vector_graph_rag_spark.functions.embedding import truncate_tokens
+
+    long = " ".join(f"w{i}" for i in range(600))
+    out = truncate_tokens(long)
+    assert out.split() == [f"w{i}" for i in range(512)]
+    assert truncate_tokens("short text") == "short text"
+    assert truncate_tokens(long, max_tokens=3) == "w0 w1 w2"
+
+
+def test_embed_with_backend_applies_instruction_and_truncation(spark):
+    from vector_graph_rag_spark.functions.embedding import (
+        apply_instruction,
+        embed_with_backend,
+        truncate_tokens,
+    )
+
+    # The UDF runs in a worker process, so the encoder reports what it saw
+    # THROUGH the embedding: v = (len(text), n_tokens, 1).  L2 normalization
+    # preserves the ratios v0/v2 and v1/v2.
+    def encoder(texts):
+        return [[float(len(t)), float(len(t.split())), 1.0] for t in texts]
+
+    long = " ".join(f"w{i}" for i in range(600))
+    df = spark.createDataFrame([("q1",), (long,)], ["text"])
+    rows = (
+        embed_with_backend(
+            df,
+            "text",
+            encoder,
+            dim=3,
+            text_type="query",
+            instruction="Find it",
+            instruction_template="bge",
+            max_tokens=5,
+        )
+        .orderBy("text")
+        .collect()
+    )
+    for row in rows:
+        # Expected pipeline: instruction template first, truncation second
+        # (instruction tokens count toward the budget, as tokenizer
+        # max_length does in the reference).
+        expected = truncate_tokens(
+            apply_instruction([row.text], "query", "Find it", "bge")[0], 5
+        )
+        v = row.embedding
+        assert abs(v[0] / v[2] - len(expected)) < 1e-3
+        assert abs(v[1] / v[2] - len(expected.split())) < 1e-3
+        assert len(expected.split()) <= 5
+        # L2 normalization preserved.
+        assert abs(sum(x * x for x in v) - 1.0) < 1e-5
+    # Sanity on the expected strings themselves.
+    assert apply_instruction(["q1"], "query", "Find it", "bge") == ["Find it: q1"]
+    assert truncate_tokens(f"Find it: {long}", 5).split() == ["Find", "it:", "w0", "w1", "w2"]

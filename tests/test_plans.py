@@ -48,6 +48,8 @@ AUDITED = [
     "minhash_estimate_quality",
     "entity_2hop_paths_beam",
     "nation_balance_full_outer",
+    "embedding_neardup_pairs",
+    "ngram_jaccard_pairs",
 ]
 
 

@@ -15,6 +15,7 @@ real model backends.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -60,17 +61,92 @@ def mock_embedding_sql(expr: str, dim: int = 8) -> str:
     return f"(CASE WHEN trim({expr}) = '' THEN {zero} ELSE {unit} END)"
 
 
-def embed_with_backend(df, text_col: str, encoder, dim: int, output_col: str = "embedding"):
+# Instruction templates, verbatim parity with the reference
+# (embeddings.py:17-30): instruction applies to QUERIES only; documents
+# pass through untouched in both families.
+INSTRUCTION_TEMPLATES = {
+    "qwen3": {
+        "query": "Instruct: {instruction}\nQuery: {text}",
+        "document": "{text}",
+        "default_instruction": "Given a question, retrieve passages that contain the answer",
+    },
+    "bge": {
+        "query": "{instruction}: {text}",
+        "document": "{text}",
+        "default_instruction": "Represent this sentence for searching relevant passages",
+    },
+}
+
+# Reference truncates at the tokenizer with max_length=512
+# (embeddings.py:134-136).  The real tokenizer is environment-blocked here,
+# so the stand-in truncates to 512 whitespace tokens BEFORE encoding — same
+# contract (truncation precedes pooling), pluggable `tokenize=` for a real
+# BPE tokenizer.
+MAX_EMBED_TOKENS = 512
+
+
+def model_family(model_name: str) -> str | None:
+    """Template-family detection, parity with embeddings.py:43-50."""
+    m = model_name.lower()
+    if "qwen" in m and "embed" in m:
+        return "qwen3"
+    if "bge" in m:
+        return "bge"
+    return None
+
+
+def apply_instruction(
+    texts: list[str],
+    text_type: str = "query",
+    instruction: str | None = None,
+    instruction_template: str | None = None,
+) -> list[str]:
+    """Instruction application, parity with embeddings.py:96-112: no-op
+    unless BOTH an instruction and a known template are configured; the
+    document template is identity in every family."""
+    if not instruction or not instruction_template:
+        return texts
+    template_config = INSTRUCTION_TEMPLATES.get(instruction_template)
+    if not template_config:
+        return texts
+    template = template_config.get(text_type, "{text}")
+    instr = instruction or template_config.get("default_instruction", "")
+    return [template.format(instruction=instr, text=t) for t in texts]
+
+
+def truncate_tokens(text: str, max_tokens: int = MAX_EMBED_TOKENS, tokenize=None) -> str:
+    toks = (tokenize or str.split)(text)
+    if len(toks) <= max_tokens:
+        return text
+    return " ".join(toks[:max_tokens])
+
+
+def embed_with_backend(
+    df,
+    text_col: str,
+    encoder,
+    dim: int,
+    output_col: str = "embedding",
+    text_type: str = "document",
+    instruction: str | None = None,
+    instruction_template: str | None = None,
+    max_tokens: int = MAX_EMBED_TOKENS,
+):
     """Arrow-batched pandas-UDF embedding with a pluggable encoder
     (signature: list[str] -> list[list[float]]), for real model backends.
     Preserves the reference's batch semantics (batch_size is the Arrow
-    batch, config.py:120-122) and L2 normalization."""
+    batch, config.py:120-122), instruction templating (queries only,
+    embeddings.py:96-112), pre-pooling truncation (embeddings.py:134-136)
+    and L2 normalization."""
     import numpy as np
-    import pandas as pd
 
     @F.pandas_udf("array<float>")
     def _embed(texts: pd.Series) -> pd.Series:
-        vecs = encoder(list(texts.fillna("")))
+        batch = apply_instruction(
+            list(texts.fillna("")), text_type, instruction, instruction_template
+        )
+        batch = [truncate_tokens(t, max_tokens) for t in batch]
+        vecs = encoder(batch)
         out = []
         for v in vecs:
             a = np.asarray(v, dtype="float32")

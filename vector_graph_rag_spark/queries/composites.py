@@ -358,3 +358,176 @@ def naive_rag_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 3)
         .select("question_id", "doc_id", "score", "rank")
     )
+
+
+# --- eval harness: per-question graph vs naive retrieval (evaluate.py:440-543)
+#
+# The reference's evaluation loop iterates questions, runs BOTH retrieval
+# strategies, and tracks running mean recall per method.  Re-expressed as
+# ONE DataFrame over a question table (the embarrassingly-parallel shape):
+# per (question, method) recall@5 against the gold passage set, plus an
+# '__all__' aggregate row per method (the running-mean endpoint).  Gold =
+# passages mentioning the question's entity; graph method ranks passages by
+# seed-relation support, naive method by mock-embedding cosine.
+
+_HARNESS_K = 5
+
+_HARNESS_SQL = f"""
+WITH {TRIPS_CTE},
+q(question) AS (VALUES {", ".join(f"({s!r})" for s in SEED_NAMES)}),
+qe AS (
+  SELECT question, sha256('entity:' || {norm_sql('question')}) AS entity_id,
+         {mock_embedding_sql('question', _EMBED_DIM)} AS qv
+  FROM q
+),
+entity_passage AS (
+  SELECT DISTINCT er.entity_id, rp.passage_id
+  FROM entity_relation er JOIN relation_passage rp ON rp.relation_id = er.relation_id
+),
+gold AS (
+  SELECT qe.question, ep.passage_id
+  FROM qe JOIN entity_passage ep ON ep.entity_id = qe.entity_id
+),
+graph_scored AS (
+  SELECT qe.question, rp.passage_id, COUNT(DISTINCT er.relation_id) AS support
+  FROM qe
+  JOIN entity_relation er ON er.entity_id = qe.entity_id
+  JOIN relation_passage rp ON rp.relation_id = er.relation_id
+  GROUP BY qe.question, rp.passage_id
+),
+graph_top AS (
+  SELECT question, passage_id FROM (
+    SELECT question, passage_id,
+           row_number() OVER (PARTITION BY question ORDER BY support DESC, passage_id ASC) AS rk
+    FROM graph_scored
+  ) WHERE rk <= {_HARNESS_K}
+),
+naive_scored AS (
+  SELECT qe.question, CAST(d.doc_id AS VARCHAR) AS passage_id,
+         round({_cos_sql(f"{mock_embedding_sql('d.text', _EMBED_DIM)}", 'qe.qv')}, 6) AS score
+  FROM documents d CROSS JOIN qe
+),
+naive_top AS (
+  SELECT question, passage_id FROM (
+    SELECT question, passage_id,
+           row_number() OVER (PARTITION BY question ORDER BY score DESC, passage_id ASC) AS rk
+    FROM naive_scored
+  ) WHERE rk <= {_HARNESS_K}
+),
+per_q AS (
+  SELECT m.method, g.question,
+         COUNT(*) AS n_gold,
+         COUNT(*) FILTER (WHERE t.passage_id IS NOT NULL) AS n_hit
+  FROM (VALUES ('graph'), ('naive')) m(method)
+  CROSS JOIN gold g
+  LEFT JOIN (
+        SELECT 'graph' AS method, question, passage_id FROM graph_top
+    UNION ALL
+        SELECT 'naive', question, passage_id FROM naive_top
+  ) t ON t.method = m.method AND t.question = g.question AND t.passage_id = g.passage_id
+  GROUP BY m.method, g.question
+),
+per_q_recall AS (
+  SELECT method, question, n_gold, n_hit,
+         round(CAST(n_hit AS DOUBLE) / n_gold, 6) AS recall
+  FROM per_q
+)
+SELECT method, question, n_gold, n_hit, recall FROM per_q_recall
+UNION ALL
+SELECT method, '__all__', CAST(SUM(n_gold) AS BIGINT), CAST(SUM(n_hit) AS BIGINT),
+       round(AVG(recall), 6)
+FROM per_q_recall GROUP BY method
+"""
+
+
+@register(
+    "eval_recall_harness",
+    oracle=_HARNESS_SQL,
+    description="eval loop: per-question graph vs naive retrieval recall@5 + per-method mean (evaluate.py:440-543)",
+)
+def eval_recall_harness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_graph_rag_spark.functions.text import entity_id as eid
+
+    g = _graph(spark, sf_dir)
+    q = spark.createDataFrame([(s,) for s in SEED_NAMES], "question string")
+    qe = q.select(
+        "question",
+        eid("question").alias("entity_id"),
+        mock_embedding("question", _EMBED_DIM).alias("qv"),
+    )
+    ep = (
+        g.entity_relation.join(g.relation_passage, "relation_id")
+        .select("entity_id", "passage_id")
+        .distinct()
+    )
+    gold = F.broadcast(qe.select("question", "entity_id")).join(ep, "entity_id").select(
+        "question", "passage_id"
+    )
+    graph_scored = (
+        F.broadcast(qe.select("question", "entity_id"))
+        .join(g.entity_relation, "entity_id")
+        .join(g.relation_passage, "relation_id")
+        .groupBy("question", "passage_id")
+        .agg(F.count_distinct("relation_id").alias("support"))
+    )
+    w_g = Window.partitionBy("question").orderBy(F.desc("support"), F.asc("passage_id"))
+    graph_top = (
+        graph_scored.withColumn("rk", F.row_number().over(w_g))
+        .filter(F.col("rk") <= _HARNESS_K)
+        .select(F.lit("graph").alias("method"), "question", "passage_id")
+    )
+    d = load_table(spark, sf_dir, "documents")
+    naive_scored = (
+        d.select(
+            F.col("doc_id").cast("string").alias("passage_id"),
+            mock_embedding("text", _EMBED_DIM).alias("pv"),
+        )
+        .crossJoin(F.broadcast(qe.select("question", "qv")))
+        .withColumn("score", F.round(cosine("pv", "qv"), 6))
+    )
+    w_n = Window.partitionBy("question").orderBy(F.desc("score"), F.asc("passage_id"))
+    naive_top = (
+        naive_scored.withColumn("rk", F.row_number().over(w_n))
+        .filter(F.col("rk") <= _HARNESS_K)
+        .select(F.lit("naive").alias("method"), "question", "passage_id")
+    )
+    tops = graph_top.unionByName(naive_top)
+    methods = spark.createDataFrame([("graph",), ("naive",)], "method string")
+    per_q = (
+        F.broadcast(methods)
+        .crossJoin(gold)
+        .join(
+            tops.withColumnRenamed("passage_id", "hit_passage"),
+            ["method", "question"],
+            "left",
+        )
+        .withColumn(
+            "is_hit",
+            F.when(F.col("hit_passage") == F.col("passage_id"), 1).otherwise(0),
+        )
+    )
+    # A gold passage may join to several top-k rows; collapse to per
+    # (method, question, passage) hit flags first, then count.
+    per_pass = per_q.groupBy("method", "question", "passage_id").agg(
+        F.max("is_hit").alias("hit")
+    )
+    per_q_recall = (
+        per_pass.groupBy("method", "question")
+        .agg(
+            F.count(F.lit(1)).alias("n_gold"),
+            F.sum("hit").alias("n_hit"),
+        )
+        .withColumn(
+            "recall",
+            F.round(F.col("n_hit").cast("double") / F.col("n_gold"), 6),
+        )
+    )
+    alls = per_q_recall.groupBy("method").agg(
+        F.lit("__all__").alias("question"),
+        F.sum("n_gold").alias("n_gold"),
+        F.sum("n_hit").alias("n_hit"),
+        F.round(F.avg("recall"), 6).alias("recall"),
+    )
+    return per_q_recall.select("method", "question", "n_gold", "n_hit", "recall").unionByName(
+        alls.select("method", "question", "n_gold", "n_hit", "recall")
+    )

@@ -205,10 +205,25 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- exact n-gram jaccard on candidate pairs (verify step) ------------------
+#
+# Skew guard: a stop-shingle appearing in f documents contributes f² rows to
+# the pair join, so shingles above a document-frequency cap are dropped from
+# the universe BEFORE the join (the same hot-key cap as
+# minhash_lsh_pairs_capped).  Sizes and intersections both use the capped
+# universe, so jaccard stays a true set ratio over it.  The top-100 is
+# orderBy().limit() — Spark compiles that to TakeOrderedAndProject (per-
+# partition local top-100, tiny driver merge), never a single-partition
+# global window sort.
+
+_SHINGLE_DF_CAP = 50
 
 _JACCARD_SQL = f"""
 WITH {_SHINGLES_CTE},
-doc_shingles AS (SELECT DISTINCT doc_id, shingle FROM shingles),
+doc_shingles_all AS (SELECT DISTINCT doc_id, shingle FROM shingles),
+doc_shingles AS (
+  SELECT doc_id, shingle FROM doc_shingles_all
+  QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= {_SHINGLE_DF_CAP}
+),
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM doc_shingles GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
@@ -229,9 +244,20 @@ QUALIFY rk <= 100
 """
 
 
-@register("ngram_jaccard_pairs", oracle=_JACCARD_SQL, description="exact 3-gram jaccard verify, top-100 pairs")
+@register(
+    "ngram_jaccard_pairs",
+    oracle=_JACCARD_SQL,
+    description="exact 3-gram jaccard verify with hot-shingle DF cap, top-100 pairs",
+)
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = _shingles_df(spark, sf_dir).select("doc_id", "shingle").distinct().cache()
+    sh_all = _shingles_df(spark, sf_dir).select("doc_id", "shingle").distinct()
+    wdf = Window.partitionBy("shingle")
+    sh = (
+        sh_all.withColumn("__df", F.count(F.lit(1)).over(wdf))
+        .filter(F.col("__df") <= _SHINGLE_DF_CAP)
+        .select("doc_id", "shingle")
+        .cache()
+    )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
@@ -257,11 +283,12 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+    # TakeOrderedAndProject bounds the sort; the rank window then runs over
+    # at most 100 rows, never the full pair set.
+    top = jac.orderBy(F.desc("jaccard"), F.asc("doc_a"), F.asc("doc_b")).limit(100)
     w = Window.orderBy(F.desc("jaccard"), F.asc("doc_a"), F.asc("doc_b"))
-    return (
-        jac.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 100)
-        .select("doc_a", "doc_b", "jaccard", "rk")
+    return top.withColumn("rk", F.row_number().over(w)).select(
+        "doc_a", "doc_b", "jaccard", "rk"
     )
 
 

@@ -136,31 +136,6 @@ def filtered_vector_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- embedding near-duplicate pairs (north-star dedup) ----------------------
-
-_NEARDUP_SQL = f"""
-WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
-SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       round({_cos_sql('a.v', 'b.v')}, 6) AS score
-FROM c a JOIN c b ON a.vec_id < b.vec_id
-WHERE round({_cos_sql('a.v', 'b.v')}, 6) > 0.42
-"""
-
-
-@register("embedding_neardup_pairs", oracle=_NEARDUP_SQL, description="cosine near-dup pair join (north-star dedup)")
-def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va"))
-    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb"))
-    score = F.round(cosine("va", "vb"), 6)
-    return (
-        a.join(b, F.col("vec_a") < F.col("vec_b"))
-        .withColumn("score", score)
-        .filter(F.col("score") > 0.42)
-        .select("vec_a", "vec_b", "score")
-    )
-
-
 # --- LSH-bucketed ANN (scale path for the Milvus ANN index) -----------------
 
 N_PLANES = 8
@@ -232,4 +207,106 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 5)
         .select("query_id", "vec_id", "score", "rank")
+    )
+
+
+# --- embedding near-duplicate pairs (north-star dedup) ----------------------
+#
+# Banded sign-LSH candidate generation (the 100 TB path — never all-pairs):
+# 4 bands x 4 hyperplanes (planes 0-15 of the frozen family above); a pair
+# is a candidate iff it collides in ANY band (classic AND-OR amplification:
+# high-cosine pairs collide with probability ~1; borderline pairs trade a
+# sliver of recall for a candidate set built by an equi-join instead of a
+# cartesian product).  Buckets above a cap are dropped before the quadratic
+# within-bucket self-join (same skew guard as minhash_lsh_pairs_capped), so
+# the worst case stays bounded under embedding skew.  Exact cosine scoring
+# runs ONLY on LSH survivors.  The DuckDB oracle mirrors the banding
+# bit-for-bit, so the recall trade is identical on both engines.
+
+ND_BANDS = 4
+ND_ROWS = 4
+_ND_BUCKET_CAP = 200
+_ND_THRESHOLD = 0.42
+
+
+def _band_bucket_sql(vec_expr: str, band: int) -> str:
+    bits = []
+    for r in range(ND_ROWS):
+        p = _plane(band * ND_ROWS + r)
+        lits = ", ".join(repr(x) for x in p)
+        bits.append(
+            f"(CASE WHEN list_dot_product({vec_expr}, [{lits}]::DOUBLE[]) >= 0.0 THEN {1 << r} ELSE 0 END)"
+        )
+    return "(" + " + ".join(bits) + ")"
+
+
+def _band_bucket_col(vec_col, band: int):
+    vec = vec_col.cast("array<double>")
+    total = F.lit(0)
+    for r in range(ND_ROWS):
+        plane = F.array(*[F.lit(x) for x in _plane(band * ND_ROWS + r)])
+        d = F.aggregate(
+            F.zip_with(vec, plane, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+        )
+        total = total + F.when(d >= 0.0, F.lit(1 << r)).otherwise(F.lit(0))
+    return total
+
+
+_ND_BANDS_SQL = "\nUNION ALL\n".join(
+    f"SELECT vec_id, {b} AS band, {_band_bucket_sql('v', b)} AS bucket FROM c"
+    for b in range(ND_BANDS)
+)
+
+_NEARDUP_SQL = f"""
+WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+bands_all AS ({_ND_BANDS_SQL}),
+bands AS (
+  SELECT vec_id, band, bucket FROM bands_all
+  QUALIFY COUNT(*) OVER (PARTITION BY band, bucket) <= {_ND_BUCKET_CAP}
+),
+cand AS (
+  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+  FROM bands x JOIN bands y ON x.band = y.band AND x.bucket = y.bucket
+  WHERE x.vec_id < y.vec_id
+)
+SELECT cd.vec_a, cd.vec_b, round({_cos_sql('a.v', 'b.v')}, 6) AS score
+FROM cand cd JOIN c a ON a.vec_id = cd.vec_a JOIN c b ON b.vec_id = cd.vec_b
+WHERE round({_cos_sql('a.v', 'b.v')}, 6) > {_ND_THRESHOLD}
+"""
+
+
+@register(
+    "embedding_neardup_pairs",
+    oracle=_NEARDUP_SQL,
+    description="cosine near-dup pairs via banded sign-LSH candidates + capped buckets + exact verify on survivors",
+)
+def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    c = emb.select("vec_id", F.col("embedding").alias("v"))
+    bands = None
+    for b in range(ND_BANDS):
+        part = c.select(
+            "vec_id", F.lit(b).alias("band"), _band_bucket_col(F.col("v"), b).alias("bucket")
+        )
+        bands = part if bands is None else bands.unionByName(part)
+    w = Window.partitionBy("band", "bucket")
+    kept = bands.withColumn("__bn", F.count(F.lit(1)).over(w)).filter(
+        F.col("__bn") <= _ND_BUCKET_CAP
+    )
+    x = kept.select(F.col("vec_id").alias("vec_a"), "band", "bucket")
+    y = kept.select(F.col("vec_id").alias("vec_b"), "band", "bucket")
+    cand = (
+        x.join(y, ["band", "bucket"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+    a = c.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
+    b_ = c.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+    return (
+        cand.join(a, "vec_a")
+        .join(b_, "vec_b")
+        .withColumn("score", F.round(cosine("va", "vb"), 6))
+        .filter(F.col("score") > _ND_THRESHOLD)
+        .select("vec_a", "vec_b", "score")
     )

@@ -29,18 +29,27 @@ TESTDATA_TABLES = [
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-        # reader rejects.  Read nanos as long (legacy conf), then convert to
-        # a microsecond timestamp JVM-side (integer div — no double
-        # round-trip, nanos exceed 2^53).
+        # Older testdata wrote events.ts as parquet TIMESTAMP(NANOS), which
+        # Spark's vectorized reader rejects.  Read nanos as long (legacy
+        # conf), then convert to a microsecond timestamp JVM-side (integer
+        # div — no double round-trip, nanos exceed 2^53).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
-        from pyspark.sql import functions as F
+    df = spark.read.parquet(path)
+    from pyspark.sql import functions as F
 
-        if dict(df.dtypes).get("ts") == "bigint":
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return df
-    return spark.read.parquet(path)
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # Current testdata writes naive micros (isAdjustedToUTC=false), which
+    # Spark ≥3.4 infers as TIMESTAMP_NTZ.  NTZ breaks unix_micros/cast(long)
+    # and the whole time-series operator family.  Pin the session to UTC and
+    # cast NTZ → TIMESTAMP: value-preserving (UTC wall clock == UTC instant)
+    # and identical to DuckDB's naive-timestamp view of the same file.
+    ntz_cols = [c for c, t in df.dtypes if t == "timestamp_ntz"]
+    if ntz_cols:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        for c in ntz_cols:
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -21,6 +21,31 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+def _event_stream(spark: SparkSession, events_path: str) -> DataFrame:
+    """File-source stream over the single events parquet, with the same ts
+    normalization as sources.tables.load_table: legacy nanos-as-long files
+    are converted JVM-side, and TIMESTAMP_NTZ files (current testdata,
+    naive micros) are cast to TIMESTAMP under a UTC session — watermarks
+    and window functions require TIMESTAMP."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(events_path).schema
+    # The file stream source requires a DIRECTORY; point it at the parent
+    # with a glob filter for the single events file.
+    base_dir, file_name = os.path.split(events_path)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", file_name)
+        .parquet(base_dir)
+    )
+    ts_type = dict(stream.dtypes).get("ts")
+    if ts_type == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return stream
+
+
 
 def windowed_event_aggregate(
     spark: SparkSession,
@@ -37,18 +62,7 @@ def windowed_event_aggregate(
     Returns (window_start_epoch, event_type, n, total_value_micros) — value
     sum in exact integer micros so the result is order-independent.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(events_path).schema
-    # The file stream source requires a DIRECTORY; point it at the parent
-    # with a glob filter for the single events file.
-    base_dir, file_name = os.path.split(events_path)
-    stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", file_name)
-        .parquet(base_dir)
-    )
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = _event_stream(spark, events_path)
     win = (
         F.window("ts", window_duration, slide_duration)
         if slide_duration
@@ -97,16 +111,7 @@ def session_windowed_aggregate(
 
     Returns (user_id, session_start_epoch, n, total_value).
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(events_path).schema
-    base_dir, file_name = os.path.split(events_path)
-    stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", file_name)
-        .parquet(base_dir)
-    )
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = _event_stream(spark, events_path)
     agg = (
         stream.withWatermark("ts", watermark)
         .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
@@ -152,16 +157,7 @@ def streaming_dedup_keys(
     survives depends on arrival order (racy under parallelism), but the key
     set itself is deterministic and oracle-checkable.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(events_path).schema
-    base_dir, file_name = os.path.split(events_path)
-    stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", file_name)
-        .parquet(base_dir)
-    )
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = _event_stream(spark, events_path)
     deduped = (
         stream.withWatermark("ts", watermark)
         .dropDuplicatesWithinWatermark(list(keys))
@@ -201,19 +197,8 @@ def stream_stream_interval_join(
     sin at scale.  Inner-join matches emit in append mode as soon as both
     sides arrive; with the bounded availableNow source that is every match.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(events_path).schema
-    base_dir, file_name = os.path.split(events_path)
-
     def _stream():
-        s = (
-            spark.readStream.schema(schema)
-            .option("pathGlobFilter", file_name)
-            .parquet(base_dir)
-        )
-        if dict(s.dtypes).get("ts") == "bigint":
-            s = s.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return s
+        return _event_stream(spark, events_path)
 
     left = (
         _stream()

@@ -123,19 +123,11 @@ def sessionize_stream(events_stream: DataFrame, use_timeout: bool = True) -> Dat
 def run_sessionize_on_events(spark, events_path: str) -> DataFrame:
     """Drive the stateful stream synchronously over the events parquet and
     return the closed sessions as a batch DataFrame."""
-    import os
     import uuid
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(events_path).schema
-    base_dir, file_name = os.path.split(events_path)
-    stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", file_name)
-        .parquet(base_dir)
-    )
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    from vector_graph_rag_spark.streaming.ingest import _event_stream
+
+    stream = _event_stream(spark, events_path)
     name = "sess_" + uuid.uuid4().hex[:12]
     q = (
         sessionize_stream(stream, use_timeout=False)
