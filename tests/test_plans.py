@@ -50,6 +50,7 @@ AUDITED = [
     "nation_balance_full_outer",
     "embedding_neardup_pairs",
     "ngram_jaccard_pairs",
+    "eviction_topk_branch",
 ]
 
 
@@ -69,6 +70,17 @@ def test_no_rowwise_python_and_no_cartesian(spark, name):
     # pandas (ArrowEvalPython / MapInPandas) is the sanctioned escape hatch.
     assert "BatchEvalPython" not in plan, f"{name} has a row-wise Python UDF"
     assert "CartesianProduct" not in plan, f"{name} has an unbounded cartesian product"
+
+
+def test_eviction_big_branch_is_take_ordered(spark):
+    """The eviction branch fires when candidates EXCEED the threshold, so its
+    top-k must be TakeOrderedAndProject (per-partition local top-N), never a
+    global window sort of the full candidate set (retriever.py:267-285)."""
+    plan = _plan(spark, "eviction_topk_branch")
+    assert "TakeOrderedAndProject" in plan, "eviction top-k lost TakeOrderedAndProject"
+    # The only Window allowed is the rank over the <=threshold survivors,
+    # which must sit ABOVE the TakeOrderedAndProject in the plan tree.
+    assert plan.index("Window") < plan.index("TakeOrderedAndProject")
 
 
 def test_column_pruning_reaches_scan(spark):

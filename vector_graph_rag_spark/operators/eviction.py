@@ -47,16 +47,26 @@ def apply_eviction(
 
     # Eviction: top-`threshold` by cosine to the query within the candidate
     # set (semi-join first so scoring never touches non-candidates).
+    #
+    # This branch fires exactly when the candidate set is LARGE (> threshold),
+    # so the top-k must not be a global window sort: `orderBy().limit()`
+    # compiles to TakeOrderedAndProject — per-partition local top-N plus a
+    # tiny driver-side merge — and only the ≤ threshold survivors see the
+    # (cheap, single-partition) ranking window.
     cand_ids = candidate_relations.select(F.col(id_col).alias("id"))
     cand = relations.join(F.broadcast(cand_ids), "id", "left_semi")
     score = cosine(F.col(vec_col), F.lit(query_vec).cast("array<double>"))
     if score_decimals is not None:
         score = F.round(score, score_decimals)
+    survivors = (
+        cand.withColumn("score", score)
+        .select("id", "score")
+        .orderBy(F.desc("score"), F.asc("id"))
+        .limit(threshold)
+    )
     w = Window.orderBy(F.desc("score"), F.asc("id"))
     kept = (
-        cand.withColumn("score", score)
-        .withColumn("evict_order", F.row_number().over(w))
-        .filter(F.col("evict_order") <= threshold)
+        survivors.withColumn("evict_order", F.row_number().over(w))
         .select(F.col("id").alias(id_col), "evict_order", "score")
     )
     return kept, {"applied": True, "before": n, "after": threshold}

@@ -182,12 +182,20 @@ def eviction_topk_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rel_emb = rels.join(emb.select("vec_id", F.col("embedding").alias("v")), "vec_id")
     q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
-    w = Window.orderBy(F.desc("score"), F.asc("rel_id"))
-    return (
+    # This branch fires only when the candidate set is larger than the keep
+    # threshold, so the top-k is orderBy().limit() → TakeOrderedAndProject
+    # (per-partition local top-N + tiny driver merge); the single-partition
+    # ranking window then sees only the ≤50 survivors.
+    survivors = (
         rel_emb.crossJoin(F.broadcast(q))
         .withColumn("score", F.round(cosine("v", "qvec"), 6))
-        .withColumn("evict_order", F.row_number().over(w))
-        .filter(F.col("evict_order") <= 50)
+        .select("rel_id", "score")
+        .orderBy(F.desc("score"), F.asc("rel_id"))
+        .limit(50)
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("rel_id"))
+    return (
+        survivors.withColumn("evict_order", F.row_number().over(w))
         .select(F.col("rel_id").alias("relation_id"), "score", "evict_order")
     )
 

@@ -251,13 +251,18 @@ QUALIFY rk <= 100
 )
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh_all = _shingles_df(spark, sf_dir).select("doc_id", "shingle").distinct()
-    wdf = Window.partitionBy("shingle")
-    sh = (
-        sh_all.withColumn("__df", F.count(F.lit(1)).over(wdf))
-        .filter(F.col("__df") <= _SHINGLE_DF_CAP)
-        .select("doc_id", "shingle")
-        .cache()
+    # Hot-shingle cap via map-side-combined agg + broadcast ANTI-join against
+    # the (tiny at any scale) hot set — the previous Window.partitionBy count
+    # shuffled the full wide rows just to compute per-shingle df.  Shingles
+    # with df > cap are by construction few, so the broadcast stays small
+    # even at 100 TB, and the full rows are never shuffled for the cap.
+    hot = (
+        sh_all.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") > _SHINGLE_DF_CAP)
+        .select("shingle")
     )
+    sh = sh_all.join(F.broadcast(hot), "shingle", "left_anti").cache()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
