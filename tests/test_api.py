@@ -84,6 +84,32 @@ def test_query_returns_ranked_passages(client):
     )
 
 
+def test_query_include_history(client):
+    """Reference parity: /query can return the per-step expansion history
+    (reference app.py:606-618 ExpansionStepSchema — added_*_ids keys)."""
+    r = client.post(
+        "/query",
+        json={
+            "graph_name": "g1",
+            "seed_entities": ["beta"],
+            "degree": 2,
+            "include_history": True,
+        },
+    )
+    hist = r.get_json()["expansion_history"]
+    assert [h["step"] for h in hist] == [0, 1, 2]
+    assert hist[0]["operation"] == "init_merge"
+    assert hist[0]["added_entity_ids"] == [] and hist[0]["added_relation_ids"]
+    assert hist[1]["operation"] == "expand_degree_1"
+    assert hist[1]["added_entity_ids"], "hop 1 must add entities"
+    # Totals are running set sizes — monotone nondecreasing.
+    totals = [(h["total_entities"], h["total_relations"]) for h in hist]
+    assert totals == sorted(totals)
+    # History is opt-in: the default response has no expansion_history key.
+    r2 = client.post("/query", json={"graph_name": "g1", "seed_entities": ["beta"]})
+    assert "expansion_history" not in r2.get_json()
+
+
 def test_document_crud_roundtrip(client):
     assert client.get("/documents/d1", query_string={"graph_name": "g1"}).get_json()[
         "doc_id"

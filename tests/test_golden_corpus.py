@@ -1,0 +1,178 @@
+"""Golden end-to-end fixture on the reference's REAL evaluation corpus.
+
+Every other graph test runs on synthetic triplets; this one ingests the
+reference's actual 20-document corpus + pre-extracted OpenIE triplets
+(/root/reference/evaluation/data/openie_test_sample_results_ner_gpt-3.5-turbo-1106_20.json,
+loader shape evaluate.py:101-174 + build_documents_from_triplets) through
+the ``add_documents_with_triplets`` dataflow (rag.py:390-435) and pins:
+
+- entity/relation/passage counts after dedup,
+- a specific entity's adjacency (albert einstein),
+- a degree-1 frontier and the passage-support retrieval ranking,
+- the per-step 2-hop expansion history (knowledge_graph.py:281-346).
+
+All expected values were hand-computed with an independent pure-Python
+twin of the reference semantics (normalize = processing_phrases,
+entity dedup on normalized name, relation dedup on normalized "s p o").
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+
+import pytest
+
+from vector_graph_rag_spark.functions.text import entity_id_str, normalize_phrase_str
+
+CORPUS = (
+    "/root/reference/evaluation/data/"
+    "openie_test_sample_results_ner_gpt-3.5-turbo-1106_20.json"
+)
+
+
+def _rel_id_str(s: str, p: str, o: str) -> str:
+    key = normalize_phrase_str(f"{s} {p} {o}")
+    return hashlib.sha256(("relation:" + key).encode()).hexdigest()
+
+
+def _load_documents() -> list[dict]:
+    """build_documents_from_triplets parity (evaluate.py:137-174): normalize
+    every triplet part with processing_phrases, drop triplets with any empty
+    part, keep the raw passage text."""
+    with open(CORPUS) as f:
+        docs = json.load(f)["docs"]
+    out = []
+    for i, d in enumerate(docs):
+        trips = []
+        for t in d.get("extracted_triples", []):
+            if isinstance(t, list) and len(t) == 3:
+                s, p, o = (normalize_phrase_str(str(x)) for x in t)
+                if s and p and o:
+                    trips.append((s, p, o))
+        out.append({"doc_id": f"doc{i:02d}", "text": d["passage"], "triplets": trips})
+    return out
+
+
+@pytest.fixture(scope="module")
+def golden(spark):
+    from vector_graph_rag_spark.graph.builder import build_graph
+
+    docs = spark.createDataFrame(
+        [(d["doc_id"], d["text"], d["triplets"]) for d in _load_documents()],
+        "doc_id string, text string, "
+        "triplets array<struct<subject:string,predicate:string,object:string>>",
+    )
+    return build_graph(docs)
+
+
+def test_counts_after_dedup(golden):
+    # 20 docs, 48 surviving triplet rows → 49 entities / 44 relations.
+    assert golden.passages.count() == 20
+    assert golden.entities.count() == 49
+    assert golden.relations.count() == 44
+
+
+def test_einstein_adjacency(golden):
+    eid = entity_id_str("Albert Einstein")
+    row = golden.entities.filter(f"id = '{eid}'").collect()
+    assert len(row) == 1
+    assert row[0]["name"] == "albert einstein"  # normalized at eval load
+    assert row[0]["passage_ids"] == ["doc00"]
+    expected_rels = sorted(
+        [
+            _rel_id_str("albert einstein", "published", "general theory of relativity"),
+            _rel_id_str("albert einstein", "published", "special theory of relativity"),
+        ]
+    )
+    assert row[0]["relation_ids"] == expected_rels
+
+
+def test_unicode_and_punctuation_survive_normalization(golden):
+    # Real corpus text is punctuation-heavy; every entity name must already
+    # be its normalized form's first-seen raw (here: pre-normalized by the
+    # eval loader), and ids must be stable under re-derivation.
+    for r in golden.entities.collect():
+        assert r["id"] == entity_id_str(r["name"]), r["name"]
+
+
+def test_d1_frontier_and_retrieval_ranking(golden, spark):
+    from vector_graph_rag_spark.graph.expand import expand_subgraph
+    from vector_graph_rag_spark.graph.retrieve import (
+        retrieve_passages,
+        seed_frontier_from_names,
+    )
+
+    # One degree = relations → entities → relations (knowledge_graph.py:303-333):
+    # 6 seed-adjacent relations + 2 spawned by the new relativity entities.
+    seeds = seed_frontier_from_names(spark, ["Albert Einstein", "Mona Lisa"])
+    expansion = expand_subgraph(golden, seeds, degree=1)
+    assert expansion.relation_ids.count() == 8
+    new_names = {
+        "1503",
+        "1519",
+        "general theory of relativity",
+        "leonardo da vinci",
+        "louvre museum",
+        "special theory of relativity",
+    }
+    expected_entities = sorted(
+        {entity_id_str(n) for n in new_names}
+        | {entity_id_str("albert einstein"), entity_id_str("mona lisa")}
+    )
+    got = sorted(r["entity_id"] for r in expansion.entity_ids.collect())
+    assert got == expected_entities
+
+    # Support ranking over the full d=1 relation set:
+    # doc00 (4 relations) > doc15 (3) > doc14 (2).
+    top = retrieve_passages(golden, seeds, degree=1, final_top_k=3).collect()
+    assert [(r["passage_id"], r["rank"], r["n_supporting_relations"]) for r in top] == [
+        ("doc00", 1, 4),
+        ("doc15", 2, 3),
+        ("doc14", 3, 2),
+    ]
+
+
+def test_two_hop_expansion_history(golden, spark):
+    """Per-step history parity with knowledge_graph.py:281-346 on real data:
+    einstein → {general,special} theory of relativity → {1905, 1915}."""
+    from vector_graph_rag_spark.graph.expand import expand_subgraph
+    from vector_graph_rag_spark.graph.retrieve import seed_frontier_from_names
+
+    seeds = seed_frontier_from_names(spark, ["Albert Einstein"])
+    res = expand_subgraph(golden, seeds, degree=2, collect_history=True)
+    h0, h1, h2 = res.history
+
+    assert h0["operation"] == "init_merge" and h0["step"] == 0
+    assert h0["new_relation_ids"] == sorted(
+        [
+            _rel_id_str("albert einstein", "published", "general theory of relativity"),
+            _rel_id_str("albert einstein", "published", "special theory of relativity"),
+        ]
+    )
+    assert (h0["total_entities"], h0["total_relations"]) == (1, 2)
+
+    assert h1["operation"] == "expand_degree_1"
+    assert h1["new_entity_ids"] == sorted(
+        [
+            entity_id_str("general theory of relativity"),
+            entity_id_str("special theory of relativity"),
+        ]
+    )
+    assert h1["new_relation_ids"] == sorted(
+        [
+            _rel_id_str("general theory of relativity", "published in", "1915"),
+            _rel_id_str("special theory of relativity", "published in", "1905"),
+        ]
+    )
+    assert (h1["total_entities"], h1["total_relations"]) == (3, 4)
+
+    assert h2["operation"] == "expand_degree_2"
+    assert h2["new_entity_ids"] == sorted([entity_id_str("1905"), entity_id_str("1915")])
+    assert h2["new_relation_ids"] == []
+    assert (h2["total_entities"], h2["total_relations"]) == (5, 4)
+
+    # History is bookkeeping only — the expanded sets themselves must agree.
+    assert res.entity_ids.count() == 5
+    assert res.relation_ids.count() == 4
+    assert sorted(r["passage_id"] for r in res.passage_ids.collect()) == ["doc00"]

@@ -44,6 +44,7 @@ from pyspark.sql import functions as F
 from vector_graph_rag_spark.config import DEFAULT_CONFIG, EngineConfig
 from vector_graph_rag_spark.graph.builder import build_graph, synthetic_triplet_docs
 from vector_graph_rag_spark.graph.crud import delete_passages, upsert_passages
+from vector_graph_rag_spark.graph.expand import expand_subgraph
 from vector_graph_rag_spark.graph.retrieve import (
     retrieve_passages,
     seed_frontier_from_names,
@@ -328,25 +329,48 @@ def create_app(
         if not _exists(name):
             return _not_found(name)
         g = catalog.read_graph(spark, name)
+        degree = int(body.get("degree", config.expansion_degree))
         result = retrieve_passages(
             g,
             seed_frontier_from_names(spark, seeds),
-            degree=int(body.get("degree", config.expansion_degree)),
+            degree=degree,
             final_top_k=int(body.get("top_k", config.final_top_k)),
         ).collect()
-        return jsonify(
-            {
-                "passages": [
-                    {
-                        "passage_id": r["passage_id"],
-                        "rank": r["rank"],
-                        "n_supporting_relations": r["n_supporting_relations"],
-                        "text": r["text"],
-                    }
-                    for r in result
-                ]
-            }
-        )
+        payload = {
+            "passages": [
+                {
+                    "passage_id": r["passage_id"],
+                    "rank": r["rank"],
+                    "n_supporting_relations": r["n_supporting_relations"],
+                    "text": r["text"],
+                }
+                for r in result
+            ]
+        }
+        if body.get("include_history"):
+            # Reference parity: /query returns the per-step expansion history
+            # (reference app.py:606-618 ExpansionStepSchema; recorded at
+            # knowledge_graph.py:292-346).  The reference maps the recorded
+            # new_*_ids keys to added_*_ids in the response — mirrored here.
+            expansion = expand_subgraph(
+                g,
+                seed_frontier_from_names(spark, seeds),
+                degree=degree,
+                collect_history=True,
+            )
+            payload["expansion_history"] = [
+                {
+                    "step": h["step"],
+                    "operation": h["operation"],
+                    "description": h["description"],
+                    "added_entity_ids": h.get("new_entity_ids", []),
+                    "added_relation_ids": h.get("new_relation_ids", []),
+                    "total_entities": h["total_entities"],
+                    "total_relations": h["total_relations"],
+                }
+                for h in expansion.history
+            ]
+        return jsonify(payload)
 
     return app
 

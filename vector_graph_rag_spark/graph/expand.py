@@ -82,7 +82,28 @@ def expand_subgraph(
     step0 = er.join(F.broadcast(entities), "entity_id", "left_semi").select("relation_id")
     relations_raw = seed_rel.unionByName(step0)
 
+    # History parity (knowledge_graph.py:281-346): the reference records the
+    # per-step NEW id lists plus running totals.  The lists are frontier-sized
+    # (bounded by eviction / relation_number_threshold), so collecting them is
+    # the same driver-side cost the reference pays; id lists are sorted here
+    # for determinism (the reference emits Python-set order).
     history = []
+    if collect_history:
+        ent_set = {r.entity_id for r in entities.collect()}
+        rel_set = {r.relation_id for r in seed_rel.collect()}
+        step0_ids = {r.relation_id for r in step0.distinct().collect()}
+        new0 = sorted(step0_ids - rel_set)
+        rel_set |= step0_ids
+        history.append(
+            {
+                "step": 0,
+                "operation": "init_merge",
+                "description": "Merged relations from initial entities with initial relations",
+                "new_relation_ids": new0,
+                "total_entities": len(ent_set),
+                "total_relations": len(rel_set),
+            }
+        )
     relations = relations_raw  # deduped form, maintained per hop
     for d in range(1, degree + 1):
         # (a) entities of current relations (both endpoints via entity_relation).
@@ -109,11 +130,20 @@ def expand_subgraph(
         if checkpoint:
             entities = entities.localCheckpoint(eager=False)
         if collect_history:
+            new_ent_ids = sorted(r.entity_id for r in new_entities.collect())
+            hop_rel_ids = {r.relation_id for r in hop_relations.distinct().collect()}
+            new_rel_ids = sorted(hop_rel_ids - rel_set)
+            ent_set.update(new_ent_ids)
+            rel_set.update(new_rel_ids)
             history.append(
                 {
-                    "degree": d,
-                    "total_entities": entities.count(),
-                    "total_relations": relations_raw.distinct().count(),
+                    "step": d,
+                    "operation": f"expand_degree_{d}",
+                    "description": f"Relations -> entities -> relations (hop {d})",
+                    "new_entity_ids": new_ent_ids,
+                    "new_relation_ids": new_rel_ids,
+                    "total_entities": len(ent_set),
+                    "total_relations": len(rel_set),
                 }
             )
 
