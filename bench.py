@@ -39,6 +39,15 @@ HEADLINE = [
     "simhash_signatures",
     "token_profile",
     "stream_tumbling_30m",
+    # round-4 additions (round-3 verdict item 5): the previously-unbenched
+    # heavy composites + the k=3 vs k=8 PPR depth comparison.
+    "subgraph_expand_d2",
+    "neardup_clusters",
+    "graph_rag_retrieve_backfill",
+    "stream_session_window_30m",
+    "eval_recall_harness",
+    "entity_ppr_seeds_k3",
+    "entity_ppr_seeds_k8",
 ]
 
 

@@ -7,8 +7,15 @@ from pyspark.sql import functions as F
 
 from vector_graph_rag_spark.sources.loaders import (
     convert_binary_documents,
+    fetch_url_documents,
     route_files,
 )
+
+
+def _has(mod: str) -> bool:
+    import importlib.util
+
+    return importlib.util.find_spec(mod) is not None
 
 
 def test_route_files_dispatch(spark):
@@ -54,6 +61,38 @@ def test_convert_binary_unsupported_raises(spark, tmp_path):
     assert "NotImplementedError" in str(ei.value) or isinstance(
         ei.value, NotImplementedError
     )
+
+
+def test_fetch_url_without_libs_raises(spark):
+    df = spark.createDataFrame([("https://example.com/a",)], "url string")
+    if _has("requests") and _has("trafilatura"):
+        pytest.skip("fetch libs present; stub branch not reachable")
+    with pytest.raises(Exception) as ei:
+        fetch_url_documents(df).collect()
+    assert "NotImplementedError" in str(ei.value) or isinstance(
+        ei.value, NotImplementedError
+    )
+
+
+@pytest.mark.skipif(not _has("markitdown"), reason="markitdown not installed")
+def test_convert_binary_real_decode(spark, tmp_path):
+    """Activates outside this container: markitdown decodes an HTML doc."""
+    (tmp_path / "p.html").write_text("<html><body><p>real decode</p></body></html>")
+    df = spark.read.format("binaryFile").load(str(tmp_path))
+    out = {r.path.rsplit("/", 1)[-1]: r.text for r in convert_binary_documents(df).collect()}
+    assert "real decode" in out["p.html"]
+
+
+@pytest.mark.skipif(
+    not (_has("requests") and _has("trafilatura")),
+    reason="requests/trafilatura not installed",
+)
+def test_fetch_url_error_capture_without_network(spark):
+    """Activates outside this container: a guaranteed-unresolvable host is
+    captured per-row as an error, never failing the job (url_fetcher.py:146-149)."""
+    df = spark.createDataFrame([("http://invalid.invalid/x",)], "url string")
+    rows = fetch_url_documents(df).collect()
+    assert rows[0]["text"] is None and "Failed to fetch" in rows[0]["error"]
 
 
 def test_multiformat_document_roundtrip(spark, tmp_path):

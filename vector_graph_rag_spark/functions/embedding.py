@@ -15,6 +15,10 @@ real model backends.
 
 from __future__ import annotations
 
+# Module-level on purpose: pandas_udf resolves the stringified `pd.Series`
+# annotations (PEP 563, `from __future__ import annotations`) against this
+# module's globals when `embed_with_backend` builds its UDF — a lazy import
+# inside the function would be a local and the hint lookup would fail.
 import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
@@ -110,6 +114,10 @@ def apply_instruction(
     if not template_config:
         return texts
     template = template_config.get(text_type, "{text}")
+    # NOTE: the default_instruction fallback is intentionally DEAD code — the
+    # early return above fires whenever `instruction` is falsy, so the default
+    # can never apply.  The reference has the identical quirk
+    # (embeddings.py:96-112); kept bit-for-bit for parity.
     instr = instruction or template_config.get("default_instruction", "")
     return [template.format(instruction=instr, text=t) for t in texts]
 

@@ -576,8 +576,8 @@ _PPR_ROUND = """
 )"""
 
 
-def _ppr_ctes() -> str:
-    """CTE chain ``trips .. r3`` — shared by the PPR query and the
+def _ppr_ctes(k: int = 3) -> str:
+    """CTE chain ``trips .. r{k}`` — shared by the PPR queries and the
     PPR-ranked retrieval composite."""
     from vector_graph_rag_spark.queries.graphrag import SEED_NAMES
     from vector_graph_rag_spark.queries.sql_common import norm_sql
@@ -605,23 +605,29 @@ r0 AS (
          round(CASE WHEN sn.id IS NOT NULL THEN 1.0 / ns.n ELSE 0.0 END, 12) AS rank
   FROM nodes n CROSS JOIN ns LEFT JOIN snodes sn ON sn.id = n.id
 ),"""
-        + ",".join(_PPR_ROUND.format(src=f"r{i}", dst=f"r{i + 1}") for i in range(3))
+        + ",".join(_PPR_ROUND.format(src=f"r{i}", dst=f"r{i + 1}") for i in range(k))
     )
 
 
-def _ppr_sql() -> str:
-    return f"WITH {_ppr_ctes()}\nSELECT id, round(rank, 6) AS ppr FROM r3\n"
+def _ppr_sql(k: int = 3) -> str:
+    return f"WITH {_ppr_ctes(k)}\nSELECT id, round(rank, 6) AS ppr FROM r{k}\n"
 
 
-@register(
-    "entity_ppr_seeds_k3",
-    oracle=_ppr_sql(),
-    description="personalized PageRank from seed entities, 3 iterations (HippoRAG-style query-relative relevance)",
-)
-def entity_ppr_seeds_k3(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from vector_graph_rag_spark.queries.graphrag import _graph, _seed_entities
+def _ppr_ranks(
+    spark: SparkSession, g, k: int, checkpoint_after: int | None = None
+) -> DataFrame:
+    """k rounds of seed-personalized power iteration → (id, rank).
 
-    g = _graph(spark, sf_dir)
+    ``checkpoint_after``: from that round index on, each round's rank vector
+    is eagerly localCheckpoint-ed — the rank vector is |entities| rows (tiny
+    next to the edge table), and truncating the lineage keeps the plan depth
+    constant instead of growing per round (SURVEY §7 risk: iterative plans).
+    Production note: run to convergence with a driver-side delta check on the
+    same checkpointed vector; declared queries fix k so the DuckDB oracle can
+    unroll the identical chain.
+    """
+    from vector_graph_rag_spark.queries.graphrag import _seed_entities
+
     edges = (
         g.relations.select(
             F.col("src_entity_id").alias("a"), F.col("dst_entity_id").alias("b")
@@ -645,7 +651,7 @@ def entity_ppr_seeds_k3(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(is_seed, F.lit(1.0) / F.lit(float(ns))).otherwise(F.lit(0.0)), 12
         ).alias("rank"),
     )
-    for _ in range(3):
+    for i in range(k):
         contribs = (
             edges.join(ranks.withColumnRenamed("id", "a"), "a")
             .join(outdeg.withColumnRenamed("id", "a"), "a")
@@ -665,6 +671,37 @@ def entity_ppr_seeds_k3(spark: SparkSession, sf_dir: str) -> DataFrame:
                 12,
             ).alias("rank"),
         )
+        if checkpoint_after is not None and i >= checkpoint_after:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks
+
+
+@register(
+    "entity_ppr_seeds_k3",
+    oracle=_ppr_sql(),
+    description="personalized PageRank from seed entities, 3 iterations (HippoRAG-style query-relative relevance)",
+)
+def entity_ppr_seeds_k3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_graph_rag_spark.queries.graphrag import _graph
+
+    g = _graph(spark, sf_dir)
+    ranks = _ppr_ranks(spark, g, k=3)
+    return ranks.select("id", F.round("rank", 6).alias("ppr"))
+
+
+@register(
+    "entity_ppr_seeds_k8",
+    oracle=_ppr_sql(8),
+    description=(
+        "personalized PageRank at depth 8 with per-round localCheckpoint past "
+        "round 5 — the HippoRAG run-to-convergence shape with bounded lineage"
+    ),
+)
+def entity_ppr_seeds_k8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_graph_rag_spark.queries.graphrag import _graph
+
+    g = _graph(spark, sf_dir)
+    ranks = _ppr_ranks(spark, g, k=8, checkpoint_after=5)
     return ranks.select("id", F.round("rank", 6).alias("ppr"))
 
 

@@ -247,7 +247,11 @@ QUALIFY rk <= 100
 @register(
     "ngram_jaccard_pairs",
     oracle=_JACCARD_SQL,
-    description="exact 3-gram jaccard verify with hot-shingle DF cap, top-100 pairs",
+    description=(
+        "3-gram jaccard verify over the hot-shingle-capped universe (df<=50; "
+        "sizes+intersections computed post-cap, so `jaccard` is the set ratio "
+        "over surviving shingles, not raw 3-gram jaccard), top-100 pairs"
+    ),
 )
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh_all = _shingles_df(spark, sf_dir).select("doc_id", "shingle").distinct()

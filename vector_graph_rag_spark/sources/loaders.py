@@ -12,11 +12,11 @@
   extension over a file-listing DataFrame with when/otherwise.
 
 - PDF/DOCX converter and URL fetcher (converter.py:45-90,
-  url_fetcher.py:91-155): the conversion libraries (markitdown,
-  trafilatura) are not in this container — the operators keep the real
-  Spark plumbing (binary source → mapInPandas batch iterator → text
-  column) with the decode step behind an import-try that degrades to
-  NotImplementedError, as the task brief requires.
+  url_fetcher.py:91-155): real Spark plumbing (binary source → mapInPandas
+  batch iterator → text column) with the decode step behind an import-try:
+  markitdown / requests+trafilatura activate when importable, and degrade
+  to NotImplementedError otherwise (neither lib nor network exists in this
+  container — sanctioned by the task brief).
 """
 
 from __future__ import annotations
@@ -115,27 +115,36 @@ def route_files(listing: DataFrame, path_col: str = "path") -> DataFrame:
 def convert_binary_documents(binary_df: DataFrame) -> DataFrame:
     """binaryFile-source rows (path, content) → (path, text, n_bytes).
 
-    Real Spark plumbing (mapInPandas, Arrow batches); the actual PDF/DOCX
-    decode (reference converter.py:45-90 via MarkItDown) is stubbed: plain
-    text/markdown bytes decode as UTF-8, anything else raises
-    NotImplementedError unless `markitdown` is importable.
+    Real Spark plumbing (mapInPandas, Arrow batches).  The PDF/DOCX decode
+    (reference converter.py:45-90) activates when `markitdown` is importable
+    — one MarkItDown instance per Arrow batch iterator, decoding from the
+    in-memory bytes (never a driver-side file loop).  Without the library
+    (this container) plain text/markdown still decodes as UTF-8 and binary
+    formats raise NotImplementedError, as the task brief sanctions.
     """
 
     def _convert(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         try:
-            from markitdown import MarkItDown  # noqa: F401
+            from markitdown import MarkItDown
 
-            have_converter = True
+            converter = MarkItDown(enable_plugins=False)
         except ImportError:
-            have_converter = False
+            converter = None
         for pdf in batches:
             texts = []
             for path, content in zip(pdf["path"], pdf["content"]):
                 low = str(path).lower()
                 if low.endswith((".txt", ".md")):
                     texts.append(bytes(content).decode("utf-8", errors="replace"))
-                elif have_converter:
-                    raise NotImplementedError("markitdown path not wired in v1")
+                elif converter is not None:
+                    import io
+                    import os
+
+                    ext = os.path.splitext(low)[1]
+                    result = converter.convert_stream(
+                        io.BytesIO(bytes(content)), file_extension=ext
+                    )
+                    texts.append(result.text_content)
                 else:
                     raise NotImplementedError(
                         f"binary conversion for {path} requires markitdown "
@@ -151,4 +160,50 @@ def convert_binary_documents(binary_df: DataFrame) -> DataFrame:
 
     return binary_df.select("path", "content").mapInPandas(
         _convert, "path string, text string, n_bytes long"
+    )
+
+
+def fetch_url_documents(urls_df: DataFrame, url_col: str = "url") -> DataFrame:
+    """urls → (url, text, error) via partition-parallel fetch+extract.
+
+    Reference url_fetcher.py:91-155: GET the page, extract main content as
+    markdown with trafilatura.  Both libraries are optional — with
+    `requests`+`trafilatura` importable the real fetch runs inside the
+    mapInPandas batches (errors are captured per-row like the reference's
+    ConversionResult.errors, never failing the job); without them every row
+    raises NotImplementedError (no network in this container).
+    """
+
+    def _fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        try:
+            import requests
+            import trafilatura
+
+            have_libs = True
+        except ImportError:
+            have_libs = False
+        for pdf in batches:
+            texts, errors = [], []
+            for url in pdf[url_col]:
+                if not have_libs:
+                    raise NotImplementedError(
+                        "URL fetch requires requests+trafilatura (not in this container)"
+                    )
+                try:
+                    resp = requests.get(str(url), timeout=30, allow_redirects=True)
+                    resp.raise_for_status()
+                    content = trafilatura.extract(resp.text, output_format="markdown")
+                    if content:
+                        texts.append(content)
+                        errors.append(None)
+                    else:
+                        texts.append(None)
+                        errors.append(f"No content extracted from: {url}")
+                except Exception as e:  # per-row capture (url_fetcher.py:146-149)
+                    texts.append(None)
+                    errors.append(f"Failed to fetch {url}: {e}")
+            yield pd.DataFrame({"url": pdf[url_col], "text": texts, "error": errors})
+
+    return urls_df.select(F.col(url_col)).mapInPandas(
+        _fetch, "url string, text string, error string"
     )

@@ -44,8 +44,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # and the whole time-series operator family.  Pin the session to UTC and
     # cast NTZ → TIMESTAMP: value-preserving (UTC wall clock == UTC instant)
     # and identical to DuckDB's naive-timestamp view of the same file.
+    # CONTRACT: the NTZ→TIMESTAMP cast resolves the session timezone at
+    # ACTION time, not here — it is only value-preserving under UTC.  The
+    # project session factory (session.py) pins UTC at build; for externally
+    # created sessions we pin it here and refuse a conflicting explicit zone
+    # rather than silently changing results under a later tz switch.
     ntz_cols = [c for c, t in df.dtypes if t == "timestamp_ntz"]
     if ntz_cols:
+        tz = spark.conf.get("spark.sql.session.timeZone", "UTC")
+        if tz not in ("UTC", "Etc/UTC", "GMT"):
+            raise ValueError(
+                f"load_table requires spark.sql.session.timeZone=UTC to read "
+                f"TIMESTAMP_NTZ testdata (got {tz!r}); use "
+                f"vector_graph_rag_spark.session.get_spark()"
+            )
         spark.conf.set("spark.sql.session.timeZone", "UTC")
         for c in ntz_cols:
             df = df.withColumn(c, F.col(c).cast("timestamp"))
