@@ -266,14 +266,31 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__df") > _SHINGLE_DF_CAP)
         .select("shingle")
     )
-    sh = sh_all.join(F.broadcast(hot), "shingle", "left_anti").cache()
+    # No .cache(): both consumers (sizes, pair gen) sit in ONE final DAG, so
+    # ReuseExchange dedupes the distinct-shuffle subtree; an explicit cache
+    # only adds a materialization barrier ahead of the first action (measured
+    # ~2x slower cold at sf0.1).
+    sh = sh_all.join(F.broadcast(hot), "shingle", "left_anti")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    # Pair generation WITHOUT a self-join: group each surviving shingle's
+    # doc list (bounded at <= cap by the anti-join above, so per-group state
+    # is bounded) and explode the intra-array ordered pairs — one shuffle of
+    # the shingle rows instead of two join-side shuffles, and doc_a < doc_b
+    # holds by construction on the sorted distinct list.
+    grouped = sh.groupBy("shingle").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("docs")
+    )
+    pairs = grouped.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(docs, (a, i) ->"
+                " transform(slice(docs, i + 2, size(docs)),"
+                " b -> struct(a AS doc_a, b AS doc_b))))"
+            )
+        ).alias("p")
+    ).select("p.doc_a", "p.doc_b")
     inter = (
-        a.join(b, "shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
+        pairs.groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
         .filter(F.col("n_inter") >= 2)
     )
