@@ -88,8 +88,9 @@ _WINDOW_PRIORITY = frozenset(
         "topk_orders_per_customer",
         "train_test_split_hash",
         "winnow_fingerprints",
-        # new this round — never driver-checked, so window it immediately
+        # new this round — never driver-checked, so window them immediately
         "entity_ppr_seeds_k8",
+        "dedup_incremental",
     }
 )
 

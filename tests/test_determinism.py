@@ -22,6 +22,8 @@ REPARTITION_CHECKED = [
     "entity_pagerank_k3",       # iterative decimal-exact propagation
     "minhash_lsh_pairs",        # hash joins + est fraction
     "orders_moving_avg",        # window frame over decimal sums
+    "entity_ppr_seeds_k8",      # deep iteration + eager localCheckpoint
+    "ngram_jaccard_pairs",      # intra-bucket pair explosion + top-100
 ]
 
 

@@ -168,9 +168,8 @@ FROM cand c JOIN sig a ON a.doc_id = c.doc_a JOIN sig b ON b.doc_id = c.doc_b
 """
 
 
-@register("minhash_lsh_pairs", oracle=_LSH_SQL, description="LSH banding (4x4) candidate pairs + estimated jaccard")
-def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sig = _minhash_wide_df(spark, sf_dir).cache()
+def _bands_df(sig: DataFrame) -> DataFrame:
+    """(doc_id, band, band_key) — md5 of each band's signature slice."""
     bands = None
     for b in range(N_BANDS):
         key = F.md5(
@@ -180,6 +179,13 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         part = sig.select("doc_id", F.lit(b).alias("band"), key.alias("band_key"))
         bands = part if bands is None else bands.unionByName(part)
+    return bands
+
+
+@register("minhash_lsh_pairs", oracle=_LSH_SQL, description="LSH banding (4x4) candidate pairs + estimated jaccard")
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = _minhash_wide_df(spark, sf_dir).cache()
+    bands = _bands_df(sig)
     x = bands.select(F.col("doc_id").alias("doc_a"), "band", "band_key")
     y = bands.select(F.col("doc_id").alias("doc_b"), "band", "band_key")
     cand = (
@@ -553,22 +559,18 @@ FROM cand c JOIN sig a ON a.doc_id = c.doc_a JOIN sig b ON b.doc_id = c.doc_b
     description="LSH pairs with hot-bucket cap: buckets above the cap are dropped before the quadratic within-bucket join",
 )
 def minhash_lsh_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     sig = _minhash_wide_df(spark, sf_dir)
-    bands = None
-    for b in range(N_BANDS):
-        key = F.md5(
-            F.concat_ws(
-                ",", *[F.col(f"m{b * ROWS_PER_BAND + r}").cast("string") for r in range(ROWS_PER_BAND)]
-            )
-        )
-        part = sig.select("doc_id", F.lit(b).alias("band"), key.alias("band_key"))
-        bands = part if bands is None else bands.unionByName(part)
-    w = Window.partitionBy("band", "band_key")
-    bands = bands.withColumn("__bn", F.count(F.lit(1)).over(w)).filter(
-        F.col("__bn") <= _LSH_BUCKET_CAP
+    bands = _bands_df(sig)
+    # Hot-bucket cap via map-side-combined agg + broadcast anti-join (buckets
+    # above the cap are few by definition) — same shape as the ngram hot-
+    # shingle cap; the band rows are never shuffled just to count buckets.
+    hot = (
+        bands.groupBy("band", "band_key")
+        .agg(F.count(F.lit(1)).alias("__bn"))
+        .filter(F.col("__bn") > _LSH_BUCKET_CAP)
+        .select("band", "band_key")
     )
+    bands = bands.join(F.broadcast(hot), ["band", "band_key"], "left_anti")
     x = bands.select(F.col("doc_id").alias("doc_a"), "band", "band_key")
     y = bands.select(F.col("doc_id").alias("doc_b"), "band", "band_key")
     cand = (
@@ -590,4 +592,62 @@ def minhash_lsh_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_b",
             (eq.cast("double") / F.lit(N_MINHASH)).alias("est_jaccard"),
         )
+    )
+
+
+# --- incremental dedup: new batch vs existing corpus ------------------------
+#
+# The shape a training-data pipeline actually runs: an incoming crawl batch
+# is checked against the already-ingested corpus, never corpus-vs-corpus.
+# At 100 TB the corpus band index is precomputed once and stored partitioned
+# by (band, band_key); each incoming batch (orders of magnitude smaller)
+# computes its own bands and equi-joins — candidate volume is
+# |incoming buckets| x bucket occupancy, bounded by the same hot-bucket cap
+# as minhash_lsh_pairs_capped, and the incoming side broadcasts when small.
+# Here both sides derive from `documents` with a deterministic split
+# (doc_id % 10 = 0 -> incoming) so the DuckDB oracle can replay it exactly.
+
+_INCR_SQL = f"""
+WITH {_SHINGLES_CTE},
+{_minhash_wide_sql()},
+bands AS ({_LSH_BANDS}),
+incoming AS (SELECT * FROM bands WHERE doc_id % 10 = 0),
+corpus AS (SELECT * FROM bands WHERE doc_id % 10 <> 0),
+matches AS (
+  SELECT DISTINCT i.doc_id AS incoming_doc_id, c.doc_id AS corpus_doc_id
+  FROM incoming i JOIN corpus c ON i.band = c.band AND i.band_key = c.band_key
+)
+SELECT incoming_doc_id,
+       MIN(corpus_doc_id) AS matched_doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_corpus_matches
+FROM matches
+GROUP BY incoming_doc_id
+"""
+
+
+@register(
+    "dedup_incremental",
+    oracle=_INCR_SQL,
+    description=(
+        "incremental near-dup: incoming batch (doc_id%10=0) LSH-banded "
+        "against the existing corpus index — the batch-vs-corpus shape a "
+        "training pipeline runs, never corpus-vs-corpus"
+    ),
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = _minhash_wide_df(spark, sf_dir)
+    bands = _bands_df(sig)
+    incoming = bands.filter(F.col("doc_id") % 10 == 0).alias("i")
+    corpus = bands.filter(F.col("doc_id") % 10 != 0).alias("c")
+    matches = (
+        incoming.join(corpus, ["band", "band_key"])
+        .select(
+            F.col("i.doc_id").alias("incoming_doc_id"),
+            F.col("c.doc_id").alias("corpus_doc_id"),
+        )
+        .distinct()
+    )
+    return matches.groupBy("incoming_doc_id").agg(
+        F.min("corpus_doc_id").alias("matched_doc_id"),
+        F.count(F.lit(1)).cast("bigint").alias("n_corpus_matches"),
     )
