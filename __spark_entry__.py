@@ -91,6 +91,7 @@ _WINDOW_PRIORITY = frozenset(
         # new this round — never driver-checked, so window them immediately
         "entity_ppr_seeds_k8",
         "dedup_incremental",
+        "corpus_curation_funnel",
     }
 )
 

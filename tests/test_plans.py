@@ -51,6 +51,9 @@ AUDITED = [
     "embedding_neardup_pairs",
     "ngram_jaccard_pairs",
     "eviction_topk_branch",
+    "minhash_lsh_pairs_capped",
+    "dedup_incremental",
+    "corpus_curation_funnel",
 ]
 
 

@@ -15,6 +15,7 @@ from vector_graph_rag_spark.functions.hashing import hash60, hash60_sql
 from vector_graph_rag_spark.functions.text import tokens
 from vector_graph_rag_spark.queries import register
 from vector_graph_rag_spark.queries.dedup import _SHINGLES_CTE, _shingles_df
+from vector_graph_rag_spark.queries.sql_common import norm_sql
 from vector_graph_rag_spark.sources.tables import load_table
 
 # BPE-ish token pattern: letter runs, digit runs, single non-space symbols.
@@ -215,3 +216,166 @@ def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("fp"),
         )
     )
+
+
+# --- corpus curation funnel (end-to-end pretraining-data gate) --------------
+#
+# The composite a pretraining-data pipeline runs nightly: raw corpus →
+# language filter → quality gate → exact-dedup keeper → train split, with
+# per-stage surviving-document counts (the curation funnel report).  Each
+# stage reuses the exact kernel of its standalone query (lang_id_heuristic,
+# quality_score, dedup_exact, train_test_split_hash), composed as per-doc
+# flag columns joined on doc_id — co-partitioned joins, one wide flag row
+# per document, one final single-row aggregate unpivoted with stack().
+# At 100 TB every stage is a per-row expression except lang hits (broadcast
+# lexicon join) and the dedup keeper (one groupBy on the text hash).
+
+_FUNNEL_SQL = f"""
+WITH lex(lang, pri, word) AS (VALUES {_LEX_VALUES}),
+toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+hits AS (
+  SELECT t.doc_id, l.lang, l.pri, COUNT(*) AS n_hits
+  FROM toks t JOIN lex l ON t.tok = l.word
+  GROUP BY t.doc_id, l.lang, l.pri
+),
+ranked AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY doc_id ORDER BY n_hits DESC, pri ASC) AS rk
+  FROM hits
+),
+tok_stats AS (
+  SELECT doc_id,
+         COUNT(*) FILTER (WHERE tok <> '') AS n_tokens,
+         COUNT(*) FILTER (WHERE tok IN ({_STOP_SQL_LIST})) AS n_stop
+  FROM toks GROUP BY doc_id
+),
+keyed AS (
+  SELECT doc_id, md5({norm_sql('text')}) AS text_key FROM documents
+),
+keepers AS (
+  SELECT text_key, MIN(doc_id) AS keeper_doc_id FROM keyed GROUP BY text_key
+),
+flags AS (
+  SELECT d.doc_id,
+         COALESCE(r.lang, 'und') = 'en' AS is_en,
+         (t.n_tokens >= 20
+          AND CAST(t.n_stop AS DOUBLE) / NULLIF(t.n_tokens, 0) >= 0.01
+          AND CAST(len(regexp_extract_all(d.text, '[^A-Za-z0-9 ]')) AS DOUBLE)
+              / NULLIF(length(d.text), 0) <= 0.2) AS ok_quality,
+         kk.keeper_doc_id = d.doc_id AS is_keeper,
+         ({hash60_sql("concat('split:', CAST(d.doc_id AS VARCHAR))")} % 100) < 80 AS is_train
+  FROM documents d
+  LEFT JOIN (SELECT * FROM ranked WHERE rk = 1) r ON r.doc_id = d.doc_id
+  JOIN tok_stats t ON t.doc_id = d.doc_id
+  JOIN keyed k ON k.doc_id = d.doc_id
+  JOIN keepers kk ON kk.text_key = k.text_key
+)
+SELECT 0 AS stage_idx, 'raw' AS stage, CAST(COUNT(*) AS BIGINT) AS n_docs FROM flags
+UNION ALL
+SELECT 1, 'lang_en', CAST(COUNT(*) AS BIGINT) FROM flags WHERE is_en
+UNION ALL
+SELECT 2, 'quality', CAST(COUNT(*) AS BIGINT) FROM flags WHERE is_en AND ok_quality
+UNION ALL
+SELECT 3, 'dedup_keeper', CAST(COUNT(*) AS BIGINT) FROM flags
+  WHERE is_en AND ok_quality AND is_keeper
+UNION ALL
+SELECT 4, 'train_split', CAST(COUNT(*) AS BIGINT) FROM flags
+  WHERE is_en AND ok_quality AND is_keeper AND is_train
+"""
+
+
+@register(
+    "corpus_curation_funnel",
+    oracle=_FUNNEL_SQL,
+    description=(
+        "pretraining-data curation funnel: raw -> lang_en -> quality gate -> "
+        "exact-dedup keeper -> train split, per-stage surviving counts "
+        "(composes the lang_id/quality/dedup/split kernels in one DataFrame)"
+    ),
+)
+def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_graph_rag_spark.functions.text import normalize_phrase
+
+    d = load_table(spark, sf_dir, "documents")
+
+    # lang flag (lang_id_heuristic kernel)
+    lex = spark.createDataFrame(
+        [(lang, pri, w) for lang, pri, words in _LEXICON for w in words],
+        "lang string, pri int, word string",
+    )
+    toks = d.select("doc_id", F.explode(tokens("text")).alias("tok"))
+    hits = (
+        toks.join(F.broadcast(lex), toks.tok == lex.word)
+        .groupBy("doc_id", "lang", "pri")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("n_hits"), F.asc("pri"))
+    best = (
+        hits.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("doc_id", "lang")
+    )
+
+    # quality flag (quality_score kernel)
+    tk = tokens("text")
+    n_tokens = F.size(tk)
+    n_stop = F.size(F.filter(tk, lambda t: t.isin(_STOPWORDS)))
+    ok_quality = (
+        (n_tokens >= 20)
+        & (n_stop.cast("double") / F.nullif(n_tokens, F.lit(0)) >= 0.01)
+        & (
+            F.regexp_count("text", F.lit("[^A-Za-z0-9 ]")).cast("double")
+            / F.nullif(F.length("text"), F.lit(0))
+            <= 0.2
+        )
+    )
+
+    # dedup-keeper flag (dedup_exact kernel) + split flag (split kernel)
+    keyed = d.select(
+        "doc_id",
+        "text",
+        F.md5(normalize_phrase("text")).alias("text_key"),
+        ok_quality.alias("ok_quality"),
+        (
+            hash60(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))) % 100 < 80
+        ).alias("is_train"),
+    )
+    keepers = keyed.groupBy("text_key").agg(F.min("doc_id").alias("keeper_doc_id"))
+
+    flags = (
+        keyed.join(keepers, "text_key")
+        .join(best, "doc_id", "left")
+        .select(
+            (F.coalesce("lang", F.lit("und")) == "en").alias("is_en"),
+            "ok_quality",
+            (F.col("keeper_doc_id") == F.col("doc_id")).alias("is_keeper"),
+            "is_train",
+        )
+    )
+    one = F.lit(1)
+    agg = flags.agg(
+        F.count(one).alias("n0"),
+        F.sum(F.when(F.col("is_en"), one).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("is_en") & F.col("ok_quality"), one).otherwise(0)).alias("n2"),
+        F.sum(
+            F.when(F.col("is_en") & F.col("ok_quality") & F.col("is_keeper"), one).otherwise(0)
+        ).alias("n3"),
+        F.sum(
+            F.when(
+                F.col("is_en") & F.col("ok_quality") & F.col("is_keeper") & F.col("is_train"),
+                one,
+            ).otherwise(0)
+        ).alias("n4"),
+    )
+    return agg.select(
+        F.expr(
+            "stack(5,"
+            " 0, 'raw', n0,"
+            " 1, 'lang_en', n1,"
+            " 2, 'quality', n2,"
+            " 3, 'dedup_keeper', n3,"
+            " 4, 'train_split', n4) AS (stage_idx, stage, n_docs)"
+        )
+    ).select(F.col("stage_idx").cast("int"), "stage", F.col("n_docs").cast("bigint"))
