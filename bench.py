@@ -48,6 +48,8 @@ HEADLINE = [
     "eval_recall_harness",
     "entity_ppr_seeds_k3",
     "entity_ppr_seeds_k8",
+    "dedup_incremental",
+    "corpus_curation_funnel",
 ]
 
 
