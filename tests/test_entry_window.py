@@ -1,0 +1,67 @@
+"""Driver-window selection — the self-maintaining CORRECTNESS rotation.
+
+The driver checks only the alphabetically-first 50 exported keys, so
+__spark_entry__ prefixes a priority set derived from the committed
+CORRECTNESS_r*.json history: never-green queries always window; remaining
+slots rotate onto the stalest-green ones.  Pure logic, pinned here.
+"""
+
+from __future__ import annotations
+
+import json
+
+import __spark_entry__ as entry
+
+
+def test_select_window_never_green_first():
+    names = ["b", "a", "z", "m"]
+    history = {"a": 3, "m": 1}
+    win = entry._select_window(names, history)
+    # never-green (b, z) always in; fill with stalest (m round 1, then a).
+    assert {"b", "z"}.issubset(win)
+    assert win == {"a", "b", "m", "z"}  # all fit under the 50 cap
+
+
+def test_select_window_caps_and_prefers_stalest(monkeypatch):
+    monkeypatch.setattr(entry, "_WINDOW_SIZE", 3)
+    names = [f"q{i}" for i in range(6)]
+    history = {"q0": 4, "q1": 1, "q2": 2}  # q3..q5 never green
+    win = entry._select_window(names, history)
+    assert win == {"q3", "q4", "q5"}  # never-green fills the whole window
+    monkeypatch.setattr(entry, "_WINDOW_SIZE", 5)
+    win = entry._select_window(names, history)
+    # 3 never-green + 2 stalest (q1 round 1, q2 round 2); q0 (round 4) waits.
+    assert win == {"q3", "q4", "q5", "q1", "q2"}
+
+
+def test_green_history_parses_prefixed_and_filters(tmp_path):
+    ok = {"rows_match": True, "schema_match": True, "hash_match": True, "err": None}
+    bad = {"rows_match": True, "schema_match": True, "hash_match": False, "err": None}
+    rows_only = {"rows_match": None, "schema_match": None, "hash_match": None, "err": "no_oracle"}
+    (tmp_path / "CORRECTNESS_r01.json").write_text(json.dumps({"x": ok, "y": bad}))
+    (tmp_path / "CORRECTNESS_r02.json").write_text(
+        json.dumps({"a_x": ok, "z": rows_only, "w": ok})
+    )
+    (tmp_path / "CORRECTNESS_r03.json").write_text("{not json")  # skipped
+    hist = entry._green_history(str(tmp_path))
+    # x green in r1 and (as a_x) r2 → latest round 2; y never green;
+    # z rows-only counts as green; w green r2.
+    assert hist == {"x": 2, "z": 2, "w": 2}
+
+
+def test_exported_keys_consistent_and_window_full():
+    qs = entry.queries()
+    oracles = entry.oracle_sql()
+    assert set(oracles) <= set(qs)
+    window = list(qs)[: entry._WINDOW_SIZE]
+    # every exported key maps back to a registered query
+    from vector_graph_rag_spark.queries import load_all
+
+    registered = set(load_all())
+    for key in qs:
+        base = key[2:] if key.startswith("a_") else key
+        assert base in registered
+    # with committed history present, the window is exactly the priority set
+    prefixed = [k for k in qs if k.startswith("a_")]
+    assert len(prefixed) <= entry._WINDOW_SIZE
+    assert all(k in window for k in prefixed)
