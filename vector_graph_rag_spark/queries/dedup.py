@@ -602,17 +602,31 @@ def minhash_lsh_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
 # At 100 TB the corpus band index is precomputed once and stored partitioned
 # by (band, band_key); each incoming batch (orders of magnitude smaller)
 # computes its own bands and equi-joins — candidate volume is
-# |incoming buckets| x bucket occupancy, bounded by the same hot-bucket cap
-# as minhash_lsh_pairs_capped, and the incoming side broadcasts when small.
+# |incoming buckets| x bucket occupancy, bounded by a corpus-side hot-bucket
+# cap (a bucket with > cap corpus members is boilerplate/stop-text; matching
+# against it yields no useful keeper and would fan out the join), and the
+# incoming side broadcasts when small.
 # Here both sides derive from `documents` with a deterministic split
 # (doc_id % 10 = 0 -> incoming) so the DuckDB oracle can replay it exactly.
+
+_INCR_BUCKET_CAP = 50
 
 _INCR_SQL = f"""
 WITH {_SHINGLES_CTE},
 {_minhash_wide_sql()},
 bands AS ({_LSH_BANDS}),
 incoming AS (SELECT * FROM bands WHERE doc_id % 10 = 0),
-corpus AS (SELECT * FROM bands WHERE doc_id % 10 <> 0),
+corpus_all AS (SELECT * FROM bands WHERE doc_id % 10 <> 0),
+hot AS (
+  SELECT band, band_key FROM corpus_all
+  GROUP BY band, band_key HAVING COUNT(*) > {_INCR_BUCKET_CAP}
+),
+corpus AS (
+  SELECT ca.* FROM corpus_all ca
+  WHERE NOT EXISTS (
+    SELECT 1 FROM hot h WHERE h.band = ca.band AND h.band_key = ca.band_key
+  )
+),
 matches AS (
   SELECT DISTINCT i.doc_id AS incoming_doc_id, c.doc_id AS corpus_doc_id
   FROM incoming i JOIN corpus c ON i.band = c.band AND i.band_key = c.band_key
@@ -638,7 +652,17 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = _minhash_wide_df(spark, sf_dir)
     bands = _bands_df(sig)
     incoming = bands.filter(F.col("doc_id") % 10 == 0).alias("i")
-    corpus = bands.filter(F.col("doc_id") % 10 != 0).alias("c")
+    corpus_all = bands.filter(F.col("doc_id") % 10 != 0)
+    # Corpus-side hot-bucket cap: map-side-combined count, few survivors by
+    # definition, broadcast anti-join — the same skew guard as the other LSH
+    # candidate generators, here protecting the batch-vs-corpus join.
+    hot = (
+        corpus_all.groupBy("band", "band_key")
+        .agg(F.count(F.lit(1)).alias("__bn"))
+        .filter(F.col("__bn") > _INCR_BUCKET_CAP)
+        .select("band", "band_key")
+    )
+    corpus = corpus_all.join(F.broadcast(hot), ["band", "band_key"], "left_anti").alias("c")
     matches = (
         incoming.join(corpus, ["band", "band_key"])
         .select(
