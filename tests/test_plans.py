@@ -54,6 +54,8 @@ AUDITED = [
     "minhash_lsh_pairs_capped",
     "dedup_incremental",
     "corpus_curation_funnel",
+    "entity_neighbor_jaccard",
+    "filtered_vector_search",
 ]
 
 

@@ -500,11 +500,12 @@ def entity_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+    # orderBy().limit() → TakeOrderedAndProject; the rank window then sees
+    # only the 50 survivors, never the full pair set.
+    top = jac.orderBy(F.desc("jaccard"), F.asc("ent_a"), F.asc("ent_b")).limit(50)
     w = Window.orderBy(F.desc("jaccard"), F.asc("ent_a"), F.asc("ent_b"))
-    return (
-        jac.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 50)
-        .select("ent_a", "ent_b", "jaccard", "rk")
+    return top.withColumn("rk", F.row_number().over(w)).select(
+        "ent_a", "ent_b", "jaccard", "rk"
     )
 
 
@@ -754,9 +755,10 @@ def graph_rag_ppr_retrieve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_entities"),
         )
     )
+    # Top-10 via TakeOrderedAndProject — the scored passage set is
+    # corpus-scale at 100 TB, so no global window sort; rank the 10 survivors.
+    top = scored.orderBy(F.desc("ppr_score"), F.asc("passage_id")).limit(10)
     w = Window.orderBy(F.desc("ppr_score"), F.asc("passage_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 10)
-        .select("passage_id", "ppr_score", "n_entities", "rank")
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "passage_id", "ppr_score", "n_entities", "rank"
     )

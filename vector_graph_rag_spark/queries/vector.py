@@ -126,12 +126,18 @@ def filtered_vector_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = emb.filter(F.col("label").isin(3, 7)).select(
         "vec_id", F.col("embedding").alias("cvec")
     )
-    w = Window.orderBy(F.desc("score"), F.asc("vec_id"))
-    return (
+    # Top-10 via TakeOrderedAndProject — the candidate set is a corpus-scale
+    # filter result, so no global window sort; rank only the 10 survivors.
+    scored = (
         cand.crossJoin(F.broadcast(q))
         .withColumn("score", F.round(cosine("cvec", "qvec"), 6))
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 10)
+        .select("vec_id", "score")
+        .orderBy(F.desc("score"), F.asc("vec_id"))
+        .limit(10)
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
         .select("vec_id", "score", "rank")
     )
 
