@@ -87,10 +87,22 @@ def retrieve_with_backfill(
         F.lit(0).alias("src_rank"),
         F.lit("graph").alias("src"),
     )
+    # Naive backfill can contribute at most top_k rows, and only passages the
+    # graph side did NOT hit — so anti-join first, then TakeOrderedAndProject
+    # the ≤ top_k survivors.  (The old shape ranked the ENTIRE passage corpus
+    # with an unpartitioned window just to throw almost all of it away; the
+    # anti-join also preserves output: collided naive rows were dropped by
+    # the first-seen dedup anyway, and relative naive order is id-asc either
+    # way.)
+    naive_pool = (
+        graph.passages.select(F.col("id").alias("passage_id"))
+        .join(graph_passages.select("passage_id"), "passage_id", "left_anti")
+        .orderBy(F.asc("passage_id"))
+        .limit(top_k)
+    )
     w_naive = Window.orderBy(F.asc("passage_id"))
     naive = (
-        graph.passages.select(F.col("id").alias("passage_id"))
-        .withColumn("prio", F.row_number().over(w_naive))
+        naive_pool.withColumn("prio", F.row_number().over(w_naive))
         .withColumn("src_rank", F.lit(1))
         .withColumn("src", F.lit("naive"))
     )
