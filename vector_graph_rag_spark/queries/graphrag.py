@@ -300,6 +300,11 @@ SELECT passage_id, sel_order AS first_from_order FROM fan WHERE seen = 1
 @register("passage_fanout_dedup", oracle=_FANOUT_SQL, description="ordered passage fan-out + first-seen dedup (rag.py:161-194)")
 def passage_fanout_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = _graph(spark, sf_dir)
+    # sel_order = position in the ordered selection list.  In the reference
+    # this list is the rerank OUTPUT (≤ rerank_num_select relations,
+    # rag.py:513-515), so the unpartitioned ranking window is bounded by
+    # contract; the query exercises it wider only to get a meaningful row
+    # count out of the synthetic graph.
     w_sel = Window.orderBy("relation_id")
     sel = (
         g.relations.filter(F.col("predicate") == "publishes")
