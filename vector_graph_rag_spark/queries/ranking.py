@@ -148,10 +148,17 @@ def bm25_keyword_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- ntile / cume_dist segmentation (partitioned → parallel at scale) --------
 
+# bal_cume is deliberately NOT rounded: under the total per-partition order
+# every row is its own peer group, so cume_dist = row_number/n — the same
+# IEEE double division of the same two integers in both engines, bit-equal
+# as-is.  Rounding would BREAK parity: partition sizes like 640 = 2^7·5 make
+# k/640 an exact decimal-halfway value at scale 6 (e.g. 41/640 = 0.0640625),
+# where Spark's HALF_UP on the exact value and DuckDB's multiply-then-round
+# disagree by one ulp (found at sf0.1, nation 11).
 _NTILE_SQL = """
 SELECT c_nationkey, c_custkey, c_acctbal,
        CAST(ntile(4) OVER w AS INT) AS bal_quartile,
-       round(cume_dist() OVER w, 6) AS bal_cume
+       cume_dist() OVER w AS bal_cume
 FROM customer
 WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal ASC, c_custkey ASC)
 """
@@ -170,7 +177,7 @@ def customer_balance_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey",
         "c_acctbal",
         F.ntile(4).over(w).alias("bal_quartile"),
-        F.round(F.cume_dist().over(w), 6).alias("bal_cume"),
+        F.cume_dist().over(w).alias("bal_cume"),
     )
 
 
