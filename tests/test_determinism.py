@@ -24,6 +24,7 @@ REPARTITION_CHECKED = [
     "orders_moving_avg",        # window frame over decimal sums
     "entity_ppr_seeds_k8",      # deep iteration + eager localCheckpoint
     "ngram_jaccard_pairs",      # intra-bucket pair explosion + top-100
+    "customer_balance_quartiles",  # unrounded cume_dist (exact IEEE ratio)
 ]
 
 

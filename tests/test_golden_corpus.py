@@ -176,3 +176,52 @@ def test_two_hop_expansion_history(golden, spark):
     assert res.entity_ids.count() == 5
     assert res.relation_ids.count() == 4
     assert sorted(r["passage_id"] for r in res.passage_ids.collect()) == ["doc00"]
+
+
+def test_golden_corpus_through_api(spark, tmp_path_factory):
+    """The real 20-doc corpus through the HTTP surface: POST /add_documents
+    with pre-extracted triplets → /graph stats → /query with history —
+    the add_documents_with_triplets dataflow end-to-end (rag.py:390-435)."""
+    pytest.importorskip("flask")
+    from vector_graph_rag_spark.api import create_app
+
+    docs = [
+        {
+            "doc_id": d["doc_id"],
+            "text": d["text"],
+            "triplets": [
+                {"subject": s, "predicate": p, "object": o}
+                for (s, p, o) in d["triplets"]
+            ],
+        }
+        for d in _load_documents()
+    ]
+    root = str(tmp_path_factory.mktemp("golden_api"))
+    app = create_app(spark, catalog_root=root)
+    app.config["TESTING"] = True
+    with app.test_client() as c:
+        r = c.post("/add_documents", json={"graph_name": "golden", "documents": docs})
+        body = r.get_json()
+        assert (body["passages"], body["entities"], body["relations"]) == (20, 49, 44)
+
+        q = c.post(
+            "/query",
+            json={
+                "graph_name": "golden",
+                "seed_entities": ["Albert Einstein", "Mona Lisa"],
+                "degree": 1,
+                "top_k": 3,
+                "include_history": True,
+            },
+        ).get_json()
+        assert [(p["passage_id"], p["n_supporting_relations"]) for p in q["passages"]] == [
+            ("doc00", 4),
+            ("doc15", 3),
+            ("doc14", 2),
+        ]
+        hist = q["expansion_history"]
+        assert hist[0]["operation"] == "init_merge"
+        assert len(hist[0]["added_relation_ids"]) == 6  # seed-adjacent relations
+        assert hist[1]["operation"] == "expand_degree_1"
+        assert len(hist[1]["added_entity_ids"]) == 6
+        assert (hist[1]["total_entities"], hist[1]["total_relations"]) == (8, 8)
