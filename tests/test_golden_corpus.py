@@ -281,3 +281,17 @@ def test_golden_eval_recall_on_real_questions(golden, spark):
     # spot-pin one full ranking (computed with the independent twin)
     assert [t for _, t in sorted(by_q["test_sample_006"])][:3] == [
         "Solar System", "Mercury", "Laws of Motion"]
+
+
+def test_real_ner_cache_tsv_loader(spark):
+    """The reference's actual HippoRAG-format NER cache file parses with
+    exact processing_phrases parity (extractor.py:296-314, 334-337)."""
+    from vector_graph_rag_spark.llm.runner import load_ner_cache_tsv
+
+    rows = load_ner_cache_tsv(
+        spark,
+        "/root/reference/evaluation/data/ner_cache/sample_queries.named_entity_output.tsv",
+    ).collect()
+    assert len(rows) == 1
+    assert rows[0]["question"] == "Which Stanford University professor works on Alzheimer's?"
+    assert rows[0]["entities"] == ["stanford university", "alzheimer s"]

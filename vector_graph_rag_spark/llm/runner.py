@@ -119,3 +119,40 @@ def llm_map_operator(
         .withColumn("from_cache", F.lit(True))
     )
     return called.unionByName(hit_rows).drop("__pmd5")
+
+
+def load_ner_cache_tsv(spark, path: str):
+    """HippoRAG-format NER cache TSV → (question, entities array<string>).
+
+    Reference ``_load_tsv_cache`` (llm/extractor.py:296-314): pandas
+    read_csv(sep='\\t') + eval() of the ``triples`` column's
+    ``{"named_entities": [...]}`` payload, entities then normalized with
+    processing_phrases on lookup (extractor.py:334-337).  Spark-native twin:
+    multiLine CSV scan (quoted fields span lines in the real files) +
+    from_json — stays distributed, no driver-side eval().
+    """
+    from pyspark.sql import functions as F
+
+    from vector_graph_rag_spark.functions.text import normalize_phrase
+
+    df = (
+        spark.read.option("sep", "\t")
+        .option("header", True)
+        .option("multiLine", True)
+        .option("quote", '"')
+        .option("escape", '"')
+        .csv(path)
+    )
+    qcol = "query" if "query" in df.columns else "question"
+    parsed = F.from_json(F.col("triples"), "struct<named_entities:array<string>>")
+    return (
+        df.select(
+            F.col(qcol).alias("question"),
+            parsed.getField("named_entities").alias("raw_entities"),
+        )
+        .filter(F.col("raw_entities").isNotNull())
+        .select(
+            "question",
+            F.transform("raw_entities", lambda e: normalize_phrase(e)).alias("entities"),
+        )
+    )
