@@ -102,3 +102,22 @@ def test_empty_seed_expansion(spark):
     assert res.entity_ids.count() == 0
     assert res.relation_ids.count() == 0
     assert res.passage_ids.count() == 0
+
+
+def test_topk_skips_null_embeddings(spark):
+    """Rows without an embedding are unsearchable — Milvus never indexes
+    them; they must neither crash the matmul kernel nor consume top-k
+    slots with null-score rows."""
+    from vector_graph_rag_spark.operators.topk import cosine_topk, cosine_topk_matmul
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.6, 0.8]), (3, None), (4, [0.0, 1.0])],
+        "vec_id int, embedding array<double>",
+    )
+    queries = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "query_id int, query_embedding array<double>"
+    )
+    for fn in (cosine_topk, cosine_topk_matmul):
+        rows = fn(corpus, queries, k=4, corpus_id="vec_id", corpus_vec="embedding").collect()
+        assert [r["vec_id"] for r in rows] == [1, 2, 4], fn.__name__
+        assert all(r["score"] is not None for r in rows), fn.__name__

@@ -47,7 +47,12 @@ def cosine_topk(
     q = queries.select(
         F.col(query_id).alias("__qid"), F.col(query_vec).alias("__qvec")
     )
-    c = corpus.select(F.col(corpus_id).alias(corpus_id), F.col(corpus_vec).alias("__cvec"))
+    # Rows without an embedding are not searchable — Milvus never indexes
+    # them; without this filter they'd emit null-score rows that consume
+    # top-k slots (nulls sort last under desc, but still rank).
+    c = corpus.select(
+        F.col(corpus_id).alias(corpus_id), F.col(corpus_vec).alias("__cvec")
+    ).filter(F.col("__cvec").isNotNull())
     joined = c.crossJoin(F.broadcast(q))
     score = (
         dot("__cvec", "__qvec") if pre_normalized else cosine("__cvec", "__qvec")
@@ -120,8 +125,12 @@ def cosine_topk_matmul(
 
     qid_type = dict(queries.dtypes)[query_id]
     cid_type = dict(corpus.dtypes)[corpus_id]
-    scored = corpus.select(corpus_id, corpus_vec).mapInPandas(
-        _score, f"__qid {qid_type}, {corpus_id} {cid_type}, score double"
+    # Null embeddings are unsearchable (and would break the ragged→matrix
+    # conversion inside the kernel) — same skip rule as cosine_topk.
+    scored = (
+        corpus.select(corpus_id, corpus_vec)
+        .filter(F.col(corpus_vec).isNotNull())
+        .mapInPandas(_score, f"__qid {qid_type}, {corpus_id} {cid_type}, score double")
     )
     w = Window.partitionBy("__qid").orderBy(F.desc("score"), F.asc(corpus_id))
     return (
