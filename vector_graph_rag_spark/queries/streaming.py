@@ -148,3 +148,64 @@ def stream_interval_join_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_stream_interval_join(
         spark, os.path.join(sf_dir, "events.parquet"), left_type="signup"
     )
+
+
+# --- stateful sessionization (applyInPandasWithState), oracle-checked -------
+#
+# The custom stateful operator itself (streaming/sessionize.py) run
+# synchronously via availableNow: it emits each session the moment a later
+# event closes it (gap > 30 min), so the drained-stream result is exactly
+# the batch sessionization MINUS each user's final (still-open) session —
+# which is SQL-expressible, making this the rare stateful stream with a
+# full value-hash oracle instead of a rows-only check.
+
+_STATEFUL_SESS_SQL = """
+WITH gaps AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+sess AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM gaps
+),
+sessions AS (
+  SELECT user_id, session_id,
+         MIN(ts) AS start_ts, MAX(ts) AS end_ts, COUNT(*) AS n_events
+  FROM sess GROUP BY user_id, session_id
+)
+SELECT user_id,
+       strftime(start_ts, '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(end_ts, '%Y-%m-%d %H:%M:%S') AS session_end,
+       n_events
+FROM sessions
+QUALIFY session_id < MAX(session_id) OVER (PARTITION BY user_id)
+"""
+
+
+@register(
+    "stream_stateful_sessions",
+    oracle=_STATEFUL_SESS_SQL,
+    description=(
+        "custom stateful operator (applyInPandasWithState sessionizer) drained "
+        "via availableNow — closed sessions equal batch sessionization minus "
+        "each user's final open session, checked by full value hash"
+    ),
+)
+def stream_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from vector_graph_rag_spark.streaming.sessionize import run_sessionize_on_events
+
+    out = run_sessionize_on_events(spark, os.path.join(sf_dir, "events.parquet"))
+    return out.select(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        "n_events",
+    )
