@@ -50,6 +50,7 @@ HEADLINE = [
     "entity_ppr_seeds_k8",
     "dedup_incremental",
     "corpus_curation_funnel",
+    "stream_stateful_sessions",
 ]
 
 

@@ -21,4 +21,4 @@ from vector_graph_rag_spark.config import EngineConfig
 from vector_graph_rag_spark.session import get_spark
 
 __all__ = ["EngineConfig", "get_spark"]
-__version__ = "0.1.0"
+__version__ = "0.4.0"
