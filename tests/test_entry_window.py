@@ -49,6 +49,59 @@ def test_green_history_parses_prefixed_and_filters(tmp_path):
     assert hist == {"x": 2, "z": 2, "w": 2}
 
 
+def test_consecutive_round_union_covers_registry():
+    """The core rotation guarantee: with |registry| <= 2*window, the union of
+    any two consecutive rounds' windows covers every registered query.
+
+    Simulated: round N greens exactly its window; round N+1's selection must
+    pick up everything else."""
+    names = [f"q{i:03d}" for i in range(95)]
+    history: dict[str, int] = {}
+    seen_rounds: list[frozenset] = []
+    for rnd in (1, 2, 3):
+        win = entry._select_window(names, history)
+        assert len(win) == entry._WINDOW_SIZE
+        seen_rounds.append(win)
+        for n in win:  # driver greens the whole window
+            history[n] = rnd
+    for a, b in zip(seen_rounds, seen_rounds[1:]):
+        assert a | b == set(names)
+
+
+def test_live_window_covers_all_non_green_from_committed_history():
+    """Against the real committed CORRECTNESS_r*.json files: the current
+    window must contain every query whose last green row predates the
+    latest committed round (i.e. the rotation is live, not stalled)."""
+    import os
+
+    repo = os.path.dirname(os.path.abspath(entry.__file__))
+    hist = entry._green_history(repo)
+    if not hist:  # fresh checkout without history — static fallback applies
+        return
+    from vector_graph_rag_spark.queries import load_all
+
+    names = set(load_all())
+    latest = max(hist.values())
+    behind = {n for n in names if hist.get(n, 0) < latest}
+    win = entry._window_priority()
+    if len(behind) <= entry._WINDOW_SIZE:
+        assert behind <= win
+        # union of last committed round's greens and this window = registry
+        last_green = {n for n in names if hist.get(n) == latest}
+        assert last_green | win >= names
+
+
+def test_registered_names_never_use_reserved_prefix():
+    """register() rejects names starting with 'a_' (ADVICE r4 item 4)."""
+    import pytest
+
+    from vector_graph_rag_spark.queries import load_all, register
+
+    assert not any(n.startswith("a_") for n in load_all())
+    with pytest.raises(ValueError, match="reserved"):
+        register("a_bad_name")(lambda spark, sf: None)
+
+
 def test_exported_keys_consistent_and_window_full():
     qs = entry.queries()
     oracles = entry.oracle_sql()

@@ -44,12 +44,14 @@ def cosine_topk(
     ``pre_normalized=True`` skips norm division (IP == cosine), matching the
     reference's L2-normalize-at-embed-time design (embeddings.py:142-143).
     """
+    # Null vectors are unsearchable on either side — Milvus never indexes a
+    # row without an embedding and rejects a null query vector; without the
+    # corpus filter they'd emit null-score rows that consume top-k slots
+    # (nulls sort last under desc, but still rank), and a null query would
+    # emit an all-null hit list instead of no hits.
     q = queries.select(
         F.col(query_id).alias("__qid"), F.col(query_vec).alias("__qvec")
-    )
-    # Rows without an embedding are not searchable — Milvus never indexes
-    # them; without this filter they'd emit null-score rows that consume
-    # top-k slots (nulls sort last under desc, but still rank).
+    ).filter(F.col("__qvec").isNotNull())
     c = corpus.select(
         F.col(corpus_id).alias(corpus_id), F.col(corpus_vec).alias("__cvec")
     ).filter(F.col("__cvec").isNotNull())
@@ -95,7 +97,19 @@ def cosine_topk_matmul(
     import numpy as np
     import pandas as pd
 
-    qrows = queries.select(query_id, query_vec).collect()
+    # Null query vectors are unsearchable (same rule as cosine_topk's query
+    # side) and would make np.asarray build a ragged object array below.
+    qrows = (
+        queries.select(query_id, query_vec)
+        .filter(F.col(query_vec).isNotNull())
+        .collect()
+    )
+    if not qrows:
+        return cosine_topk(
+            corpus.limit(0), queries.limit(0), k,
+            corpus_id=corpus_id, corpus_vec=corpus_vec,
+            query_id=query_id, query_vec=query_vec,
+        )
     qids = [r[0] for r in qrows]
     Q = np.asarray([r[1] for r in qrows], dtype=np.float64)  # (nq, d)
     qn = np.linalg.norm(Q, axis=1, keepdims=True)

@@ -31,6 +31,15 @@ REGISTRY: dict[str, DeclaredQuery] = {}
 
 def register(name: str, oracle: str | None = None, description: str = ""):
     def deco(fn):
+        # The driver-window export prefixes priority keys with "a_" and the
+        # history parser strips that prefix; a registered name that itself
+        # starts with "a_" would be mis-stripped and could collide with a
+        # windowed key of the unprefixed name.  Forbid it at load time.
+        if name.startswith("a_"):
+            raise ValueError(
+                f"query name {name!r} must not start with 'a_' (reserved for "
+                "the driver-window sort prefix in __spark_entry__)"
+            )
         REGISTRY[name] = DeclaredQuery(name=name, fn=fn, oracle=oracle, description=description)
         return fn
 
