@@ -112,3 +112,28 @@ def test_multiformat_document_roundtrip(spark, tmp_path):
 
     with pytest.raises(ValueError):
         read_documents(spark, "/nope", format="avro")
+
+
+def test_load_table_pins_utc_on_foreign_tz_session(spark):
+    """An externally created session on a non-UTC zone (explicit or JVM
+    default — indistinguishable) gets pinned to UTC with a warning, BEFORE
+    any action, so the NTZ→TIMESTAMP cast is value-preserving (ADVICE r4)."""
+    import warnings
+
+    from tests.conftest import SF_SMOKE
+    from vector_graph_rag_spark.sources.tables import load_table
+
+    baseline = load_table(spark, SF_SMOKE, "events").select("ts").orderBy("event_id").limit(5).collect()
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        with warnings.catch_warnings(record=True) as caught:
+            warnings.simplefilter("always")
+            df = load_table(spark, SF_SMOKE, "events")
+        assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+        ntz = [c for c, t in df.dtypes if t == "timestamp_ntz"]
+        if ntz:  # warning fires only when the file carries NTZ columns
+            assert any("pinning" in str(w.message) for w in caught)
+        rows = df.select("ts").orderBy("event_id").limit(5).collect()
+        assert rows == baseline
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")

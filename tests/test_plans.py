@@ -88,6 +88,19 @@ def test_eviction_big_branch_is_take_ordered(spark):
     assert plan.index("Window") < plan.index("TakeOrderedAndProject")
 
 
+def test_dedup_incremental_hot_bucket_guard_broadcasts(spark):
+    """The batch-vs-corpus LSH join's skew guard (hot-bucket anti-join,
+    queries/dedup.py) must stay a BROADCAST anti-join — the hot-bucket list
+    is tiny by definition — and the whole query must stay sort-free: its
+    only wide ops are the band equi-join and the final groupBy, so any Sort
+    beyond SortMergeJoin locals means a silent global-sort regression."""
+    plan = _plan(spark, "dedup_incremental")
+    assert "BroadcastExchange" in plan, "hot-bucket anti-join no longer broadcasts"
+    assert "TakeOrderedAndProject" not in plan and "GlobalLimit" not in plan
+    # No windowed rank / global orderBy should ever appear in this query.
+    assert "Window" not in plan, "dedup_incremental grew a window sort"
+
+
 def test_column_pruning_reaches_scan(spark):
     # token_profile touches only (doc_id, text): the documents scan must not
     # read lang/source/n_chars.

@@ -330,11 +330,21 @@ def create_app(
             return _not_found(name)
         g = catalog.read_graph(spark, name)
         degree = int(body.get("degree", config.expansion_degree))
+        include_history = bool(body.get("include_history"))
+        # ONE expansion serves both the passage ranking and (when asked) the
+        # per-step history — the reference records history during the single
+        # expansion it retrieves with (knowledge_graph.py:292-346); a second
+        # expansion per request would double the work (ADVICE r4).
+        frontier = seed_frontier_from_names(spark, seeds)
+        expansion = expand_subgraph(
+            g, frontier, degree=degree, collect_history=include_history
+        )
         result = retrieve_passages(
             g,
-            seed_frontier_from_names(spark, seeds),
+            frontier,
             degree=degree,
             final_top_k=int(body.get("top_k", config.final_top_k)),
+            expansion=expansion,
         ).collect()
         payload = {
             "passages": [
@@ -347,17 +357,11 @@ def create_app(
                 for r in result
             ]
         }
-        if body.get("include_history"):
+        if include_history:
             # Reference parity: /query returns the per-step expansion history
             # (reference app.py:606-618 ExpansionStepSchema; recorded at
             # knowledge_graph.py:292-346).  The reference maps the recorded
             # new_*_ids keys to added_*_ids in the response — mirrored here.
-            expansion = expand_subgraph(
-                g,
-                seed_frontier_from_names(spark, seeds),
-                degree=degree,
-                collect_history=True,
-            )
             payload["expansion_history"] = [
                 {
                     "step": h["step"],

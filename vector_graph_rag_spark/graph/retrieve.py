@@ -31,6 +31,7 @@ def retrieve_passages(
     seed_entities: DataFrame,
     degree: int = 1,
     final_top_k: int = 3,
+    expansion=None,
 ) -> DataFrame:
     """(passage_id, rank, n_supporting_relations, text) — top passages by
     how many expanded relations cite them, ties broken by passage_id.
@@ -38,8 +39,16 @@ def retrieve_passages(
     The final window is global but ranks only the expanded passage set,
     which eviction bounds at ``relation_number_threshold`` (config.py:
     100-103) — driver-safe at any corpus size.
+
+    ``expansion``: pass a pre-computed ``ExpansionResult`` (e.g. one run
+    with ``collect_history=True``) to rank against it instead of expanding
+    again — the reference records history during the single expansion it
+    retrieves with (knowledge_graph.py:292-346), and the ``/query`` route
+    mirrors that by threading one expansion through both passages and
+    history.
     """
-    expansion = expand_subgraph(graph, seed_entities, degree=degree)
+    if expansion is None:
+        expansion = expand_subgraph(graph, seed_entities, degree=degree)
     scored = (
         graph.relation_passage.join(expansion.relation_ids, "relation_id")
         .groupBy("passage_id")

@@ -46,17 +46,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # and identical to DuckDB's naive-timestamp view of the same file.
     # CONTRACT: the NTZ→TIMESTAMP cast resolves the session timezone at
     # ACTION time, not here — it is only value-preserving under UTC.  The
-    # project session factory (session.py) pins UTC at build; for externally
-    # created sessions we pin it here and refuse a conflicting explicit zone
-    # rather than silently changing results under a later tz switch.
+    # project session factory (session.py) pins UTC at build.  For an
+    # externally created session on any other zone (explicit or the JVM
+    # default — indistinguishable through conf.get) we PIN UTC here and warn:
+    # the pin happens before any action touching these columns, so the cast
+    # always resolves under UTC and results cannot silently shift.  Callers
+    # that need a non-UTC session zone must load events themselves.
     ntz_cols = [c for c, t in df.dtypes if t == "timestamp_ntz"]
     if ntz_cols:
         tz = spark.conf.get("spark.sql.session.timeZone", "UTC")
         if tz not in ("UTC", "Etc/UTC", "GMT"):
-            raise ValueError(
-                f"load_table requires spark.sql.session.timeZone=UTC to read "
-                f"TIMESTAMP_NTZ testdata (got {tz!r}); use "
-                f"vector_graph_rag_spark.session.get_spark()"
+            import warnings
+
+            warnings.warn(
+                f"load_table: pinning spark.sql.session.timeZone=UTC (was "
+                f"{tz!r}) to read TIMESTAMP_NTZ testdata; timestamps in "
+                f"other frames of this session will now render in UTC",
+                stacklevel=2,
             )
         spark.conf.set("spark.sql.session.timeZone", "UTC")
         for c in ntz_cols:
