@@ -627,6 +627,18 @@ def _ppr_ranks(
     same checkpointed vector; declared queries fix k so the DuckDB oracle can
     unroll the identical chain.
     """
+    flagged, edges, outdeg, ns, is_seed = _ppr_setup(spark, g)
+    ranks = _ppr_init(flagged, ns, is_seed)
+    for i in range(k):
+        ranks = _ppr_round_step(flagged, edges, outdeg, ranks, ns, is_seed)
+        if checkpoint_after is not None and i >= checkpoint_after:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks
+
+
+def _ppr_setup(spark: SparkSession, g):
+    """Shared PPR state: seed-flagged node table, distinct edge list,
+    out-degrees, seed count."""
     from vector_graph_rag_spark.queries.graphrag import _seed_entities
 
     edges = (
@@ -646,35 +658,85 @@ def _ppr_ranks(
     outdeg = edges.groupBy(F.col("a").alias("id")).agg(
         F.count(F.lit(1)).alias("out_deg")
     )
-    ranks = flagged.select(
+    return flagged, edges, outdeg, ns, is_seed
+
+
+def _ppr_init(flagged: DataFrame, ns: int, is_seed) -> DataFrame:
+    return flagged.select(
         "id",
         F.round(
             F.when(is_seed, F.lit(1.0) / F.lit(float(ns))).otherwise(F.lit(0.0)), 12
         ).alias("rank"),
     )
-    for i in range(k):
-        contribs = (
-            edges.join(ranks.withColumnRenamed("id", "a"), "a")
-            .join(outdeg.withColumnRenamed("id", "a"), "a")
+
+
+def _ppr_round_step(
+    flagged: DataFrame, edges: DataFrame, outdeg: DataFrame, ranks: DataFrame,
+    ns: int, is_seed,
+) -> DataFrame:
+    """One power-iteration round — decimal-exact contribution sums so Spark
+    and the unrolled DuckDB oracle agree bit-for-bit."""
+    contribs = (
+        edges.join(ranks.withColumnRenamed("id", "a"), "a")
+        .join(outdeg.withColumnRenamed("id", "a"), "a")
+        .select(
+            F.col("b").alias("id"),
+            F.round(F.col("rank") / F.col("out_deg"), 12)
+            .cast("decimal(38,12)")
+            .alias("c"),
+        )
+    )
+    summed = contribs.groupBy("id").agg(F.sum("c").cast("double").alias("c"))
+    return flagged.join(summed, "id", "left").select(
+        "id",
+        F.round(
+            F.when(is_seed, F.lit(0.15) / F.lit(float(ns))).otherwise(F.lit(0.0))
+            + F.lit(0.85) * F.coalesce("c", F.lit(0.0)),
+            12,
+        ).alias("rank"),
+    )
+
+
+def ppr_to_convergence(
+    spark: SparkSession,
+    g,
+    tol: float = 1e-9,
+    max_rounds: int = 50,
+) -> tuple[DataFrame, int]:
+    """Run seed-personalized PageRank to a fixed point — the production loop
+    the fixed-k declared queries stand in for (the reference's HippoRAG
+    lineage ranks passages by CONVERGED PPR; fixed k exists here only so the
+    DuckDB oracle can unroll an identical chain).
+
+    Returns ``(ranks, rounds_run)``.  Each round's rank vector (|entities|
+    rows — tiny next to the edge table) is eagerly localCheckpoint-ed, so
+    plan depth stays constant no matter how many rounds convergence takes,
+    and the per-round driver work is ONE scalar aggregate: ``max(|Δrank|)``
+    over the id-aligned old/new vectors.  At 1000-executor scale the edge
+    table never moves — every round reuses its partitioning; only the small
+    rank vector shuffles.
+    """
+    flagged, edges, outdeg, ns, is_seed = _ppr_setup(spark, g)
+    ranks = _ppr_init(flagged, ns, is_seed).localCheckpoint(eager=True)
+    rounds = 0
+    for _ in range(max_rounds):
+        nxt = _ppr_round_step(flagged, edges, outdeg, ranks, ns, is_seed)
+        nxt = nxt.localCheckpoint(eager=True)
+        rounds += 1
+        delta = (
+            ranks.withColumnRenamed("rank", "prev")
+            .join(nxt, "id", "full")
             .select(
-                F.col("b").alias("id"),
-                F.round(F.col("rank") / F.col("out_deg"), 12)
-                .cast("decimal(38,12)")
-                .alias("c"),
+                F.max(
+                    F.abs(F.coalesce("rank", F.lit(0.0)) - F.coalesce("prev", F.lit(0.0)))
+                ).alias("d")
             )
+            .first()["d"]
         )
-        summed = contribs.groupBy("id").agg(F.sum("c").cast("double").alias("c"))
-        ranks = flagged.join(summed, "id", "left").select(
-            "id",
-            F.round(
-                F.when(is_seed, F.lit(0.15) / F.lit(float(ns))).otherwise(F.lit(0.0))
-                + F.lit(0.85) * F.coalesce("c", F.lit(0.0)),
-                12,
-            ).alias("rank"),
-        )
-        if checkpoint_after is not None and i >= checkpoint_after:
-            ranks = ranks.localCheckpoint(eager=True)
-    return ranks
+        ranks = nxt
+        if delta is not None and delta < tol:
+            break
+    return ranks, rounds
 
 
 @register(
