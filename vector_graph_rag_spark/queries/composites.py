@@ -228,13 +228,84 @@ def mock_embed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- chunker (UDTF-shaped 1→N; greedy packing not SQL-expressible → rows-only)
+# --- chunker (UDTF-shaped 1→N) ----------------------------------------------
+#
+# The greedy packing IS SQL-expressible after all (closing the last rows-only
+# check, r4 verdict item 6): the sequential fold over split parts becomes a
+# DuckDB recursive CTE carrying (current, chunks) state per document — one
+# recursion step per part, char-window fallbacks as list_transform(range(...)),
+# parallel unnests for the final 1→N explode.  Chunk params match the declared
+# query (chunk_size=120, chunk_overlap=24 → step 96).
+
+_CHUNK_SQL = r"""
+WITH RECURSIVE base AS (
+  SELECT doc_id, text,
+    CASE WHEN contains(text, chr(10)||chr(10)) THEN chr(10)||chr(10)
+         WHEN contains(text, chr(10)) THEN chr(10)
+         WHEN contains(text, '. ') THEN '. '
+         WHEN contains(text, ' ') THEN ' '
+         ELSE NULL END AS sep
+  FROM documents
+),
+small AS (
+  SELECT doc_id, [text] AS chunks FROM base WHERE length(text) <= 120
+),
+nosep AS (
+  SELECT doc_id,
+    list_transform(range(0, length(text), 96),
+                   i -> substr(text, CAST(i+1 AS INT), 120)) AS chunks
+  FROM base WHERE length(text) > 120 AND sep IS NULL
+),
+packdocs AS (
+  SELECT doc_id, sep, string_split(text, sep) AS parts
+  FROM base WHERE length(text) > 120 AND sep IS NOT NULL
+),
+pack AS (
+  SELECT doc_id, sep, parts, 0 AS i, '' AS cur, CAST([] AS VARCHAR[]) AS chunks
+  FROM packdocs
+  UNION ALL
+  SELECT doc_id, sep, parts, i + 1,
+    CASE
+      WHEN length(cand) <= 120 THEN cand
+      WHEN length(p) > 120 THEN ''
+      ELSE p
+    END AS cur,
+    CASE
+      WHEN length(cand) <= 120 THEN chunks
+      ELSE list_concat(
+             CASE WHEN cur <> '' THEN list_append(chunks, cur) ELSE chunks END,
+             CASE WHEN length(p) > 120
+                  THEN list_transform(range(0, length(p), 96),
+                                      j -> substr(p, CAST(j+1 AS INT), 120))
+                  ELSE CAST([] AS VARCHAR[]) END)
+    END AS chunks
+  FROM (
+    SELECT pack.*, parts[i+1] AS p,
+      CASE WHEN cur <> '' THEN cur || sep || parts[i+1] ELSE parts[i+1] END AS cand
+    FROM pack WHERE i < len(parts)
+  )
+),
+packed AS (
+  SELECT doc_id,
+    CASE WHEN cur <> '' THEN list_append(chunks, cur) ELSE chunks END AS chunks
+  FROM pack WHERE i = len(parts)
+),
+allchunks AS (
+  SELECT * FROM small UNION ALL SELECT * FROM nosep UNION ALL SELECT * FROM packed
+)
+SELECT doc_id,
+       CAST(unnest(range(len(chunks))) AS INT) AS chunk_index,
+       CAST(len(chunks) AS INT) AS total_chunks,
+       unnest(chunks) AS chunk
+FROM allchunks
+ORDER BY doc_id, chunk_index
+"""
 
 
 @register(
     "chunk_documents",
-    oracle=None,
-    description="TextChunker parity: greedy packing + overlap fallback (chunker.py:17-98); rows-only check",
+    oracle=_CHUNK_SQL,
+    description="TextChunker parity: greedy packing + overlap fallback (chunker.py:17-98); recursive-CTE oracle",
 )
 def chunk_documents_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vector_graph_rag_spark.sources.loaders import chunk_documents
