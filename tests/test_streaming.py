@@ -43,3 +43,24 @@ def test_stateful_sessionize_matches_batch(spark):
     expected = b_rows - set(last_per_user.values())
     assert s_rows == expected
     assert len(s_rows) > 0
+
+
+def test_event_stream_reads_directory_datasets(spark, tmp_path):
+    """At scale events is a partitioned DIRECTORY of part files, not one
+    file; _event_stream must stream it directly (the single-file glob
+    branch matches leaf file names and would silently read 0 rows — the
+    r5 scale-smoke found exactly this)."""
+    from vector_graph_rag_spark.sources.tables import load_table
+    from vector_graph_rag_spark.streaming.sessionize import run_sessionize_on_events
+
+    events = load_table(spark, SF_SMOKE, "events")
+    out = str(tmp_path / "events_dir.parquet")
+    events.repartition(4).write.parquet(out)
+
+    from_dir = run_sessionize_on_events(spark, out)
+    from_file = run_sessionize_on_events(spark, f"{SF_SMOKE}/events.parquet")
+    key = lambda df: sorted(
+        (r.user_id, r.session_start, r.session_end, r.n_events) for r in df.collect()
+    )
+    assert key(from_dir) == key(from_file)
+    assert len(key(from_dir)) > 0

@@ -1,0 +1,158 @@
+#!/usr/bin/env python
+"""10x scale smoke — empirical check that the heavy headline queries scale
+~linearly (r4 verdict item 4).
+
+Builds an sf1-equivalent dataset from sf0.1 by union-duplicating documents
+and events 10x with re-keyed ids, then times the heaviest queries at both
+scales and prints per-query wall-time scaling factors.
+
+Copy semantics (designed to preserve workload character, not just row
+count):
+
+- ``documents``: copy 0 is the original; copies 1-9 re-key ``doc_id`` into
+  a disjoint range and suffix every whitespace token with ``c{copy}`` —
+  per-doc shingle counts and length distribution are unchanged, but copies
+  are NOT near-duplicates of each other, so the near-dup queries see 10x
+  corpus at the original duplicate density instead of a fabricated
+  10-way-duplicate corpus (which would measure the dedup caps, not scaling).
+- ``events``: copies re-key ``event_id`` and ``user_id`` into disjoint
+  ranges with identical timestamps — 10x users over the same time range, so
+  sessionization state and the groupBy(user) shuffle scale 10x.
+- The graph queries build from documents; seed entities only exist in copy
+  0 (copies' vocab is suffixed), so frontier sizes stay constant while the
+  entity/relation/edge tables scale 10x — exactly the shape of a fixed
+  query against a grown corpus.
+
+Usage: python tools/scale_smoke.py [--out /tmp/sf1_equiv] [--iters 2]
+Graph materialization is untimed (build-once indexing, same methodology as
+bench.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF01 = "/root/testdata/sf0.1"
+
+QUERIES = [
+    "minhash_lsh_pairs",
+    "ngram_jaccard_pairs",
+    "subgraph_expand_d1",
+    "entity_ppr_seeds_k8",
+    "stream_stateful_sessions",
+]
+
+DOC_STRIDE = 1_000_000
+EVENT_STRIDE = 100_000_000
+USER_STRIDE = 10_000_000
+
+
+def build_sf1(spark, out_dir: str, copies: int = 10) -> None:
+    from pyspark.sql import functions as F
+
+    from vector_graph_rag_spark.sources.tables import load_table
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    docs = load_table(spark, SF01, "documents")
+    parts = [docs]
+    for i in range(1, copies):
+        parts.append(
+            docs.select(
+                (F.col("doc_id") + F.lit(i * DOC_STRIDE)).alias("doc_id"),
+                F.regexp_replace("text", r"(\S+)", f"$1c{i}").alias("text"),
+                "lang",
+                "source",
+            ).withColumn("n_chars", F.length("text").cast("long"))
+            .select("doc_id", "text", "lang", "source", "n_chars")
+        )
+    scaled_docs = parts[0]
+    for p in parts[1:]:
+        scaled_docs = scaled_docs.unionByName(p)
+    scaled_docs.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "documents.parquet")
+    )
+
+    events = load_table(spark, SF01, "events")
+    eparts = [events]
+    for i in range(1, copies):
+        eparts.append(
+            events.select(
+                (F.col("event_id") + F.lit(i * EVENT_STRIDE)).alias("event_id"),
+                "ts",
+                (F.col("user_id") + F.lit(i * USER_STRIDE)).alias("user_id"),
+                "event_type",
+                "value",
+                "props",
+            )
+        )
+    scaled_events = eparts[0]
+    for p in eparts[1:]:
+        scaled_events = scaled_events.unionByName(p)
+    scaled_events.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "events.parquet")
+    )
+
+
+def time_queries(spark, sf_dir: str, iters: int) -> dict[str, dict]:
+    from vector_graph_rag_spark.queries import load_all
+    from vector_graph_rag_spark.queries.graphrag import _graph
+
+    registry = load_all()
+    t0 = time.perf_counter()
+    _graph(spark, sf_dir)  # untimed build-once indexing
+    print(f"# graph build ({sf_dir}): {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+
+    out: dict[str, dict] = {}
+    for name in QUERIES:
+        times, rows = [], 0
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            rows = registry[name].fn(spark, sf_dir).count()
+            times.append(round(time.perf_counter() - t0, 3))
+        out[name] = {"iters": times, "min": min(times), "rows": rows}
+        print(f"# {sf_dir} {name}: {times} ({rows} rows)", file=sys.stderr)
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="/tmp/sf1_equiv")
+    ap.add_argument("--iters", type=int, default=2)
+    ap.add_argument("--skip-build", action="store_true")
+    args = ap.parse_args()
+
+    from vector_graph_rag_spark.session import get_spark
+
+    spark = get_spark(app_name="scale_smoke")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    if not args.skip_build:
+        t0 = time.perf_counter()
+        build_sf1(spark, args.out)
+        print(f"# sf1-equivalent built in {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+
+    base = time_queries(spark, SF01, args.iters)
+    big = time_queries(spark, args.out, args.iters)
+    report = {
+        name: {
+            "sf0.1_sec": base[name]["min"],
+            "sf1_sec": big[name]["min"],
+            "scaling_factor": round(big[name]["min"] / max(base[name]["min"], 1e-9), 2),
+            "sf0.1_rows": base[name]["rows"],
+            "sf1_rows": big[name]["rows"],
+        }
+        for name in QUERIES
+    }
+    print(json.dumps(report, indent=1))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

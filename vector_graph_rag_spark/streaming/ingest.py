@@ -29,14 +29,21 @@ def _event_stream(spark: SparkSession, events_path: str) -> DataFrame:
     and window functions require TIMESTAMP."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(events_path).schema
-    # The file stream source requires a DIRECTORY; point it at the parent
-    # with a glob filter for the single events file.
-    base_dir, file_name = os.path.split(events_path)
-    stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", file_name)
-        .parquet(base_dir)
-    )
+    if os.path.isdir(events_path):
+        # Directory dataset (the production shape — at scale events is a
+        # partitioned directory of part files): stream it directly.
+        stream = spark.readStream.schema(schema).parquet(events_path)
+    else:
+        # Single-file dataset (the driver testdata): the file stream source
+        # requires a DIRECTORY, so point it at the parent with a glob filter
+        # for the one events file.  pathGlobFilter matches LEAF file names,
+        # which is why this branch must not be used for directories.
+        base_dir, file_name = os.path.split(events_path)
+        stream = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", file_name)
+            .parquet(base_dir)
+        )
     ts_type = dict(stream.dtypes).get("ts")
     if ts_type == "bigint":
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
