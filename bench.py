@@ -51,6 +51,12 @@ HEADLINE = [
     "dedup_incremental",
     "corpus_curation_funnel",
     "stream_stateful_sessions",
+    # round-5 additions: the curation family (queries/curation.py)
+    "contamination_ngram_overlap",
+    "pii_redaction_profile",
+    "repetition_quality_filters",
+    "sequence_packing",
+    "kmeans_embedding_clusters",
 ]
 
 

@@ -25,6 +25,9 @@ REPARTITION_CHECKED = [
     "entity_ppr_seeds_k8",      # deep iteration + eager localCheckpoint
     "ngram_jaccard_pairs",      # intra-bucket pair explosion + top-100
     "customer_balance_quartiles",  # unrounded cume_dist (exact IEEE ratio)
+    "sequence_packing",         # per-shard sequential fold (partition-order risk)
+    "kmeans_embedding_clusters",  # iterative centroid update (sum-order risk)
+    "repetition_quality_filters",  # ratio thresholds on float divisions
 ]
 
 

@@ -56,6 +56,12 @@ AUDITED = [
     "corpus_curation_funnel",
     "entity_neighbor_jaccard",
     "filtered_vector_search",
+    # round-5 curation family (kmeans_embedding_clusters is eager — driver
+    # centroid loop — and audited via its assignment stage below)
+    "contamination_ngram_overlap",
+    "pii_redaction_profile",
+    "repetition_quality_filters",
+    "sequence_packing",
 ]
 
 
@@ -99,6 +105,50 @@ def test_dedup_incremental_hot_bucket_guard_broadcasts(spark):
     assert "TakeOrderedAndProject" not in plan and "GlobalLimit" not in plan
     # No windowed rank / global orderBy should ever appear in this query.
     assert "Window" not in plan, "dedup_incremental grew a window sort"
+
+
+def test_contamination_benchmark_side_broadcasts(spark):
+    """Decontamination joins the corpus gram stream against the benchmark
+    gram set; the benchmark side is small by construction (eval sets, not
+    corpora) and must ride a BroadcastHashJoin — a shuffle join here would
+    reshuffle the full corpus gram table at 100 TB."""
+    plan = _plan(spark, "contamination_ngram_overlap")
+    assert "BroadcastHashJoin" in plan, "benchmark gram set no longer broadcasts"
+    assert "SortMergeJoin" not in plan
+
+
+def test_sequence_packing_single_shuffle(spark):
+    """Per-shard greedy packing: exactly one Exchange (the groupBy(shard))
+    feeding one Arrow-batched FlatMapGroupsInPandas — the sequential loop
+    must never degrade to a row-wise Python UDF or gain extra shuffles."""
+    import re
+
+    plan = _plan(spark, "sequence_packing")
+    assert "FlatMapGroupsInPandas" in plan
+    # formatted mode prints each node once in the tree and once in the detail
+    # section — count distinct Exchange node headers, not substring hits.
+    n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, flags=re.M))
+    assert n_exchanges == 1, f"sequence_packing grew extra shuffles ({n_exchanges})"
+
+
+def test_kmeans_assignment_stage_is_jvm_only(spark):
+    """The k-means hot path (per-iteration assignment scan) must be pure JVM
+    expression work against literal centroids: no Python eval node, no join,
+    no shuffle — one linear scan per iteration."""
+    from vector_graph_rag_spark.queries.curation import _KM_DIM, _km_assign
+    from vector_graph_rag_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    q = load_table(spark, SF_SMOKE, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: F.round(x.cast("double") * 1000).cast("long")).alias("qv"),
+    )
+    df = _km_assign(q, [(0, [0] * _KM_DIM), (1, [1] * _KM_DIM)])
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    for banned in ("BatchEvalPython", "ArrowEvalPython", "Exchange", "Join"):
+        assert banned not in plan, f"k-means assignment grew a {banned}"
 
 
 def test_column_pruning_reaches_scan(spark):

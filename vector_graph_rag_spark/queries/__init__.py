@@ -62,6 +62,7 @@ def load_all() -> dict[str, DeclaredQuery]:
         timeseries,
         ranking,
         hybrid,
+        curation,
     )
 
     return REGISTRY

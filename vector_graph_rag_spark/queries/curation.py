@@ -1,0 +1,550 @@
+"""Corpus-curation operators — the training-data pipeline beyond the reference.
+
+The reference engine stops at retrieval (SURVEY §2); a 100 TB pretraining
+pipeline additionally runs curation passes between raw crawl and training
+shards.  Five of them are declared here, each hash-gated against a DuckDB
+oracle:
+
+- benchmark decontamination via n-gram overlap (the GPT-3 appendix-C /
+  "training-data contamination" check): corpus documents sharing any 5-token
+  gram with a held-out benchmark set are flagged;
+- PII redaction (email / phone / IPv4 regex scrub) with per-document match
+  counts and a redacted-text hash;
+- Gopher-style repetition filters (Rae et al. 2021, §A1.1): distinct-token
+  ratio, top-token fraction, top-bigram fraction, mean token length;
+- fixed-token-budget sequence packing: greedy first-fit of documents into
+  training sequences, sharded so packing parallelizes;
+- SemDeDup-style k-means over the embedding table (Abbas et al. 2023),
+  integer-quantized so Spark and the SQL oracle agree bit-for-bit.
+
+Scale notes per operator are in the docstrings; none shuffles more than the
+aggregation pattern it is built from, and the only Python on the hot path is
+the per-shard packing loop (``applyInPandas`` — genuinely sequential within
+a shard, embarrassingly parallel across shards).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vector_graph_rag_spark.functions.text import tokens
+from vector_graph_rag_spark.queries import register
+from vector_graph_rag_spark.sources.tables import load_table
+
+# --- benchmark decontamination (5-token-gram overlap) -----------------------
+
+# The benchmark/eval set is the held-out slice doc_id % 37 == 0 (a stand-in
+# for "the test sets of the benchmarks we evaluate on"); everything else is
+# corpus.  GPT-3 used 13-grams; 5 fits the short synthetic documents while
+# exercising the identical dataflow.
+_DECON_N = 5
+_DECON_MOD = 37
+
+_GRAMS5_CTE = f"""
+toks_raw AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, tok, row_number() OVER (PARTITION BY doc_id ORDER BY pos) - 1 AS pos
+  FROM toks_raw WHERE tok <> ''
+),
+grams AS (
+  SELECT doc_id,
+         tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w
+             || ' ' || lead(tok, 3) OVER w || ' ' || lead(tok, 4) OVER w AS gram
+  FROM toks
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+  QUALIFY lead(tok, {_DECON_N - 1}) OVER w IS NOT NULL
+)
+"""
+
+_DECON_SQL = f"""
+WITH {_GRAMS5_CTE},
+bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % {_DECON_MOD} = 0),
+corpus AS (SELECT DISTINCT doc_id, gram FROM grams WHERE doc_id % {_DECON_MOD} <> 0),
+counts AS (
+  SELECT doc_id, COUNT(*) AS n_grams,
+         COUNT(*) FILTER (WHERE gram IN (SELECT gram FROM bench)) AS n_shared
+  FROM corpus GROUP BY doc_id
+)
+SELECT doc_id, n_shared AS n_shared_grams, n_grams,
+       round(n_shared * 1.0 / n_grams, 6) AS contamination_ratio
+FROM counts WHERE n_shared >= 1
+"""
+
+
+def _grams5_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", tokens("text").alias("toks"))
+    n = _DECON_N
+    arr = F.when(
+        F.size("toks") >= n,
+        F.expr(
+            f"transform(sequence(0, size(toks)-{n}), i -> "
+            f"concat_ws(' ', {', '.join(f'toks[i+{j}]' for j in range(n))}))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return t.select("doc_id", F.explode(arr).alias("gram"))
+
+
+@register(
+    "contamination_ngram_overlap",
+    oracle=_DECON_SQL,
+    description=(
+        "benchmark decontamination: corpus docs sharing any 5-token gram with "
+        "the held-out benchmark slice (GPT-3 appendix-C check); benchmark gram "
+        "set broadcast"
+    ),
+)
+def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flag corpus documents that leak benchmark content.
+
+    Scale: the benchmark side is small by construction (eval sets are
+    thousands of documents, not billions), so its distinct-gram set rides a
+    broadcast semi-join; the corpus side is one explode + one map-side-
+    combined aggregation — a linear scan at 100 TB, no corpus-sized shuffle
+    beyond the per-doc gram dedup.
+    """
+    grams = _grams5_df(spark, sf_dir)
+    bench = (
+        grams.filter(F.col("doc_id") % _DECON_MOD == 0).select("gram").distinct()
+    )
+    corpus = (
+        grams.filter(F.col("doc_id") % _DECON_MOD != 0)
+        .select("doc_id", "gram")
+        .distinct()
+    )
+    hit = F.when(F.col("hit_gram").isNotNull(), 1).otherwise(0)
+    counts = (
+        corpus.join(
+            F.broadcast(bench.withColumnRenamed("gram", "hit_gram")),
+            corpus["gram"] == F.col("hit_gram"),
+            "left",
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(hit).alias("n_shared_grams"),
+        )
+    )
+    return (
+        counts.filter(F.col("n_shared_grams") >= 1)
+        .select(
+            "doc_id",
+            "n_shared_grams",
+            "n_grams",
+            F.round(F.col("n_shared_grams") / F.col("n_grams"), 6).alias(
+                "contamination_ratio"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --- PII redaction ----------------------------------------------------------
+
+# Patterns restricted to syntax Java regex and RE2 treat identically (no
+# backreferences, no lookaround).  The corpus is synthetic word-soup, so PII
+# is injected deterministically from doc_id before scrubbing — the operator
+# under test is the scrub, the injection is fixture.
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\b555-[0-9]{4}\b"
+_PII_IP = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+
+_PII_AUG_SQL = """
+  text
+  || CASE WHEN doc_id % 3 = 0
+          THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END
+  || CASE WHEN doc_id % 5 = 0
+          THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+  || CASE WHEN doc_id % 7 = 0
+          THEN ' host 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.'
+               || CAST((doc_id * 7) % 256 AS VARCHAR) ELSE '' END
+"""
+
+_PII_SQL = f"""
+WITH aug AS (SELECT doc_id, {_PII_AUG_SQL} AS t FROM documents),
+red AS (
+  SELECT doc_id, t,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(t, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+             '{_PII_PHONE}', '<PHONE>', 'g'),
+           '{_PII_IP}', '<IP>', 'g') AS redacted
+  FROM aug
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '{_PII_EMAIL}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(t, '{_PII_PHONE}')) AS BIGINT) AS n_phones,
+       CAST(len(regexp_extract_all(t, '{_PII_IP}')) AS BIGINT) AS n_ips,
+       md5(redacted) AS redacted_md5
+FROM red
+"""
+
+
+@register(
+    "pii_redaction_profile",
+    oracle=_PII_SQL,
+    description=(
+        "PII scrub: email/phone/IPv4 regex redaction with per-doc match "
+        "counts + redacted-text md5 (injected deterministic PII fixture)"
+    ),
+)
+def pii_redaction_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redact PII and account for every removal.
+
+    Scale: pure per-row JVM regex expressions (whole-stage codegen), zero
+    shuffle, zero Python — the shape of every 100 TB scrub pass.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    doc_id = F.col("doc_id")
+    aug = F.concat(
+        F.col("text"),
+        F.when(
+            doc_id % 3 == 0,
+            F.concat(F.lit(" contact user"), doc_id.cast("string"), F.lit("@example.com")),
+        ).otherwise(F.lit("")),
+        F.when(
+            doc_id % 5 == 0,
+            F.concat(F.lit(" call 555-"), F.lpad((doc_id % 10000).cast("string"), 4, "0")),
+        ).otherwise(F.lit("")),
+        F.when(
+            doc_id % 7 == 0,
+            F.concat(
+                F.lit(" host 10."),
+                (doc_id % 256).cast("string"),
+                F.lit(".0."),
+                ((doc_id * 7) % 256).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    t = d.select("doc_id", aug.alias("t"))
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("t"), _PII_EMAIL, "<EMAIL>"),
+            _PII_PHONE,
+            "<PHONE>",
+        ),
+        _PII_IP,
+        "<IP>",
+    )
+    return t.select(
+        "doc_id",
+        F.regexp_count("t", F.lit(_PII_EMAIL)).cast("bigint").alias("n_emails"),
+        F.regexp_count("t", F.lit(_PII_PHONE)).cast("bigint").alias("n_phones"),
+        F.regexp_count("t", F.lit(_PII_IP)).cast("bigint").alias("n_ips"),
+        F.md5(redacted).alias("redacted_md5"),
+    )
+
+
+# --- Gopher-style repetition filters ----------------------------------------
+
+_REP_SQL = """
+WITH toks_raw AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, tok, row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS pos
+  FROM toks_raw WHERE tok <> ''
+),
+tc AS (SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY doc_id, tok),
+ta AS (
+  SELECT doc_id, SUM(c) AS n_tokens, COUNT(*) AS n_distinct, MAX(c) AS top_token_n,
+         SUM(length(tok) * c) AS len_sum
+  FROM tc GROUP BY doc_id
+),
+big_raw AS (
+  SELECT doc_id, tok || ' ' || lead(tok, 1) OVER w AS bigram
+  FROM toks
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+  QUALIFY lead(tok, 1) OVER w IS NOT NULL
+),
+bc AS (SELECT doc_id, bigram, COUNT(*) AS c FROM big_raw GROUP BY doc_id, bigram),
+ba AS (SELECT doc_id, SUM(c) AS n_bigrams, MAX(c) AS top_bigram_n FROM bc GROUP BY doc_id)
+SELECT t.doc_id,
+       CAST(t.n_tokens AS BIGINT) AS n_tokens,
+       CAST(t.n_distinct AS BIGINT) AS n_distinct,
+       round(t.n_distinct * 1.0 / t.n_tokens, 6) AS distinct_ratio,
+       round(t.top_token_n * 1.0 / t.n_tokens, 6) AS top_token_frac,
+       round(COALESCE(b.top_bigram_n * 1.0 / b.n_bigrams, 0.0), 6) AS top_bigram_frac,
+       round(t.len_sum * 1.0 / t.n_tokens, 6) AS mean_token_len,
+       (t.n_distinct * 1.0 / t.n_tokens >= 0.45
+        AND t.top_token_n * 1.0 / t.n_tokens <= 0.10) AS pass_repetition
+FROM ta t LEFT JOIN ba b ON t.doc_id = b.doc_id
+"""
+
+
+@register(
+    "repetition_quality_filters",
+    oracle=_REP_SQL,
+    description=(
+        "Gopher-style repetition filters: distinct-token ratio, top-token / "
+        "top-bigram fractions, mean token length + pass flag (Rae et al. "
+        "2021 §A1.1)"
+    ),
+)
+def repetition_quality_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition signals for quality gating.
+
+    Note the bigram window in the oracle orders by first-appearance position;
+    bigram COUNTS are position-independent, so the Spark side derives bigrams
+    from the token array directly.
+
+    Scale: explode + two map-side-combined aggregations (token counts,
+    bigram counts) + one broadcast-sized join back per doc — the same
+    two-shuffle shape as word-count, linear in corpus size.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", tokens("text").alias("toks"))
+    tok = t.select("doc_id", F.explode("toks").alias("tok"))
+    tc = tok.groupBy("doc_id", "tok").count()
+    ta = tc.groupBy("doc_id").agg(
+        F.sum("count").alias("n_tokens"),
+        F.count("*").alias("n_distinct"),
+        F.max("count").alias("top_token_n"),
+        F.sum(F.length("tok") * F.col("count")).alias("len_sum"),
+    )
+    bigrams = t.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("toks") >= 2,
+                F.expr(
+                    "transform(sequence(0, size(toks)-2),"
+                    " i -> concat_ws(' ', toks[i], toks[i+1]))"
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("bigram"),
+    )
+    bc = bigrams.groupBy("doc_id", "bigram").count()
+    ba = bc.groupBy("doc_id").agg(
+        F.sum("count").alias("n_bigrams"), F.max("count").alias("top_bigram_n")
+    )
+    distinct_ratio = F.col("n_distinct") / F.col("n_tokens")
+    top_token_frac = F.col("top_token_n") / F.col("n_tokens")
+    return ta.join(ba, "doc_id", "left").select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("n_distinct").cast("bigint").alias("n_distinct"),
+        F.round(distinct_ratio, 6).alias("distinct_ratio"),
+        F.round(top_token_frac, 6).alias("top_token_frac"),
+        F.round(
+            F.coalesce(F.col("top_bigram_n") / F.col("n_bigrams"), F.lit(0.0)), 6
+        ).alias("top_bigram_frac"),
+        F.round(F.col("len_sum") / F.col("n_tokens"), 6).alias("mean_token_len"),
+        ((distinct_ratio >= 0.45) & (top_token_frac <= 0.10)).alias("pass_repetition"),
+    )
+
+
+# --- sequence packing (fixed token budget) ----------------------------------
+
+_PACK_BUDGET = 256
+_PACK_SHARDS = 8
+
+_PACK_SQL = f"""
+WITH RECURSIVE ranked AS (
+  SELECT doc_id, doc_id % {_PACK_SHARDS} AS shard,
+         CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS n_tokens,
+         row_number() OVER (PARTITION BY doc_id % {_PACK_SHARDS} ORDER BY doc_id) AS rn
+  FROM documents
+),
+pack AS (
+  SELECT shard, rn, doc_id, n_tokens, CAST(0 AS BIGINT) AS seq_id,
+         n_tokens AS fill, CAST(0 AS BIGINT) AS pos_in_seq
+  FROM ranked WHERE rn = 1
+  UNION ALL
+  SELECT d.shard, d.rn, d.doc_id, d.n_tokens,
+         CASE WHEN p.fill + d.n_tokens <= {_PACK_BUDGET}
+              THEN p.seq_id ELSE p.seq_id + 1 END,
+         CASE WHEN p.fill + d.n_tokens <= {_PACK_BUDGET}
+              THEN p.fill + d.n_tokens ELSE d.n_tokens END,
+         CASE WHEN p.fill + d.n_tokens <= {_PACK_BUDGET}
+              THEN p.pos_in_seq + 1 ELSE CAST(0 AS BIGINT) END
+  FROM pack p JOIN ranked d ON d.shard = p.shard AND d.rn = p.rn + 1
+)
+SELECT doc_id, shard, seq_id, pos_in_seq, n_tokens FROM pack
+"""
+
+
+@register(
+    "sequence_packing",
+    oracle=_PACK_SQL,
+    description=(
+        "training-sequence packing: greedy first-fit of docs into "
+        f"{_PACK_BUDGET}-token sequences, sharded {_PACK_SHARDS} ways; "
+        "recursive-CTE oracle"
+    ),
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack documents into fixed-token-budget training sequences.
+
+    Greedy first-fit is inherently sequential, so it is sharded: documents
+    hash to a shard (``doc_id % {shards}``), each shard packs independently
+    in doc_id order inside one ``applyInPandas`` group.  At 100 TB the shard
+    count scales with the cluster (thousands of shards ⇒ thousands of
+    parallel sequential scans, each memory-bounded); the single shuffle is
+    the groupBy(shard).  A doc over budget occupies its own sequence — the
+    same rule the oracle's recursive CTE applies.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    sized = d.select(
+        "doc_id",
+        (F.col("doc_id") % _PACK_SHARDS).alias("shard"),
+        F.size(tokens("text")).cast("bigint").alias("n_tokens"),
+    )
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        seq_ids, positions = [], []
+        seq_id, fill, pos = 0, 0, -1
+        first = True
+        for n in pdf["n_tokens"]:
+            if first:
+                fill, pos, first = n, 0, False
+            elif fill + n <= _PACK_BUDGET:
+                fill, pos = fill + n, pos + 1
+            else:
+                seq_id, fill, pos = seq_id + 1, n, 0
+            seq_ids.append(seq_id)
+            positions.append(pos)
+        pdf["seq_id"] = pd.Series(seq_ids, dtype="int64")
+        pdf["pos_in_seq"] = pd.Series(positions, dtype="int64")
+        return pdf[["doc_id", "shard", "seq_id", "pos_in_seq", "n_tokens"]]
+
+    return sized.groupBy("shard").applyInPandas(
+        _pack, "doc_id long, shard long, seq_id long, pos_in_seq long, n_tokens long"
+    )
+
+
+# --- SemDeDup-style k-means over embeddings ---------------------------------
+
+# Quantize embedding components to integers (round(x * 1000) after an exact
+# float→double widening) so every distance, centroid, and comparison is
+# integer-exact in both engines — the same precision discipline as the SQ8
+# quantized top-k (queries/hybrid.py), applied to clustering.
+_KM_K = 8
+_KM_DIM = 64
+_KM_SCALE = 1000
+
+_KM_SQL = f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> CAST(round(CAST(x AS DOUBLE) * {_KM_SCALE}) AS BIGINT)) AS qv
+  FROM embeddings WHERE embedding IS NOT NULL
+),
+qd AS (SELECT vec_id, unnest(range(1, {_KM_DIM + 1})) AS pos, unnest(qv) AS x FROM q),
+seeds AS (SELECT vec_id FROM q ORDER BY vec_id LIMIT {_KM_K}),
+c0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cluster, vec_id
+  FROM seeds
+),
+c0d AS (SELECT c0.cluster, qd.pos, qd.x AS c FROM c0 JOIN qd ON qd.vec_id = c0.vec_id),
+d1 AS (
+  SELECT v.vec_id, c.cluster, SUM((v.x - c.c) * (v.x - c.c)) AS dist
+  FROM qd v JOIN c0d c ON v.pos = c.pos GROUP BY v.vec_id, c.cluster
+),
+a1 AS (
+  SELECT vec_id, cluster FROM d1
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) = 1
+),
+c1d AS (
+  SELECT a.cluster, v.pos,
+         CAST(floor(CAST(SUM(v.x) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c
+  FROM a1 a JOIN qd v ON v.vec_id = a.vec_id GROUP BY a.cluster, v.pos
+),
+d2 AS (
+  SELECT v.vec_id, c.cluster, CAST(SUM((v.x - c.c) * (v.x - c.c)) AS BIGINT) AS dist
+  FROM qd v JOIN c1d c ON v.pos = c.pos GROUP BY v.vec_id, c.cluster
+)
+SELECT vec_id, cluster, dist FROM d2
+QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) = 1
+"""
+
+
+def _km_assign(q: DataFrame, centroids: list[tuple[int, list[int]]]) -> DataFrame:
+    """Argmin squared-L2 over broadcast centroid literals.  ``centroids`` is
+    ``[(cluster_id, vector), ...]`` sorted by cluster_id, so the first
+    minimum ``array_position`` finds breaks ties toward the lowest cluster
+    id — the oracle's ``ORDER BY dist, cluster`` rule."""
+    dists = F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    "qv",
+                    F.array(*[F.lit(int(v)).cast("long") for v in c]),
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+            for _, c in centroids
+        ]
+    )
+    ids = F.array(*[F.lit(int(cid)).cast("bigint") for cid, _ in centroids])
+    return q.withColumn("dists", dists).select(
+        "vec_id",
+        "qv",
+        F.element_at(ids, F.array_position("dists", F.array_min("dists")).cast("int"))
+        .alias("cluster"),
+        F.array_min("dists").alias("dist"),
+    )
+
+
+@register(
+    "kmeans_embedding_clusters",
+    oracle=_KM_SQL,
+    description=(
+        "SemDeDup-style k-means (k=8, 2 Lloyd iterations) over quantized "
+        "embeddings; deterministic seed init + floor-avg centroids, "
+        "integer-exact in both engines"
+    ),
+)
+def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster the embedding table; the cluster partition is the unit
+    SemDeDup dedups within (cheap intra-cluster pair search replaces the
+    corpus-wide one).
+
+    Scale: per iteration, assignment is one linear scan against k broadcast
+    centroids (k·dim literals, JVM-side ``zip_with``/``aggregate`` — no
+    Python, no shuffle) and the centroid update is one map-side-combined
+    aggregation over (cluster, dim) producing k·dim rows — the only
+    driver-side state is the k×dim centroid matrix, identical to how the
+    IVF coarse quantizer handles its centroids (operators/ivf.py).
+    """
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
+    q = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.round(x.cast("double") * _KM_SCALE).cast("long"),
+        ).alias("qv"),
+    )
+    seeds = q.orderBy("vec_id").limit(_KM_K).collect()
+    centroids = [(i, list(r["qv"])) for i, r in enumerate(seeds)]
+
+    assigned = _km_assign(q, centroids)
+    sums = (
+        assigned.select("cluster", F.posexplode("qv").alias("pos", "x"))
+        .groupBy("cluster", "pos")
+        .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
+        .collect()
+    )
+    # A cluster that lost all members (possible only if two seed vectors are
+    # identical) simply disappears — the same behavior as the oracle, whose
+    # c1d CTE has no rows for it.
+    new_c: dict[int, list[int]] = {int(r["cluster"]): [0] * _KM_DIM for r in sums}
+    for r in sums:
+        # exact floor division (matches the oracle's floor of an exact
+        # double quotient — quotients stay > 1e-4 from integers, double
+        # rounding cannot cross the floor boundary)
+        new_c[int(r["cluster"])][int(r["pos"])] = int(r["s"]) // int(r["n"])
+    centroids = sorted((cid, vec) for cid, vec in new_c.items())
+
+    return _km_assign(q, centroids).select("vec_id", "cluster", "dist")
