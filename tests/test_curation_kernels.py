@@ -1,0 +1,91 @@
+"""Property-based checks for the curation kernels (no Spark session needed).
+
+The Spark-side plumbing and cross-engine parity are covered by
+test_oracle_parity / test_plans / test_determinism; these pin the pure
+kernels' invariants over generated inputs with hypothesis.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from vector_graph_rag_spark.queries.curation import (
+    _PII_EMAIL,
+    _PII_IP,
+    _PII_PHONE,
+    _pack_shard,
+)
+
+# --- sequence packing -------------------------------------------------------
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    ns=st.lists(st.integers(min_value=1, max_value=400), min_size=1, max_size=60),
+    budget=st.integers(min_value=16, max_value=300),
+)
+def test_greedy_pack_invariants(ns, budget):
+    pdf = pd.DataFrame(
+        {"doc_id": range(len(ns)), "shard": 0, "n_tokens": pd.Series(ns, dtype="int64")}
+    )
+    out = _pack_shard(pdf, budget=budget)
+    # every doc assigned exactly once, input order preserved
+    assert list(out["doc_id"]) == list(range(len(ns)))
+    fills = out.groupby("seq_id")["n_tokens"].sum()
+    sizes = out.groupby("seq_id")["n_tokens"].count()
+    # a sequence only exceeds the budget when it holds a single oversized doc
+    for seq_id, fill in fills.items():
+        assert fill <= budget or sizes[seq_id] == 1
+    # greedy = never close a sequence early: consecutive sequences can't merge
+    for a, b in zip(fills.index, fills.index[1:]):
+        first_next = out[out["seq_id"] == b]["n_tokens"].iloc[0]
+        assert fills[a] + first_next > budget
+    # seq ids are contiguous from 0; positions restart at 0 and increment
+    assert list(fills.index) == list(range(len(fills)))
+    for _, grp in out.groupby("seq_id"):
+        assert list(grp["pos_in_seq"]) == list(range(len(grp)))
+
+
+# --- PII patterns -----------------------------------------------------------
+
+_WORDS = st.lists(
+    st.sampled_from(["alpha", "beta", "gamma", "delta", "x1", "z9"]),
+    min_size=0,
+    max_size=8,
+)
+
+
+def _redact(s: str) -> str:
+    s = re.sub(_PII_EMAIL, "<EMAIL>", s)
+    s = re.sub(_PII_PHONE, "<PHONE>", s)
+    return re.sub(_PII_IP, "<IP>", s)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    words=_WORDS,
+    n_email=st.integers(min_value=0, max_value=3),
+    n_phone=st.integers(min_value=0, max_value=3),
+    n_ip=st.integers(min_value=0, max_value=3),
+    seed=st.integers(min_value=0, max_value=9999),
+)
+def test_pii_patterns_catch_all_injected_and_are_idempotent(
+    words, n_email, n_phone, n_ip, seed
+):
+    parts = list(words)
+    parts += [f"user{seed + i}@example.com" for i in range(n_email)]
+    parts += [f"555-{(seed + i) % 10000:04d}" for i in range(n_phone)]
+    parts += [f"10.{(seed + i) % 256}.0.{(seed * 7 + i) % 256}" for i in range(n_ip)]
+    text = " ".join(parts)
+    assert len(re.findall(_PII_EMAIL, text)) == n_email
+    assert len(re.findall(_PII_PHONE, text)) == n_phone
+    assert len(re.findall(_PII_IP, text)) == n_ip
+    redacted = _redact(text)
+    # nothing PII-shaped survives, and redaction is idempotent
+    for pat in (_PII_EMAIL, _PII_PHONE, _PII_IP):
+        assert not re.search(pat, redacted)
+    assert _redact(redacted) == redacted

@@ -46,6 +46,12 @@ QUERIES = [
     "subgraph_expand_d1",
     "entity_ppr_seeds_k8",
     "stream_stateful_sessions",
+    # round-5 curation family: the decontamination join (benchmark side grows
+    # with copies but stays broadcast-sized), the sharded sequential packer,
+    # and the iterative k-means (10x vectors through assignment + update).
+    "contamination_ngram_overlap",
+    "sequence_packing",
+    "kmeans_embedding_clusters",
 ]
 
 DOC_STRIDE = 1_000_000
@@ -97,6 +103,27 @@ def build_sf1(spark, out_dir: str, copies: int = 10) -> None:
         scaled_events = scaled_events.unionByName(p)
     scaled_events.repartition(32).write.mode("overwrite").parquet(
         os.path.join(out_dir, "events.parquet")
+    )
+
+    # embeddings: copies re-key vec_id into disjoint ranges with identical
+    # vectors — 10x rows through the k-means assignment scan and centroid
+    # update while the k=8 seed set (lowest vec_ids, all in copy 0) and the
+    # cluster structure stay fixed: a fixed clustering against a grown corpus.
+    emb = load_table(spark, SF01, "embeddings")
+    mparts = [emb]
+    for i in range(1, copies):
+        mparts.append(
+            emb.select(
+                (F.col("vec_id") + F.lit(i * DOC_STRIDE)).alias("vec_id"),
+                "embedding",
+                "label",
+            )
+        )
+    scaled_emb = mparts[0]
+    for p in mparts[1:]:
+        scaled_emb = scaled_emb.unionByName(p)
+    scaled_emb.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "embeddings.parquet")
     )
 
 

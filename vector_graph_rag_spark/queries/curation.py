@@ -398,28 +398,34 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") % _PACK_SHARDS).alias("shard"),
         F.size(tokens("text")).cast("bigint").alias("n_tokens"),
     )
-
-    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
-        seq_ids, positions = [], []
-        seq_id, fill, pos = 0, 0, -1
-        first = True
-        for n in pdf["n_tokens"]:
-            if first:
-                fill, pos, first = n, 0, False
-            elif fill + n <= _PACK_BUDGET:
-                fill, pos = fill + n, pos + 1
-            else:
-                seq_id, fill, pos = seq_id + 1, n, 0
-            seq_ids.append(seq_id)
-            positions.append(pos)
-        pdf["seq_id"] = pd.Series(seq_ids, dtype="int64")
-        pdf["pos_in_seq"] = pd.Series(positions, dtype="int64")
-        return pdf[["doc_id", "shard", "seq_id", "pos_in_seq", "n_tokens"]]
-
+    # NB: applyInPandas calls a TWO-parameter function as (key, pdf); the
+    # lambda pins the one-argument form so _pack_shard's budget kwarg (used
+    # by tests) can't be mistaken for the group key.
     return sized.groupBy("shard").applyInPandas(
-        _pack, "doc_id long, shard long, seq_id long, pos_in_seq long, n_tokens long"
+        lambda pdf: _pack_shard(pdf),
+        "doc_id long, shard long, seq_id long, pos_in_seq long, n_tokens long",
     )
+
+
+def _pack_shard(pdf: pd.DataFrame, budget: int = _PACK_BUDGET) -> pd.DataFrame:
+    """Greedy first-fit over one shard's docs in doc_id order (the sequential
+    kernel inside applyInPandas; module-level so tests exercise it directly)."""
+    pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+    seq_ids, positions = [], []
+    seq_id, fill, pos = 0, 0, -1
+    first = True
+    for n in pdf["n_tokens"]:
+        if first:
+            fill, pos, first = n, 0, False
+        elif fill + n <= budget:
+            fill, pos = fill + n, pos + 1
+        else:
+            seq_id, fill, pos = seq_id + 1, n, 0
+        seq_ids.append(seq_id)
+        positions.append(pos)
+    pdf["seq_id"] = pd.Series(seq_ids, dtype="int64")
+    pdf["pos_in_seq"] = pd.Series(positions, dtype="int64")
+    return pdf[["doc_id", "shard", "seq_id", "pos_in_seq", "n_tokens"]]
 
 
 # --- SemDeDup-style k-means over embeddings ---------------------------------
@@ -472,20 +478,21 @@ def _km_assign(q: DataFrame, centroids: list[tuple[int, list[int]]]) -> DataFram
     """Argmin squared-L2 over broadcast centroid literals.  ``centroids`` is
     ``[(cluster_id, vector), ...]`` sorted by cluster_id, so the first
     minimum ``array_position`` finds breaks ties toward the lowest cluster
-    id — the oracle's ``ORDER BY dist, cluster`` rule."""
-    dists = F.array(
-        *[
-            F.aggregate(
-                F.zip_with(
-                    "qv",
-                    F.array(*[F.lit(int(v)).cast("long") for v in c]),
-                    lambda a, b: (a - b) * (a - b),
-                ),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            )
-            for _, c in centroids
-        ]
+    id — the oracle's ``ORDER BY dist, cluster`` rule.
+
+    The centroid matrix is ONE nested array literal looped by a single
+    ``transform`` (not k separate aggregate expressions): same plan shape,
+    ~k× smaller expression tree for Catalyst to analyze and codegen."""
+    cmat = F.array(
+        *[F.array(*[F.lit(int(v)).cast("long") for v in c]) for _, c in centroids]
+    )
+    dists = F.transform(
+        cmat,
+        lambda c: F.aggregate(
+            F.zip_with("qv", c, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ),
     )
     ids = F.array(*[F.lit(int(cid)).cast("bigint") for cid, _ in centroids])
     return q.withColumn("dists", dists).select(
