@@ -89,3 +89,50 @@ def test_pii_patterns_catch_all_injected_and_are_idempotent(
     for pat in (_PII_EMAIL, _PII_PHONE, _PII_IP):
         assert not re.search(pat, redacted)
     assert _redact(redacted) == redacted
+
+
+# --- SemDeDup keep list (Spark vs pure-numpy twin) --------------------------
+
+
+def test_semdedup_keep_list_matches_numpy_twin(spark):
+    import numpy as np
+
+    from vector_graph_rag_spark.queries.curation import (
+        kmeans_embedding_clusters,
+        semdedup_keep_list,
+    )
+    from vector_graph_rag_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    threshold = 0.44  # sf0.001 max cosine is 0.479; several pairs sit in [0.44, 0.48]
+    out = {
+        r["vec_id"]: (r["cluster"], r["keep"])
+        for r in semdedup_keep_list(spark, sf, threshold=threshold).collect()
+    }
+    clusters = {
+        r["vec_id"]: r["cluster"]
+        for r in kmeans_embedding_clusters(spark, sf).collect()
+    }
+    embs = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+        for r in load_table(spark, sf, "embeddings").collect()
+        if r["embedding"] is not None
+    }
+    assert set(out) == set(clusters)
+    expect_drop = set()
+    ids = sorted(embs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            if clusters[a] != clusters[b]:
+                continue
+            va, vb = embs[a], embs[b]
+            na, nb = np.linalg.norm(va), np.linalg.norm(vb)
+            if na == 0 or nb == 0:
+                continue
+            if float(va @ vb / (na * nb)) >= threshold:
+                expect_drop.add(b)
+    for vid, (cl, keep) in out.items():
+        assert cl == clusters[vid]
+        assert keep == (vid not in expect_drop), vid
+    # sanity: the threshold actually bites on this data
+    assert expect_drop, "threshold dropped nothing — fixture too weak"

@@ -525,6 +525,10 @@ def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver-side state is the k×dim centroid matrix, identical to how the
     IVF coarse quantizer handles its centroids (operators/ivf.py).
     """
+    return _kmeans_assignments(spark, sf_dir)
+
+
+def _kmeans_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
     q = emb.select(
         "vec_id",
@@ -555,3 +559,53 @@ def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids = sorted((cid, vec) for cid, vec in new_c.items())
 
     return _km_assign(q, centroids).select("vec_id", "cluster", "dist")
+
+
+def semdedup_keep_list(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.95
+) -> DataFrame:
+    """SemDeDup proper (Abbas et al. 2023): cluster, then drop all but one
+    representative from every intra-cluster near-duplicate pair.
+
+    Returns ``(vec_id, cluster, keep)`` — ``keep`` is false iff the vector
+    has cosine ≥ threshold with a LOWER-id vector in the same cluster (the
+    deterministic keep-lowest-id rule; the paper keeps one arbitrary member
+    per semantic-dup group).
+
+    Scale: the whole point of clustering first is that the pair search is
+    intra-cluster only — the self-join equi-joins on cluster id, so pair
+    volume is Σ|cluster|² instead of n²; at 100 TB k grows with the corpus
+    (k ≈ √n keeps clusters √n-sized) and the same plan holds.  Cosine is a
+    JVM ``zip_with``/``aggregate`` dot product (embeddings are L2-normalized
+    upstream; no Python).
+
+    Library composite (not a registry slot): the clustering stage is the
+    oracle-checked ``kmeans_embedding_clusters``; this adds the keep rule,
+    pinned against a pure-numpy twin in ``tests/test_curation_kernels.py``.
+    """
+    from vector_graph_rag_spark.functions.vector import cosine
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
+    assigned = _kmeans_assignments(spark, sf_dir).select("vec_id", "cluster")
+    v = assigned.join(emb.select("vec_id", "embedding"), "vec_id")
+    a = v.select(
+        F.col("cluster"),
+        F.col("vec_id").alias("a_id"),
+        F.col("embedding").alias("a_emb"),
+    )
+    b = v.select(
+        F.col("cluster"),
+        F.col("vec_id").alias("b_id"),
+        F.col("embedding").alias("b_emb"),
+    )
+    dup_pairs = (
+        a.join(b, "cluster")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .filter(cosine("a_emb", "b_emb") >= F.lit(threshold))
+    )
+    doomed = dup_pairs.select(F.col("b_id").alias("vec_id")).distinct()
+    return assigned.join(doomed, "vec_id", "left_anti").withColumn(
+        "keep", F.lit(True)
+    ).unionByName(
+        assigned.join(doomed, "vec_id", "left_semi").withColumn("keep", F.lit(False))
+    )
