@@ -153,7 +153,21 @@ def main() -> None:
     ap.add_argument("--out", default="/tmp/sf1_equiv")
     ap.add_argument("--iters", type=int, default=2)
     ap.add_argument("--skip-build", action="store_true")
+    ap.add_argument(
+        "--copies", type=int, default=10,
+        help="scale-up factor (e.g. 100 for an sf10-equivalent)",
+    )
+    ap.add_argument(
+        "--queries", default=None,
+        help="comma-separated subset of the default query list",
+    )
     args = ap.parse_args()
+    if args.queries:
+        subset = args.queries.split(",")
+        unknown = [q for q in subset if q not in QUERIES]
+        if unknown:
+            ap.error(f"not in the smoke set: {unknown}")
+        QUERIES[:] = subset
 
     from vector_graph_rag_spark.session import get_spark
 
@@ -162,7 +176,7 @@ def main() -> None:
 
     if not args.skip_build:
         t0 = time.perf_counter()
-        build_sf1(spark, args.out)
+        build_sf1(spark, args.out, copies=args.copies)
         print(f"# sf1-equivalent built in {time.perf_counter() - t0:.1f}s", file=sys.stderr)
 
     base = time_queries(spark, SF01, args.iters)
