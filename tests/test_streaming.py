@@ -64,3 +64,39 @@ def test_event_stream_reads_directory_datasets(spark, tmp_path):
     )
     assert key(from_dir) == key(from_file)
     assert len(key(from_dir)) > 0
+
+
+def test_streaming_pii_scrub_equals_batch(spark, tmp_path):
+    """The curation scrub is a stateless projection, so the identical plan
+    must produce identical rows under Structured Streaming — both over the
+    single-file testdata shape and a partitioned directory dataset."""
+    import uuid
+
+    from vector_graph_rag_spark.queries.curation import (
+        pii_redaction_profile,
+        pii_scrub_stream,
+    )
+    from vector_graph_rag_spark.sources.tables import load_table
+
+    docs_dir = str(tmp_path / "docs_dir.parquet")
+    load_table(spark, SF_SMOKE, "documents").repartition(4).write.parquet(docs_dir)
+
+    batch = sorted(map(tuple, pii_redaction_profile(spark, SF_SMOKE).collect()))
+    assert batch
+
+    for path in (f"{SF_SMOKE}/documents.parquet", docs_dir):
+        name = "pii_scrub_" + uuid.uuid4().hex[:12]
+        q = (
+            pii_scrub_stream(spark, path)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+        finally:
+            if q.isActive:
+                q.stop()
+        assert sorted(map(tuple, spark.table(name).collect())) == batch

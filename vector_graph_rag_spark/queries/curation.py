@@ -200,7 +200,13 @@ def pii_redaction_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: pure per-row JVM regex expressions (whole-stage codegen), zero
     shuffle, zero Python — the shape of every 100 TB scrub pass.
     """
-    d = load_table(spark, sf_dir, "documents")
+    return pii_scrub(load_table(spark, sf_dir, "documents"))
+
+
+def pii_scrub(d: DataFrame) -> DataFrame:
+    """The scrub projection over any (doc_id, text) DataFrame — batch or
+    streaming (stateless per-row expressions, so the same plan runs under
+    Structured Streaming unchanged; see ``pii_scrub_stream``)."""
     doc_id = F.col("doc_id")
     aug = F.concat(
         F.col("text"),
@@ -239,6 +245,17 @@ def pii_redaction_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count("t", F.lit(_PII_IP)).cast("bigint").alias("n_ips"),
         F.md5(redacted).alias("redacted_md5"),
     )
+
+
+def pii_scrub_stream(spark: SparkSession, docs_path: str) -> DataFrame:
+    """Streaming PII scrub: the exact batch projection applied to a file
+    stream of document parquet — the continuous-ingest shape of the scrub
+    pass (new crawl shards land in a directory, redacted rows stream out).
+    Stateless projection ⇒ no watermark, no state store; drain with
+    availableNow for deterministic tests."""
+    from vector_graph_rag_spark.streaming.ingest import file_stream
+
+    return pii_scrub(file_stream(spark, docs_path))
 
 
 # --- Gopher-style repetition filters ----------------------------------------

@@ -21,29 +21,34 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+def file_stream(spark: SparkSession, path: str) -> DataFrame:
+    """File-source stream over a parquet dataset that may be a directory
+    (the production shape — partitioned part files) or a single file (the
+    driver testdata)."""
+    schema = spark.read.parquet(path).schema
+    if os.path.isdir(path):
+        # Directory dataset: stream it directly.
+        return spark.readStream.schema(schema).parquet(path)
+    # Single-file dataset: the file stream source requires a DIRECTORY, so
+    # point it at the parent with a glob filter for the one file.
+    # pathGlobFilter matches LEAF file names, which is why this branch must
+    # not be used for directories.
+    base_dir, file_name = os.path.split(path)
+    return (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", file_name)
+        .parquet(base_dir)
+    )
+
+
 def _event_stream(spark: SparkSession, events_path: str) -> DataFrame:
-    """File-source stream over the single events parquet, with the same ts
+    """File-source stream over the events parquet, with the same ts
     normalization as sources.tables.load_table: legacy nanos-as-long files
     are converted JVM-side, and TIMESTAMP_NTZ files (current testdata,
     naive micros) are cast to TIMESTAMP under a UTC session — watermarks
     and window functions require TIMESTAMP."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(events_path).schema
-    if os.path.isdir(events_path):
-        # Directory dataset (the production shape — at scale events is a
-        # partitioned directory of part files): stream it directly.
-        stream = spark.readStream.schema(schema).parquet(events_path)
-    else:
-        # Single-file dataset (the driver testdata): the file stream source
-        # requires a DIRECTORY, so point it at the parent with a glob filter
-        # for the one events file.  pathGlobFilter matches LEAF file names,
-        # which is why this branch must not be used for directories.
-        base_dir, file_name = os.path.split(events_path)
-        stream = (
-            spark.readStream.schema(schema)
-            .option("pathGlobFilter", file_name)
-            .parquet(base_dir)
-        )
+    stream = file_stream(spark, events_path)
     ts_type = dict(stream.dtypes).get("ts")
     if ts_type == "bigint":
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
