@@ -136,3 +136,41 @@ def test_semdedup_keep_list_matches_numpy_twin(spark):
         assert keep == (vid not in expect_drop), vid
     # sanity: the threshold actually bites on this data
     assert expect_drop, "threshold dropped nothing — fixture too weak"
+
+
+# --- training-shard writer sink ---------------------------------------------
+
+
+def test_write_training_shards_roundtrip(spark, tmp_path):
+    from vector_graph_rag_spark.queries.curation import (
+        pack_sequences,
+        write_training_shards,
+    )
+    from vector_graph_rag_spark.sources.tables import load_table
+
+    budget, shards = 100, 4
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    out = str(tmp_path / "shards")
+    write_training_shards(docs, out, budget=budget, shards=shards)
+
+    seqs = spark.read.parquet(out).collect()
+    docs_rows = {r["doc_id"]: r["text"] for r in docs.collect()}
+    packed = {
+        (r["shard"], r["seq_id"]): None
+        for r in pack_sequences(docs, budget=budget, shards=shards).collect()
+    }
+    # one row per packed sequence, partitioned by shard
+    assert len(seqs) == len(packed)
+    assert {int(r["shard"]) for r in seqs} == set(range(shards))
+    seen_docs = []
+    for r in seqs:
+        # budget respected unless single oversized doc (packing invariant)
+        assert r["n_tokens"] <= budget or len(r["doc_ids"]) == 1
+        # text assembled in pack order with the newline doc separator
+        assert r["sequence_text"] == "\n".join(docs_rows[d] for d in r["doc_ids"])
+        # shard assignment consistent
+        for d in r["doc_ids"]:
+            assert d % shards == int(r["shard"])
+        seen_docs.extend(r["doc_ids"])
+    # every document lands in exactly one sequence
+    assert sorted(seen_docs) == sorted(docs_rows)

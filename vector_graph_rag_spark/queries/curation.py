@@ -409,19 +409,70 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     the groupBy(shard).  A doc over budget occupies its own sequence — the
     same rule the oracle's recursive CTE applies.
     """
-    d = load_table(spark, sf_dir, "documents")
+    return pack_sequences(load_table(spark, sf_dir, "documents"))
+
+
+def pack_sequences(
+    d: DataFrame, budget: int = _PACK_BUDGET, shards: int = _PACK_SHARDS
+) -> DataFrame:
+    """Parametrizable packing over any (doc_id, text) DataFrame.  At 100 TB
+    ``shards`` scales with the cluster (thousands of shards ⇒ thousands of
+    parallel, memory-bounded sequential scans); the declared query fixes
+    budget/shards for the oracle."""
     sized = d.select(
         "doc_id",
-        (F.col("doc_id") % _PACK_SHARDS).alias("shard"),
+        (F.col("doc_id") % shards).alias("shard"),
         F.size(tokens("text")).cast("bigint").alias("n_tokens"),
     )
     # NB: applyInPandas calls a TWO-parameter function as (key, pdf); the
     # lambda pins the one-argument form so _pack_shard's budget kwarg (used
     # by tests) can't be mistaken for the group key.
     return sized.groupBy("shard").applyInPandas(
-        lambda pdf: _pack_shard(pdf),
+        lambda pdf: _pack_shard(pdf, budget=budget),
         "doc_id long, shard long, seq_id long, pos_in_seq long, n_tokens long",
     )
+
+
+def write_training_shards(
+    d: DataFrame,
+    out_dir: str,
+    budget: int = _PACK_BUDGET,
+    shards: int = _PACK_SHARDS,
+) -> None:
+    """The curation sink: pack documents into training sequences and write
+    one row PER SEQUENCE, partitioned by shard — the layout a trainer's
+    data loader consumes (sequences are pre-assembled; a shard directory is
+    a worker's input split).
+
+    Each sequence row carries its documents in pack order (``doc_ids``),
+    the assembled ``sequence_text`` (documents joined by newline — the
+    usual doc-separator token position), and ``n_tokens`` for length
+    bucketing.  One shuffle for the pack (groupBy shard), one for the
+    per-sequence assembly (groupBy shard,seq_id); the partitionBy(shard)
+    write keeps each shard's sequences in its own directory.
+    """
+    packed = pack_sequences(d, budget=budget, shards=shards)
+    with_text = packed.join(d.select("doc_id", "text"), "doc_id")
+    seqs = (
+        with_text.groupBy("shard", "seq_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("pos_in_seq", "doc_id", "n_tokens", "text"))
+            ).alias("parts")
+        )
+        .select(
+            "shard",
+            "seq_id",
+            F.transform("parts", lambda p: p["doc_id"]).alias("doc_ids"),
+            F.aggregate(
+                "parts", F.lit(0).cast("bigint"), lambda acc, p: acc + p["n_tokens"]
+            ).alias("n_tokens"),
+            F.array_join(
+                F.transform("parts", lambda p: p["text"]), "\n"
+            ).alias("sequence_text"),
+        )
+    )
+    seqs.write.mode("overwrite").partitionBy("shard").parquet(out_dir)
 
 
 def _pack_shard(pdf: pd.DataFrame, budget: int = _PACK_BUDGET) -> pd.DataFrame:
