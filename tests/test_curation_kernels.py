@@ -174,3 +174,39 @@ def test_write_training_shards_roundtrip(spark, tmp_path):
         seen_docs.extend(r["doc_ids"])
     # every document lands in exactly one sequence
     assert sorted(seen_docs) == sorted(docs_rows)
+
+
+def test_curation_pipeline_tool_runs_end_to_end(spark, tmp_path, monkeypatch, capsys):
+    """tools/curation_pipeline.py — the composed funnel must run and write a
+    monotone funnel + consistent shard totals (kernels themselves are
+    oracle-checked; this pins the composition + sink wiring)."""
+    import importlib.util
+    import json
+    import os
+    import sys
+
+    spec = importlib.util.spec_from_file_location(
+        "curation_pipeline",
+        os.path.join(os.path.dirname(__file__), "..", "tools", "curation_pipeline.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    out = str(tmp_path / "shards")
+    monkeypatch.setattr(
+        sys, "argv",
+        ["curation_pipeline.py", "--sf", "/root/testdata/sf0.001", "--out", out],
+    )
+    # get_spark() returns the shared test session; neutralize the tool's
+    # final spark.stop() so it doesn't tear down the fixture session
+    from pyspark.sql import SparkSession
+
+    monkeypatch.setattr(SparkSession, "stop", lambda self: None)
+    mod.main()
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    f = report["funnel"]
+    order = ["raw", "lang_en", "quality", "repetition", "decontaminated", "dedup_keeper"]
+    assert all(f[a] >= f[b] for a, b in zip(order, order[1:])), f
+    assert f["dedup_keeper"] > 0
+    assert f["sequences_written"] > 0
+    got = spark.read.parquet(out)
+    assert got.count() == f["sequences_written"]

@@ -1,0 +1,111 @@
+#!/usr/bin/env python
+"""End-to-end curation pipeline demo: raw corpus → training shards on disk.
+
+Chains the declared curation kernels the way a nightly pretraining-data job
+would — every stage is the exact oracle-checked query kernel, composed by
+doc_id joins, finishing with the ``write_training_shards`` sink:
+
+  raw documents
+    → language gate        (lang_id_heuristic: predicted_lang == en)
+    → quality gate         (quality_score: length/stopword/punct thresholds)
+    → repetition gate      (repetition_quality_filters: pass_repetition)
+    → decontamination      (contamination_ngram_overlap: drop flagged docs;
+                            the benchmark slice itself is excluded from
+                            training by definition)
+    → exact-dedup keeper   (dedup_exact: min-doc_id representative)
+    → sequence packing + partitioned shard write (write_training_shards)
+
+Prints one JSON line with per-stage surviving-document counts and the
+written shard/sequence totals.
+
+Usage: python tools/curation_pipeline.py [--sf /root/testdata/sf0.01]
+       [--out /tmp/training_shards] [--budget 256] [--shards 8]
+
+At 100 TB every gate is the same per-row expression / broadcast join the
+standalone queries use (SCALE.md §Corpus curation); the composition adds
+only doc_id equi-joins between co-partitioned per-doc flag tables.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("--out", default="/tmp/training_shards")
+    ap.add_argument("--budget", type=int, default=256)
+    ap.add_argument("--shards", type=int, default=8)
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from vector_graph_rag_spark.queries.curation import (
+        _DECON_MOD,
+        contamination_ngram_overlap,
+        repetition_quality_filters,
+        write_training_shards,
+    )
+    from vector_graph_rag_spark.queries.dedup import dedup_exact
+    from vector_graph_rag_spark.queries.textstats import lang_id_heuristic, quality_score
+    from vector_graph_rag_spark.session import get_spark
+    from vector_graph_rag_spark.sources.tables import load_table
+
+    spark = get_spark(app_name="curation_pipeline")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs = load_table(spark, args.sf, "documents")
+    counts: dict[str, int] = {"raw": docs.count()}
+
+    lang_ok = (
+        lang_id_heuristic(spark, args.sf)
+        .filter(F.col("predicted_lang") == "en")
+        .select("doc_id")
+    )
+    stage = docs.join(lang_ok, "doc_id", "left_semi")
+    counts["lang_en"] = stage.count()
+
+    quality_ok = (
+        quality_score(spark, args.sf).filter(F.col("passes_quality") == 1).select("doc_id")
+    )
+    stage = stage.join(quality_ok, "doc_id", "left_semi")
+    counts["quality"] = stage.count()
+
+    rep_ok = (
+        repetition_quality_filters(spark, args.sf)
+        .filter(F.col("pass_repetition"))
+        .select("doc_id")
+    )
+    stage = stage.join(rep_ok, "doc_id", "left_semi")
+    counts["repetition"] = stage.count()
+
+    contaminated = contamination_ngram_overlap(spark, args.sf).select("doc_id")
+    stage = (
+        stage.filter(F.col("doc_id") % _DECON_MOD != 0)  # benchmark slice out
+        .join(contaminated, "doc_id", "left_anti")
+    )
+    counts["decontaminated"] = stage.count()
+
+    keepers = dedup_exact(spark, args.sf).select(
+        F.col("keeper_doc_id").alias("doc_id")
+    )
+    stage = stage.join(keepers, "doc_id", "left_semi")
+    counts["dedup_keeper"] = stage.count()
+
+    write_training_shards(stage, args.out, budget=args.budget, shards=args.shards)
+    shards_df = spark.read.parquet(args.out)
+    counts["sequences_written"] = shards_df.count()
+    counts["tokens_written"] = shards_df.agg(F.sum("n_tokens")).collect()[0][0]
+
+    print(json.dumps({"out": args.out, "funnel": counts}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -672,8 +672,6 @@ def semdedup_keep_list(
         .filter(cosine("a_emb", "b_emb") >= F.lit(threshold))
     )
     doomed = dup_pairs.select(F.col("b_id").alias("vec_id")).distinct()
-    return assigned.join(doomed, "vec_id", "left_anti").withColumn(
-        "keep", F.lit(True)
-    ).unionByName(
-        assigned.join(doomed, "vec_id", "left_semi").withColumn("keep", F.lit(False))
-    )
+    return assigned.join(
+        doomed.withColumn("dup", F.lit(True)), "vec_id", "left"
+    ).select("vec_id", "cluster", F.col("dup").isNull().alias("keep"))
