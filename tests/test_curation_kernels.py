@@ -210,3 +210,56 @@ def test_curation_pipeline_tool_runs_end_to_end(spark, tmp_path, monkeypatch, ca
     assert f["sequences_written"] > 0
     got = spark.read.parquet(out)
     assert got.count() == f["sequences_written"]
+
+
+# --- exact substring dedup (ExactSubstr) ------------------------------------
+
+
+def test_remove_shared_spans_matches_python_twin(spark):
+    """Inject a shared 12-token span into several synthetic docs and verify
+    the masking against a brute-force Python twin (every stride-1 span,
+    cross-doc repetition, interval cover)."""
+    from vector_graph_rag_spark.queries.dedup import remove_shared_spans
+
+    L = 10
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa lam mu"
+    docs = [
+        (0, f"one two three {shared} four five six"),
+        (1, f"{shared} seven eight nine ten eleven twelve thirteen"),
+        (2, "no overlap here at all just unique words " + " ".join(f"w{i}" for i in range(20))),
+        (3, f"prefix tokens then {shared} and a tail"),
+        (4, "short doc"),
+        # doc with an INTERNAL repeat only (same doc twice) — must NOT be cut
+        (5, ("rep " * 25).strip()),
+    ]
+    got = {
+        r["doc_id"]: r
+        for r in remove_shared_spans(
+            spark.createDataFrame(docs, "doc_id long, text string"), span_tokens=L
+        ).collect()
+    }
+
+    toks = {i: [t for t in s.split(" ") if t] for i, s in docs}
+    spans = {}
+    for i, ts in toks.items():
+        for p in range(len(ts) - L + 1):
+            spans.setdefault(" ".join(ts[p : p + L]), set()).add(i)
+    repeated = {s for s, ds in spans.items() if len(ds) >= 2}
+    for i, ts in toks.items():
+        marks = [
+            p for p in range(len(ts) - L + 1) if " ".join(ts[p : p + L]) in repeated
+        ]
+        keep = [
+            t
+            for j, t in enumerate(ts)
+            if not any(p <= j < p + L for p in marks)
+        ]
+        r = got[i]
+        assert r["n_tokens"] == len(ts)
+        assert r["n_removed_tokens"] == len(ts) - len(keep)
+        assert r["cleaned_text"] == " ".join(keep), i
+    # the shared span is actually gone from every carrier
+    for i in (0, 1, 3):
+        assert shared not in got[i]["cleaned_text"]
+    # the internal-repeat doc is untouched (cross-doc rule)
+    assert got[5]["n_removed_tokens"] == 0

@@ -675,3 +675,73 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("corpus_doc_id").alias("matched_doc_id"),
         F.count(F.lit(1)).cast("bigint").alias("n_corpus_matches"),
     )
+
+
+# --- exact substring dedup (ExactSubstr, Lee et al. 2022) -------------------
+
+
+def remove_shared_spans(
+    d: DataFrame, span_tokens: int = 10, min_docs: int = 2
+) -> DataFrame:
+    """Exact-substring dedup: cut every occurrence of any ``span_tokens``-long
+    token span that appears in ≥ ``min_docs`` DISTINCT documents (the
+    ExactSubstr policy of Lee et al. 2022, "Deduplicating Training Data
+    Makes Language Models Better" — remove all copies, token-level stand-in
+    for their suffix-array byte spans).
+
+    Dataflow (all JVM built-ins):
+    1. explode every stride-1 span as (doc_id, pos, md5(span)) — linear in
+       corpus tokens;
+    2. repeated spans = groupBy(hash) with COUNT(DISTINCT doc_id) ≥ min_docs
+       (sort-based agg, hash-partitioned — a stop-span's group is large but
+       never driver-resident);
+    3. semi-join spans back to the repeated set → per-doc marked start
+       positions (one shuffle on the hash key);
+    4. row-local masking: token i is dropped iff some marked start p covers
+       it (p ≤ i < p+L) — an ``exists`` over the per-doc marked-position
+       array, no further shuffle.
+
+    Returns (doc_id, n_tokens, n_removed_tokens, cleaned_text).  Hash
+    collisions (md5/60-bit keyspace vs corpus span count) are the standard
+    ExactSubstr trade; a verify join on the literal span string would add
+    one more shuffle if ever needed.
+    """
+    L = span_tokens
+    t = d.select("doc_id", tokens("text").alias("toks"))
+    span_arr = F.when(
+        F.size("toks") >= L,
+        F.expr(
+            f"transform(sequence(0, size(toks)-{L}),"
+            f" i -> md5(concat_ws(' ', slice(toks, i+1, {L}))))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    spans = t.select("doc_id", F.posexplode(span_arr).alias("pos", "h"))
+
+    repeated = (
+        spans.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("h")
+    )
+    marked = (
+        spans.join(repeated, "h", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("pos")).alias("marks"))
+    )
+    masked = t.join(marked, "doc_id", "left").select(
+        "doc_id",
+        "toks",
+        F.coalesce("marks", F.array().cast("array<int>")).alias("marks"),
+    )
+    kept = F.filter(
+        F.expr("transform(toks, (tok, i) -> struct(tok as tok, i as i))"),
+        lambda s: ~F.exists(
+            "marks", lambda p: (p <= s["i"]) & (s["i"] < p + F.lit(L))
+        ),
+    )
+    return masked.select(
+        "doc_id",
+        F.size("toks").cast("bigint").alias("n_tokens"),
+        (F.size("toks") - F.size(kept)).cast("bigint").alias("n_removed_tokens"),
+        F.array_join(F.transform(kept, lambda s: s["tok"]), " ").alias("cleaned_text"),
+    )
