@@ -42,6 +42,11 @@ def main() -> None:
     ap.add_argument("--out", default="/tmp/training_shards")
     ap.add_argument("--budget", type=int, default=256)
     ap.add_argument("--shards", type=int, default=8)
+    ap.add_argument(
+        "--span-dedup", action="store_true",
+        help="also cut cross-doc repeated 10-token spans (ExactSubstr) "
+             "from surviving docs before packing",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -97,6 +102,15 @@ def main() -> None:
     )
     stage = stage.join(keepers, "doc_id", "left_semi")
     counts["dedup_keeper"] = stage.count()
+
+    if args.span_dedup:
+        from vector_graph_rag_spark.queries.dedup import remove_shared_spans
+
+        cleaned = remove_shared_spans(stage)
+        counts["span_tokens_removed"] = int(
+            cleaned.agg(F.sum("n_removed_tokens")).collect()[0][0] or 0
+        )
+        stage = cleaned.select("doc_id", F.col("cleaned_text").alias("text"))
 
     write_training_shards(stage, args.out, budget=args.budget, shards=args.shards)
     shards_df = spark.read.parquet(args.out)
