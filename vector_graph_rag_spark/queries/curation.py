@@ -596,37 +596,68 @@ def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _kmeans_assignments(spark, sf_dir)
 
 
-def _kmeans_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _quantized_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
-    q = emb.select(
+    return emb.select(
         "vec_id",
         F.transform(
             "embedding",
             lambda x: F.round(x.cast("double") * _KM_SCALE).cast("long"),
         ).alias("qv"),
     )
-    seeds = q.orderBy("vec_id").limit(_KM_K).collect()
+
+
+def _train_centroids(
+    q: DataFrame, k: int, dim: int, updates: int
+) -> list[tuple[int, list[int]]]:
+    """Lloyd's iterations on quantized vectors: seed with the k lowest
+    vec_ids, then ``updates`` rounds of assign + floor-avg centroid
+    update.  Returns [(cluster_id, quantized_vector), ...] sorted by id."""
+    seeds = q.orderBy("vec_id").limit(k).collect()
     centroids = [(i, list(r["qv"])) for i, r in enumerate(seeds)]
+    for _ in range(updates):
+        assigned = _km_assign(q, centroids)
+        sums = (
+            assigned.select("cluster", F.posexplode("qv").alias("pos", "x"))
+            .groupBy("cluster", "pos")
+            .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
+            .collect()
+        )
+        # A cluster that lost all members (possible only if two seed vectors
+        # are identical) simply disappears — the same behavior as the
+        # declared query's oracle, whose c1d CTE has no rows for it.
+        new_c: dict[int, list[int]] = {int(r["cluster"]): [0] * dim for r in sums}
+        for r in sums:
+            # exact floor division (matches the oracle's floor of an exact
+            # double quotient — quotients stay > 1e-4 from integers, double
+            # rounding cannot cross the floor boundary)
+            new_c[int(r["cluster"])][int(r["pos"])] = int(r["s"]) // int(r["n"])
+        centroids = sorted((cid, vec) for cid, vec in new_c.items())
+    return centroids
 
-    assigned = _km_assign(q, centroids)
-    sums = (
-        assigned.select("cluster", F.posexplode("qv").alias("pos", "x"))
-        .groupBy("cluster", "pos")
-        .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
-        .collect()
-    )
-    # A cluster that lost all members (possible only if two seed vectors are
-    # identical) simply disappears — the same behavior as the oracle, whose
-    # c1d CTE has no rows for it.
-    new_c: dict[int, list[int]] = {int(r["cluster"]): [0] * _KM_DIM for r in sums}
-    for r in sums:
-        # exact floor division (matches the oracle's floor of an exact
-        # double quotient — quotients stay > 1e-4 from integers, double
-        # rounding cannot cross the floor boundary)
-        new_c[int(r["cluster"])][int(r["pos"])] = int(r["s"]) // int(r["n"])
-    centroids = sorted((cid, vec) for cid, vec in new_c.items())
 
+def _kmeans_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    q = _quantized_vectors(spark, sf_dir)
+    centroids = _train_centroids(q, _KM_K, _KM_DIM, updates=1)
     return _km_assign(q, centroids).select("vec_id", "cluster", "dist")
+
+
+def train_ivf_centroids(
+    spark: SparkSession, sf_dir: str, nlist: int = 8, updates: int = 2
+) -> DataFrame:
+    """K-means-trained coarse quantizer for the IVF index (operators/ivf.py
+    consumes the returned (centroid_id, cvec) table directly).
+
+    The in-query IVF variant seeds cells from the first nlist vectors; a
+    trained quantizer spreads centroids to the data's actual density, which
+    balances cell sizes — at 100 TB cell balance IS partition balance for
+    the partitionBy(cell_id) index layout, so this is the difference
+    between even partition pruning and a hot-cell scan.
+    """
+    q = _quantized_vectors(spark, sf_dir)
+    cents = _train_centroids(q, nlist, _KM_DIM, updates=updates)
+    rows = [(cid, [v / _KM_SCALE for v in vec]) for cid, vec in cents]
+    return spark.createDataFrame(rows, "centroid_id int, cvec array<double>")
 
 
 def semdedup_keep_list(
