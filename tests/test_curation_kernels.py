@@ -342,3 +342,42 @@ def test_trained_ivf_centroids_beat_naive_seeding(spark, tmp_path):
     r_trained = recall(trained, str(tmp_path / "ivf_trained"))
     assert r_trained > r_naive, (r_trained, r_naive)
     assert max_cell(trained) <= max_cell(naive)
+
+
+# --- source-mix rebalancing ---------------------------------------------------
+
+
+def test_rebalance_source_mix_matches_twin(spark):
+    import hashlib
+
+    from vector_graph_rag_spark.queries.sampling import rebalance_source_mix
+    from vector_graph_rag_spark.sources.tables import load_table
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    weights = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+    out = rebalance_source_mix(d, weights).collect()
+
+    rows = [(r["doc_id"], r["source"]) for r in d.select("doc_id", "source").collect()]
+    counts: dict[str, int] = {}
+    for _, s in rows:
+        counts[s] = counts.get(s, 0) + 1
+    T = min(int(counts[s] / w) for s, w in weights.items())
+    quota = {s: int(w * T) for s, w in weights.items()}
+
+    # surviving counts hit the quotas exactly → the mix matches the weights
+    got_counts: dict[str, int] = {}
+    for r in out:
+        got_counts[r["source"]] = got_counts.get(r["source"], 0) + 1
+    assert got_counts == quota
+    # the realized proportions are within 1 doc of the requested mix
+    tot = sum(quota.values())
+    for s, w in weights.items():
+        assert abs(quota[s] / tot - w) < 1.0 / min(quota.values())
+
+    # membership = lowest hash60("mix:"+doc_id) per source (the twin)
+    def h60(doc_id):
+        return int(hashlib.md5(f"mix:{doc_id}".encode()).hexdigest()[:15], 16)
+
+    for s, n in quota.items():
+        ids = sorted((h60(i), i) for i, src in rows if src == s)[:n]
+        assert {i for _, i in ids} == {r["doc_id"] for r in out if r["source"] == s}

@@ -124,3 +124,57 @@ def events_distinct_users_2level(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+# --- source-mix rebalancing (domain-weighted corpus composition) ------------
+
+
+def rebalance_source_mix(d: DataFrame, weights: dict[str, float]) -> DataFrame:
+    """Deterministic domain-mix rebalance: downsample each source so the
+    surviving corpus matches the requested relative ``weights`` exactly
+    (e.g. {"web": 0.4, "code": 0.2, ...} — the data-mixing step of every
+    pretraining recipe), keeping the corpus as large as the scarcest source
+    allows.
+
+    Per source s: takes n_s = floor(w_s · T) documents, where
+    T = min_s floor(count_s / w_s) is the largest total the available
+    counts support.  Selection is the hash-ordered exactly-n window (the
+    stratified_sample_per_source kernel): stable under repartitioning,
+    task retry, and incremental append — never rand().
+
+    Scale: one map-side-combined count per source (broadcast-sized result
+    drives the n_s plan on the driver), then one window shuffle partitioned
+    by source.  A giant source partition is the same skew the stratified
+    sampler already tolerates: rank-k selection short-circuits per
+    partition; salt the window key if one source dominates the corpus.
+
+    Returns the surviving rows of ``d`` plus their per-source rank.
+    """
+    sources = sorted(weights)
+    if not sources or any(w <= 0 for w in weights.values()):
+        raise ValueError("weights must be a non-empty map of positive numbers")
+    total_w = sum(weights.values())
+    frac = {s: weights[s] / total_w for s in sources}
+    counts = {
+        r["source"]: r["n"]
+        for r in d.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    missing = [s for s in sources if counts.get(s, 0) == 0]
+    if missing:
+        raise ValueError(f"no documents for weighted sources: {missing}")
+    T = min(int(counts[s] / frac[s]) for s in sources)
+    quota = {s: int(frac[s] * T) for s in sources}
+
+    quota_df = F.broadcast(
+        d.sparkSession.createDataFrame(
+            [(s, n) for s, n in quota.items()], "source string, quota long"
+        )
+    )
+    h = hash60(F.concat(F.lit("mix:"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("source").orderBy(h.asc(), F.col("doc_id").asc())
+    return (
+        d.join(quota_df, "source")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= F.col("quota"))
+        .drop("quota")
+    )
