@@ -160,3 +160,55 @@ def test_topk_all_null_query_batch(spark):
         out = fn(corpus, queries, k=3, corpus_id="vec_id", corpus_vec="embedding")
         assert out.columns == ["query_id", "vec_id", "score", "rank"], fn.__name__
         assert out.count() == 0, fn.__name__
+
+
+def test_curation_queries_on_empty_tables(spark, tmp_path):
+    """Every curation query must return an EMPTY result (not crash) on an
+    empty corpus — k-means previously raised at plan time building a
+    zero-centroid literal array (fixed: explicit empty-corpus path)."""
+    from vector_graph_rag_spark.queries import load_all
+
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        [], "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{sf}/documents.parquet")
+    spark.createDataFrame(
+        [], "vec_id long, embedding array<float>, label int"
+    ).write.parquet(f"{sf}/embeddings.parquet")
+
+    qs = load_all()
+    for name in (
+        "contamination_ngram_overlap",
+        "pii_redaction_profile",
+        "repetition_quality_filters",
+        "sequence_packing",
+        "kmeans_embedding_clusters",
+    ):
+        assert qs[name].fn(spark, sf).count() == 0, name
+
+    from vector_graph_rag_spark.queries.curation import semdedup_keep_list
+    from vector_graph_rag_spark.queries.dedup import remove_shared_spans
+    from vector_graph_rag_spark.sources.tables import load_table
+
+    assert semdedup_keep_list(spark, sf).count() == 0
+    assert remove_shared_spans(load_table(spark, sf, "documents")).count() == 0
+
+
+def test_kmeans_with_fewer_vectors_than_k(spark, tmp_path):
+    """n < k: every vector seeds its own cluster and self-assigns at
+    distance 0."""
+    from vector_graph_rag_spark.queries import load_all
+
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        [], "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{sf}/documents.parquet")
+    spark.createDataFrame(
+        [(i, [float(i)] * 64, 0) for i in range(3)],
+        "vec_id long, embedding array<float>, label int",
+    ).write.parquet(f"{sf}/embeddings.parquet")
+
+    rows = load_all()["kmeans_embedding_clusters"].fn(spark, sf).collect()
+    assert {(r["vec_id"], r["cluster"], r["dist"]) for r in rows} == {
+        (0, 0, 0), (1, 1, 0), (2, 2, 0)
+    }

@@ -615,6 +615,8 @@ def _train_centroids(
     update.  Returns [(cluster_id, quantized_vector), ...] sorted by id."""
     seeds = q.orderBy("vec_id").limit(k).collect()
     centroids = [(i, list(r["qv"])) for i, r in enumerate(seeds)]
+    if not centroids:  # empty corpus — no seeds, no training
+        return []
     for _ in range(updates):
         assigned = _km_assign(q, centroids)
         sums = (
@@ -639,6 +641,8 @@ def _train_centroids(
 def _kmeans_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = _quantized_vectors(spark, sf_dir)
     centroids = _train_centroids(q, _KM_K, _KM_DIM, updates=1)
+    if not centroids:  # empty corpus — no seeds, nothing to assign
+        return spark.createDataFrame([], "vec_id long, cluster long, dist long")
     return _km_assign(q, centroids).select("vec_id", "cluster", "dist")
 
 
