@@ -381,3 +381,45 @@ def test_rebalance_source_mix_matches_twin(spark):
     for s, n in quota.items():
         ids = sorted((h60(i), i) for i, src in rows if src == s)[:n]
         assert {i for _, i in ids} == {r["doc_id"] for r in out if r["source"] == s}
+
+
+# --- CDC snapshot diff --------------------------------------------------------
+
+
+def test_snapshot_diff_classifies_delta(spark):
+    """added / removed / changed classification against a deterministic
+    mutation of the documents table; unchanged rows must be absent."""
+    from pyspark.sql import functions as F
+
+    from vector_graph_rag_spark.operators.cdc import snapshot_diff
+    from vector_graph_rag_spark.sources.tables import load_table
+
+    old = load_table(spark, "/root/testdata/sf0.001", "documents")
+    # mutation: drop doc_id%17==0, edit doc_id%13==0, add re-keyed copies
+    new = (
+        old.filter(F.col("doc_id") % 17 != 0)
+        .withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 13 == 0, F.concat(F.col("text"), F.lit(" EDITED"))
+            ).otherwise(F.col("text")),
+        )
+        .unionByName(
+            old.filter(F.col("doc_id") % 29 == 0).withColumn(
+                "doc_id", F.col("doc_id") + 1_000_000
+            )
+        )
+    )
+    got = {r["doc_id"]: r["change"] for r in snapshot_diff(old, new).collect()}
+
+    ids = [r["doc_id"] for r in old.select("doc_id").collect()]
+    expect = {}
+    for i in ids:
+        if i % 17 == 0:
+            expect[i] = "removed"
+        elif i % 13 == 0:
+            expect[i] = "changed"
+        if i % 29 == 0:
+            expect[i + 1_000_000] = "added"
+    assert got == expect
+    assert all(v in ("added", "removed", "changed") for v in got.values())
