@@ -423,3 +423,52 @@ def test_snapshot_diff_classifies_delta(spark):
             expect[i + 1_000_000] = "added"
     assert got == expect
     assert all(v in ("added", "removed", "changed") for v in got.values())
+
+
+# --- connected components to convergence --------------------------------------
+
+
+def test_components_to_convergence_matches_union_find(spark):
+    """components_to_convergence on the sf0.001 entity graph must reach the
+    exact components a Python union-find computes, with constant-depth
+    plans (eager per-round localCheckpoint)."""
+    from pyspark.sql import functions as F
+
+    from vector_graph_rag_spark.operators.graph_algos import (
+        components_to_convergence,
+        undirect,
+    )
+    from vector_graph_rag_spark.queries.graphrag import _graph
+
+    g = _graph(spark, "/root/testdata/sf0.001")
+    directed = g.relations.select(
+        F.col("src_entity_id").alias("a"), F.col("dst_entity_id").alias("b")
+    )
+    nodes = g.entities.select("id")
+    labels, rounds = components_to_convergence(nodes, undirect(directed))
+    assert rounds >= 1
+    got = {r["id"]: r["comp"] for r in labels.collect()}
+
+    # union-find twin
+    parent: dict[str, str] = {r["id"]: r["id"] for r in nodes.collect()}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in directed.collect():
+        a, b = find(r["a"]), find(r["b"])
+        if a != b:
+            parent[max(a, b)] = min(a, b)
+    # canonical rep = min id in component
+    comp_members: dict[str, list] = {}
+    for n in parent:
+        comp_members.setdefault(find(n), []).append(n)
+    expect = {}
+    for root, members in comp_members.items():
+        m = min(members)
+        for n in members:
+            expect[n] = m
+    assert got == expect
