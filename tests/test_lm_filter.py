@@ -1,0 +1,226 @@
+"""LM-perplexity filtering + DSIR importance weighting vs pure-Python twins.
+
+Every numeric claim the distributed operators make is recomputed with a
+straight-line Python implementation of the same math on the same sf0.001
+corpus; results must agree to float tolerance (these are library operators,
+not hash-oracle queries — the registry is frozen at 100, see
+operators/lm_filter.py module docstring).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from vector_graph_rag_spark.operators.lm_filter import (
+    _BOS,
+    dsir_importance_weights,
+    dsir_select,
+    lm_cross_entropy,
+    perplexity_buckets,
+    train_bigram_lm,
+)
+from vector_graph_rag_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+ALPHA = 0.1
+LAM = 0.7
+
+
+def _toks(s: str) -> list[str]:
+    return [t for t in s.split(" ") if t]
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    docs = load_table(spark, SF, "documents").select("doc_id", "text", "source")
+    rows = {r["doc_id"]: (r["text"], r["source"]) for r in docs.collect()}
+    return docs, rows
+
+
+def _python_lm(train_texts):
+    uni: dict[str, int] = {}
+    bi: dict[tuple[str, str], int] = {}
+    ctx: dict[str, int] = {}
+    for text in train_texts:
+        ts = _toks(text)
+        for t in ts:
+            uni[t] = uni.get(t, 0) + 1
+        prev = _BOS
+        for t in ts:
+            bi[(prev, t)] = bi.get((prev, t), 0) + 1
+            ctx[prev] = ctx.get(prev, 0) + 1
+            prev = t
+    total = sum(uni.values())
+    vocab = len(uni)
+    return uni, bi, ctx, total, vocab
+
+
+def test_cross_entropy_matches_python_twin(spark, corpus):
+    docs, rows = corpus
+    # train on the src0 slice, score the whole corpus — the CCNet shape
+    train = docs.filter("source = 'src0'")
+    model = train_bigram_lm(train, alpha=ALPHA)
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["cross_entropy"])
+        for r in lm_cross_entropy(docs, model, lam=LAM).collect()
+    }
+
+    uni, bi, ctx, total, vocab = _python_lm(
+        [t for t, s in rows.values() if s == "src0"]
+    )
+    assert model["vocab_size"] == vocab and model["total_tokens"] == total
+    unseen = ALPHA / (total + ALPHA * (vocab + 1))
+    for doc_id, (text, _) in rows.items():
+        ts = _toks(text)
+        if not ts:
+            assert doc_id not in got
+            continue
+        ent = 0.0
+        prev = _BOS
+        for t in ts:
+            p_bi = bi.get((prev, t), 0) / ctx[prev] if prev in ctx else 0.0
+            p_uni = (
+                (uni[t] + ALPHA) / (total + ALPHA * (vocab + 1))
+                if t in uni
+                else unseen
+            )
+            ent -= math.log2(LAM * p_bi + (1 - LAM) * p_uni)
+            prev = t
+        n, ce = got[doc_id]
+        assert n == len(ts)
+        assert ce == pytest.approx(ent / len(ts), rel=1e-9)
+
+
+def test_perplexity_buckets_tier_fractions(spark, corpus):
+    docs, rows = corpus
+    model = train_bigram_lm(docs.filter("source = 'src0'"), alpha=ALPHA)
+    tiers = perplexity_buckets(lm_cross_entropy(docs, model)).collect()
+    n = len(tiers)
+    by = {}
+    for r in tiers:
+        by.setdefault(r["tier"], []).append(r["cross_entropy"])
+    # roughly thirds, and ordered: every head entropy <= every tail entropy
+    assert abs(len(by["head"]) - n / 3) <= 2
+    assert abs(len(by["tail"]) - n / 3) <= 2
+    assert max(by["head"]) <= min(by["middle"])
+    assert max(by["middle"]) <= min(by["tail"])
+
+
+def test_dsir_weights_match_python_twin(spark, corpus):
+    docs, rows = corpus
+    n_buckets, alpha = 256, 1.0
+    w = dsir_importance_weights(
+        docs.withColumn("is_t", docs.source == "src0"),
+        "is_t",
+        n_buckets=n_buckets,
+        alpha=alpha,
+    )
+    got = {r["doc_id"]: (r["n_features"], r["weight"]) for r in w.collect()}
+
+    # twin: reuse Spark's bucket assignment (xxhash64 is the partitioner
+    # under test only insofar as it is deterministic), redo all math in Python
+    from vector_graph_rag_spark.operators.lm_filter import _hashed_features
+
+    feats = [
+        (r["doc_id"], r["bucket"])
+        for r in _hashed_features(docs, "text", n_buckets).collect()
+    ]
+    target_ids = {d for d, (_, s) in rows.items() if s == "src0"}
+    c_t: dict[int, int] = {}
+    c_r: dict[int, int] = {}
+    per_doc: dict[int, list[int]] = {}
+    for doc_id, b in feats:
+        (c_t if doc_id in target_ids else c_r)[b] = (
+            c_t if doc_id in target_ids else c_r
+        ).get(b, 0) + 1
+        per_doc.setdefault(doc_id, []).append(b)
+    n_t, n_r = sum(c_t.values()), sum(c_r.values())
+    expect = {}
+    for doc_id, bs in per_doc.items():
+        if doc_id in target_ids:
+            continue
+        wt = sum(
+            math.log((c_t.get(b, 0) + alpha) / (n_t + alpha * n_buckets))
+            - math.log((c_r.get(b, 0) + alpha) / (n_r + alpha * n_buckets))
+            for b in bs
+        )
+        expect[doc_id] = (len(bs), wt)
+    assert set(got) == set(expect)
+    for doc_id, (n, wt) in expect.items():
+        assert got[doc_id][0] == n
+        assert got[doc_id][1] == pytest.approx(wt, rel=1e-9)
+    # no target doc is ever weighted
+    assert not (set(got) & target_ids)
+
+
+def test_dsir_select_is_deterministic_topn(spark, corpus):
+    docs, _ = corpus
+    w = dsir_importance_weights(
+        docs.withColumn("is_t", docs.source == "src0"), "is_t", n_buckets=256
+    )
+    top = dsir_select(w, 25).collect()
+    assert len(top) == 25
+    all_w = sorted(
+        ((r["weight"], r["doc_id"]) for r in w.collect()),
+        key=lambda p: (-p[0], p[1]),
+    )
+    assert [r["doc_id"] for r in top] == [d for _, d in all_w[:25]]
+    # TakeOrderedAndProject, not a global sort of the full frame
+    plan = dsir_select(w, 25)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_quality_classifier_matches_python_gd_twin(spark, corpus):
+    from vector_graph_rag_spark.operators.lm_filter import (
+        _doc_features,
+        quality_scores,
+        train_quality_classifier,
+    )
+
+    docs, rows = corpus
+    n_buckets, iters, lr, l2 = 256, 10, 2.0, 1e-4
+    labeled = docs.withColumn("hq", docs.source == "src0")
+    model = train_quality_classifier(
+        labeled, "hq", n_buckets=n_buckets, iters=iters, lr=lr, l2=l2
+    )
+    got = {r["doc_id"]: r["score"] for r in quality_scores(docs, model).collect()}
+
+    # twin: reuse Spark's feature stream, replay the identical full-batch GD
+    feats: dict[int, list[tuple[int, float]]] = {}
+    for r in _doc_features(docs, "text", n_buckets).collect():
+        feats.setdefault(r["doc_id"], []).append((r["bucket"], r["x"]))
+    # every labeled doc participates (feature-less docs still move the bias)
+    ys = {d: 1.0 if s == "src0" else 0.0 for d, (_, s) in rows.items()}
+    feats = {d: feats.get(d, []) for d in ys}
+    n_docs = len(ys)
+    w: dict[int, float] = {}
+    bias = 0.0
+    for _ in range(iters):
+        grad: dict[int, float] = {}
+        gb = 0.0
+        for d, y in ys.items():
+            m = sum(x * w.get(b, 0.0) for b, x in feats[d]) + bias
+            r_ = 1.0 / (1.0 + math.exp(-m)) - y
+            gb += r_
+            for b, x in feats[d]:
+                grad[b] = grad.get(b, 0.0) + x * r_
+        for b, g in grad.items():
+            w[b] = w.get(b, 0.0) - lr * (g / n_docs + l2 * w.get(b, 0.0))
+        bias -= lr * gb / n_docs
+    assert model["bias"] == pytest.approx(bias, rel=1e-6, abs=1e-9)
+    for b, wb in w.items():
+        assert model["weights"].get(b, 0.0) == pytest.approx(
+            wb, rel=1e-6, abs=1e-9
+        )
+    for d in ys:
+        if not feats[d]:  # feature-less docs get no score row
+            assert d not in got
+            continue
+        m = sum(x * w.get(b, 0.0) for b, x in feats[d]) + bias
+        assert got[d] == pytest.approx(1.0 / (1.0 + math.exp(-m)), rel=1e-6)
+    # and it learned something: positives score higher in-sample
+    pos = [got[d] for d, y in ys.items() if y == 1.0 and d in got]
+    neg = [got[d] for d, y in ys.items() if y == 0.0 and d in got]
+    assert sum(pos) / len(pos) > sum(neg) / len(neg)

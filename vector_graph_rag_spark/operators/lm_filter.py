@@ -1,0 +1,394 @@
+"""Model-based quality filtering — the two published corpus-selection
+techniques a pretraining pipeline runs after the rule-based passes
+(`queries/curation.py`):
+
+- **CCNet-style n-gram LM perplexity** (Wenzek et al. 2020): train a small
+  language model on a trusted corpus, score every candidate document by its
+  per-token cross-entropy under that model, and bucket the corpus into
+  head / middle / tail quality tiers.  Here the LM is an interpolated
+  bigram model with add-alpha unigram smoothing — the dataflow (train =
+  n-gram counting, score = n-gram join + per-doc mean) is identical to the
+  KenLM 5-gram the paper uses, and swapping the model is a parameter change,
+  not a plan change.
+- **DSIR hashed n-gram importance weights** (Xie et al. 2023, "Data
+  Selection for Language Models via Importance Resampling"): hash word
+  bigrams into a fixed number of buckets, fit bag-of-buckets unigram
+  distributions over a *target* set and the *raw* pool, and weight each raw
+  document by its log-likelihood ratio sum.  Selection keeps the
+  highest-weight documents.
+
+Both are library operators (unit-pinned against pure-Python twins) rather
+than registered oracle queries: the driver registry is frozen at 100 =
+2 x driver-window so the two-round rotation guarantee stays exact.
+
+Scale design (the reason these shapes survive 100 TB):
+
+- LM **training** is n-gram counting: explode + one map-side-combined
+  ``groupBy`` per order.  The model tables are vocab-sized, not
+  corpus-sized.
+- LM **scoring** joins the corpus bigram stream against the model tables on
+  the n-gram key.  Stop-word bigrams are the classic skew key — AQE
+  skew-join splitting handles them (session default), and the unigram side
+  is broadcast when the vocab fits under the threshold.
+- **DSIR** is the aggressively cheap one by construction: the feature space
+  is a *fixed* ``n_buckets`` (default 10k), so both distribution tables and
+  the per-bucket log-ratio table are tiny and **broadcast**; per-document
+  weighting is explode -> broadcast join -> one ``groupBy(doc)`` sum.  One
+  corpus shuffle total, independent of vocabulary size — that is the point
+  of hashed features at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from vector_graph_rag_spark.functions.text import tokens
+
+_BOS = "\x02"  # sentence-start pseudo-token, cannot occur in whitespace tokens
+
+
+def _unigrams(docs: DataFrame, text_col: str) -> DataFrame:
+    """(doc_id, tok) stream, one row per token occurrence."""
+    return docs.select(
+        "doc_id", F.explode(tokens(text_col)).alias("tok")
+    )
+
+
+def _bigrams(docs: DataFrame, text_col: str) -> DataFrame:
+    """(doc_id, prev, tok) stream with a BOS row per document.
+
+    Built row-locally with ``zip_with`` over the token array and a shifted
+    copy — no window, no shuffle; the array is bounded by document length.
+    """
+    toks = docs.select("doc_id", tokens(text_col).alias("ts")).filter(
+        F.size("ts") > 0
+    )
+    shifted = F.concat(F.array(F.lit(_BOS)), F.slice("ts", 1, F.size("ts") - 1))
+    pairs = F.zip_with(
+        shifted, "ts", lambda p, t: F.struct(p.alias("prev"), t.alias("tok"))
+    )
+    return toks.select("doc_id", F.explode(pairs).alias("pr")).select(
+        "doc_id", "pr.prev", "pr.tok"
+    )
+
+
+def train_bigram_lm(
+    docs: DataFrame, text_col: str = "text", alpha: float = 0.1
+) -> dict:
+    """Count-based interpolated bigram LM from a trusted corpus.
+
+    Returns ``{"uni": DF(tok, p_uni), "bi": DF(prev, tok, c_bi, c_prev),
+    "vocab_size": int, "alpha": float}``.  Unigram probabilities are
+    add-``alpha`` smoothed over the observed vocab + 1 (the unseen class),
+    so every token — including ones never seen in training — has positive
+    mass.  Two shuffles total (one count per order), both map-side combined;
+    model tables are vocab-sized.
+    """
+    uni_counts = _unigrams(docs, text_col).groupBy("tok").agg(
+        F.count("*").alias("c_uni")
+    )
+    bi = (
+        _bigrams(docs, text_col)
+        .groupBy("prev", "tok")
+        .agg(F.count("*").alias("c_bi"))
+    )
+    # context totals: BOS contexts come from the bigram table itself so the
+    # BOS pseudo-token needs no unigram row
+    ctx = bi.groupBy("prev").agg(F.sum("c_bi").alias("c_prev"))
+    bi = bi.join(ctx, "prev")
+    total, vocab = uni_counts.agg(
+        F.sum("c_uni").alias("t"), F.count("*").alias("v")
+    ).collect()[0]
+    uni = uni_counts.select(
+        "tok",
+        (
+            (F.col("c_uni") + F.lit(alpha))
+            / F.lit(float(total) + alpha * (int(vocab) + 1))
+        ).alias("p_uni"),
+    )
+    return {
+        "uni": uni,
+        "bi": bi,
+        "vocab_size": int(vocab),
+        "total_tokens": int(total),
+        "alpha": float(alpha),
+    }
+
+
+def lm_cross_entropy(
+    docs: DataFrame, model: dict, text_col: str = "text", lam: float = 0.7
+) -> DataFrame:
+    """Per-document cross-entropy (bits/token) under the trained LM.
+
+    p(tok | prev) = lam * c_bi/c_prev  +  (1-lam) * p_uni(tok), with the
+    bigram term 0 for unseen (prev, tok) and p_uni falling back to the
+    smoothed unseen-class mass for out-of-vocab tokens — every token gets
+    positive probability, so the entropy is always finite.
+
+    Output: (doc_id, n_tokens, cross_entropy) — lower = more in-domain.
+    Plan: corpus bigram stream joined left against the two model tables on
+    their n-gram keys (AQE splits hot stop-word keys), then one
+    ``groupBy(doc_id)`` mean.
+    """
+    alpha = model["alpha"]
+    unseen_p = alpha / (
+        model["total_tokens"] + alpha * (model["vocab_size"] + 1)
+    )
+    grams = _bigrams(docs, text_col)
+    scored = (
+        grams.join(model["bi"], ["prev", "tok"], "left")
+        .join(model["uni"], "tok", "left")
+        .select(
+            "doc_id",
+            (
+                F.lit(lam)
+                * F.coalesce(F.col("c_bi") / F.col("c_prev"), F.lit(0.0))
+                + F.lit(1.0 - lam)
+                * F.coalesce("p_uni", F.lit(unseen_p))
+            ).alias("p"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        (-F.avg(F.log2("p"))).alias("cross_entropy"),
+    )
+
+
+def perplexity_buckets(
+    scores: DataFrame, head_frac: float = 1 / 3, tail_frac: float = 1 / 3
+) -> DataFrame:
+    """CCNet head/middle/tail tiers by cross-entropy rank.
+
+    Deterministic: ties broken by doc_id so the split is stable under any
+    partitioning.  One global ``percent_rank`` window — the ranked frame is
+    one row per document (corpus-cardinality but narrow); at 100 TB the
+    production variant computes the two cut points with
+    ``approx_percentile`` and tiers by broadcast thresholds instead, which
+    is a parameter of this same output contract.
+    """
+    w = Window.orderBy("cross_entropy", "doc_id")
+    ranked = scores.withColumn("pr", F.percent_rank().over(w))
+    return ranked.select(
+        "doc_id",
+        "n_tokens",
+        "cross_entropy",
+        F.when(F.col("pr") < head_frac, "head")
+        .when(F.col("pr") >= 1.0 - tail_frac, "tail")
+        .otherwise("middle")
+        .alias("tier"),
+    )
+
+
+# --- DSIR ------------------------------------------------------------------
+
+
+def _hashed_features(
+    docs: DataFrame, text_col: str, n_buckets: int
+) -> DataFrame:
+    """(doc_id, bucket) stream: word bigrams hashed into ``n_buckets``.
+
+    Uses ``xxhash64`` (stable across sessions/partitionings) on the joined
+    bigram text; ``pmod`` keeps the bucket non-negative.
+    """
+    return _bigrams(docs, text_col).select(
+        "doc_id",
+        F.pmod(
+            F.xxhash64(F.concat_ws("\x01", "prev", "tok")), F.lit(n_buckets)
+        ).alias("bucket"),
+    )
+
+
+def dsir_importance_weights(
+    docs: DataFrame,
+    is_target: str,
+    text_col: str = "text",
+    n_buckets: int = 10_000,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Per-document DSIR importance weight over the raw (non-target) pool.
+
+    ``is_target`` names a boolean column: True rows define the target
+    distribution (the domain you want more of), False rows are the raw pool
+    being weighted.  Each raw document gets
+    ``weight = sum_over_features log(p_target(bucket) / p_raw(bucket))``
+    with add-``alpha`` smoothing over the fixed bucket space.
+
+    Output: (doc_id, n_features, weight) for raw documents only — higher =
+    more target-like.  The bucket-distribution table is ``n_buckets`` rows
+    (fixed, tiny) -> broadcast; the whole operator costs one corpus shuffle
+    (the final ``groupBy(doc_id)``).
+    """
+    feats = _hashed_features(
+        docs.select("doc_id", text_col, is_target), text_col, n_buckets
+    ).join(docs.select("doc_id", is_target), "doc_id")
+    dist = feats.groupBy("bucket").agg(
+        F.sum(F.when(F.col(is_target), 1).otherwise(0)).alias("c_t"),
+        F.sum(F.when(F.col(is_target), 0).otherwise(1)).alias("c_r"),
+    )
+    totals = dist.agg(
+        F.sum("c_t").alias("n_t"), F.sum("c_r").alias("n_r")
+    ).collect()[0]
+    denom_t = float(totals["n_t"]) + alpha * n_buckets
+    denom_r = float(totals["n_r"]) + alpha * n_buckets
+    log_ratio = dist.select(
+        "bucket",
+        (
+            F.log((F.col("c_t") + alpha) / denom_t)
+            - F.log((F.col("c_r") + alpha) / denom_r)
+        ).alias("log_ratio"),
+    )
+    raw_feats = feats.filter(~F.col(is_target))
+    return (
+        raw_feats.join(F.broadcast(log_ratio), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_features"),
+            F.sum("log_ratio").alias("weight"),
+        )
+    )
+
+
+def dsir_select(weights: DataFrame, n: int) -> DataFrame:
+    """Keep the ``n`` highest-weight documents, deterministically.
+
+    The paper samples with Gumbel noise; a training pipeline that must be
+    reproducible across retries uses the deterministic top-n (ties broken
+    by doc_id).  Plans as ``TakeOrderedAndProject`` — per-partition local
+    top-n, no global sort.
+    """
+    return weights.orderBy(F.desc("weight"), F.asc("doc_id")).limit(n)
+
+
+# --- GPT-3/WebText-style quality classifier --------------------------------
+
+
+def _doc_features(
+    docs: DataFrame, text_col: str, n_buckets: int
+) -> DataFrame:
+    """(doc_id, bucket, x) — per-document length-normalized bucket counts.
+
+    Length normalization (count / doc total) is the standard
+    bag-of-features scaling so long documents don't dominate the gradient.
+    """
+    counts = (
+        _hashed_features(docs, text_col, n_buckets)
+        .groupBy("doc_id", "bucket")
+        .agg(F.count("*").alias("c"))
+    )
+    doc_tot = counts.groupBy("doc_id").agg(F.sum("c").alias("tot"))
+    return counts.join(doc_tot, "doc_id").select(
+        "doc_id", "bucket", (F.col("c") / F.col("tot")).alias("x")
+    )
+
+
+def train_quality_classifier(
+    docs: DataFrame,
+    label: str,
+    text_col: str = "text",
+    n_buckets: int = 10_000,
+    iters: int = 25,
+    lr: float = 2.0,
+    l2: float = 1e-4,
+) -> dict:
+    """Logistic-regression quality classifier on hashed bigram features —
+    the GPT-3 appendix-A "trained to discriminate WebText from raw Common
+    Crawl" filter, trained as full-batch gradient descent expressed in
+    DataFrame aggregations.
+
+    ``label`` names a boolean column (True = high-quality exemplar).  Per
+    iteration: scores = feature-stream join against the **broadcast** weight
+    table + one ``groupBy(doc_id)`` sum; gradient = residual-weighted
+    feature stream + one ``groupBy(bucket)`` sum, collected as ``n_buckets``
+    rows.  Driver state is the weight vector (``n_buckets`` floats + bias)
+    — never corpus-sized; the feature stream is computed once, persisted,
+    and shuffled exactly twice per iteration.
+
+    Returns ``{"weights": {bucket: w}, "bias": float, ...}``.  Deterministic:
+    float adds are reassociated only inside Spark's fixed-plan partial
+    aggregation, and the twin test pins results at 1e-6.
+    """
+    feats = _doc_features(
+        docs.select("doc_id", text_col), text_col, n_buckets
+    ).persist()
+    labels = (
+        docs.select("doc_id", F.col(label).cast("double").alias("y"))
+        .filter(F.col("y").isNotNull())
+        .persist()
+    )
+    n_docs = labels.count()
+    spark = docs.sparkSession
+    w: dict[int, float] = {}
+    bias = 0.0
+    for _ in range(iters):
+        w_df = spark.createDataFrame(
+            list(w.items()) or [(0, 0.0)], "bucket int, w double"
+        )
+        margins = (
+            feats.join(F.broadcast(w_df), "bucket", "left")
+            .groupBy("doc_id")
+            .agg(
+                F.sum(F.col("x") * F.coalesce("w", F.lit(0.0))).alias("m")
+            )
+        )
+        resid = (
+            labels.join(margins, "doc_id", "left")
+            .select(
+                "doc_id",
+                (
+                    F.lit(1.0)
+                    / (
+                        F.lit(1.0)
+                        + F.exp(-(F.coalesce("m", F.lit(0.0)) + F.lit(bias)))
+                    )
+                    - F.col("y")
+                ).alias("r"),
+            )
+        )
+        grad_rows = (
+            feats.join(resid, "doc_id")
+            .groupBy("bucket")
+            .agg(F.sum(F.col("x") * F.col("r")).alias("g"))
+            .collect()
+        )
+        grad_b = resid.agg(F.sum("r")).collect()[0][0] or 0.0
+        for row in grad_rows:
+            b = row["bucket"]
+            w[b] = w.get(b, 0.0) - lr * (
+                row["g"] / n_docs + l2 * w.get(b, 0.0)
+            )
+        bias -= lr * grad_b / n_docs
+    feats.unpersist()
+    labels.unpersist()
+    return {
+        "weights": w,
+        "bias": bias,
+        "n_buckets": n_buckets,
+        "text_col": text_col,
+    }
+
+
+def quality_scores(docs: DataFrame, model: dict) -> DataFrame:
+    """(doc_id, score) — sigmoid quality probability under the trained
+    classifier.  One broadcast join + one ``groupBy(doc_id)``."""
+    spark = docs.sparkSession
+    w_df = spark.createDataFrame(
+        list(model["weights"].items()) or [(0, 0.0)], "bucket int, w double"
+    )
+    feats = _doc_features(
+        docs.select("doc_id", model["text_col"]),
+        model["text_col"],
+        model["n_buckets"],
+    )
+    return (
+        feats.join(F.broadcast(w_df), "bucket", "left")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("x") * F.coalesce("w", F.lit(0.0))).alias("m"))
+        .select(
+            "doc_id",
+            (
+                F.lit(1.0)
+                / (F.lit(1.0) + F.exp(-(F.col("m") + F.lit(model["bias"]))))
+            ).alias("score"),
+        )
+    )
