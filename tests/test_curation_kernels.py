@@ -212,6 +212,42 @@ def test_curation_pipeline_tool_runs_end_to_end(spark, tmp_path, monkeypatch, ca
     assert got.count() == f["sequences_written"]
 
 
+def test_curation_pipeline_tool_model_stages(spark, tmp_path, monkeypatch, capsys):
+    """--lm-filter / --dsir-keep: the model-based stages extend the funnel
+    monotonically and still produce consistent shards."""
+    import importlib.util
+    import json
+    import os
+    import sys
+
+    spec = importlib.util.spec_from_file_location(
+        "curation_pipeline",
+        os.path.join(os.path.dirname(__file__), "..", "tools", "curation_pipeline.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    out = str(tmp_path / "shards")
+    monkeypatch.setattr(
+        sys, "argv",
+        ["curation_pipeline.py", "--sf", "/root/testdata/sf0.001", "--out", out,
+         "--lm-filter", "--dsir-keep", "0.6"],
+    )
+    from pyspark.sql import SparkSession
+
+    monkeypatch.setattr(SparkSession, "stop", lambda self: None)
+    mod.main()
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    f = report["funnel"]
+    order = [
+        "raw", "lang_en", "quality", "repetition", "decontaminated",
+        "dedup_keeper", "lm_perplexity", "dsir_selected",
+    ]
+    assert all(f[a] >= f[b] for a, b in zip(order, order[1:])), f
+    assert f["dsir_selected"] > 0
+    assert f["sequences_written"] > 0
+    assert spark.read.parquet(out).count() == f["sequences_written"]
+
+
 # --- exact substring dedup (ExactSubstr) ------------------------------------
 
 

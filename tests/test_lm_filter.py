@@ -12,6 +12,7 @@ from __future__ import annotations
 import math
 
 import pytest
+from pyspark.sql import functions as F
 
 from vector_graph_rag_spark.operators.lm_filter import (
     _BOS,
@@ -170,6 +171,31 @@ def test_dsir_select_is_deterministic_topn(spark, corpus):
     # TakeOrderedAndProject, not a global sort of the full frame
     plan = dsir_select(w, 25)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_empty_corpus_robustness(spark):
+    from vector_graph_rag_spark.operators.lm_filter import (
+        train_quality_classifier,
+    )
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    model = train_bigram_lm(empty, alpha=ALPHA)
+    assert model["vocab_size"] == 0 and model["total_tokens"] == 0
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "c")], "doc_id long, text string"
+    )
+    scored = lm_cross_entropy(docs, model, lam=LAM).collect()
+    # every token falls to the smoothed unseen-class mass: entropy is the
+    # same finite constant per token
+    expect = -math.log2((1 - LAM) * 1.0)  # unseen_p = alpha/(0 + alpha*1) = 1
+    assert {r["doc_id"]: r["cross_entropy"] for r in scored} == {
+        1: pytest.approx(expect),
+        2: pytest.approx(expect),
+    }
+    with pytest.raises(ValueError, match="no labeled documents"):
+        train_quality_classifier(
+            empty.withColumn("hq", F.lit(True)), "hq", n_buckets=8, iters=1
+        )
 
 
 def test_quality_classifier_matches_python_gd_twin(spark, corpus):

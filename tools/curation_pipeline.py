@@ -13,6 +13,10 @@ doc_id joins, finishing with the ``write_training_shards`` sink:
                             the benchmark slice itself is excluded from
                             training by definition)
     → exact-dedup keeper   (dedup_exact: min-doc_id representative)
+    → [--lm-filter]        (CCNet: bigram-LM perplexity tiers vs the trusted
+                            src0 domain, tail tier dropped)
+    → [--dsir-keep FRAC]   (DSIR: hashed-bigram importance weights vs the
+                            src0 target, top-FRAC of the raw pool kept)
     → sequence packing + partitioned shard write (write_training_shards)
 
 Prints one JSON line with per-stage surviving-document counts and the
@@ -46,6 +50,16 @@ def main() -> None:
         "--span-dedup", action="store_true",
         help="also cut cross-doc repeated 10-token spans (ExactSubstr) "
              "from surviving docs before packing",
+    )
+    ap.add_argument(
+        "--lm-filter", action="store_true",
+        help="CCNet stage: train a bigram LM on the trusted domain "
+             "(source=src0) and drop the worst-perplexity tail tier",
+    )
+    ap.add_argument(
+        "--dsir-keep", type=float, default=None, metavar="FRAC",
+        help="DSIR stage: keep only the FRAC highest importance-weight "
+             "documents (target distribution = source=src0)",
     )
     args = ap.parse_args()
 
@@ -102,6 +116,37 @@ def main() -> None:
     )
     stage = stage.join(keepers, "doc_id", "left_semi")
     counts["dedup_keeper"] = stage.count()
+
+    if args.lm_filter:
+        from vector_graph_rag_spark.operators.lm_filter import (
+            lm_cross_entropy,
+            perplexity_buckets,
+            train_bigram_lm,
+        )
+
+        model = train_bigram_lm(stage.filter(F.col("source") == "src0"))
+        tiers = perplexity_buckets(lm_cross_entropy(stage, model))
+        keep = tiers.filter(F.col("tier") != "tail").select("doc_id")
+        stage = stage.join(keep, "doc_id", "left_semi")
+        counts["lm_perplexity"] = stage.count()
+
+    if args.dsir_keep is not None:
+        from vector_graph_rag_spark.operators.lm_filter import (
+            dsir_importance_weights,
+            dsir_select,
+        )
+
+        weights = dsir_importance_weights(
+            stage.withColumn("is_t", F.col("source") == "src0"), "is_t"
+        )
+        n_raw = weights.count()
+        n_keep = max(1, int(n_raw * args.dsir_keep))
+        picked = dsir_select(weights, n_keep).select("doc_id")
+        # target-domain docs always train; raw pool shrinks to the selection
+        stage = stage.filter(F.col("source") == "src0").unionByName(
+            stage.join(picked, "doc_id", "left_semi")
+        )
+        counts["dsir_selected"] = stage.count()
 
     if args.span_dedup:
         from vector_graph_rag_spark.queries.dedup import remove_shared_spans

@@ -100,6 +100,8 @@ def train_bigram_lm(
     total, vocab = uni_counts.agg(
         F.sum("c_uni").alias("t"), F.count("*").alias("v")
     ).collect()[0]
+    total, vocab = total or 0, vocab or 0  # empty training corpus →
+    # degenerate-but-valid model: every token scores the smoothed unseen mass
     uni = uni_counts.select(
         "tok",
         (
@@ -317,6 +319,10 @@ def train_quality_classifier(
         .persist()
     )
     n_docs = labels.count()
+    if n_docs == 0:
+        feats.unpersist()
+        labels.unpersist()
+        raise ValueError("train_quality_classifier: no labeled documents")
     spark = docs.sparkSession
     w: dict[int, float] = {}
     bias = 0.0
