@@ -461,6 +461,28 @@ def test_snapshot_diff_classifies_delta(spark):
     assert all(v in ("added", "removed", "changed") for v in got.values())
 
 
+def test_neardup_converged_matches_fixed_rounds(spark):
+    """The converged near-dup clustering must agree with the declared
+    3-round query on the test corpus (i.e. k=3 is sufficient here) and
+    report the rounds it actually needed."""
+    from vector_graph_rag_spark.queries.dedup import (
+        neardup_clusters,
+        neardup_clusters_converged,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    fixed = {
+        (r["doc_id"], r["cluster"], r["is_canonical"])
+        for r in neardup_clusters(spark, sf).collect()
+    }
+    conv_df, rounds = neardup_clusters_converged(spark, sf)
+    conv = {
+        (r["doc_id"], r["cluster"], r["is_canonical"]) for r in conv_df.collect()
+    }
+    assert conv == fixed
+    assert 1 <= rounds <= 3
+
+
 # --- connected components to convergence --------------------------------------
 
 

@@ -524,6 +524,40 @@ def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def neardup_clusters_converged(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, int]:
+    """Production variant of ``neardup_clusters``: the same LSH pair edges
+    run through ``components_to_convergence`` instead of a fixed 3 rounds,
+    so arbitrarily long duplicate chains (crawl mirrors-of-mirrors) close
+    into one cluster regardless of diameter.  Returns (clusters_df,
+    rounds_run); library op — the declared query keeps fixed k for oracle
+    determinism, and the adequacy of k=3 at test scale is pinned by
+    ``tests/test_curation_kernels.py::test_neardup_converged``.
+    """
+    from vector_graph_rag_spark.operators.graph_algos import (
+        components_to_convergence,
+        undirect,
+    )
+
+    pairs = minhash_lsh_pairs(spark, sf_dir).filter(
+        F.col("est_jaccard") >= _NEARDUP_THRESHOLD_EQ / N_MINHASH
+    )
+    docs = load_table(spark, sf_dir, "documents").select(F.col("doc_id").alias("id"))
+    labels, rounds = components_to_convergence(
+        docs,
+        undirect(pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))),
+    )
+    return (
+        labels.select(
+            F.col("id").alias("doc_id"),
+            F.col("comp").alias("cluster"),
+            (F.col("id") == F.col("comp")).cast("int").alias("is_canonical"),
+        ),
+        rounds,
+    )
+
+
 # --- LSH with hot-bucket cap (skew guard) -----------------------------------
 #
 # At 100 TB, stop-shingle band keys produce mega-buckets whose within-
