@@ -173,6 +173,28 @@ def test_dsir_select_is_deterministic_topn(spark, corpus):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_lm_filter_plans_stay_jvm_side(spark, corpus):
+    """CI plan invariants for the family: zero Python eval nodes, zero
+    cartesian products; the DSIR log-ratio join broadcasts its fixed-size
+    side."""
+    docs, _ = corpus
+    model = train_bigram_lm(docs.filter("source = 'src0'"), alpha=ALPHA)
+    ce_plan = (
+        lm_cross_entropy(docs, model)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    w = dsir_importance_weights(
+        docs.withColumn("is_t", docs.source == "src0"), "is_t", n_buckets=256
+    )
+    w_plan = w._jdf.queryExecution().executedPlan().toString()
+    for plan in (ce_plan, w_plan):
+        assert "BatchEvalPython" not in plan
+        assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in w_plan  # log-ratio table rides a broadcast
+
+
 def test_empty_corpus_robustness(spark):
     from vector_graph_rag_spark.operators.lm_filter import (
         train_quality_classifier,
