@@ -109,6 +109,31 @@ def test_perplexity_buckets_tier_fractions(spark, corpus):
     assert max(by["middle"]) <= min(by["tail"])
 
 
+def test_perplexity_buckets_approx_agrees_with_exact(spark, corpus):
+    """The sketched scale path must agree with the exact window variant on
+    nearly every document (sketch error only at tier boundaries), and its
+    plan must contain no global Sort of the scored frame."""
+    from vector_graph_rag_spark.operators.lm_filter import (
+        perplexity_buckets_approx,
+    )
+
+    docs, _ = corpus
+    model = train_bigram_lm(docs.filter("source = 'src0'"), alpha=ALPHA)
+    scores = lm_cross_entropy(docs, model).cache()
+    exact = {r["doc_id"]: r["tier"] for r in perplexity_buckets(scores).collect()}
+    approx_df = perplexity_buckets_approx(scores)
+    approx = {r["doc_id"]: r["tier"] for r in approx_df.collect()}
+    assert set(exact) == set(approx)
+    n = len(exact)
+    agree = sum(exact[d] == approx[d] for d in exact)
+    assert agree >= 0.97 * n, f"{agree}/{n} tiers agree"
+    # the exact variant ranks via a single-partition Window; the scale path
+    # must have no Window node at all (threshold comparison only)
+    plan = approx_df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    scores.unpersist()
+
+
 def test_dsir_weights_match_python_twin(spark, corpus):
     docs, rows = corpus
     n_buckets, alpha = 256, 1.0

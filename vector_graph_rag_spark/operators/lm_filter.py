@@ -164,10 +164,9 @@ def perplexity_buckets(
 
     Deterministic: ties broken by doc_id so the split is stable under any
     partitioning.  One global ``percent_rank`` window — the ranked frame is
-    one row per document (corpus-cardinality but narrow); at 100 TB the
-    production variant computes the two cut points with
-    ``approx_percentile`` and tiers by broadcast thresholds instead, which
-    is a parameter of this same output contract.
+    one row per document (corpus-cardinality but narrow); at 100 TB use
+    :func:`perplexity_buckets_approx`, which replaces the global sort with
+    two sketched cut points and a per-row comparison.
     """
     w = Window.orderBy("cross_entropy", "doc_id")
     ranked = scores.withColumn("pr", F.percent_rank().over(w))
@@ -177,6 +176,37 @@ def perplexity_buckets(
         "cross_entropy",
         F.when(F.col("pr") < head_frac, "head")
         .when(F.col("pr") >= 1.0 - tail_frac, "tail")
+        .otherwise("middle")
+        .alias("tier"),
+    )
+
+
+def perplexity_buckets_approx(
+    scores: DataFrame,
+    head_frac: float = 1 / 3,
+    tail_frac: float = 1 / 3,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Scale path for :func:`perplexity_buckets`: cut points from the
+    t-digest ``approx_percentile`` sketch (one map-side-combined pass, no
+    global sort), tiers by broadcast scalar thresholds — a per-row
+    comparison, embarrassingly parallel.  Tier boundaries can differ from
+    the exact variant by the sketch error (~1/accuracy of the rank space);
+    tier semantics are otherwise identical.
+    """
+    lo, hi = scores.agg(
+        F.percentile_approx(
+            "cross_entropy",
+            F.array(F.lit(head_frac), F.lit(1.0 - tail_frac)),
+            accuracy,
+        ).alias("cuts")
+    ).collect()[0]["cuts"]
+    return scores.select(
+        "doc_id",
+        "n_tokens",
+        "cross_entropy",
+        F.when(F.col("cross_entropy") < lo, "head")
+        .when(F.col("cross_entropy") > hi, "tail")
         .otherwise("middle")
         .alias("tier"),
     )
