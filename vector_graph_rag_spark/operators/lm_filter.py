@@ -1,4 +1,4 @@
-"""Model-based quality filtering — the two published corpus-selection
+"""Model-based quality filtering — the published corpus-selection
 techniques a pretraining pipeline runs after the rule-based passes
 (`queries/curation.py`):
 
@@ -16,8 +16,13 @@ techniques a pretraining pipeline runs after the rule-based passes
   distributions over a *target* set and the *raw* pool, and weight each raw
   document by its log-likelihood ratio sum.  Selection keeps the
   highest-weight documents.
+- **GPT-3-style quality classifier** (Brown et al. 2020, appendix A):
+  logistic regression on the same hashed features discriminating trusted
+  exemplars from the raw pool, trained full-batch as DataFrame
+  aggregations; plus streaming scoring of a document file-stream with the
+  frozen model.
 
-Both are library operators (unit-pinned against pure-Python twins) rather
+All are library operators (unit-pinned against pure-Python twins) rather
 than registered oracle queries: the driver registry is frozen at 100 =
 2 x driver-window so the two-round rotation guarantee stays exact.
 
@@ -79,7 +84,8 @@ def train_bigram_lm(
     """Count-based interpolated bigram LM from a trusted corpus.
 
     Returns ``{"uni": DF(tok, p_uni), "bi": DF(prev, tok, c_bi, c_prev),
-    "vocab_size": int, "alpha": float}``.  Unigram probabilities are
+    "vocab_size": int, "total_tokens": int, "alpha": float}``.  Unigram
+    probabilities are
     add-``alpha`` smoothed over the observed vocab + 1 (the unseen class),
     so every token — including ones never seen in training — has positive
     mass.  Two shuffles total (one count per order), both map-side combined;
@@ -251,9 +257,9 @@ def dsir_importance_weights(
     (fixed, tiny) -> broadcast; the whole operator costs one corpus shuffle
     (the final ``groupBy(doc_id)``).
     """
-    feats = _hashed_features(
-        docs.select("doc_id", text_col, is_target), text_col, n_buckets
-    ).join(docs.select("doc_id", is_target), "doc_id")
+    feats = _hashed_features(docs, text_col, n_buckets).join(
+        docs.select("doc_id", is_target), "doc_id"
+    )
     dist = feats.groupBy("bucket").agg(
         F.sum(F.when(F.col(is_target), 1).otherwise(0)).alias("c_t"),
         F.sum(F.when(F.col(is_target), 0).otherwise(1)).alias("c_r"),
