@@ -181,6 +181,27 @@ def test_dsir_weights_match_python_twin(spark, corpus):
     assert not (set(got) & target_ids)
 
 
+def test_dsir_weights_stable_across_parallelism(spark, corpus):
+    """Weights must not depend on partitioning: xxhash64 bucketing is
+    partition-independent and the per-doc sum is pinned to 1e-12 across a
+    repartitioned input (catches any accidental rand()/partition-id leak)."""
+    docs, _ = corpus
+    tagged = docs.withColumn("is_t", docs.source == "src0")
+    a = {
+        r["doc_id"]: r["weight"]
+        for r in dsir_importance_weights(tagged, "is_t", n_buckets=256).collect()
+    }
+    b = {
+        r["doc_id"]: r["weight"]
+        for r in dsir_importance_weights(
+            tagged.repartition(3), "is_t", n_buckets=256
+        ).collect()
+    }
+    assert set(a) == set(b)
+    for d in a:
+        assert a[d] == pytest.approx(b[d], rel=1e-12)
+
+
 def test_quality_score_stream_equals_batch(spark, corpus, tmp_path):
     """Streaming scoring with a frozen model must reproduce the batch
     scores (per-doc aggregation is batch-local), over both single-file and
