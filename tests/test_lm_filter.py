@@ -181,6 +181,52 @@ def test_dsir_weights_match_python_twin(spark, corpus):
     assert not (set(got) & target_ids)
 
 
+def test_binary_auc_matches_python_twin_and_ranks_classifier(spark, corpus):
+    from vector_graph_rag_spark.operators.lm_filter import (
+        binary_auc,
+        quality_scores,
+        train_quality_classifier,
+    )
+
+    docs, rows = corpus
+    labeled = docs.withColumn("hq", docs.source == "src0")
+    # 2048 buckets: at 128 hash collisions blur the classes (AUC ~0.52);
+    # with adequate feature capacity the in-sample AUC reaches ~0.97
+    model = train_quality_classifier(labeled, "hq", n_buckets=2048, iters=15)
+    scored = quality_scores(docs, model).join(
+        labeled.select("doc_id", "hq"), "doc_id"
+    )
+    auc = binary_auc(scored, "score", "hq")
+
+    # pure-Python twin: average-rank Mann-Whitney on the same scores
+    data = [(r["score"], 1 if r["hq"] else 0) for r in scored.collect()]
+    data.sort(key=lambda p: p[0])
+    ranks: dict[int, float] = {}
+    i = 0
+    rank_of = [0.0] * len(data)
+    while i < len(data):
+        j = i
+        while j < len(data) and data[j][0] == data[i][0]:
+            j += 1
+        avg = (i + 1 + j) / 2.0  # mean of ranks i+1 .. j
+        for k in range(i, j):
+            rank_of[k] = avg
+        i = j
+    n_pos = sum(y for _, y in data)
+    n_neg = len(data) - n_pos
+    u = sum(r for r, (_, y) in zip(rank_of, data) if y == 1) - n_pos * (
+        n_pos + 1
+    ) / 2.0
+    expect = u / (n_pos * n_neg)
+    assert auc == pytest.approx(expect, rel=1e-12)
+    # the in-sample classifier must beat chance comfortably
+    assert auc > 0.9
+
+    # degenerate labels refuse
+    with pytest.raises(ValueError, match="positive and one negative"):
+        binary_auc(scored.withColumn("hq", F.lit(True)), "score", "hq")
+
+
 def test_dsir_weights_stable_across_parallelism(spark, corpus):
     """Weights must not depend on partitioning: xxhash64 bucketing is
     partition-independent and the per-doc sum is pinned to 1e-12 across a

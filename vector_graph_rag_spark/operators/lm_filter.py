@@ -436,6 +436,33 @@ def quality_scores(docs: DataFrame, model: dict) -> DataFrame:
     )
 
 
+def binary_auc(df: DataFrame, score_col: str, label_col: str) -> float:
+    """ROC-AUC of ``score_col`` against boolean ``label_col`` via the
+    Mann-Whitney rank-sum (ties get average ranks) — the distributed eval
+    for the quality classifier, exact, no sklearn.
+
+    Plan: one global sort of the (score, label) frame — narrow,
+    one-row-per-doc — then a per-score-group average-rank window and one
+    aggregation.  Returns a Python float; 0.5 = chance, 1.0 = perfect.
+    """
+    ranked = df.select(
+        F.col(score_col).alias("s"), F.col(label_col).cast("int").alias("y")
+    ).withColumn("rn", F.row_number().over(Window.orderBy("s")))
+    avg_rank = ranked.withColumn(
+        "r", F.avg("rn").over(Window.partitionBy("s"))
+    )
+    agg = avg_rank.agg(
+        F.sum(F.when(F.col("y") == 1, F.col("r"))).alias("rank_sum"),
+        F.sum("y").alias("n_pos"),
+        F.sum(F.lit(1) - F.col("y")).alias("n_neg"),
+    ).collect()[0]
+    n_pos, n_neg = agg["n_pos"] or 0, agg["n_neg"] or 0
+    if n_pos == 0 or n_neg == 0:
+        raise ValueError("binary_auc: need at least one positive and one negative")
+    u = agg["rank_sum"] - n_pos * (n_pos + 1) / 2.0
+    return float(u / (n_pos * n_neg))
+
+
 def quality_score_stream(
     spark, docs_path: str, model: dict, out_path: str
 ) -> int:
