@@ -227,6 +227,36 @@ def test_binary_auc_matches_python_twin_and_ranks_classifier(spark, corpus):
         binary_auc(scored.withColumn("hq", F.lit(True)), "score", "hq")
 
 
+def test_lm_prefers_real_text_on_reference_corpus(spark):
+    """Semantics pin on the reference's REAL 20-doc corpus: an LM trained on
+    the real passages must assign lower cross-entropy to the passages
+    themselves than to word-reversed copies (identical unigrams, destroyed
+    bigram structure) — i.e. the bigram term is doing the discriminating,
+    which is the mechanism CCNet filtering relies on."""
+    import json
+
+    corpus_path = (
+        "/root/reference/evaluation/data/"
+        "openie_test_sample_results_ner_gpt-3.5-turbo-1106_20.json"
+    )
+    with open(corpus_path) as f:
+        passages = [d["passage"] for d in json.load(f)["docs"]]
+    rows = [(i, p) for i, p in enumerate(passages)]
+    rows += [
+        (1000 + i, " ".join(reversed(p.split(" ")))) for i, p in enumerate(passages)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    model = train_bigram_lm(docs.filter("doc_id < 1000"), alpha=ALPHA)
+    ce = {r["doc_id"]: r["cross_entropy"] for r in lm_cross_entropy(docs, model).collect()}
+    real = [ce[i] for i in range(len(passages))]
+    rev = [ce[1000 + i] for i in range(len(passages))]
+    assert all(v == v and v != float("inf") for v in real + rev)  # finite
+    assert sum(real) / len(real) < sum(rev) / len(rev)
+    # and per-document: nearly every passage beats its own reversal
+    better = sum(a < b for a, b in zip(real, rev))
+    assert better >= 0.9 * len(passages)
+
+
 def test_dsir_weights_stable_across_parallelism(spark, corpus):
     """Weights must not depend on partitioning: xxhash64 bucketing is
     partition-independent and the per-doc sum is pinned to 1e-12 across a
