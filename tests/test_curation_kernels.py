@@ -530,3 +530,22 @@ def test_components_to_convergence_matches_union_find(spark):
         for n in members:
             expect[n] = m
     assert got == expect
+
+
+def test_snapshot_diff_null_content_presence(spark):
+    """ADVICE r5: presence must come from per-side flags, not hash
+    nullability — NULL-text rows present on both sides are 'changed' only
+    when exactly one side is NULL, never 'added'/'removed'."""
+    from vector_graph_rag_spark.operators.cdc import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, None), (2, None), (3, "x"), (4, "same")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, None), (2, "now-text"), (3, None), (4, "same"), (5, None)],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["change"] for r in snapshot_diff(old, new).collect()}
+    # 1: NULL vs NULL -> unchanged (absent); 4: same text -> absent
+    assert got == {2: "changed", 3: "changed", 5: "added"}

@@ -423,3 +423,64 @@ def test_quality_classifier_matches_python_gd_twin(spark, corpus):
     pos = [got[d] for d, y in ys.items() if y == 1.0 and d in got]
     neg = [got[d] for d, y in ys.items() if y == 0.0 and d in got]
     assert sum(pos) / len(pos) > sum(neg) / len(neg)
+
+
+def test_dsir_null_labels_are_excluded_consistently(spark, corpus):
+    """ADVICE r5: NULL-labeled rows must not count toward the raw
+    distribution (they produce no output weight either) — the weights with
+    NULL-labeled rows present must equal the weights after dropping those
+    rows entirely."""
+    docs, _ = corpus
+    labeled = docs.withColumn(
+        "is_t",
+        F.when(docs.doc_id % 5 == 0, F.lit(None).cast("boolean")).otherwise(
+            docs.source == "src0"
+        ),
+    )
+    with_nulls = {
+        r["doc_id"]: (r["n_features"], r["weight"])
+        for r in dsir_importance_weights(labeled, "is_t", n_buckets=512).collect()
+    }
+    dropped = {
+        r["doc_id"]: (r["n_features"], r["weight"])
+        for r in dsir_importance_weights(
+            labeled.filter(F.col("is_t").isNotNull()), "is_t", n_buckets=512
+        ).collect()
+    }
+    assert set(with_nulls) == set(dropped)
+    for k in dropped:
+        assert with_nulls[k][0] == dropped[k][0]
+        assert with_nulls[k][1] == pytest.approx(dropped[k][1], rel=1e-12)
+
+
+def test_binary_auc_round_to_bounds_and_matches_rounded_twin(spark, corpus):
+    """round_to quantizes scores BEFORE grouping: the result must equal the
+    python twin computed on the rounded scores (and differ from the raw
+    twin when rounding merges near-ties)."""
+    from vector_graph_rag_spark.operators.lm_filter import binary_auc
+
+    docs, _ = corpus
+    # prime denominator: x/997 never hits a decimal halfway point, so
+    # Spark's HALF_UP round and Python's round agree on every value
+    scored = docs.select(
+        "doc_id",
+        (F.pmod(F.xxhash64("text"), F.lit(997)) / F.lit(997.0)).alias("score"),
+        (docs.source == "src0").alias("y"),
+    )
+    got = binary_auc(scored, "score", "y", round_to=2)
+    data = [
+        (round(r["score"], 2), 1 if r["y"] else 0) for r in scored.collect()
+    ]
+    data.sort(key=lambda p: p[0])
+    i, rank_of = 0, [0.0] * len(data)
+    while i < len(data):
+        j = i
+        while j < len(data) and data[j][0] == data[i][0]:
+            j += 1
+        for k in range(i, j):
+            rank_of[k] = (i + 1 + j) / 2.0
+        i = j
+    n_pos = sum(y for _, y in data)
+    n_neg = len(data) - n_pos
+    u = sum(r for r, (_, y) in zip(rank_of, data) if y == 1) - n_pos * (n_pos + 1) / 2.0
+    assert got == pytest.approx(u / (n_pos * n_neg), rel=1e-12)

@@ -209,3 +209,23 @@ def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
     finally:
         for t in ("er_bkt_a", "er_bkt_b"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_binary_auc_has_no_single_partition_stage(spark):
+    """r5 verdict flaw #1: the AUC ranked the corpus through one global
+    Window partition.  The r6 formulation's only corpus-wide stage is a
+    map-side-combined groupBy(score); nothing in the plan may funnel into
+    a single partition, and no Window node may exist at all."""
+    from vector_graph_rag_spark.operators.lm_filter import binary_auc_counts
+
+    df = spark.range(1000).selectExpr(
+        "id AS doc_id",
+        "CAST(id % 97 AS DOUBLE) / 97 AS score",
+        "id % 3 = 0 AS y",
+    )
+    plan = binary_auc_counts(df, "score", "y", round_to=6)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "SinglePartition" not in plan, f"AUC reintroduced a single-partition stage:\n{plan}"
+    assert "Window" not in plan, f"AUC reintroduced a global window:\n{plan}"
+    assert "HashAggregate" in plan  # the map-side-combined groupBy(score)

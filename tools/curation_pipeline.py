@@ -57,6 +57,13 @@ def main() -> None:
              "(source=src0) and drop the worst-perplexity tail tier",
     )
     ap.add_argument(
+        "--exact-tiers", action="store_true",
+        help="with --lm-filter, use the exact global-rank tier split "
+             "instead of the default sketched cut points; the exact path "
+             "funnels the scored corpus through one sort partition — "
+             "fine at sample scale, wrong at 100 TB",
+    )
+    ap.add_argument(
         "--dsir-keep", type=float, default=None, metavar="FRAC",
         help="DSIR stage: keep only the FRAC highest importance-weight "
              "documents (target distribution = source=src0)",
@@ -121,11 +128,16 @@ def main() -> None:
         from vector_graph_rag_spark.operators.lm_filter import (
             lm_cross_entropy,
             perplexity_buckets,
+            perplexity_buckets_approx,
             train_bigram_lm,
         )
 
         model = train_bigram_lm(stage.filter(F.col("source") == "src0"))
-        tiers = perplexity_buckets(lm_cross_entropy(stage, model))
+        # Default = the sketched cut points (no global sort) — this CLI is
+        # the 100 TB entry point; the exact global-rank split is opt-in for
+        # sample-scale runs that need reproducible tier boundaries.
+        tier_fn = perplexity_buckets if args.exact_tiers else perplexity_buckets_approx
+        tiers = tier_fn(lm_cross_entropy(stage, model))
         keep = tiers.filter(F.col("tier") != "tail").select("doc_id")
         stage = stage.join(keep, "doc_id", "left_semi")
         counts["lm_perplexity"] = stage.count()

@@ -31,15 +31,30 @@ def snapshot_diff(
     content: Column | str = "text",
 ) -> DataFrame:
     """Returns (key, change, old_hash, new_hash) with change ∈
-    {'added', 'removed', 'changed'}; unchanged keys are omitted."""
+    {'added', 'removed', 'changed'}; unchanged keys are omitted.
+
+    Presence is tracked with explicit per-side flags, not hash nullability:
+    ``md5(NULL content)`` is NULL, so a key present on both sides with NULL
+    text on one would otherwise be misread as added/removed, and a
+    NULL-vs-NULL pair silently dropped.  With flags, NULL content compares
+    null-safely — NULL vs NULL is unchanged, NULL vs text is changed.
+    """
     c = F.col(content) if isinstance(content, str) else content
-    o = old.select(F.col(key).alias(key), F.md5(c).alias("old_hash"))
-    n = new.select(F.col(key).alias(key), F.md5(c).alias("new_hash"))
+    o = old.select(
+        F.col(key).alias(key),
+        F.lit(True).alias("in_old"),
+        F.md5(c).alias("old_hash"),
+    )
+    n = new.select(
+        F.col(key).alias(key),
+        F.lit(True).alias("in_new"),
+        F.md5(c).alias("new_hash"),
+    )
     joined = o.join(n, key, "full_outer")
     change = (
-        F.when(F.col("old_hash").isNull(), F.lit("added"))
-        .when(F.col("new_hash").isNull(), F.lit("removed"))
-        .when(F.col("old_hash") != F.col("new_hash"), F.lit("changed"))
+        F.when(F.col("in_old").isNull(), F.lit("added"))
+        .when(F.col("in_new").isNull(), F.lit("removed"))
+        .when(~F.col("old_hash").eqNullSafe(F.col("new_hash")), F.lit("changed"))
     )
     return (
         joined.withColumn("change", change)

@@ -256,10 +256,17 @@ def dsir_importance_weights(
     more target-like.  The bucket-distribution table is ``n_buckets`` rows
     (fixed, tiny) -> broadcast; the whole operator costs one corpus shuffle
     (the final ``groupBy(doc_id)``).
+
+    NULL-labeled rows are excluded up front, so the raw distribution and
+    the weighted pool cover exactly the same documents (an ``otherwise(1)``
+    over unfiltered labels would count NULL rows toward p_raw while the
+    ``~is_target`` output filter dropped them — silently skewing the
+    denominator distribution).
     """
-    feats = _hashed_features(docs, text_col, n_buckets).join(
-        docs.select("doc_id", is_target), "doc_id"
+    labeled = docs.select("doc_id", is_target).filter(
+        F.col(is_target).isNotNull()
     )
+    feats = _hashed_features(docs, text_col, n_buckets).join(labeled, "doc_id")
     dist = feats.groupBy("bucket").agg(
         F.sum(F.when(F.col(is_target), 1).otherwise(0)).alias("c_t"),
         F.sum(F.when(F.col(is_target), 0).otherwise(1)).alias("c_r"),
@@ -436,30 +443,58 @@ def quality_scores(docs: DataFrame, model: dict) -> DataFrame:
     )
 
 
-def binary_auc(df: DataFrame, score_col: str, label_col: str) -> float:
+def binary_auc_counts(
+    df: DataFrame, score_col: str, label_col: str, round_to: int | None = None
+) -> DataFrame:
+    """(s, n, p) per distinct score: row count and positive count.
+
+    The one corpus-wide stage of the AUC computation — a single map-side-
+    combined ``groupBy(score)``.  Everything after it operates on the
+    distinct-score frame (cardinality ≪ docs whenever scores are rounded;
+    pass ``round_to`` to guarantee it for continuous scores: 6-decimal
+    rounding bounds a [0, 1] score space at 10^6 + 1 groups).
+    """
+    s = F.col(score_col)
+    if round_to is not None:
+        s = F.round(s, round_to)
+    return (
+        df.select(s.alias("s"), F.col(label_col).cast("long").alias("y"))
+        .groupBy("s")
+        .agg(F.count("*").alias("n"), F.sum("y").alias("p"))
+    )
+
+
+def binary_auc(
+    df: DataFrame, score_col: str, label_col: str, round_to: int | None = None
+) -> float:
     """ROC-AUC of ``score_col`` against boolean ``label_col`` via the
     Mann-Whitney rank-sum (ties get average ranks) — the distributed eval
     for the quality classifier, exact, no sklearn.
 
-    Plan: one global sort of the (score, label) frame — narrow,
-    one-row-per-doc — then a per-score-group average-rank window and one
-    aggregation.  Returns a Python float; 0.5 = chance, 1.0 = perfect.
+    Plan: one map-side-combined ``groupBy(score)`` — the only stage that
+    touches the corpus — then the prefix-rank arithmetic over the collected
+    distinct-score frame on the driver.  No global sort, no single-partition
+    Exchange anywhere (CI-asserted in ``tests/test_plans.py``); driver state
+    is the distinct-score histogram, which ``round_to`` bounds for
+    continuous scores (the r5 formulation ranked the *corpus* through one
+    ``Window.orderBy`` partition — the driver-shaped bottleneck this
+    replaces).  The rank arithmetic is exact: group ranks are means of
+    consecutive integers (halves at worst), so every term is dyadic and the
+    float sums below are the same values the corpus-wide ranking would
+    produce.  Returns a Python float; 0.5 = chance, 1.0 = perfect.
     """
-    ranked = df.select(
-        F.col(score_col).alias("s"), F.col(label_col).cast("int").alias("y")
-    ).withColumn("rn", F.row_number().over(Window.orderBy("s")))
-    avg_rank = ranked.withColumn(
-        "r", F.avg("rn").over(Window.partitionBy("s"))
-    )
-    agg = avg_rank.agg(
-        F.sum(F.when(F.col("y") == 1, F.col("r"))).alias("rank_sum"),
-        F.sum("y").alias("n_pos"),
-        F.sum(F.lit(1) - F.col("y")).alias("n_neg"),
-    ).collect()[0]
-    n_pos, n_neg = agg["n_pos"] or 0, agg["n_neg"] or 0
+    groups = binary_auc_counts(df, score_col, label_col, round_to).collect()
+    n_pos = sum(r["p"] for r in groups)
+    n_tot = sum(r["n"] for r in groups)
+    n_neg = n_tot - n_pos
     if n_pos == 0 or n_neg == 0:
         raise ValueError("binary_auc: need at least one positive and one negative")
-    u = agg["rank_sum"] - n_pos * (n_pos + 1) / 2.0
+    cum = 0  # rows with strictly smaller score
+    rank_sum = 0.0  # sum of average ranks of the positives
+    for row in sorted(groups, key=lambda r: r["s"]):
+        rank_sum += row["p"] * (cum + (row["n"] + 1) / 2.0)
+        cum += row["n"]
+    u = rank_sum - n_pos * (n_pos + 1) / 2.0
     return float(u / (n_pos * n_neg))
 
 
