@@ -57,6 +57,16 @@ HEADLINE = [
     "repetition_quality_filters",
     "sequence_packing",
     "kmeans_embedding_clusters",
+    # round-6 additions: the model-based filtering + CDC family
+    # (queries/lmfilter.py; entity_ppr_seeds_k8 and simhash_signatures stay
+    # benched from the retired registry for cross-round comparability)
+    "lm_cross_entropy",
+    "perplexity_buckets",
+    "dsir_importance_weights",
+    "quality_classifier_scores",
+    "binary_auc",
+    "remove_shared_spans",
+    "snapshot_diff",
 ]
 
 
@@ -66,7 +76,7 @@ def main() -> None:
 
     spark = get_spark(app_name="vgrag_bench")
     spark.sparkContext.setLogLevel("ERROR")
-    registry = load_all()
+    registry = load_all(include_retired=True)
 
     # Warm the JVM + parquet footers with a trivial action, and materialize
     # the knowledge-graph tables (build-once indexing, the analogue of the

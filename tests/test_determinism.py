@@ -38,7 +38,7 @@ def _run(spark, name: str, shuffle_partitions: int):
     old = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
     try:
-        return normalize_frame(load_all()[name].fn(spark, SF_SMOKE).toPandas())
+        return normalize_frame(load_all(include_retired=True)[name].fn(spark, SF_SMOKE).toPandas())
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
 

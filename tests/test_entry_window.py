@@ -118,3 +118,40 @@ def test_exported_keys_consistent_and_window_full():
     prefixed = [k for k in qs if k.startswith("a_")]
     assert len(prefixed) <= entry._WINDOW_SIZE
     assert all(k in window for k in prefixed)
+
+
+def test_retired_green_history_cannot_strand_selector():
+    """r6 registry swap regression (r5 verdict, Next #7): queries retired
+    with committed green history must be IGNORED by the selector — history
+    names not in the active registry can neither occupy window slots nor
+    stall rotation."""
+    active = [f"q{i:02d}" for i in range(10)]
+    # history contains retired names (r*) with both stale and fresh rounds
+    history = {"r_old": 1, "r_new": 9, "q00": 2, "q01": 3}
+    win = entry._select_window(active, history)
+    assert "r_old" not in win and "r_new" not in win
+    # never-green actives all present, stalest greens fill the rest
+    assert {f"q{i:02d}" for i in range(2, 10)}.issubset(win)
+    assert win == set(active)  # all 10 fit under the 50 cap
+
+
+def test_post_swap_union_covers_new_registry():
+    """Simulate the exact r6 state: 100 active queries of which 8 are new
+    (never green), retirees' green rows still in history, half the actives
+    green in round N-1 (r5) and the other half in round N-2 (r4).  The
+    round-N window must be the 8 new + the 42 r4-green actives, so
+    r5 ∪ r6 covers the full post-swap registry."""
+    old_active = [f"old{i:02d}" for i in range(92)]
+    new_queries = [f"new{i}" for i in range(8)]
+    retired = [f"ret{i}" for i in range(8)]
+    # 50 actives green in r5; the other 42 actives + 8 retirees green in r4
+    history = {n: 5 for n in old_active[:50]}
+    history.update({n: 4 for n in old_active[50:]})
+    history.update({n: 4 for n in retired})
+    names = old_active + new_queries
+    win = entry._select_window(names, history)
+    assert len(win) == entry._WINDOW_SIZE == 50
+    assert set(new_queries).issubset(win)
+    assert win == set(new_queries) | set(old_active[50:])
+    r5_green = set(old_active[:50])
+    assert r5_green | win == set(names)

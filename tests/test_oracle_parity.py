@@ -10,7 +10,8 @@ from tests.conftest import SF_SMOKE
 def _query_names():
     from vector_graph_rag_spark.queries import load_all
 
-    return sorted(load_all().keys())
+    # include_retired: rotated-out queries keep their local oracle gate
+    return sorted(load_all(include_retired=True).keys())
 
 
 @pytest.mark.parametrize("name", _query_names())

@@ -68,7 +68,7 @@ AUDITED = [
 def _plan(spark, name: str) -> str:
     from vector_graph_rag_spark.queries import load_all
 
-    df = load_all()[name].fn(spark, SF_SMOKE)
+    df = load_all(include_retired=True)[name].fn(spark, SF_SMOKE)
     return df._jdf.queryExecution().explainString(
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     )

@@ -131,7 +131,7 @@ def time_queries(spark, sf_dir: str, iters: int) -> dict[str, dict]:
     from vector_graph_rag_spark.queries import load_all
     from vector_graph_rag_spark.queries.graphrag import _graph
 
-    registry = load_all()
+    registry = load_all(include_retired=True)
     t0 = time.perf_counter()
     _graph(spark, sf_dir)  # untimed build-once indexing
     print(f"# graph build ({sf_dir}): {time.perf_counter() - t0:.1f}s", file=sys.stderr)

@@ -67,7 +67,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     ui = f"http://localhost:{spark.conf.get('spark.ui.port', '4040')}"
     app_id = spark.sparkContext.applicationId
-    registry = load_all()
+    registry = load_all(include_retired=True)
     _graph(spark, args.sf)  # one-time graph materialization outside the audit
 
     report: dict[str, dict] = {}

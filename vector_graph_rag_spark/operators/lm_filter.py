@@ -22,9 +22,12 @@ techniques a pretraining pipeline runs after the rule-based passes
   aggregations; plus streaming scoring of a document file-stream with the
   frozen model.
 
-All are library operators (unit-pinned against pure-Python twins) rather
-than registered oracle queries: the driver registry is frozen at 100 =
-2 x driver-window so the two-round rotation guarantee stays exact.
+Since round 6 the family is driver-registered behind DuckDB hash oracles
+(`queries/lmfilter.py`: portable md5 feature hashing + DECIMAL-quantized
+sums make the float dataflows cross-engine exact) IN ADDITION to the
+pure-Python twin tests here-adjacent (`tests/test_lm_filter.py`); the
+registry stayed at 100 = 2 x driver-window by retiring redundant sibling
+queries (COVERAGE.md §"retired queries").
 
 Scale design (the reason these shapes survive 100 TB):
 
@@ -48,6 +51,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from vector_graph_rag_spark.functions.hashing import hash60
 from vector_graph_rag_spark.functions.text import tokens
 
 _BOS = "\x02"  # sentence-start pseudo-token, cannot occur in whitespace tokens
@@ -125,7 +129,11 @@ def train_bigram_lm(
 
 
 def lm_cross_entropy(
-    docs: DataFrame, model: dict, text_col: str = "text", lam: float = 0.7
+    docs: DataFrame,
+    model: dict,
+    text_col: str = "text",
+    lam: float = 0.7,
+    quantized: bool = False,
 ) -> DataFrame:
     """Per-document cross-entropy (bits/token) under the trained LM.
 
@@ -138,6 +146,11 @@ def lm_cross_entropy(
     Plan: corpus bigram stream joined left against the two model tables on
     their n-gram keys (AQE splits hot stop-word keys), then one
     ``groupBy(doc_id)`` mean.
+
+    ``quantized=True`` rounds each per-bigram bit count to 6 decimals and
+    sums as DECIMAL(18,6) — an exact, add-order-independent aggregation
+    (within 1e-6/token of the float path) so the result hash-matches the
+    DuckDB oracle under any partitioning.  Same plan shape either way.
     """
     alpha = model["alpha"]
     unseen_p = alpha / (
@@ -157,6 +170,12 @@ def lm_cross_entropy(
             ).alias("p"),
         )
     )
+    if quantized:
+        bits = F.round(-F.log2("p"), 6).cast("decimal(18,6)")
+        return scored.groupBy("doc_id").agg(
+            F.count("*").alias("n_tokens"),
+            (F.sum(bits).cast("double") / F.count("*")).alias("cross_entropy"),
+        )
     return scored.groupBy("doc_id").agg(
         F.count("*").alias("n_tokens"),
         (-F.avg(F.log2("p"))).alias("cross_entropy"),
@@ -222,18 +241,20 @@ def perplexity_buckets_approx(
 
 
 def _hashed_features(
-    docs: DataFrame, text_col: str, n_buckets: int
+    docs: DataFrame, text_col: str, n_buckets: int, portable: bool = False
 ) -> DataFrame:
     """(doc_id, bucket) stream: word bigrams hashed into ``n_buckets``.
 
-    Uses ``xxhash64`` (stable across sessions/partitionings) on the joined
-    bigram text; ``pmod`` keeps the bucket non-negative.
+    Default hash is ``xxhash64`` (stable across sessions/partitionings) on
+    the joined bigram text; ``portable=True`` switches to the md5-derived
+    :func:`hash60` that DuckDB computes identically — the oracle-checkable
+    variant the registered queries use (same plan, ~2x the hash cost).
+    ``pmod`` keeps the bucket non-negative either way.
     """
+    joined = F.concat_ws("\x01", "prev", "tok")
+    h = hash60(joined) if portable else F.xxhash64(joined)
     return _bigrams(docs, text_col).select(
-        "doc_id",
-        F.pmod(
-            F.xxhash64(F.concat_ws("\x01", "prev", "tok")), F.lit(n_buckets)
-        ).alias("bucket"),
+        "doc_id", F.pmod(h, F.lit(n_buckets)).alias("bucket")
     )
 
 
@@ -243,6 +264,8 @@ def dsir_importance_weights(
     text_col: str = "text",
     n_buckets: int = 10_000,
     alpha: float = 1.0,
+    portable_hash: bool = False,
+    quantized: bool = False,
 ) -> DataFrame:
     """Per-document DSIR importance weight over the raw (non-target) pool.
 
@@ -262,11 +285,18 @@ def dsir_importance_weights(
     over unfiltered labels would count NULL rows toward p_raw while the
     ``~is_target`` output filter dropped them — silently skewing the
     denominator distribution).
+
+    ``portable_hash``/``quantized`` are the oracle-parity knobs (see
+    :func:`_hashed_features` / :func:`lm_cross_entropy`): md5-derived
+    buckets DuckDB reproduces, and an exact DECIMAL(18,6) weight sum that
+    is independent of add order.  Plan shape is unchanged by either.
     """
     labeled = docs.select("doc_id", is_target).filter(
         F.col(is_target).isNotNull()
     )
-    feats = _hashed_features(docs, text_col, n_buckets).join(labeled, "doc_id")
+    feats = _hashed_features(
+        docs, text_col, n_buckets, portable=portable_hash
+    ).join(labeled, "doc_id")
     dist = feats.groupBy("bucket").agg(
         F.sum(F.when(F.col(is_target), 1).otherwise(0)).alias("c_t"),
         F.sum(F.when(F.col(is_target), 0).otherwise(1)).alias("c_r"),
@@ -276,20 +306,22 @@ def dsir_importance_weights(
     ).collect()[0]
     denom_t = float(totals["n_t"]) + alpha * n_buckets
     denom_r = float(totals["n_r"]) + alpha * n_buckets
-    log_ratio = dist.select(
-        "bucket",
-        (
-            F.log((F.col("c_t") + alpha) / denom_t)
-            - F.log((F.col("c_r") + alpha) / denom_r)
-        ).alias("log_ratio"),
+    lr_expr = F.log((F.col("c_t") + alpha) / denom_t) - F.log(
+        (F.col("c_r") + alpha) / denom_r
     )
+    if quantized:
+        lr_expr = F.round(lr_expr, 6).cast("decimal(18,6)")
+    log_ratio = dist.select("bucket", lr_expr.alias("log_ratio"))
     raw_feats = feats.filter(~F.col(is_target))
+    weight = F.sum("log_ratio")
+    if quantized:
+        weight = weight.cast("double")
     return (
         raw_feats.join(F.broadcast(log_ratio), "bucket")
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_features"),
-            F.sum("log_ratio").alias("weight"),
+            weight.alias("weight"),
         )
     )
 
@@ -309,7 +341,7 @@ def dsir_select(weights: DataFrame, n: int) -> DataFrame:
 
 
 def _doc_features(
-    docs: DataFrame, text_col: str, n_buckets: int
+    docs: DataFrame, text_col: str, n_buckets: int, portable: bool = False
 ) -> DataFrame:
     """(doc_id, bucket, x) — per-document length-normalized bucket counts.
 
@@ -317,7 +349,7 @@ def _doc_features(
     bag-of-features scaling so long documents don't dominate the gradient.
     """
     counts = (
-        _hashed_features(docs, text_col, n_buckets)
+        _hashed_features(docs, text_col, n_buckets, portable=portable)
         .groupBy("doc_id", "bucket")
         .agg(F.count("*").alias("c"))
     )
@@ -335,6 +367,7 @@ def train_quality_classifier(
     iters: int = 25,
     lr: float = 2.0,
     l2: float = 1e-4,
+    portable_hash: bool = False,
 ) -> dict:
     """Logistic-regression quality classifier on hashed bigram features —
     the GPT-3 appendix-A "trained to discriminate WebText from raw Common
@@ -354,7 +387,8 @@ def train_quality_classifier(
     aggregation, and the twin test pins results at 1e-6.
     """
     feats = _doc_features(
-        docs.select("doc_id", text_col), text_col, n_buckets
+        docs.select("doc_id", text_col), text_col, n_buckets,
+        portable=portable_hash,
     ).persist()
     labels = (
         docs.select("doc_id", F.col(label).cast("double").alias("y"))
@@ -414,6 +448,7 @@ def train_quality_classifier(
         "bias": bias,
         "n_buckets": n_buckets,
         "text_col": text_col,
+        "portable_hash": portable_hash,
     }
 
 
@@ -428,6 +463,7 @@ def quality_scores(docs: DataFrame, model: dict) -> DataFrame:
         docs.select("doc_id", model["text_col"]),
         model["text_col"],
         model["n_buckets"],
+        portable=model.get("portable_hash", False),
     )
     return (
         feats.join(F.broadcast(w_df), "bucket", "left")

@@ -28,8 +28,24 @@ class DeclaredQuery:
 
 REGISTRY: dict[str, DeclaredQuery] = {}
 
+# Queries rotated OUT of the driver-facing registry (round-6 swap: the
+# registry is frozen at exactly 100 = 2x the driver window so the two-round
+# rotation-union guarantee stays exact; registering the round-5 library
+# operators therefore retires an equal number of redundant near-sibling
+# queries).  Retired queries keep their implementation, their DuckDB oracle,
+# and their local oracle-parity test (tests/test_oracle_parity.py runs over
+# ``load_all(include_retired=True)``) — only the driver's hash gate moved to
+# the surviving sibling.  COVERAGE.md §"retired queries" maps each retiree
+# to its survivor.
+RETIRED: dict[str, DeclaredQuery] = {}
 
-def register(name: str, oracle: str | None = None, description: str = ""):
+
+def register(
+    name: str,
+    oracle: str | None = None,
+    description: str = "",
+    retired: bool = False,
+):
     def deco(fn):
         # The driver-window export prefixes priority keys with "a_" and the
         # history parser strips that prefix; a registered name that itself
@@ -40,14 +56,17 @@ def register(name: str, oracle: str | None = None, description: str = ""):
                 f"query name {name!r} must not start with 'a_' (reserved for "
                 "the driver-window sort prefix in __spark_entry__)"
             )
-        REGISTRY[name] = DeclaredQuery(name=name, fn=fn, oracle=oracle, description=description)
+        target = RETIRED if retired else REGISTRY
+        target[name] = DeclaredQuery(name=name, fn=fn, oracle=oracle, description=description)
         return fn
 
     return deco
 
 
-def load_all() -> dict[str, DeclaredQuery]:
-    """Import every query module (side-effect: registration) and return the registry."""
+def load_all(include_retired: bool = False) -> dict[str, DeclaredQuery]:
+    """Import every query module (side-effect: registration) and return the
+    registry.  ``include_retired=True`` adds the rotated-out queries (local
+    tests and bench history; never the driver surface)."""
     from vector_graph_rag_spark.queries import (  # noqa: F401
         relational,
         graphrag,
@@ -63,6 +82,9 @@ def load_all() -> dict[str, DeclaredQuery]:
         ranking,
         hybrid,
         curation,
+        lmfilter,
     )
 
+    if include_retired:
+        return {**REGISTRY, **RETIRED}
     return REGISTRY

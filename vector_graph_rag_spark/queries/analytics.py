@@ -219,6 +219,7 @@ GROUP BY tok
     "salted_token_counts",
     oracle=_SALTED_SQL,
     description="two-phase salted aggregation (salt=8 on doc_id) — skew-proof token counts, byte-identical to plain groupBy",
+    retired=True,  # r6 swap: token-count semantics driver-gated via token_profile; salting pattern stays plan-tested
 )
 def salted_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vector_graph_rag_spark.functions.text import tokens
@@ -755,6 +756,7 @@ def entity_ppr_seeds_k3(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "entity_ppr_seeds_k8",
     oracle=_ppr_sql(8),
+    retired=True,  # r6 swap: same PPR kernel driver-gated at k=3 (entity_ppr_seeds_k3) + ppr_to_convergence twin
     description=(
         "personalized PageRank at depth 8 with per-round localCheckpoint past "
         "round 5 — the HippoRAG run-to-convergence shape with bounded lineage"

@@ -431,7 +431,12 @@ FROM hashed GROUP BY doc_id
 """
 
 
-@register("simhash_signatures", oracle=_simhash_sql(), description="16-bit simhash over distinct tokens")
+@register(
+    "simhash_signatures",
+    oracle=_simhash_sql(),
+    description="16-bit simhash over distinct tokens",
+    retired=True,  # r6 swap: signature-builder sibling of minhash_signatures; hamming consumer driver-gated via hamming_binary_topk
+)
 def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vector_graph_rag_spark.functions.hashing import hash60
 
@@ -591,6 +596,7 @@ FROM cand c JOIN sig a ON a.doc_id = c.doc_a JOIN sig b ON b.doc_id = c.doc_b
     "minhash_lsh_pairs_capped",
     oracle=_LSH_CAPPED_SQL,
     description="LSH pairs with hot-bucket cap: buckets above the cap are dropped before the quadratic within-bucket join",
+    retired=True,  # r6 swap: cap guard driver-gated via dedup_incremental's corpus-side hot-bucket cap; base pairs via minhash_lsh_pairs
 )
 def minhash_lsh_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = _minhash_wide_df(spark, sf_dir)

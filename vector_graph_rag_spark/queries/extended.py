@@ -292,7 +292,12 @@ GROUP BY 1
 """
 
 
-@register("orders_by_month", oracle=_MONTHLY_SQL, description="temporal scalar functions + agg")
+@register(
+    "orders_by_month",
+    oracle=_MONTHLY_SQL,
+    description="temporal scalar functions + agg",
+    retired=True,  # r6 swap: plain GROUP BY subsumed by orders_grouping_sets (same table, superset groupings)
+)
 def orders_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     return o.groupBy(

@@ -1,0 +1,475 @@
+"""Driver-registered queries for the model-based filtering + CDC operators
+(`operators/lm_filter.py`, `operators/cdc.py`, `queries/dedup.py::
+remove_shared_spans`) — the round-6 registry swap.
+
+These operators landed in round 5 as twin-tested library code; this module
+puts each behind the DuckDB hash gate the rest of the engine uses (r5
+verdict, Next #1).  The registry stays at exactly 100: eight redundant
+near-sibling queries were retired in their place (see ``RETIRED`` in
+``queries/__init__`` and COVERAGE.md §"retired queries").
+
+Oracle-parity engineering (FIXTURES.md §3 rules 4-5):
+
+- **Portable hashing**: DSIR/classifier bucket features use the md5-derived
+  ``hash60`` (``functions/hashing.py``) instead of ``xxhash64`` so DuckDB
+  computes identical buckets (``portable_hash=True``).
+- **Quantized sums**: every float aggregation whose add order Spark does
+  not fix (LM bit sums, DSIR weight sums) rounds the per-term value to 6
+  decimals and sums as DECIMAL(18,6) — exact and order-independent in both
+  engines (``quantized=True``).  Probabilities themselves (count ratios,
+  smoothed unigram mass) are single-rounded IEEE ops over identical
+  operands, hence bit-identical across engines by construction.
+- **Classifier GD**: registered at ``iters=2`` so the oracle unrolls the
+  full-batch gradient-descent recurrence as plain CTE algebra (the same
+  closed form the Spark loop computes); final scores rounded to 6.
+- **AUC**: every term of the Mann-Whitney rank sum is dyadic (average ranks
+  of consecutive integers), so the sums are exact in either engine in any
+  order and the final division sees identical operands — no rounding needed.
+
+Techniques are from public papers: CCNet (Wenzek et al. 2020), DSIR (Xie et
+al. 2023), GPT-3 appendix A (Brown et al. 2020), ExactSubstr (Lee et al.
+2022).  The reference repo has no analogue (its pipeline is retrieval-side:
+rag.py, retriever.py); these are the north-star training-data operators.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vector_graph_rag_spark.queries import register
+from vector_graph_rag_spark.sources.tables import load_table
+
+# --- shared SQL fragments ---------------------------------------------------
+
+# Whitespace tokens with empties removed == functions/text.py::tokens.
+_TOKS_CTE = """toks AS (
+  SELECT doc_id, list_filter(str_split(text, ' '), x -> x <> '') AS ts
+  FROM documents
+)"""
+
+# Bigram stream with a BOS (chr(2)) context per document; one row per token,
+# so unigram counts fall out of the same stream == lm_filter._bigrams.
+_GRAMS_CTE = """grams AS (
+  SELECT t.doc_id,
+         CASE WHEN u.i = 1 THEN chr(2) ELSE t.ts[u.i - 1] END AS prev,
+         t.ts[u.i] AS tok
+  FROM toks t, UNNEST(range(1, len(t.ts) + 1)) AS u(i)
+  WHERE len(t.ts) > 0
+)"""
+
+# Interpolated bigram LM trained on the trusted domain (source = 'src0'),
+# mirroring train_bigram_lm's arithmetic operation-for-operation (alpha=0.1).
+_LM_MODEL_CTES = """tr_grams AS (
+  SELECT g.* FROM grams g JOIN documents d USING (doc_id)
+  WHERE d.source = 'src0'
+),
+uni_c AS (SELECT tok, COUNT(*) AS c_uni FROM tr_grams GROUP BY tok),
+bi_c AS (SELECT prev, tok, COUNT(*) AS c_bi FROM tr_grams GROUP BY prev, tok),
+ctx AS (SELECT prev, CAST(SUM(c_bi) AS BIGINT) AS c_prev FROM bi_c GROUP BY prev),
+bi AS (SELECT b.prev, b.tok, b.c_bi, c.c_prev FROM bi_c b JOIN ctx c USING (prev)),
+tot AS (SELECT CAST(SUM(c_uni) AS BIGINT) AS t, COUNT(*) AS v FROM uni_c),
+uni AS (
+  SELECT u.tok,
+         (u.c_uni + 0.1) / (CAST(t.t AS DOUBLE) + 0.1 * (t.v + 1)) AS p_uni
+  FROM uni_c u CROSS JOIN tot t
+)"""
+
+# Per-document cross-entropy, quantized: per-bigram bits rounded to 6 and
+# summed as DECIMAL(18,6) == lm_cross_entropy(quantized=True), lam=0.7.
+_CE_CTES = f"""{_TOKS_CTE},
+{_GRAMS_CTE},
+{_LM_MODEL_CTES},
+pterm AS (
+  SELECT g.doc_id,
+         0.7 * COALESCE(CAST(b.c_bi AS DOUBLE) / b.c_prev, 0.0)
+         + (1.0 - 0.7) * COALESCE(u.p_uni,
+             0.1 / (CAST(t.t AS DOUBLE) + 0.1 * (t.v + 1))) AS p
+  FROM grams g
+  LEFT JOIN bi b ON b.prev = g.prev AND b.tok = g.tok
+  LEFT JOIN uni u ON u.tok = g.tok
+  CROSS JOIN tot t
+),
+ce AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(SUM(CAST(round(-log2(p), 6) AS DECIMAL(18,6))) AS DOUBLE)
+           / COUNT(*) AS cross_entropy
+  FROM pterm GROUP BY doc_id
+)"""
+
+_LM_CE_SQL = f"WITH {_CE_CTES}\nSELECT doc_id, n_tokens, cross_entropy FROM ce"
+
+_TIERS_SQL = f"""WITH {_CE_CTES}
+SELECT doc_id, n_tokens, cross_entropy,
+       CASE WHEN pr < (1.0 / 3.0) THEN 'head'
+            WHEN pr >= 1.0 - (1.0 / 3.0) THEN 'tail'
+            ELSE 'middle' END AS tier
+FROM (
+  SELECT ce.*, percent_rank() OVER (ORDER BY cross_entropy, doc_id) AS pr
+  FROM ce
+)"""
+
+# DSIR hashed features: portable 60-bit md5 hash of "prev\\x01tok" modulo
+# n_buckets == _hashed_features(portable=True); n_buckets=10000, alpha=1.0.
+_DSIR_CTES = f"""{_TOKS_CTE},
+{_GRAMS_CTE},
+fbt AS (
+  SELECT g.doc_id,
+         CAST(('0x' || substr(md5(g.prev || chr(1) || g.tok), 1, 15)) AS BIGINT)
+           % 10000 AS bucket,
+         (d.source = 'src0') AS is_t
+  FROM grams g JOIN documents d USING (doc_id)
+),
+dist AS (
+  SELECT bucket,
+         SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS c_t,
+         SUM(CASE WHEN is_t THEN 0 ELSE 1 END) AS c_r
+  FROM fbt GROUP BY bucket
+),
+tots AS (SELECT CAST(SUM(c_t) AS BIGINT) AS n_t, CAST(SUM(c_r) AS BIGINT) AS n_r FROM dist),
+lratio AS (
+  SELECT d.bucket,
+         CAST(round(
+           ln((d.c_t + 1.0) / (CAST(t.n_t AS DOUBLE) + 1.0 * 10000))
+           - ln((d.c_r + 1.0) / (CAST(t.n_r AS DOUBLE) + 1.0 * 10000)), 6)
+         AS DECIMAL(18,6)) AS log_ratio
+  FROM dist d CROSS JOIN tots t
+),
+dsir_w AS (
+  SELECT f.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_features,
+         CAST(SUM(l.log_ratio) AS DOUBLE) AS weight
+  FROM fbt f JOIN lratio l USING (bucket)
+  WHERE NOT f.is_t
+  GROUP BY f.doc_id
+)"""
+
+_DSIR_SQL = f"WITH {_DSIR_CTES}\nSELECT doc_id, n_features, weight FROM dsir_w"
+
+_DSIR_SELECT_N = 100
+
+_DSIR_SELECT_SQL = f"""WITH {_DSIR_CTES}
+SELECT doc_id, n_features, weight FROM dsir_w
+ORDER BY weight DESC, doc_id ASC
+LIMIT {_DSIR_SELECT_N}"""
+
+# GPT-3-style quality classifier, 2 full-batch GD iterations unrolled as CTE
+# algebra == train_quality_classifier(iters=2, n_buckets=512, lr=2.0,
+# l2=1e-4, portable_hash=True) followed by quality_scores, rounded to 6.
+_CLS_SQL = f"""WITH {_TOKS_CTE},
+{_GRAMS_CTE},
+fb AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(prev || chr(1) || tok), 1, 15)) AS BIGINT)
+           % 512 AS bucket
+  FROM grams
+),
+counts AS (SELECT doc_id, bucket, COUNT(*) AS c FROM fb GROUP BY doc_id, bucket),
+dt AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS tot FROM counts GROUP BY doc_id),
+feats AS (
+  SELECT c.doc_id, c.bucket, CAST(c.c AS DOUBLE) / d.tot AS x
+  FROM counts c JOIN dt d USING (doc_id)
+),
+labels AS (
+  SELECT doc_id, CASE WHEN source = 'src0' THEN 1.0 ELSE 0.0 END AS y
+  FROM documents
+),
+n AS (SELECT COUNT(*) AS nd FROM labels),
+-- iteration 1: w=0, bias=0 -> margin 0, sigmoid 1/2, residual 0.5 - y
+r1 AS (SELECT doc_id, 0.5 - y AS r FROM labels),
+g1 AS (SELECT f.bucket, SUM(f.x * r1.r) AS g FROM feats f JOIN r1 USING (doc_id) GROUP BY f.bucket),
+gb1 AS (SELECT SUM(r) AS gb FROM r1),
+w1 AS (SELECT bucket, 0.0 - 2.0 * ((g / n.nd) + (0.0001 * 0.0)) AS w FROM g1 CROSS JOIN n),
+b1 AS (SELECT 0.0 - ((2.0 * gb) / n.nd) AS b FROM gb1 CROSS JOIN n),
+-- iteration 2
+m2 AS (
+  SELECT f.doc_id, SUM(f.x * COALESCE(w1.w, 0.0)) AS m
+  FROM feats f LEFT JOIN w1 USING (bucket) GROUP BY f.doc_id
+),
+r2 AS (
+  SELECT l.doc_id,
+         1.0 / (1.0 + exp(-(COALESCE(m2.m, 0.0) + b1.b))) - l.y AS r
+  FROM labels l LEFT JOIN m2 USING (doc_id) CROSS JOIN b1
+),
+g2 AS (SELECT f.bucket, SUM(f.x * r2.r) AS g FROM feats f JOIN r2 USING (doc_id) GROUP BY f.bucket),
+gb2 AS (SELECT SUM(r) AS gb FROM r2),
+w2 AS (
+  SELECT COALESCE(w1.bucket, g2.bucket) AS bucket,
+         CASE WHEN g2.g IS NULL THEN w1.w
+              ELSE COALESCE(w1.w, 0.0)
+                   - 2.0 * ((g2.g / n.nd) + (0.0001 * COALESCE(w1.w, 0.0)))
+         END AS w
+  FROM w1 FULL OUTER JOIN g2 ON w1.bucket = g2.bucket CROSS JOIN n
+),
+b2 AS (SELECT b1.b - ((2.0 * gb2.gb) / n.nd) AS b FROM b1 CROSS JOIN gb2 CROSS JOIN n),
+-- frozen-model scoring over all docs with features
+m3 AS (
+  SELECT f.doc_id, SUM(f.x * COALESCE(w2.w, 0.0)) AS m
+  FROM feats f LEFT JOIN w2 USING (bucket) GROUP BY f.doc_id
+)
+SELECT m3.doc_id, round(1.0 / (1.0 + exp(-(m3.m + b2.b))), 6) AS score
+FROM m3 CROSS JOIN b2"""
+
+# Mann-Whitney AUC over the LM cross-entropy scores: every term is dyadic,
+# so no rounding is needed anywhere == operators/lm_filter.binary_auc.
+_AUC_SQL = f"""WITH {_CE_CTES},
+scored AS (
+  SELECT c.cross_entropy AS s,
+         CASE WHEN d.source = 'src0' THEN 1 ELSE 0 END AS y
+  FROM ce c JOIN documents d USING (doc_id)
+),
+g AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS p FROM scored GROUP BY s),
+r AS (
+  SELECT p, n,
+         COALESCE(CAST(SUM(n) OVER (ORDER BY s
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS cum
+  FROM g
+),
+a AS (
+  SELECT SUM(p * (cum + (n + 1) / 2.0)) AS rank_sum,
+         CAST(SUM(p) AS BIGINT) AS n_pos,
+         CAST(SUM(n) - SUM(p) AS BIGINT) AS n_neg
+  FROM r
+)
+SELECT n_pos, n_neg,
+       (rank_sum - n_pos * (n_pos + 1) / 2.0) / (n_pos * n_neg) AS auc
+FROM a"""
+
+# ExactSubstr span removal (Lee et al. 2022): 10-token spans in >= 2
+# distinct docs, every occurrence cut == queries/dedup.remove_shared_spans.
+_SPANS_SQL = f"""WITH {_TOKS_CTE},
+spans AS (
+  SELECT t.doc_id, u.i AS pos,
+         md5(array_to_string(t.ts[(u.i + 1):(u.i + 10)], ' ')) AS h
+  FROM toks t, UNNEST(range(0, len(t.ts) - 10 + 1)) AS u(i)
+  WHERE len(t.ts) >= 10
+),
+rep AS (SELECT h FROM spans GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+marks AS (SELECT s.doc_id, s.pos FROM spans s JOIN rep USING (h)),
+tok_idx AS (
+  SELECT t.doc_id, u.i - 1 AS idx, t.ts[u.i] AS tok
+  FROM toks t, UNNEST(range(1, len(t.ts) + 1)) AS u(i)
+),
+removed AS (
+  SELECT DISTINCT t.doc_id, t.idx
+  FROM tok_idx t
+  JOIN marks m ON m.doc_id = t.doc_id AND m.pos <= t.idx AND t.idx < m.pos + 10
+),
+agg AS (
+  SELECT tk.doc_id,
+         SUM(CASE WHEN rm.idx IS NOT NULL THEN 1 ELSE 0 END) AS n_rm,
+         COALESCE(string_agg(CASE WHEN rm.idx IS NULL THEN tk.tok END,
+                             ' ' ORDER BY tk.idx), '') AS cleaned_text
+  FROM tok_idx tk
+  LEFT JOIN removed rm ON rm.doc_id = tk.doc_id AND rm.idx = tk.idx
+  GROUP BY tk.doc_id
+)
+SELECT t.doc_id,
+       CAST(len(t.ts) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(a.n_rm, 0) AS BIGINT) AS n_removed_tokens,
+       COALESCE(a.cleaned_text, '') AS cleaned_text
+FROM toks t LEFT JOIN agg a USING (doc_id)"""
+
+# Snapshot CDC over a deterministic re-crawl mutation of `documents`:
+# drop doc_id%17, NULL out %31, edit %13, re-key %29 (+1e6).  The NULL
+# branch exercises the null-safe content compare (ADVICE r5).
+_CDC_SQL = """WITH o AS (
+  SELECT doc_id, TRUE AS in_old, md5(text) AS old_hash FROM documents
+),
+newd AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 31 = 0 THEN NULL
+              WHEN doc_id % 13 = 0 THEN text || ' EDITED'
+              ELSE text END AS text
+  FROM documents WHERE doc_id % 17 <> 0
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 29 = 0
+),
+n AS (SELECT doc_id, TRUE AS in_new, md5(text) AS new_hash FROM newd),
+j AS (
+  SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id, in_old, in_new, old_hash, new_hash
+  FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+),
+c AS (
+  SELECT doc_id,
+         CASE WHEN in_old IS NULL THEN 'added'
+              WHEN in_new IS NULL THEN 'removed'
+              WHEN old_hash IS DISTINCT FROM new_hash THEN 'changed'
+         END AS change,
+         old_hash, new_hash
+  FROM j
+)
+SELECT doc_id, change, old_hash, new_hash FROM c WHERE change IS NOT NULL"""
+
+
+# --- Spark queries ----------------------------------------------------------
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+
+
+def _ce_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_graph_rag_spark.operators.lm_filter import (
+        lm_cross_entropy,
+        train_bigram_lm,
+    )
+
+    d = _docs(spark, sf_dir)
+    model = train_bigram_lm(d.filter(F.col("source") == "src0"))
+    return lm_cross_entropy(d, model, quantized=True)
+
+
+@register(
+    "lm_cross_entropy",
+    oracle=_LM_CE_SQL,
+    description=(
+        "CCNet bigram-LM per-document cross-entropy (bits/token) under the "
+        "trusted-domain model; quantized DECIMAL sum for oracle parity"
+    ),
+)
+def lm_cross_entropy_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ce_scores(spark, sf_dir)
+
+
+@register(
+    "perplexity_buckets",
+    oracle=_TIERS_SQL,
+    description=(
+        "CCNet head/middle/tail quality tiers by cross-entropy rank "
+        "(exact split; perplexity_buckets_approx is the sketched 100 TB path)"
+    ),
+)
+def perplexity_buckets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_graph_rag_spark.operators.lm_filter import perplexity_buckets
+
+    return perplexity_buckets(_ce_scores(spark, sf_dir))
+
+
+def _dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_graph_rag_spark.operators.lm_filter import dsir_importance_weights
+
+    d = _docs(spark, sf_dir).withColumn("is_t", F.col("source") == "src0")
+    return dsir_importance_weights(
+        d, "is_t", n_buckets=10_000, portable_hash=True, quantized=True
+    )
+
+
+@register(
+    "dsir_importance_weights",
+    oracle=_DSIR_SQL,
+    description=(
+        "DSIR hashed-bigram importance weights of the raw pool vs the "
+        "src0 target distribution (broadcast 10k-bucket log-ratio table)"
+    ),
+)
+def dsir_importance_weights_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _dsir_weights(spark, sf_dir)
+
+
+@register(
+    "dsir_select",
+    oracle=_DSIR_SELECT_SQL,
+    description=(
+        f"deterministic DSIR selection: top-{_DSIR_SELECT_N} importance-weight "
+        "documents (TakeOrderedAndProject, ties by doc_id)"
+    ),
+)
+def dsir_select_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_graph_rag_spark.operators.lm_filter import dsir_select
+
+    return dsir_select(_dsir_weights(spark, sf_dir), _DSIR_SELECT_N)
+
+
+@register(
+    "quality_classifier_scores",
+    oracle=_CLS_SQL,
+    description=(
+        "GPT-3-style logistic-regression quality scores: 2 full-batch GD "
+        "iterations on hashed bigram features (src0 = positive class), "
+        "then frozen-model sigmoid scoring of the corpus"
+    ),
+)
+def quality_classifier_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_graph_rag_spark.operators.lm_filter import (
+        quality_scores,
+        train_quality_classifier,
+    )
+
+    d = _docs(spark, sf_dir)
+    labeled = d.withColumn("hq", F.col("source") == "src0")
+    model = train_quality_classifier(
+        labeled, "hq", n_buckets=512, iters=2, portable_hash=True
+    )
+    return quality_scores(d, model).select(
+        "doc_id", F.round("score", 6).alias("score")
+    )
+
+
+@register(
+    "binary_auc",
+    oracle=_AUC_SQL,
+    description=(
+        "exact Mann-Whitney ROC-AUC of the LM cross-entropy scores against "
+        "the src0 label — grouped-by-score formulation, no global sort"
+    ),
+)
+def binary_auc_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_graph_rag_spark.operators.lm_filter import binary_auc
+
+    d = _docs(spark, sf_dir)
+    scored = _ce_scores(spark, sf_dir).join(
+        d.select("doc_id", (F.col("source") == "src0").alias("y")), "doc_id"
+    )
+    auc = binary_auc(scored, "cross_entropy", "y")
+    agg = scored.agg(
+        F.sum(F.col("y").cast("long")).alias("np"), F.count("*").alias("nt")
+    ).collect()[0]
+    n_pos = int(agg["np"]) if agg["np"] is not None else 0
+    n_neg = int(agg["nt"]) - n_pos
+    return spark.createDataFrame(
+        [(n_pos, n_neg, auc)], "n_pos long, n_neg long, auc double"
+    )
+
+
+@register(
+    "remove_shared_spans",
+    oracle=_SPANS_SQL,
+    description=(
+        "ExactSubstr dedup: every occurrence of a 10-token span shared by "
+        ">=2 distinct documents is cut; row-local interval masking"
+    ),
+)
+def remove_shared_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_graph_rag_spark.queries.dedup import remove_shared_spans
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return remove_shared_spans(d, span_tokens=10, min_docs=2)
+
+
+@register(
+    "snapshot_diff",
+    oracle=_CDC_SQL,
+    description=(
+        "snapshot CDC: added/removed/changed delta between the corpus and a "
+        "deterministic re-crawl mutation (incl. NULL-content rows) via one "
+        "full-outer join on the key with null-safe content-hash compare"
+    ),
+)
+def snapshot_diff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_graph_rag_spark.operators.cdc import snapshot_diff
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    old = d
+    mutated = d.filter(F.col("doc_id") % 17 != 0).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 31 == 0, F.lit(None).cast("string"))
+        .when(F.col("doc_id") % 13 == 0, F.concat(F.col("text"), F.lit(" EDITED")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    rekeyed = d.filter(F.col("doc_id") % 29 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    return snapshot_diff(old, mutated.unionByName(rekeyed))

@@ -199,6 +199,7 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
     "orders_moving_avg",
     oracle=_MOVAVG_SQL,
     description="3-order moving average per customer (bounded ROWS frame, decimal-exact sum)",
+    retired=True,  # r6 swap: partitioned-window-over-orders sibling of topk_orders_per_customer (frame agg vs rank)
 )
 def orders_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")

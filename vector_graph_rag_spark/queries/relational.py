@@ -223,7 +223,12 @@ SELECT n_nationkey, 'customer_only' AS src FROM (
 """
 
 
-@register("nation_setops", oracle=_SETOPS_SQL, description="intersect/except/union (SURVEY §2.2 set ops)")
+@register(
+    "nation_setops",
+    oracle=_SETOPS_SQL,
+    description="intersect/except/union (SURVEY §2.2 set ops)",
+    retired=True,  # r6 swap: nation-dimension coverage driver-gated via nation_balance_full_outer
+)
 def nation_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     cn = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("n_nationkey")).distinct()
     sn = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("n_nationkey")).distinct()

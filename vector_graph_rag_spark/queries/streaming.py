@@ -52,6 +52,7 @@ FROM wins GROUP BY 1, 2
     "stream_sliding_15m",
     oracle=_SLIDING_SQL,
     description="Structured Streaming sliding-window agg (30m width / 15m slide) with watermark",
+    retired=True,  # r6 swap: windowed-stream-agg sibling of stream_tumbling_30m (sliding = overlapping tumbling); 5 stream queries stay gated
 )
 def stream_sliding_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windowed_event_aggregate(

@@ -62,7 +62,7 @@ def compare_query(spark, name: str, sf_dir: str) -> dict:
     """Run one declared query vs its oracle. Returns a result dict."""
     from vector_graph_rag_spark.queries import load_all
 
-    q = load_all()[name]
+    q = load_all(include_retired=True)[name]
     sdf = q.fn(spark, sf_dir).toPandas()
     if q.oracle is None:
         return {"name": name, "status": "rows_only", "rows": len(sdf)}
