@@ -62,6 +62,16 @@ AUDITED = [
     "pii_redaction_profile",
     "repetition_quality_filters",
     "sequence_packing",
+    # round-6 registered model-filter + CDC family (binary_auc and
+    # quality_classifier_scores are eager — driver GD/collect — and audited
+    # via binary_auc's dedicated no-single-partition test + the lm_filter
+    # library plan test)
+    "lm_cross_entropy",
+    "perplexity_buckets",
+    "dsir_importance_weights",
+    "dsir_select",
+    "remove_shared_spans",
+    "snapshot_diff",
 ]
 
 
@@ -229,3 +239,16 @@ def test_binary_auc_has_no_single_partition_stage(spark):
     assert "SinglePartition" not in plan, f"AUC reintroduced a single-partition stage:\n{plan}"
     assert "Window" not in plan, f"AUC reintroduced a global window:\n{plan}"
     assert "HashAggregate" in plan  # the map-side-combined groupBy(score)
+
+
+def test_registered_dsir_keeps_broadcast_and_takeordered(spark):
+    """The r6 registered DSIR variant (portable md5 hash + quantized sums)
+    must keep the library plan shape: log-ratio table broadcast, selection
+    as TakeOrderedAndProject."""
+    from vector_graph_rag_spark.queries import load_all
+
+    reg = load_all()
+    w_plan = _plan(spark, "dsir_importance_weights")
+    assert "BroadcastHashJoin" in w_plan
+    sel_plan = _plan(spark, "dsir_select")
+    assert "TakeOrderedAndProject" in sel_plan, "dsir_select lost its local top-n plan"

@@ -378,9 +378,16 @@ def train_quality_classifier(
     iteration: scores = feature-stream join against the **broadcast** weight
     table + one ``groupBy(doc_id)`` sum; gradient = residual-weighted
     feature stream + one ``groupBy(bucket)`` sum, collected as ``n_buckets``
-    rows.  Driver state is the weight vector (``n_buckets`` floats + bias)
-    — never corpus-sized; the feature stream is computed once, persisted,
-    and shuffled exactly twice per iteration.
+    rows.  The bias gradient rides the SAME aggregation as a sentinel
+    bias-feature row (bucket −1, x = 1.0) per labeled document, so each
+    iteration is exactly ONE Spark action — the r5 shape collected the
+    bucket gradients and the bias gradient separately, recomputing the
+    margin join twice per iteration (2× the work, measured).  Sentinel rows
+    cannot perturb margins or scores: bucket −1 never enters the weight
+    table, so their contribution is exactly ``1.0 * 0.0``.  Driver state is
+    the weight vector (``n_buckets`` floats + bias) — never corpus-sized;
+    the feature stream is computed once, persisted, and shuffled exactly
+    twice per iteration.
 
     Returns ``{"weights": {bucket: w}, "bias": float, ...}``.  Deterministic:
     float adds are reassociated only inside Spark's fixed-plan partial
@@ -389,7 +396,7 @@ def train_quality_classifier(
     feats = _doc_features(
         docs.select("doc_id", text_col), text_col, n_buckets,
         portable=portable_hash,
-    ).persist()
+    )
     labels = (
         docs.select("doc_id", F.col(label).cast("double").alias("y"))
         .filter(F.col("y").isNotNull())
@@ -397,9 +404,16 @@ def train_quality_classifier(
     )
     n_docs = labels.count()
     if n_docs == 0:
-        feats.unpersist()
         labels.unpersist()
         raise ValueError("train_quality_classifier: no labeled documents")
+    # Sentinel bias-feature rows: one (doc, bucket=-1, x=1.0) per labeled
+    # doc, so sum(x*r) over bucket -1 IS the bias gradient and the whole
+    # iteration needs a single collect.  Real buckets are pmod-non-negative.
+    train_feats = feats.unionByName(
+        labels.select(
+            "doc_id", F.lit(-1).alias("bucket"), F.lit(1.0).alias("x")
+        )
+    ).persist()
     spark = docs.sparkSession
     w: dict[int, float] = {}
     bias = 0.0
@@ -408,7 +422,7 @@ def train_quality_classifier(
             list(w.items()) or [(0, 0.0)], "bucket int, w double"
         )
         margins = (
-            feats.join(F.broadcast(w_df), "bucket", "left")
+            train_feats.join(F.broadcast(w_df), "bucket", "left")
             .groupBy("doc_id")
             .agg(
                 F.sum(F.col("x") * F.coalesce("w", F.lit(0.0))).alias("m")
@@ -429,19 +443,22 @@ def train_quality_classifier(
             )
         )
         grad_rows = (
-            feats.join(resid, "doc_id")
+            train_feats.join(resid, "doc_id")
             .groupBy("bucket")
             .agg(F.sum(F.col("x") * F.col("r")).alias("g"))
             .collect()
         )
-        grad_b = resid.agg(F.sum("r")).collect()[0][0] or 0.0
+        grad_b = 0.0
         for row in grad_rows:
             b = row["bucket"]
+            if b == -1:
+                grad_b = row["g"]
+                continue
             w[b] = w.get(b, 0.0) - lr * (
                 row["g"] / n_docs + l2 * w.get(b, 0.0)
             )
         bias -= lr * grad_b / n_docs
-    feats.unpersist()
+    train_feats.unpersist()
     labels.unpersist()
     return {
         "weights": w,
