@@ -1,0 +1,175 @@
+"""Distributed BPE training vs a straight-line Python twin of Sennrich's
+algorithm (same tie-break), plus plan/scale invariants."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from vector_graph_rag_spark.operators.bpe import (
+    EOW,
+    _segment_word_python,
+    bpe_token_stats,
+    bpe_tokenize,
+    train_bpe,
+    word_counts,
+)
+from vector_graph_rag_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _toks(s: str) -> list[str]:
+    return [t for t in s.split(" ") if t]
+
+
+def _python_bpe(word_freq: dict[str, int], n_merges: int, min_pair_count: int = 2):
+    """Sennrich BPE on a word-frequency table; tie-break (count desc,
+    left asc, right asc) — the twin of train_bpe."""
+    segs = {w: list(w) + [EOW] for w in word_freq}
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for w, syms in segs.items():
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + word_freq[w]
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        if best[1] < min_pair_count:
+            break
+        a, b = best[0]
+        merges.append((a, b))
+        for w in segs:
+            segs[w] = _apply(segs[w], a, b)
+    return merges, segs
+
+
+def _apply(syms: list[str], a: str, b: str) -> list[str]:
+    out: list[str] = []
+    pend = None
+    for s in syms:
+        if pend is None:
+            pend = s
+        elif pend == a and s == b:
+            out.append(a + b)
+            pend = None
+        else:
+            out.append(pend)
+            pend = s
+    if pend is not None:
+        out.append(pend)
+    return out
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    rows = {r["doc_id"]: r["text"] for r in docs.collect()}
+    return docs, rows
+
+
+@pytest.fixture(scope="module")
+def model(spark, corpus):
+    docs, _ = corpus
+    return train_bpe(docs, n_merges=30)
+
+
+def test_merge_sequence_matches_python_twin(spark, corpus, model):
+    docs, rows = corpus
+    freq: dict[str, int] = {}
+    for text in rows.values():
+        for w in _toks(text):
+            freq[w] = freq.get(w, 0) + 1
+    exp_merges, exp_segs = _python_bpe(freq, n_merges=30)
+
+    assert model["merges"] == exp_merges
+    got_segs = {
+        r["w"]: list(r["pieces"]) for r in model["word_pieces"].collect()
+    }
+    assert got_segs == exp_segs
+    # word counts in the byproduct match the raw frequency table
+    got_freq = {r["w"]: r["cnt"] for r in model["word_pieces"].collect()}
+    assert got_freq == freq
+
+
+def test_merges_are_deterministic_across_parallelism(spark, corpus):
+    docs, _ = corpus
+    m1 = train_bpe(docs, n_merges=12)["merges"]
+    m2 = train_bpe(docs.repartition(7), n_merges=12)["merges"]
+    assert m1 == m2
+
+
+def test_tokenize_known_and_oov(spark, corpus, model):
+    docs, rows = corpus
+    # known-word path: tokenizing the training corpus reproduces the
+    # training segmentations word-for-word
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_pieces"], list(r["pieces"]))
+        for r in bpe_tokenize(docs, model).collect()
+    }
+    segs = {r["w"]: list(r["pieces"]) for r in model["word_pieces"].collect()}
+    for doc_id, text in rows.items():
+        ws = _toks(text)
+        if not ws:
+            assert doc_id not in got
+            continue
+        exp_pieces = [p for w in ws for p in segs[w]]
+        assert got[doc_id] == (len(ws), len(exp_pieces), exp_pieces)
+
+    # OOV path: unseen words replay the merge list (UDF == training fold)
+    oov = spark.createDataFrame(
+        [(1, "zzzqqq unknownword"), (2, "")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: list(r["pieces"]) for r in bpe_tokenize(oov, model).collect()}
+    exp = _segment_word_python("zzzqqq", model["merges"]) + _segment_word_python(
+        "unknownword", model["merges"]
+    )
+    assert out == {1: exp}  # empty doc 2 has no row
+
+
+def test_token_stats_consistent(spark, corpus, model):
+    docs, rows = corpus
+    row = bpe_token_stats(docs, model).collect()[0]
+    total_words = sum(len(_toks(t)) for t in rows.values())
+    assert row["total_words"] == total_words
+    assert row["n_docs"] == sum(1 for t in rows.values() if _toks(t))
+    assert row["total_pieces"] >= row["total_words"]  # EOW guarantees >= 1 piece/word
+    assert row["pieces_per_word"] == pytest.approx(
+        row["total_pieces"] / row["total_words"]
+    )
+
+
+def test_empty_corpus(spark):
+    docs = spark.createDataFrame([], "doc_id long, text string")
+    model = train_bpe(docs, n_merges=5)
+    assert model["merges"] == []
+    assert model["word_pieces"].count() == 0
+
+
+def test_training_plan_stays_jvm_side(spark, corpus):
+    """The training iteration must stay pure JVM: pair counting and the
+    merge fold compile without Python eval nodes or cartesian products."""
+    docs, _ = corpus
+    from vector_graph_rag_spark.operators.bpe import (
+        _adjacent_pairs,
+        _apply_merge,
+        _chars_with_eow,
+    )
+
+    syms = word_counts(docs).select(
+        "w", "cnt", _chars_with_eow(F.col("w")).alias("syms")
+    )
+    pairs = (
+        syms.select("cnt", F.explode(_adjacent_pairs(F.col("syms"))).alias("p"))
+        .groupBy("p.a", "p.b")
+        .agg(F.sum("cnt").alias("n"))
+    )
+    argmax = pairs.orderBy(F.desc("n"), F.asc("a"), F.asc("b")).limit(1)
+    merged = syms.select(_apply_merge(F.col("syms"), "a", "b").alias("syms"))
+    for df in (pairs, argmax, merged):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan
+        assert "CartesianProduct" not in plan
+    # the argmax is a local top-1, never a global sort
+    assert "TakeOrderedAndProject" in argmax._jdf.queryExecution().executedPlan().toString()

@@ -1,0 +1,258 @@
+"""Distributed BPE tokenizer training — the subword vocabulary step of a
+pretraining data pipeline (Sennrich et al. 2016, "Neural Machine Translation
+of Rare Words with Subword Units"; the algorithm behind GPT-2/RoBERTa-style
+tokenizers).
+
+Why this shape survives 100 TB: BPE statistics are WORD-frequency
+statistics, so the corpus is touched exactly once —
+
+1. ``groupBy(word)`` count: the ONLY corpus-sized shuffle, map-side
+   combined.  Everything downstream operates on the distinct-word table
+   (vocab-sized: ~10^7-10^8 rows at web scale, independent of corpus rows).
+2. Per merge iteration, all on the word table: adjacent-symbol pair counts
+   weighted by word frequency (``groupBy(pair)``), the argmax pair via
+   ``orderBy().limit(1)`` (plans as TakeOrderedAndProject — per-partition
+   local top-1, no global sort), and a row-local left-fold that applies the
+   merge inside each word's symbol array (``F.aggregate`` — no shuffle).
+   Lineage is bounded with ``localCheckpoint`` every few rounds, the same
+   pattern as the PPR/CC iterative kernels.
+3. Tokenization of new text: known words resolve through a broadcast
+   word→pieces table (the training byproduct covers the whole training
+   vocab); only OOV words pay the per-word merge replay, batched through
+   an Arrow ``pandas_udf`` (the sanctioned non-JVM escape hatch).
+
+Determinism: the argmax pair is tie-broken (count desc, left asc, right
+asc), so the merge sequence — and therefore the entire tokenizer — is a
+pure function of the corpus.  Twin-tested against a straight-line Python
+implementation of Sennrich's algorithm in ``tests/test_bpe.py``.
+
+The reference repo has no tokenizer training (its token counting is
+tiktoken at query time, rag.py); this is a north-star training-pipeline
+operator ("token counting (whitespace + a BPE-ish regex)" taken to the
+real thing).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from vector_graph_rag_spark.functions.text import tokens
+
+EOW = "</w>"  # end-of-word sentinel, standard Sennrich
+
+_CHECKPOINT_EVERY = 8  # bound iterative lineage like the PPR kernel
+
+
+def _chars_with_eow(col):
+    """word → initial symbol array: characters + the end-of-word marker."""
+    chars = F.filter(F.split(col, ""), lambda c: c != F.lit(""))
+    return F.concat(chars, F.array(F.lit(EOW)))
+
+
+def _adjacent_pairs(syms_col):
+    """array<string> → array<struct<a,b>> of adjacent symbol pairs."""
+    left = F.slice(syms_col, 1, F.size(syms_col) - 1)
+    right = F.slice(syms_col, 2, F.size(syms_col) - 1)
+    return F.zip_with(
+        left, right, lambda a, b: F.struct(a.alias("a"), b.alias("b"))
+    )
+
+
+def _apply_merge(syms_col, a: str, b: str):
+    """Left-to-right non-overlapping replacement of adjacent (a, b) with
+    a+b inside the symbol array — a row-local fold, no shuffle.
+
+    The fold carries (acc, pend): ``pend`` is the last unconsumed symbol;
+    when it equals ``a`` and the next symbol is ``b`` they fuse, otherwise
+    ``pend`` is flushed.  Matches the classic implementation's scan order.
+    """
+    merged = a + b
+
+    def step(st, s):
+        flush = F.concat(st["acc"], F.array(st["pend"]))
+        return (
+            F.when(
+                st["pend"].isNull(),
+                F.struct(st["acc"].alias("acc"), s.alias("pend")),
+            )
+            .when(
+                (st["pend"] == F.lit(a)) & (s == F.lit(b)),
+                F.struct(
+                    F.concat(st["acc"], F.array(F.lit(merged))).alias("acc"),
+                    F.lit(None).cast("string").alias("pend"),
+                ),
+            )
+            .otherwise(F.struct(flush.alias("acc"), s.alias("pend")))
+        )
+
+    init = F.struct(
+        F.array().cast("array<string>").alias("acc"),
+        F.lit(None).cast("string").alias("pend"),
+    )
+    return F.aggregate(
+        syms_col,
+        init,
+        step,
+        lambda st: F.when(
+            st["pend"].isNull(), st["acc"]
+        ).otherwise(F.concat(st["acc"], F.array(st["pend"]))),
+    )
+
+
+def word_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(w, cnt) distinct-word frequency table — the one corpus shuffle."""
+    return (
+        docs.select(F.explode(tokens(text_col)).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def train_bpe(
+    docs: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 50,
+    min_pair_count: int = 2,
+) -> dict:
+    """Learn ``n_merges`` BPE merges from the corpus.
+
+    Returns ``{"merges": [(a, b), ...] in learned order,
+    "word_pieces": DF(w, cnt, pieces array<string>),
+    "vocab": sorted list of final symbols}``.
+    Stops early when the best remaining pair occurs fewer than
+    ``min_pair_count`` times (weighted by word frequency).
+
+    Cost model: one corpus shuffle (word counts), then per merge one
+    vocab-sized pair count + a TakeOrdered(1) argmax + a row-local fold.
+    Driver state: the merge list (``n_merges`` string pairs).
+    """
+    syms = word_counts(docs, text_col).select(
+        "w", "cnt", _chars_with_eow(F.col("w")).alias("syms")
+    )
+    syms = syms.localCheckpoint(eager=True)
+
+    merges: list[tuple[str, str]] = []
+    for i in range(n_merges):
+        pairs = (
+            syms.select("cnt", F.explode(_adjacent_pairs(F.col("syms"))).alias("p"))
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("cnt").alias("n"))
+        )
+        best = (
+            pairs.orderBy(F.desc("n"), F.asc("a"), F.asc("b")).limit(1).collect()
+        )
+        if not best or best[0]["n"] < min_pair_count:
+            break
+        a, b = best[0]["a"], best[0]["b"]
+        merges.append((a, b))
+        syms = syms.select("w", "cnt", _apply_merge(F.col("syms"), a, b).alias("syms"))
+        if (i + 1) % _CHECKPOINT_EVERY == 0:
+            syms = syms.localCheckpoint(eager=True)
+
+    word_pieces = syms.select("w", "cnt", F.col("syms").alias("pieces"))
+    word_pieces = word_pieces.localCheckpoint(eager=True)
+    vocab_rows = (
+        word_pieces.select(F.explode("pieces").alias("s")).distinct().collect()
+    )
+    return {
+        "merges": merges,
+        "word_pieces": word_pieces,
+        "vocab": sorted(r["s"] for r in vocab_rows),
+    }
+
+
+def _segment_word_python(word: str, merges: list[tuple[str, str]]) -> list[str]:
+    """Driver/UDF twin of the training fold: apply the learned merges in
+    order to one word.  Used for OOV words at tokenization time."""
+    syms = list(word) + [EOW]
+    for a, b in merges:
+        out: list[str] = []
+        pend: str | None = None
+        for s in syms:
+            if pend is None:
+                pend = s
+            elif pend == a and s == b:
+                out.append(a + b)
+                pend = None
+            else:
+                out.append(pend)
+                pend = s
+        if pend is not None:
+            out.append(pend)
+        syms = out
+    return syms
+
+
+def bpe_tokenize(
+    docs: DataFrame, model: dict, text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, n_words, n_pieces, pieces) — corpus tokenized under the
+    trained BPE model.
+
+    Known words (the entire training vocabulary) resolve through a
+    broadcast word→pieces join — pure JVM.  OOV words replay the merge
+    list in an Arrow-batched ``pandas_udf`` over the DISTINCT OOV words
+    only (vocab-sized, deduplicated before the Python boundary), then ride
+    the same broadcast-join path.  Piece order within a document follows
+    word order (explode preserves it via the position index).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    merges = model["merges"]
+
+    wp = model["word_pieces"].select("w", "pieces")
+
+    words = docs.select(
+        "doc_id", F.posexplode(tokens(text_col)).alias("pos", "w")
+    )
+    known = words.join(F.broadcast(wp), "w", "left")
+
+    oov_words = known.filter(F.col("pieces").isNull()).select("w").distinct()
+
+    @pandas_udf("array<string>")
+    def segment_oov(ws: pd.Series) -> pd.Series:
+        return ws.map(lambda w: _segment_word_python(w, merges))
+
+    oov_pieces = oov_words.select(
+        "w", segment_oov(F.col("w")).alias("oov_pieces")
+    )
+    resolved = known.join(F.broadcast(oov_pieces), "w", "left").select(
+        "doc_id",
+        "pos",
+        F.coalesce("pieces", "oov_pieces").alias("pieces"),
+    )
+    return resolved.groupBy("doc_id").agg(
+        F.count("*").alias("n_words"),
+        F.sum(F.size("pieces")).alias("n_pieces"),
+        F.flatten(F.array_sort(F.collect_list(F.struct("pos", "pieces"))).pieces).alias(
+            "pieces"
+        ),
+    )
+
+
+def bpe_token_stats(docs: DataFrame, model: dict, text_col: str = "text") -> DataFrame:
+    """One-row corpus statistics under the trained tokenizer: total words,
+    total BPE pieces, pieces/word, chars/piece (compression) — the token
+    accounting a data pipeline reports per shard."""
+    tok = bpe_tokenize(docs, model, text_col)
+    chars = docs.select(
+        "doc_id", F.length(F.col(text_col)).alias("n_chars")
+    )
+    return (
+        tok.join(chars, "doc_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_words").alias("total_words"),
+            F.sum("n_pieces").alias("total_pieces"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .select(
+            "n_docs",
+            "total_words",
+            "total_pieces",
+            (F.col("total_pieces") / F.col("total_words")).alias("pieces_per_word"),
+            (F.col("total_chars") / F.col("total_pieces")).alias("chars_per_piece"),
+        )
+    )
