@@ -100,3 +100,58 @@ def test_streaming_pii_scrub_equals_batch(spark, tmp_path):
             if q.isActive:
                 q.stop()
         assert sorted(map(tuple, spark.table(name).collect())) == batch
+
+
+def test_stream_lm_counts_equal_batch_training(spark, tmp_path):
+    """Incremental n-gram count maintenance: streaming the corpus in 3
+    shards then aggregating must produce the EXACT batch-trained model —
+    counts are integers, so cross-entropy scores match bit-for-bit; and a
+    replayed batch id overwrites its own shard (idempotent)."""
+    from vector_graph_rag_spark.operators.lm_filter import (
+        lm_cross_entropy,
+        train_bigram_lm,
+    )
+    from vector_graph_rag_spark.sources.tables import load_table
+    from vector_graph_rag_spark.streaming.lm_counts import (
+        lm_from_counts,
+        stream_lm_counts,
+        write_batch_counts,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    import glob
+    import os
+    import shutil
+
+    docs_dir = str(tmp_path / "doc_shards")
+    os.makedirs(docs_dir)
+    for i in range(3):
+        tmp = str(tmp_path / f"stage{i}")
+        docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.parquet(tmp)
+        part = glob.glob(f"{tmp}/part-*.parquet")[0]
+        shutil.move(part, f"{docs_dir}/shard{i}.parquet")
+    state = str(tmp_path / "lm_state")
+    n = stream_lm_counts(spark, docs_dir, state)
+    assert n == 3  # one micro-batch per shard file
+
+    model_s = lm_from_counts(spark, state)
+    model_b = train_bigram_lm(docs)
+    assert model_s["vocab_size"] == model_b["vocab_size"]
+    assert model_s["total_tokens"] == model_b["total_tokens"]
+
+    score = lambda m: {
+        r["doc_id"]: (r["n_tokens"], r["cross_entropy"])
+        for r in lm_cross_entropy(docs, m).collect()
+    }
+    got, exp = score(model_s), score(model_b)
+    assert got.keys() == exp.keys()
+    for d in exp:
+        assert got[d][0] == exp[d][0]
+        assert got[d][1] == exp[d][1]  # EXACT: integer counts -> identical floats
+
+    # idempotence: re-delivering batch 1 (same shard, same id) changes nothing
+    replay = spark.read.parquet(f"{docs_dir}/shard1.parquet")
+    write_batch_counts(replay, state, batch_id=1)
+    model_r = lm_from_counts(spark, state)
+    assert model_r["total_tokens"] == model_b["total_tokens"]
+    assert score(model_r) == exp
