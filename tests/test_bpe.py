@@ -173,3 +173,32 @@ def test_training_plan_stays_jvm_side(spark, corpus):
         assert "CartesianProduct" not in plan
     # the argmax is a local top-1, never a global sort
     assert "TakeOrderedAndProject" in argmax._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.mark.parametrize(
+    "word,pair",
+    [
+        ("aaa", ("a", "a")),      # overlapping run, odd
+        ("aaaa", ("a", "a")),     # overlapping run, even
+        ("abab", ("a", "b")),     # alternating, pair matches at 0 and 2
+        ("abab", ("b", "a")),     # alternating, pair matches mid-word
+        ("aabaa", ("a", "a")),    # runs split by a gap
+        ("xy", ("x", "y")),       # whole word one merge
+        ("x", ("x", "x")),        # single char + EOW, no match
+    ],
+)
+def test_merge_fold_overlap_semantics(spark, word, pair):
+    """The Spark F.aggregate fold and the Python replay must agree on
+    left-to-right NON-OVERLAPPING application — the classic BPE subtlety
+    ('aaa' + (a,a) -> [aa, a], never [a, aa] or [aa, aa])."""
+    from vector_graph_rag_spark.operators.bpe import (
+        _apply_merge,
+        _chars_with_eow,
+        _segment_word_python,
+    )
+
+    df = spark.createDataFrame([(word,)], "w string").select(
+        _apply_merge(_chars_with_eow(F.col("w")), *pair).alias("syms")
+    )
+    got = list(df.collect()[0]["syms"])
+    assert got == _segment_word_python(word, [pair])

@@ -549,3 +549,35 @@ def test_snapshot_diff_null_content_presence(spark):
     got = {r["doc_id"]: r["change"] for r in snapshot_diff(old, new).collect()}
     # 1: NULL vs NULL -> unchanged (absent); 4: same text -> absent
     assert got == {2: "changed", 3: "changed", 5: "added"}
+
+
+def test_curation_pipeline_tool_bpe_stats(spark, tmp_path, monkeypatch, capsys):
+    """--bpe-merges: the funnel report gains subword token accounting."""
+    import importlib.util
+    import json
+    import os
+    import sys
+
+    spec = importlib.util.spec_from_file_location(
+        "curation_pipeline",
+        os.path.join(os.path.dirname(__file__), "..", "tools", "curation_pipeline.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    out = str(tmp_path / "shards")
+    monkeypatch.setattr(
+        sys, "argv",
+        ["curation_pipeline.py", "--sf", "/root/testdata/sf0.001", "--out", out,
+         "--bpe-merges", "10"],
+    )
+    from pyspark.sql import SparkSession
+
+    monkeypatch.setattr(SparkSession, "stop", lambda self: None)
+    mod.main()
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    f = report["funnel"]
+    assert f["bpe_merges"] == 10
+    assert f["bpe_vocab"] > 0
+    assert f["bpe_pieces_per_word"] >= 1.0
+    assert f["bpe_chars_per_piece"] > 0
+    assert f["sequences_written"] > 0

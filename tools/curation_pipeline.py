@@ -17,6 +17,8 @@ doc_id joins, finishing with the ``write_training_shards`` sink:
                             src0 domain, tail tier dropped)
     → [--dsir-keep FRAC]   (DSIR: hashed-bigram importance weights vs the
                             src0 target, top-FRAC of the raw pool kept)
+    → [--bpe-merges N]     (train a BPE tokenizer on the survivors and
+                            report subword token accounting)
     → sequence packing + partitioned shard write (write_training_shards)
 
 Prints one JSON line with per-stage surviving-document counts and the
@@ -62,6 +64,12 @@ def main() -> None:
              "instead of the default sketched cut points; the exact path "
              "funnels the scored corpus through one sort partition — "
              "fine at sample scale, wrong at 100 TB",
+    )
+    ap.add_argument(
+        "--bpe-merges", type=int, default=None, metavar="N",
+        help="train an N-merge BPE tokenizer on the surviving corpus and "
+             "report subword token accounting (pieces/word, chars/piece) "
+             "alongside the whitespace counts",
     )
     ap.add_argument(
         "--dsir-keep", type=float, default=None, metavar="FRAC",
@@ -168,6 +176,16 @@ def main() -> None:
             cleaned.agg(F.sum("n_removed_tokens")).collect()[0][0] or 0
         )
         stage = cleaned.select("doc_id", F.col("cleaned_text").alias("text"))
+
+    if args.bpe_merges is not None:
+        from vector_graph_rag_spark.operators.bpe import bpe_token_stats, train_bpe
+
+        bpe = train_bpe(stage, n_merges=args.bpe_merges)
+        stats = bpe_token_stats(stage, bpe).collect()[0]
+        counts["bpe_merges"] = len(bpe["merges"])
+        counts["bpe_vocab"] = len(bpe["vocab"])
+        counts["bpe_pieces_per_word"] = round(stats["pieces_per_word"], 4)
+        counts["bpe_chars_per_piece"] = round(stats["chars_per_piece"], 4)
 
     write_training_shards(stage, args.out, budget=args.budget, shards=args.shards)
     shards_df = spark.read.parquet(args.out)
