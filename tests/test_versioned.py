@@ -1,0 +1,114 @@
+"""VersionedCorpus — MERGE semantics, time travel, CDC diff, retention."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from vector_graph_rag_spark.sources.tables import load_table
+from vector_graph_rag_spark.sources.versioned import VersionedCorpus
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    return VersionedCorpus(spark, str(tmp_path / "corpus"))
+
+
+def _docs(spark):
+    return load_table(spark, SF, "documents").select("doc_id", "text")
+
+
+def test_write_read_time_travel(spark, store):
+    docs = _docs(spark)
+    v1 = store.write(docs)
+    v2 = store.write(docs.filter(F.col("doc_id") % 2 == 0))
+    assert (v1, v2) == (1, 2)
+    assert store.latest_version() == 2
+    n_all = docs.count()
+    assert store.read().count() == docs.filter(F.col("doc_id") % 2 == 0).count()
+    assert store.read(version=1).count() == n_all  # VERSION AS OF
+    with pytest.raises(ValueError, match="does not exist"):
+        store.read(version=9)
+    with pytest.raises(ValueError, match="does not exist"):
+        VersionedCorpus(spark, store.root + "_empty").read()
+
+
+def test_merge_upsert_insert_delete(spark, store):
+    docs = _docs(spark)
+    store.write(docs)
+    updates = spark.createDataFrame(
+        [
+            (0, "REWRITTEN", False),     # matched -> update
+            (1_000_001, "BRAND NEW", False),  # unmatched -> insert
+            (1, None, True),             # matched + marker -> delete
+            (1_000_002, "x", True),      # unmatched + marker -> no-op
+        ],
+        "doc_id long, text string, is_delete boolean",
+    )
+    v2 = store.merge(updates, key="doc_id", delete_col="is_delete")
+    assert v2 == 2
+    cur = {r["doc_id"]: r["text"] for r in store.read().collect()}
+    base = {r["doc_id"]: r["text"] for r in docs.collect()}
+    exp = dict(base)
+    exp[0] = "REWRITTEN"
+    exp[1_000_001] = "BRAND NEW"
+    del exp[1]
+    assert cur == exp
+    # v1 untouched (snapshot isolation)
+    assert {r["doc_id"]: r["text"] for r in store.read(1).collect()} == base
+
+
+def test_merge_into_empty_store_bootstraps(spark, store):
+    docs = _docs(spark)
+    v = store.merge(docs)
+    assert v == 1
+    assert store.read().count() == docs.count()
+
+
+def test_diff_is_the_cdc_feed(spark, store):
+    docs = _docs(spark)
+    store.write(docs)
+    updates = spark.createDataFrame(
+        [(0, "REWRITTEN", False), (1_000_001, "NEW", False), (13, None, True)],
+        "doc_id long, text string, is_delete boolean",
+    )
+    store.merge(updates, key="doc_id", delete_col="is_delete")
+    got = {r["doc_id"]: r["change"] for r in store.diff(1, 2).collect()}
+    exp = {0: "changed", 1_000_001: "added", 13: "removed"}
+    # doc 0's text may coincide only if the original was already REWRITTEN
+    assert got == exp
+
+
+def test_vacuum_retention_and_manifest_atomicity(spark, store):
+    docs = _docs(spark)
+    for i in range(4):
+        store.write(docs.filter(F.col("doc_id") % 4 <= i))
+    removed = store.vacuum(keep_last=2)
+    assert removed == [1, 2]
+    assert store.versions() == [1, 2, 3, 4]  # history is append-only
+    with pytest.raises(ValueError, match="vacuumed"):
+        store.read(1)
+    assert store.read(3).count() > 0
+    assert store.read().count() == docs.count()
+    # manifest is valid JSON on disk (single atomic file, no .tmp left)
+    with open(os.path.join(store.root, "_manifest.json")) as f:
+        m = json.load(f)
+    assert m["latest"] == 4
+    assert not os.path.exists(os.path.join(store.root, "_manifest.json.tmp"))
+
+
+def test_merge_plan_is_antijoin_union_no_cartesian(spark, store):
+    docs = _docs(spark)
+    store.write(docs)
+    base = store.read()
+    updates = docs.limit(5)
+    touched = updates.select("doc_id").distinct()
+    merged = base.join(touched, "doc_id", "left_anti").unionByName(updates)
+    plan = merged._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan

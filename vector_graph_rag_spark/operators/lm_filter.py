@@ -517,6 +517,28 @@ def binary_auc_counts(
     )
 
 
+def binary_auc_with_counts(
+    df: DataFrame, score_col: str, label_col: str, round_to: int | None = None
+) -> tuple[float, int, int]:
+    """(auc, n_pos, n_neg) from ONE pass: the positive/negative totals fall
+    out of the same grouped histogram the rank arithmetic consumes, so
+    callers that report class sizes (the registered ``binary_auc`` query)
+    don't pay a second scan of the scored frame."""
+    groups = binary_auc_counts(df, score_col, label_col, round_to).collect()
+    n_pos = sum(r["p"] for r in groups)
+    n_tot = sum(r["n"] for r in groups)
+    n_neg = n_tot - n_pos
+    if n_pos == 0 or n_neg == 0:
+        raise ValueError("binary_auc: need at least one positive and one negative")
+    cum = 0  # rows with strictly smaller score
+    rank_sum = 0.0  # sum of average ranks of the positives
+    for row in sorted(groups, key=lambda r: r["s"]):
+        rank_sum += row["p"] * (cum + (row["n"] + 1) / 2.0)
+        cum += row["n"]
+    u = rank_sum - n_pos * (n_pos + 1) / 2.0
+    return float(u / (n_pos * n_neg)), int(n_pos), int(n_neg)
+
+
 def binary_auc(
     df: DataFrame, score_col: str, label_col: str, round_to: int | None = None
 ) -> float:
@@ -536,19 +558,7 @@ def binary_auc(
     float sums below are the same values the corpus-wide ranking would
     produce.  Returns a Python float; 0.5 = chance, 1.0 = perfect.
     """
-    groups = binary_auc_counts(df, score_col, label_col, round_to).collect()
-    n_pos = sum(r["p"] for r in groups)
-    n_tot = sum(r["n"] for r in groups)
-    n_neg = n_tot - n_pos
-    if n_pos == 0 or n_neg == 0:
-        raise ValueError("binary_auc: need at least one positive and one negative")
-    cum = 0  # rows with strictly smaller score
-    rank_sum = 0.0  # sum of average ranks of the positives
-    for row in sorted(groups, key=lambda r: r["s"]):
-        rank_sum += row["p"] * (cum + (row["n"] + 1) / 2.0)
-        cum += row["n"]
-    u = rank_sum - n_pos * (n_pos + 1) / 2.0
-    return float(u / (n_pos * n_neg))
+    return binary_auc_with_counts(df, score_col, label_col, round_to)[0]
 
 
 def quality_score_stream(

@@ -416,18 +416,14 @@ def quality_classifier_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def binary_auc_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from vector_graph_rag_spark.operators.lm_filter import binary_auc
+    from vector_graph_rag_spark.operators.lm_filter import binary_auc_with_counts
 
     d = _docs(spark, sf_dir)
     scored = _ce_scores(spark, sf_dir).join(
         d.select("doc_id", (F.col("source") == "src0").alias("y")), "doc_id"
     )
-    auc = binary_auc(scored, "cross_entropy", "y")
-    agg = scored.agg(
-        F.sum(F.col("y").cast("long")).alias("np"), F.count("*").alias("nt")
-    ).collect()[0]
-    n_pos = int(agg["np"]) if agg["np"] is not None else 0
-    n_neg = int(agg["nt"]) - n_pos
+    # one pass: the class totals fall out of the same grouped histogram
+    auc, n_pos, n_neg = binary_auc_with_counts(scored, "cross_entropy", "y")
     return spark.createDataFrame(
         [(n_pos, n_neg, auc)], "n_pos long, n_neg long, auc double"
     )
