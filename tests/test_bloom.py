@@ -50,6 +50,50 @@ def test_duplicates_do_not_double_count(spark):
     assert b["n_items"] == 2  # distinct before counting/loading
 
 
+def test_positions_match_python_twin(spark):
+    """The Kirsch-Mitzenmacher positions (h1 + i*h2) mod m from the two
+    disjoint md5 halves (ADVICE r6 fix) — pinned against a pure-Python
+    twin, which also certifies the arithmetic a DuckDB oracle replays."""
+    import hashlib
+
+    from vector_graph_rag_spark.operators.bloom import _base_step, _positions
+
+    m, k = 1 << 12, 5
+    vals = ["alpha", "benchmark gram", "x", "äöü"]
+    df = spark.createDataFrame([(v,) for v in vals], "v string")
+    base, step = _base_step(F.col("v"), m)
+    got = {
+        r["v"]: list(r["ps"])
+        for r in df.select(
+            "v", F.array(*_positions(base, step, m, k)).alias("ps")
+        ).collect()
+    }
+    for v in vals:
+        hx = hashlib.md5(v.encode()).hexdigest()
+        h1, h2 = int(hx[0:15], 16), int(hx[15:30], 16)
+        b, s = h1 % m, h2 % (m - 1) + 1
+        assert got[v] == [(b + i * s) % m for i in range(k)], v
+
+
+def test_step_never_zero_k_validated(spark):
+    """h2 % (m-1) + 1 ∈ [1, m-1]: a zero step would probe one bit k times."""
+    df = spark.createDataFrame([(f"s{i}",) for i in range(500)], "v string")
+    m = 1 << 10
+    _, step = _imported_base_step(df, m)
+    lo, hi = step.agg(F.min("s"), F.max("s")).collect()[0]
+    assert lo >= 1 and hi <= m - 1
+    with pytest.raises(ValueError, match="k must be >= 1"):
+        build_bloom(df, "v", n_bits=1 << 10, k=0)
+
+
+def _imported_base_step(df, m):
+    from vector_graph_rag_spark.operators.bloom import _base_step
+
+    base, step = _base_step(F.col("v"), m)
+    return df.select(base.alias("b")), df.select(step.alias("s"))
+
+
+
 def test_plan_is_jvm_only_broadcast(spark, members, bloom):
     probed = with_bloom(members, bloom).withColumn(
         "hit", might_contain("v", bloom)

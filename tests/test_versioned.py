@@ -102,6 +102,34 @@ def test_vacuum_retention_and_manifest_atomicity(spark, store):
     assert not os.path.exists(os.path.join(store.root, "_manifest.json.tmp"))
 
 
+def test_merge_rejects_duplicate_source_keys(spark, store):
+    """Delta MERGE INTO errors on multiple source rows per target key —
+    silently inserting both would duplicate the key (ADVICE r6)."""
+    store.write(_docs(spark))
+    dup_updates = spark.createDataFrame(
+        [(0, "first"), (0, "second"), (7, "fine")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="duplicate source rows"):
+        store.merge(dup_updates)
+    # store unchanged — the failed merge committed nothing
+    assert store.latest_version() == 1
+
+
+def test_vacuum_never_drops_the_head(spark, store):
+    """keep_last < 1 would delete the latest snapshot and brick read()
+    (ADVICE r6) — rejected up front, nothing removed."""
+    store.write(_docs(spark))
+    for bad in (0, -1):
+        with pytest.raises(ValueError, match="keep_last must be >= 1"):
+            store.vacuum(keep_last=bad)
+    assert store.read().count() > 0
+    # keep_last=1 retains exactly the head
+    store.write(_docs(spark).limit(3))
+    removed = store.vacuum(keep_last=1)
+    assert removed == [1]
+    assert store.read().count() == 3
+
+
 def test_merge_plan_is_antijoin_union_no_cartesian(spark, store):
     docs = _docs(spark)
     store.write(docs)

@@ -58,6 +58,24 @@ def hash60_sql(expr: str) -> str:
     return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
 
 
+def hash60b(col: Column | str) -> Column:
+    """Second independent 60-bit hash: md5 hex chars 16-30 (disjoint from
+    :func:`hash60`'s 1-15).  The md5 halves are statistically independent,
+    so (hash60, hash60b) is a 120-bit identity — the Kirsch-Mitzenmacher
+    (h1, h2) pair the Bloom filter derives its k probe positions from
+    (ADVICE r6: k positions from ONE reduced base share a collision floor;
+    two independent bases push the full-vector collision space to
+    m*(m-1)).  Catalyst's subexpression elimination computes the md5 once
+    when both hashes appear in one projection."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c), 16, 15), 16, 10).cast("bigint")
+
+
+def hash60b_sql(expr: str) -> str:
+    """DuckDB SQL text computing the same value as :func:`hash60b`."""
+    return f"CAST(('0x' || substr(md5({expr}), 16, 15)) AS BIGINT)"
+
+
 def seeded_hash60(col: Column | str, i: int) -> Column:
     """i-th universal hash of the md5 base hash, in [0, MERSENNE_P)."""
     return seeded_hash60_from_base(hash60(col) % F.lit(MERSENNE_P), i)

@@ -211,11 +211,17 @@ m3 AS (
 SELECT m3.doc_id, round(1.0 / (1.0 + exp(-(m3.m + b2.b))), 6) AS score
 FROM m3 CROSS JOIN b2"""
 
-# Mann-Whitney AUC over the LM cross-entropy scores: every term is dyadic,
-# so no rounding is needed anywhere == operators/lm_filter.binary_auc.
+# Mann-Whitney AUC over the LM cross-entropy scores.  Scores are rounded
+# to 6 decimals BEFORE grouping (mirrors round_to=6 on the Spark side) so
+# the distinct-score histogram the driver collects is bounded by
+# score-range x 10^6 groups instead of one row per document — per-doc
+# cross-entropy is essentially unique, so the unrounded histogram was
+# corpus-sized driver state (ADVICE r6).  The rank arithmetic itself stays
+# exact: group ranks are means of consecutive integers (dyadic terms), so
+# the sums are order-independent in both engines.
 _AUC_SQL = f"""WITH {_CE_CTES},
 scored AS (
-  SELECT c.cross_entropy AS s,
+  SELECT round(c.cross_entropy, 6) AS s,
          CASE WHEN d.source = 'src0' THEN 1 ELSE 0 END AS y
   FROM ce c JOIN documents d USING (doc_id)
 ),
@@ -411,8 +417,9 @@ def quality_classifier_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "binary_auc",
     oracle=_AUC_SQL,
     description=(
-        "exact Mann-Whitney ROC-AUC of the LM cross-entropy scores against "
-        "the src0 label — grouped-by-score formulation, no global sort"
+        "Mann-Whitney ROC-AUC of the LM cross-entropy scores against the "
+        "src0 label — grouped-by-score formulation, no global sort; scores "
+        "rounded to 6 decimals so the driver histogram stays bounded"
     ),
 )
 def binary_auc_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -422,8 +429,13 @@ def binary_auc_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = _ce_scores(spark, sf_dir).join(
         d.select("doc_id", (F.col("source") == "src0").alias("y")), "doc_id"
     )
-    # one pass: the class totals fall out of the same grouped histogram
-    auc, n_pos, n_neg = binary_auc_with_counts(scored, "cross_entropy", "y")
+    # one pass: the class totals fall out of the same grouped histogram.
+    # round_to=6 bounds the histogram (and therefore driver state) at
+    # score-range x 10^6 groups — without it, continuous cross-entropy
+    # makes the histogram one row per document (ADVICE r6).
+    auc, n_pos, n_neg = binary_auc_with_counts(
+        scored, "cross_entropy", "y", round_to=6
+    )
     return spark.createDataFrame(
         [(n_pos, n_neg, auc)], "n_pos long, n_neg long, auc double"
     )

@@ -124,9 +124,28 @@ class VersionedCorpus:
         - rows with ``delete_col`` true delete their key (and insert
           nothing).
 
+        Duplicate source keys are an ERROR, matching Delta's MERGE INTO
+        ("multiple source rows matched" — ADVICE r6): two update rows for
+        one key would both survive the anti-join + union and silently
+        corrupt the snapshot with a duplicate key.  The check is one
+        bounded action (``limit(1)``) on the source frame.
+
         One anti-join + one union on the key; with both sides bucketed by
         the key this is the zero-shuffle CRUD shape (SCALE.md).
         """
+        dup = (
+            updates.groupBy(key)
+            .agg(F.count("*").alias("c"))
+            .filter(F.col("c") > 1)
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            raise ValueError(
+                f"merge: duplicate source rows for key {key}="
+                f"{dup[0][key]!r} — MERGE requires at most one source row "
+                "per key (Delta MERGE INTO semantics)"
+            )
         if self.latest_version() == 0:
             base = None
         else:
@@ -165,12 +184,21 @@ class VersionedCorpus:
     def vacuum(self, keep_last: int = 2) -> list[int]:
         """Drop snapshot data older than the newest ``keep_last`` versions;
         manifest history stays (entries marked vacuumed).  Returns the
-        versions whose data was removed."""
+        versions whose data was removed.
+
+        ``keep_last`` must be >= 1: retention may never drop the head of
+        the store (``keep_last=0`` would delete the latest snapshot and
+        make ``read()`` permanently fail — ADVICE r6)."""
+        if keep_last < 1:
+            raise ValueError(
+                f"vacuum: keep_last must be >= 1 (got {keep_last}) — the "
+                "latest committed snapshot is always retained"
+            )
         m = self._manifest()
         live = sorted(
             (int(v) for v, i in m["versions"].items() if not i.get("vacuumed")),
         )
-        victims = live[:-keep_last] if keep_last > 0 else live
+        victims = live[:-keep_last]
         for v in victims:
             shutil.rmtree(self._vdir(v), ignore_errors=True)
             m["versions"][str(v)]["vacuumed"] = True
