@@ -127,11 +127,37 @@ def test_perplexity_buckets_approx_agrees_with_exact(spark, corpus):
     n = len(exact)
     agree = sum(exact[d] == approx[d] for d in exact)
     assert agree >= 0.97 * n, f"{agree}/{n} tiers agree"
-    # the exact variant ranks via a single-partition Window; the scale path
-    # must have no Window node at all (threshold comparison only)
+    # the sketched path is a pure threshold comparison — no Window at all
     plan = approx_df._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
     scores.unpersist()
+
+
+def test_perplexity_buckets_matches_rank_twin_with_boundary_ties(spark):
+    """The grouped-histogram formulation must reproduce percent_rank()
+    OVER (ORDER BY round(ce, 6), doc_id) exactly — including when a large
+    tie group straddles a tier cut (the boundary-group window path)."""
+    rows = []
+    for i in range(10):
+        rows.append((i, 5, 0.5))  # clear head
+    for i in range(10, 40):
+        rows.append((i, 5, 1.0))  # 30-way tie straddling the head cut
+    for i in range(40, 60):
+        rows.append((i, 5, 1.5 + (i % 7) * 0.01))  # ties inside the tail
+    df = spark.createDataFrame(
+        rows, "doc_id long, n_tokens long, cross_entropy double"
+    )
+    got = {r["doc_id"]: r["tier"] for r in perplexity_buckets(df).collect()}
+    assert len(got) == len(rows)
+    order = sorted((round(ce, 6), d) for d, _, ce in rows)
+    n = len(order)
+    for idx, (_, d) in enumerate(order):
+        pr = idx / (n - 1)
+        exp = "head" if pr < 1 / 3 else ("tail" if pr >= 2 / 3 else "middle")
+        assert got[d] == exp, (d, pr, got[d], exp)
+    # the straddling tie group really did split across two tiers
+    tie_tiers = {got[d] for d in range(10, 40)}
+    assert tie_tiers == {"head", "middle"}
 
 
 def test_dsir_weights_match_python_twin(spark, corpus):
@@ -484,3 +510,55 @@ def test_binary_auc_round_to_bounds_and_matches_rounded_twin(spark, corpus):
     n_neg = len(data) - n_pos
     u = sum(r for r, (_, y) in zip(rank_of, data) if y == 1) - n_pos * (n_pos + 1) / 2.0
     assert got == pytest.approx(u / (n_pos * n_neg), rel=1e-12)
+
+
+def test_quantized_classifier_is_partitioning_invariant(spark, corpus):
+    """ADVICE r6: unquantized GD sums can flip the 6th decimal under float
+    reassociation.  With quantized=True every cross-row sum is a
+    DECIMAL(18,6) of pre-rounded terms, so training + scoring must be
+    BIT-identical across partitionings — and stay within 1e-4 of the
+    unquantized path."""
+    from vector_graph_rag_spark.operators.lm_filter import (
+        quality_scores,
+        train_quality_classifier,
+    )
+
+    docs, _ = corpus
+    labeled = docs.withColumn("hq", F.col("source") == "src0")
+
+    def run(df):
+        m = train_quality_classifier(
+            df, "hq", n_buckets=256, iters=2, portable_hash=True,
+            quantized=True,
+        )
+        return {r["doc_id"]: r["score"] for r in quality_scores(docs, m).collect()}
+
+    s1 = run(labeled.repartition(1))
+    s32 = run(labeled.repartition(32, "doc_id"))
+    assert s1 == s32  # bit-identical, not approx
+    m_raw = train_quality_classifier(
+        labeled, "hq", n_buckets=256, iters=2, portable_hash=True
+    )
+    raw = {r["doc_id"]: r["score"] for r in quality_scores(docs, m_raw).collect()}
+    for d in raw:
+        assert s1[d] == pytest.approx(raw[d], abs=1e-4)
+
+
+def test_registered_binary_auc_bounds_driver_histogram(spark, monkeypatch):
+    """ADVICE r6: the registered query must pass round_to so the collected
+    histogram is bounded for continuous scores — captured at the call site
+    so a future refactor can't silently drop it."""
+    import vector_graph_rag_spark.operators.lm_filter as lmf
+    from vector_graph_rag_spark.queries.lmfilter import binary_auc_q
+
+    seen = {}
+    real = lmf.binary_auc_with_counts
+
+    def spy(df, score_col, label_col, round_to=None):
+        seen["round_to"] = round_to
+        return real(df, score_col, label_col, round_to)
+
+    monkeypatch.setattr(lmf, "binary_auc_with_counts", spy)
+    out = binary_auc_q(spark, "/root/testdata/sf0.001").collect()
+    assert seen["round_to"] == 6
+    assert len(out) == 1 and 0.0 <= out[0]["auc"] <= 1.0

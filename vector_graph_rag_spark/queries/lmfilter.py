@@ -100,13 +100,18 @@ ce AS (
 
 _LM_CE_SQL = f"WITH {_CE_CTES}\nSELECT doc_id, n_tokens, cross_entropy FROM ce"
 
+# Rank order is (round(ce, 6), doc_id) — mirrors the Spark side's
+# grouped-histogram formulation (operators/lm_filter.perplexity_buckets),
+# whose rounded grouping bounds the histogram the driver prefix-sums.  The
+# oracle can afford the straightforward window; the Spark plan must not
+# (no SinglePartition stage — CI-asserted).
 _TIERS_SQL = f"""WITH {_CE_CTES}
 SELECT doc_id, n_tokens, cross_entropy,
        CASE WHEN pr < (1.0 / 3.0) THEN 'head'
             WHEN pr >= 1.0 - (1.0 / 3.0) THEN 'tail'
             ELSE 'middle' END AS tier
 FROM (
-  SELECT ce.*, percent_rank() OVER (ORDER BY cross_entropy, doc_id) AS pr
+  SELECT ce.*, percent_rank() OVER (ORDER BY round(cross_entropy, 6), doc_id) AS pr
   FROM ce
 )"""
 
@@ -156,7 +161,14 @@ LIMIT {_DSIR_SELECT_N}"""
 
 # GPT-3-style quality classifier, 2 full-batch GD iterations unrolled as CTE
 # algebra == train_quality_classifier(iters=2, n_buckets=512, lr=2.0,
-# l2=1e-4, portable_hash=True) followed by quality_scores, rounded to 6.
+# l2=1e-4, portable_hash=True, quantized=True) followed by quality_scores,
+# rounded to 6.  Every cross-row float SUM (margins m2/m3, gradients g1/g2,
+# bias gradients gb1/gb2) rounds its per-term value to 6 decimals and sums
+# as DECIMAL(18,6), mirroring the Spark side — exact and order-independent
+# in both engines, so partitioning can never flip the 6th decimal of a
+# score (ADVICE r6: the GD sums were the one unquantized float dataflow).
+# The Spark bias gradient rides the bucket=-1 sentinel rows (x = 1.0), so
+# its per-term value round(1.0 * r, 6) == round(r, 6) here.
 _CLS_SQL = f"""WITH {_TOKS_CTE},
 {_GRAMS_CTE},
 fb AS (
@@ -178,13 +190,18 @@ labels AS (
 n AS (SELECT COUNT(*) AS nd FROM labels),
 -- iteration 1: w=0, bias=0 -> margin 0, sigmoid 1/2, residual 0.5 - y
 r1 AS (SELECT doc_id, 0.5 - y AS r FROM labels),
-g1 AS (SELECT f.bucket, SUM(f.x * r1.r) AS g FROM feats f JOIN r1 USING (doc_id) GROUP BY f.bucket),
-gb1 AS (SELECT SUM(r) AS gb FROM r1),
+g1 AS (
+  SELECT f.bucket,
+         CAST(SUM(CAST(round(f.x * r1.r, 6) AS DECIMAL(18,6))) AS DOUBLE) AS g
+  FROM feats f JOIN r1 USING (doc_id) GROUP BY f.bucket
+),
+gb1 AS (SELECT CAST(SUM(CAST(round(r, 6) AS DECIMAL(18,6))) AS DOUBLE) AS gb FROM r1),
 w1 AS (SELECT bucket, 0.0 - 2.0 * ((g / n.nd) + (0.0001 * 0.0)) AS w FROM g1 CROSS JOIN n),
 b1 AS (SELECT 0.0 - ((2.0 * gb) / n.nd) AS b FROM gb1 CROSS JOIN n),
 -- iteration 2
 m2 AS (
-  SELECT f.doc_id, SUM(f.x * COALESCE(w1.w, 0.0)) AS m
+  SELECT f.doc_id,
+         CAST(SUM(CAST(round(f.x * COALESCE(w1.w, 0.0), 6) AS DECIMAL(18,6))) AS DOUBLE) AS m
   FROM feats f LEFT JOIN w1 USING (bucket) GROUP BY f.doc_id
 ),
 r2 AS (
@@ -192,8 +209,12 @@ r2 AS (
          1.0 / (1.0 + exp(-(COALESCE(m2.m, 0.0) + b1.b))) - l.y AS r
   FROM labels l LEFT JOIN m2 USING (doc_id) CROSS JOIN b1
 ),
-g2 AS (SELECT f.bucket, SUM(f.x * r2.r) AS g FROM feats f JOIN r2 USING (doc_id) GROUP BY f.bucket),
-gb2 AS (SELECT SUM(r) AS gb FROM r2),
+g2 AS (
+  SELECT f.bucket,
+         CAST(SUM(CAST(round(f.x * r2.r, 6) AS DECIMAL(18,6))) AS DOUBLE) AS g
+  FROM feats f JOIN r2 USING (doc_id) GROUP BY f.bucket
+),
+gb2 AS (SELECT CAST(SUM(CAST(round(r, 6) AS DECIMAL(18,6))) AS DOUBLE) AS gb FROM r2),
 w2 AS (
   SELECT COALESCE(w1.bucket, g2.bucket) AS bucket,
          CASE WHEN g2.g IS NULL THEN w1.w
@@ -205,7 +226,8 @@ w2 AS (
 b2 AS (SELECT b1.b - ((2.0 * gb2.gb) / n.nd) AS b FROM b1 CROSS JOIN gb2 CROSS JOIN n),
 -- frozen-model scoring over all docs with features
 m3 AS (
-  SELECT f.doc_id, SUM(f.x * COALESCE(w2.w, 0.0)) AS m
+  SELECT f.doc_id,
+         CAST(SUM(CAST(round(f.x * COALESCE(w2.w, 0.0), 6) AS DECIMAL(18,6))) AS DOUBLE) AS m
   FROM feats f LEFT JOIN w2 USING (bucket) GROUP BY f.doc_id
 )
 SELECT m3.doc_id, round(1.0 / (1.0 + exp(-(m3.m + b2.b))), 6) AS score
@@ -343,8 +365,9 @@ def lm_cross_entropy_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "perplexity_buckets",
     oracle=_TIERS_SQL,
     description=(
-        "CCNet head/middle/tail quality tiers by cross-entropy rank "
-        "(exact split; perplexity_buckets_approx is the sketched 100 TB path)"
+        "CCNet head/middle/tail quality tiers by exact cross-entropy rank — "
+        "grouped-histogram rank cuts, no global sort (r7 de-weak); "
+        "perplexity_buckets_approx remains the sketched variant"
     ),
 )
 def perplexity_buckets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -406,7 +429,8 @@ def quality_classifier_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
     labeled = d.withColumn("hq", F.col("source") == "src0")
     model = train_quality_classifier(
-        labeled, "hq", n_buckets=512, iters=2, portable_hash=True
+        labeled, "hq", n_buckets=512, iters=2, portable_hash=True,
+        quantized=True,
     )
     return quality_scores(d, model).select(
         "doc_id", F.round("score", 6).alias("score")
