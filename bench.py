@@ -67,6 +67,13 @@ HEADLINE = [
     "binary_auc",
     "remove_shared_spans",
     "snapshot_diff",
+    # round-7 additions: the registered round-6 library operators
+    # (queries/pipeline.py — BPE training, Bloom membership gate,
+    # versioned-store MERGE+diff, incremental LM maintenance)
+    "bpe_train_merges",
+    "bloom_membership_profile",
+    "versioned_merge_diff",
+    "lm_counts_incremental",
 ]
 
 

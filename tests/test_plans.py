@@ -65,7 +65,11 @@ AUDITED = [
     # round-6 registered model-filter + CDC family (binary_auc and
     # quality_classifier_scores are eager — driver GD/collect — and audited
     # via binary_auc's dedicated no-single-partition test + the lm_filter
-    # library plan test)
+    # library plan test).  The round-7 pipeline queries (bpe_train_merges,
+    # bloom_membership_profile, versioned_merge_diff, lm_counts_incremental)
+    # are all eager too (driver merge loop / bitset collect / store commits /
+    # shard writes) and are plan-audited via their library tests
+    # (test_bpe/test_bloom/test_versioned) instead.
     "lm_cross_entropy",
     "perplexity_buckets",
     "dsir_importance_weights",

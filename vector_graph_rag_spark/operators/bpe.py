@@ -119,6 +119,7 @@ def train_bpe(
     """Learn ``n_merges`` BPE merges from the corpus.
 
     Returns ``{"merges": [(a, b), ...] in learned order,
+    "merge_counts": [n, ...] (the weighted pair count each merge won with),
     "word_pieces": DF(w, cnt, pieces array<string>),
     "vocab": sorted list of final symbols}``.
     Stops early when the best remaining pair occurs fewer than
@@ -134,6 +135,7 @@ def train_bpe(
     syms = syms.localCheckpoint(eager=True)
 
     merges: list[tuple[str, str]] = []
+    merge_counts: list[int] = []
     for i in range(n_merges):
         pairs = (
             syms.select("cnt", F.explode(_adjacent_pairs(F.col("syms"))).alias("p"))
@@ -147,6 +149,7 @@ def train_bpe(
             break
         a, b = best[0]["a"], best[0]["b"]
         merges.append((a, b))
+        merge_counts.append(int(best[0]["n"]))
         syms = syms.select("w", "cnt", _apply_merge(F.col("syms"), a, b).alias("syms"))
         if (i + 1) % _CHECKPOINT_EVERY == 0:
             syms = syms.localCheckpoint(eager=True)
@@ -158,6 +161,7 @@ def train_bpe(
     )
     return {
         "merges": merges,
+        "merge_counts": merge_counts,
         "word_pieces": word_pieces,
         "vocab": sorted(r["s"] for r in vocab_rows),
     }

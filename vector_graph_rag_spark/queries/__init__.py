@@ -83,6 +83,7 @@ def load_all(include_retired: bool = False) -> dict[str, DeclaredQuery]:
         hybrid,
         curation,
         lmfilter,
+        pipeline,
     )
 
     if include_retired:

@@ -359,6 +359,7 @@ WHERE c_acctbal > (SELECT CAST(SUM({dec('c_acctbal')}) AS DOUBLE) / COUNT(*) FRO
     "customers_above_mean",
     oracle=_ABOVE_MEAN_SQL,
     description="scalar subquery (decimal-exact mean) + filter",
+    retired=True,  # r7 swap: customer-balance coverage driver-gated via customer_balance_quartiles (same column, richer windows)
 )
 def customers_above_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")

@@ -1,0 +1,371 @@
+"""Driver-registered queries for the round-6 library operators — the
+round-7 registry swap (r6 verdict, Next #1).
+
+Four operators landed in round 6 as twin-tested library code and had no
+driver CORRECTNESS row; this module puts each behind the DuckDB hash gate.
+The registry stays at exactly 100: four redundant near-sibling queries are
+retired in their place (``customers_above_mean``, ``lineitem_rollup``,
+``events_tumbling_1h``, ``knn_cosine_topk_matmul`` — see COVERAGE.md
+§"retired queries").
+
+- **bpe_train_merges** (`operators/bpe.py`): the distributed Sennrich BPE
+  trainer's full iterative kernel — 8 unrolled merge iterations.  The
+  oracle replays the algorithm straight-line in DuckDB: per iteration a
+  pair-count aggregation over the symbol table, the tie-broken argmax, and
+  the left-to-right greedy merge fold expressed with ``list_reduce`` over
+  a chr(30)/chr(31)-encoded (acc, pending) state (DuckDB's fold has no
+  custom init, so the state is string-encoded with the first prepended
+  element as the empty state).  Every merge depends on all prior merges
+  applied, so 8 matching rows pin the whole dataflow.
+- **bloom_membership_profile** (`operators/bloom.py`): build the Bloom
+  filter over the trusted-source 5-gram set (the decontamination-gate
+  shape), probe every gram occurrence, count per-doc flags.  All hashing is md5-derived (hash60/hash60b) and
+  the Kirsch-Mitzenmacher positions are plain arithmetic, so DuckDB
+  reproduces the EXACT bit array — including its deterministic false
+  positives (n_bits is sized small enough that FPs actually occur and are
+  therefore verified, not just tolerated).
+- **versioned_merge_diff** (`sources/versioned.py`): MERGE a deterministic
+  mutation into the store (update/insert/delete branches), then read the
+  CDC delta between the two committed versions — the parquet-snapshot
+  round trip the oracle replays as pure SQL set algebra.
+- **lm_counts_incremental** (`streaming/lm_counts.py`): train the bigram
+  LM from two count shards (the streaming-maintenance path) and score the
+  corpus.  n-gram counts are additive, so the oracle is EXACTLY the batch
+  ``lm_cross_entropy`` SQL — the hash gate pins stream == batch.
+
+The temp-dir-writing queries (versioned store, count shards) eagerly
+``localCheckpoint`` their result before removing the scratch directory, so
+the returned DataFrame survives the cleanup.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vector_graph_rag_spark.functions.hashing import hash60_sql, hash60b_sql
+from vector_graph_rag_spark.queries import register
+from vector_graph_rag_spark.queries.curation import _GRAMS5_CTE
+from vector_graph_rag_spark.queries.lmfilter import _LM_CE_SQL, _TOKS_CTE
+from vector_graph_rag_spark.sources.tables import load_table
+
+# --- BPE: unrolled Sennrich replay ------------------------------------------
+
+_BPE_N_MERGES = 8
+
+# list_reduce has no custom initial accumulator, so the fold state rides a
+# string: '<acc tokens joined by chr(31)>' || chr(30) || '<pending symbol>'.
+# The prepended chr(30) element IS the empty state (acc='', pend='').
+_FOLD_ACC = "split_part(st, chr(30), 1)"
+_FOLD_PEND = "split_part(st, chr(30), 2)"
+_FOLD_FLUSH = (
+    f"(CASE WHEN {_FOLD_ACC} = '' THEN {_FOLD_PEND} "
+    f"ELSE {_FOLD_ACC} || chr(31) || {_FOLD_PEND} END)"
+)
+
+
+def _fold_state_sql(syms: str, a: str, b: str) -> str:
+    """DuckDB fold producing the encoded end state: left-to-right greedy
+    merge of adjacent (a, b) inside the ``syms`` list — the twin of
+    ``operators/bpe._apply_merge`` (same (acc, pend) fold, incl. the
+    a == b non-overlapping case)."""
+    step = f"""CASE
+        WHEN {_FOLD_PEND} = '' THEN st || s
+        WHEN {_FOLD_PEND} = {a} AND s = {b} THEN
+          (CASE WHEN {_FOLD_ACC} = '' THEN {a} || {b}
+                ELSE {_FOLD_ACC} || chr(31) || {a} || {b} END) || chr(30)
+        ELSE {_FOLD_FLUSH} || chr(30) || s
+      END"""
+    return f"list_reduce(list_prepend(chr(30), {syms}), (st, s) -> {step})"
+
+
+# unwraps the encoded end state back to a symbol list (flushing a pending
+# symbol if present); applied in an OUTER select because ``st`` is bound by
+# the inner one
+_FOLD_UNWRAP = (
+    f"str_split(CASE WHEN {_FOLD_PEND} = '' THEN {_FOLD_ACC} "
+    f"ELSE {_FOLD_FLUSH} END, chr(31))"
+)
+
+
+def _bpe_sql(n_merges: int) -> str:
+    """Straight-line Sennrich replay: n_merges unrolled iterations, each a
+    pair-count agg + tie-broken argmax + greedy fold, over the word table
+    built by ONE corpus tokenization (== operators/bpe.train_bpe with
+    min_pair_count=1)."""
+    ctes = [
+        _TOKS_CTE,
+        """wc AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest(ts) AS w FROM toks) GROUP BY w
+)""",
+        """s0 AS (
+  SELECT w, cnt, list_append(string_split(w, ''), '</w>') AS syms FROM wc
+)""",
+    ]
+    for i in range(1, n_merges + 1):
+        ctes.append(
+            f"""p{i} AS (
+  SELECT t.syms[u.j] AS a, t.syms[u.j + 1] AS b,
+         CAST(SUM(t.cnt) AS BIGINT) AS n
+  FROM s{i - 1} t, UNNEST(range(1, len(t.syms))) AS u(j)
+  GROUP BY 1, 2
+)"""
+        )
+        ctes.append(
+            f"m{i} AS (SELECT a, b, n FROM p{i} ORDER BY n DESC, a ASC, b ASC LIMIT 1)"
+        )
+        if i < n_merges:  # the last symbol table is never consumed
+            ctes.append(
+                f"""s{i} AS (
+  SELECT w, cnt, {_FOLD_UNWRAP} AS syms
+  FROM (
+    SELECT t.w, t.cnt, {_fold_state_sql('t.syms', 'm.a', 'm.b')} AS st
+    FROM s{i - 1} t CROSS JOIN m{i} m
+  )
+)"""
+            )
+    union = "\nUNION ALL\n".join(
+        f"SELECT CAST({i} AS BIGINT) AS merge_idx, a, b, n FROM m{i}"
+        for i in range(1, n_merges + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + union
+
+
+_BPE_SQL = _bpe_sql(_BPE_N_MERGES)
+
+
+@register(
+    "bpe_train_merges",
+    oracle=_BPE_SQL,
+    description=(
+        f"distributed Sennrich BPE training: the first {_BPE_N_MERGES} "
+        "learned merges with their weighted pair counts (each merge depends "
+        "on all prior merges applied — the full iterative kernel is pinned)"
+    ),
+)
+def bpe_train_merges_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_graph_rag_spark.operators.bpe import train_bpe
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    model = train_bpe(docs, n_merges=_BPE_N_MERGES, min_pair_count=1)
+    rows = [
+        (i + 1, a, b, n)
+        for i, ((a, b), n) in enumerate(
+            zip(model["merges"], model["merge_counts"])
+        )
+    ]
+    return spark.createDataFrame(
+        rows, "merge_idx long, a string, b string, n long"
+    )
+
+
+# --- Bloom membership profile ------------------------------------------------
+
+# Membership set: distinct 5-gram shingles of the trusted (src0) slice —
+# the decontamination-gate shape (the token vocabulary of the synthetic
+# corpus is too small to load a filter).  n_bits is deliberately small
+# relative to that gram set so the filter runs at a high load factor:
+# false positives OCCUR and must match between engines bit-for-bit (they
+# are a pure function of the md5-derived Kirsch-Mitzenmacher arithmetic).
+# At 100 TB the same query runs with n_bits sized to the real member count
+# (10 bits/item — build_bloom's docstring); the plan is unchanged.
+_BLOOM_BITS = 1 << 13
+_BLOOM_K = 5
+
+_BLOOM_SQL = f"""WITH {_GRAMS5_CTE},
+members AS (
+  SELECT DISTINCT g.gram
+  FROM grams g JOIN documents d USING (doc_id)
+  WHERE d.source = 'src0'
+),
+mh AS (
+  SELECT DISTINCT {hash60_sql('gram')} AS g1, {hash60b_sql('gram')} AS g2
+  FROM members
+),
+bits AS (
+  SELECT DISTINCT (g1 % {_BLOOM_BITS} + u.i * (g2 % {_BLOOM_BITS - 1} + 1))
+                  % {_BLOOM_BITS} AS pos
+  FROM mh, UNNEST(range(0, {_BLOOM_K})) AS u(i)
+),
+pg AS (SELECT DISTINCT gram FROM grams),
+ph AS (
+  SELECT gram,
+         {hash60_sql('gram')} % {_BLOOM_BITS} AS base,
+         {hash60b_sql('gram')} % {_BLOOM_BITS - 1} + 1 AS step
+  FROM pg
+),
+probe AS (
+  SELECT gram, (base + u.i * step) % {_BLOOM_BITS} AS pos
+  FROM ph, UNNEST(range(0, {_BLOOM_K})) AS u(i)
+),
+hits AS (
+  SELECT p.gram, TRUE AS hit FROM probe p JOIN bits b USING (pos)
+  GROUP BY p.gram HAVING COUNT(*) = {_BLOOM_K}
+)
+SELECT g.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(SUM(CASE WHEN h.hit THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
+FROM grams g LEFT JOIN hits h USING (gram)
+GROUP BY g.doc_id"""
+
+
+@register(
+    "bloom_membership_profile",
+    oracle=_BLOOM_SQL,
+    description=(
+        "Bloom-filter membership gate: build over the src0 5-gram set "
+        f"({_BLOOM_BITS} bits, k={_BLOOM_K}, deliberately high load so "
+        "false positives occur), probe every gram occurrence, count "
+        "per-doc flags — the bit array is reproduced exactly in DuckDB"
+    ),
+)
+def bloom_membership_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_graph_rag_spark.operators.bloom import (
+        build_bloom,
+        might_contain,
+        with_bloom,
+    )
+    from vector_graph_rag_spark.queries.curation import _grams5_df
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    gram_stream = _grams5_df(spark, sf_dir)
+    members = (
+        gram_stream.join(
+            d.filter(F.col("source") == "src0").select("doc_id"), "doc_id"
+        )
+        .select("gram")
+        .distinct()
+    )
+    bloom = build_bloom(members, "gram", n_bits=_BLOOM_BITS, k=_BLOOM_K)
+    probed = with_bloom(gram_stream, bloom).withColumn(
+        "hit", might_contain("gram", bloom)
+    )
+    return probed.groupBy("doc_id").agg(
+        F.count("*").alias("n_grams"),
+        F.sum(F.col("hit").cast("long")).alias("n_flagged"),
+    )
+
+
+# --- Versioned store: MERGE + CDC diff --------------------------------------
+
+# Deterministic mutation of `documents`, branch-disjoint so MERGE's
+# one-source-row-per-key contract holds: doc_id%17 -> delete marker,
+# else %13 -> edited update, %29 -> re-keyed insert (+1e6).
+_VMERGE_SQL = """WITH o AS (
+  SELECT doc_id, TRUE AS in_old, md5(text) AS old_hash FROM documents
+),
+upd AS (
+  SELECT doc_id, CAST(NULL AS VARCHAR) AS text, TRUE AS del
+  FROM documents WHERE doc_id % 17 = 0
+  UNION ALL
+  SELECT doc_id, text || ' EDITED' AS text, FALSE
+  FROM documents WHERE doc_id % 13 = 0 AND doc_id % 17 <> 0
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text, FALSE
+  FROM documents WHERE doc_id % 29 = 0
+),
+v2 AS (
+  SELECT d.doc_id, d.text FROM documents d ANTI JOIN upd u ON d.doc_id = u.doc_id
+  UNION ALL
+  SELECT doc_id, text FROM upd WHERE NOT del
+),
+n AS (SELECT doc_id, TRUE AS in_new, md5(text) AS new_hash FROM v2),
+j AS (
+  SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id, in_old, in_new, old_hash, new_hash
+  FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+),
+c AS (
+  SELECT doc_id,
+         CASE WHEN in_old IS NULL THEN 'added'
+              WHEN in_new IS NULL THEN 'removed'
+              WHEN old_hash IS DISTINCT FROM new_hash THEN 'changed'
+         END AS change,
+         old_hash, new_hash
+  FROM j
+)
+SELECT doc_id, change, old_hash, new_hash FROM c WHERE change IS NOT NULL"""
+
+
+@register(
+    "versioned_merge_diff",
+    oracle=_VMERGE_SQL,
+    description=(
+        "versioned corpus store round trip: commit v1, MERGE a deterministic "
+        "update/insert/delete mutation as v2 (parquet snapshots + atomic "
+        "manifest), then read the v1->v2 CDC delta"
+    ),
+)
+def versioned_merge_diff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_graph_rag_spark.sources.versioned import VersionedCorpus
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    root = tempfile.mkdtemp(prefix="vgr_vstore_")
+    try:
+        store = VersionedCorpus(spark, root)
+        store.write(d)
+        dels = d.filter(F.col("doc_id") % 17 == 0).select(
+            "doc_id",
+            F.lit(None).cast("string").alias("text"),
+            F.lit(True).alias("is_delete"),
+        )
+        edits = d.filter(
+            (F.col("doc_id") % 13 == 0) & (F.col("doc_id") % 17 != 0)
+        ).select(
+            "doc_id",
+            F.concat("text", F.lit(" EDITED")).alias("text"),
+            F.lit(False).alias("is_delete"),
+        )
+        ins = d.filter(F.col("doc_id") % 29 == 0).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            "text",
+            F.lit(False).alias("is_delete"),
+        )
+        store.merge(
+            dels.unionByName(edits).unionByName(ins),
+            key="doc_id",
+            delete_col="is_delete",
+        )
+        # materialize before the scratch store is removed
+        return store.diff(1, 2).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+# --- Incremental LM maintenance ---------------------------------------------
+
+
+@register(
+    "lm_counts_incremental",
+    # n-gram counts are additive, so the stream-maintained model must score
+    # IDENTICALLY to batch training — the oracle is the batch SQL verbatim.
+    oracle=_LM_CE_SQL,
+    description=(
+        "incremental LM maintenance: bigram model aggregated from two "
+        "count shards (the streaming path), scoring the corpus — the "
+        "oracle is the batch-trained lm_cross_entropy SQL, so the hash "
+        "gate pins stream == batch"
+    ),
+)
+def lm_counts_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_graph_rag_spark.operators.lm_filter import lm_cross_entropy
+    from vector_graph_rag_spark.streaming.lm_counts import (
+        lm_from_counts,
+        write_batch_counts,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    trusted = d.filter(F.col("source") == "src0")
+    state = tempfile.mkdtemp(prefix="vgr_lmstate_")
+    try:
+        write_batch_counts(trusted.filter(F.col("doc_id") % 2 == 0), state, 0)
+        write_batch_counts(trusted.filter(F.col("doc_id") % 2 == 1), state, 1)
+        model = lm_from_counts(spark, state)
+        return lm_cross_entropy(d, model, quantized=True).localCheckpoint(
+            eager=True
+        )
+    finally:
+        shutil.rmtree(state, ignore_errors=True)

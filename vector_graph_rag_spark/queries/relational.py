@@ -249,7 +249,12 @@ GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """
 
 
-@register("lineitem_rollup", oracle=_ROLLUP_SQL, description="rollup/grouping sets")
+@register(
+    "lineitem_rollup",
+    oracle=_ROLLUP_SQL,
+    description="rollup/grouping sets",
+    retired=True,  # r7 swap: hierarchical-agg coverage driver-gated via events_cube_month_type (CUBE) + orders_grouping_sets
+)
 def lineitem_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return (
@@ -360,7 +365,12 @@ GROUP BY date_trunc('hour', ts), event_type
 """
 
 
-@register("events_tumbling_1h", oracle=_TUMBLE_SQL, description="tumbling window agg (batch twin of streaming/ingest.py)")
+@register(
+    "events_tumbling_1h",
+    oracle=_TUMBLE_SQL,
+    description="tumbling window agg (batch twin of streaming/ingest.py)",
+    retired=True,  # r7 swap: tumbling-window semantics driver-gated via stream_tumbling_30m (same agg through readStream)
+)
 def events_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     return (

@@ -64,6 +64,7 @@ def knn_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "knn_cosine_topk_matmul",
     oracle=_KNN_SQL,
     description="same top-20 via numpy block-matmul mapInPandas (large-query-batch scale path)",
+    retired=True,  # r7 swap: identical semantics driver-gated via knn_cosine_topk (same oracle); matmul scale path stays locally gated
 )
 def knn_cosine_topk_matmul(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vector_graph_rag_spark.operators.topk import cosine_topk_matmul
