@@ -267,7 +267,9 @@ def test_perplexity_buckets_has_no_single_partition_stage(spark):
     assert "SinglePartition" not in plan, (
         f"perplexity_buckets reintroduced a single-partition stage:\n{plan}"
     )
-    assert "BroadcastHashJoin" in plan  # the score->tier map broadcasts
+    # the non-boundary branch is pure literal comparisons (no join); only
+    # the <=2 boundary groups join their broadcast base-rank map
+    assert "BroadcastHashJoin" in plan
     assert out.count() == 3000
 
 

@@ -203,9 +203,13 @@ def perplexity_buckets(
     1. ONE map-side-combined ``groupBy(rounded score)`` — the only
        corpus-wide stage; the histogram is bounded, never corpus-sized.
     2. Driver prefix sums over the sorted histogram assign each score
-       group its base rank.  Any group lying entirely inside one tier
-       (all but ≤2 of them) resolves through a broadcast score→tier map —
-       a per-row broadcast join, no second corpus shuffle.
+       group its base rank.  Fully-head groups form a prefix of the score
+       order and fully-tail groups a suffix (tier is monotone in rank),
+       so every group lying entirely inside one tier (all but ≤2 of them)
+       resolves through TWO LITERAL score thresholds — a per-row codegen
+       comparison, no join, no per-executor tier map (an earlier draft
+       broadcast a score→tier map: O(histogram) executor memory, up to
+       ~10^7 entries at the round_to bound — the literals are O(1)).
     3. Only the ≤2 boundary groups straddling a cut need intra-group
        doc_id ranks: a ``Window.partitionBy(score)`` over just those rows
        — partitioned by score, never a SinglePartition stage
@@ -217,7 +221,15 @@ def perplexity_buckets(
     round(ce, round_to), doc_id)`` — the DuckDB oracle runs exactly that.
     :func:`perplexity_buckets_approx` stays as the sketched variant for
     pipelines that tolerate approximate cut points.
+
+    The input is eagerly ``localCheckpoint``-ed first: both the histogram
+    pass and the tier join consume it, and ``scores`` is typically the
+    full LM-scoring pipeline — without materialization that upstream work
+    would run twice (measured +2.4s at sf0.1 when this operator re-ran the
+    CE pipeline per pass).  One narrow row per document, the same
+    multi-pass pattern as the PPR/CC iterative kernels.
     """
+    scores = scores.localCheckpoint(eager=True)
     hi_cut = 1.0 - tail_frac
     h = F.round("cross_entropy", round_to)
     hist = sorted(
@@ -233,27 +245,37 @@ def perplexity_buckets(
             return "tail"
         return "middle"
 
-    full: list[tuple[float, str]] = []  # whole group in one tier
+    head_max: float | None = None  # largest score of a fully-head group
+    tail_min: float | None = None  # smallest score of a fully-tail group
     boundary: list[tuple[float, int]] = []  # (score, base rank) straddling a cut
     base = 0
     for r in hist:
         cnt = r["cnt"]
         if n <= 1:
-            full.append((r["h"], tier_of(0.0)))  # percent_rank of 1 row = 0
+            t_lo = t_hi = tier_of(0.0)  # percent_rank of 1 row = 0
         else:
             t_lo = tier_of(base / (n - 1))
             t_hi = tier_of((base + cnt - 1) / (n - 1))
-            if t_lo == t_hi:
-                full.append((r["h"], t_lo))
-            else:
-                boundary.append((r["h"], base))
+        if t_lo != t_hi:
+            boundary.append((r["h"], base))
+        elif t_lo == "head":
+            head_max = r["h"]
+        elif t_lo == "tail" and tail_min is None:
+            tail_min = r["h"]
         base += cnt
 
     spark = scores.sparkSession
     scored = scores.withColumn("h", h)
+    bscores = [hh for hh, _ in boundary]
+    tier = F.lit("middle")
+    if tail_min is not None:
+        tier = F.when(F.col("h") >= tail_min, "tail").otherwise(tier)
+    if head_max is not None:
+        tier = F.when(F.col("h") <= head_max, "head").otherwise(tier)
     out_cols = ["doc_id", "n_tokens", "cross_entropy", "tier"]
-    tier_map = spark.createDataFrame(full, "h double, tier string")
-    main = scored.join(F.broadcast(tier_map), "h").select(*out_cols)
+    main = scored.filter(~F.col("h").isin(bscores) if bscores else F.lit(True)).select(
+        "doc_id", "n_tokens", "cross_entropy", tier.alias("tier")
+    )
     if not boundary:
         return main
     bmap = spark.createDataFrame(boundary, "h double, base long")
