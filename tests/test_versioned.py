@@ -102,6 +102,71 @@ def test_vacuum_retention_and_manifest_atomicity(spark, store):
     assert not os.path.exists(os.path.join(store.root, "_manifest.json.tmp"))
 
 
+def test_merge_commit_is_delta_sized_not_a_snapshot_rewrite(spark, store):
+    """The r7 merge-on-read upgrade: a MERGE commit writes ONLY the
+    upserted rows + tombstone keys — O(changes), never a corpus rewrite
+    (the r6 layout rewrote a full snapshot per commit)."""
+    docs = _docs(spark)
+    n_docs = docs.count()
+    store.write(docs)
+    updates = spark.createDataFrame(
+        [(0, "REWRITTEN", False), (1_000_001, "NEW", False), (13, None, True)],
+        "doc_id long, text string, is_delete boolean",
+    )
+    v2 = store.merge(updates, key="doc_id", delete_col="is_delete")
+    # the committed layer holds 2 adds + 1 tombstone, not n_docs rows
+    assert spark.read.parquet(store._adds_dir(v2)).count() == 2
+    assert spark.read.parquet(store._dels_dir(v2)).count() == 1
+    info = store._manifest()["versions"][str(v2)]
+    assert info["kind"] == "delta" and info["adds"] == 2 and info["deletes"] == 1
+    # and the merge-on-read view is still the full corpus
+    assert store.read().count() == n_docs + 1 - 1
+
+
+def test_delete_then_reinsert_resurrects_key(spark, store):
+    """Latest-wins across the layer chain: a key deleted in v2 and
+    re-inserted in v3 must be live in v3 with the new content, and still
+    absent when time-traveling to v2."""
+    docs = _docs(spark)
+    store.write(docs)
+    store.merge(
+        spark.createDataFrame([(5, None, True)], "doc_id long, text string, is_delete boolean"),
+        delete_col="is_delete",
+    )
+    store.merge(
+        spark.createDataFrame([(5, "REBORN", False)], "doc_id long, text string, is_delete boolean"),
+        delete_col="is_delete",
+    )
+    assert store.read(2).filter(F.col("doc_id") == 5).count() == 0
+    got = store.read(3).filter(F.col("doc_id") == 5).collect()
+    assert [r["text"] for r in got] == ["REBORN"]
+    assert store.read(3).count() == docs.count()
+
+
+def test_compact_folds_chain_and_unpins_vacuum(spark, store):
+    """compact() = Iceberg MoR compaction: same content as the folded
+    chain, plain-scan reads, and the pre-base layers become
+    vacuum-eligible (deltas pin their base until then)."""
+    docs = _docs(spark)
+    store.write(docs)
+    store.merge(spark.createDataFrame([(0, "X")], "doc_id long, text string"))
+    store.merge(spark.createDataFrame([(1, "Y")], "doc_id long, text string"))
+    # deltas pin the base: nothing is removable while v3 needs v1..v3
+    assert store.vacuum(keep_last=1) == []
+    before = {r["doc_id"]: r["text"] for r in store.read().collect()}
+    v4 = store.compact()
+    assert store._manifest()["versions"][str(v4)]["kind"] == "base"
+    after = {r["doc_id"]: r["text"] for r in store.read().collect()}
+    assert after == before
+    # base reads are plain scans — no window, no shuffle in the plan
+    plan = store.read()._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan and "Exchange" not in plan
+    assert store.vacuum(keep_last=1) == [1, 2, 3]
+    with pytest.raises(ValueError, match="vacuumed"):
+        store.read(2)
+    assert store.read(v4).count() == docs.count()
+
+
 def test_merge_rejects_duplicate_source_keys(spark, store):
     """Delta MERGE INTO errors on multiple source rows per target key —
     silently inserting both would duplicate the key (ADVICE r6)."""

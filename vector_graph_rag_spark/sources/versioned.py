@@ -1,5 +1,5 @@
 """Versioned corpus store — MERGE, time travel, and diff over parquet
-snapshots with an atomic JSON manifest log.
+layers with an atomic JSON manifest log.
 
 The reference mutates its store through client upserts/deletes
 (`/root/reference/src/vector_graph_rag/rag.py` add/delete paths); our CRUD
@@ -8,37 +8,45 @@ verdict's remaining gap ("Delta/Iceberg-backed MERGE") is the *catalog
 commit* around those rewrites: writers must publish atomically, readers
 must pin a snapshot, and an incremental pipeline needs the delta between
 any two versions.  This module is that seam, Spark-native and
-dependency-free:
+dependency-free — and since round 7 it is **merge-on-read**, the
+Iceberg/Delta MoR shape, so a MERGE commit costs O(changed rows), never a
+corpus rewrite:
 
     root/
-      _manifest.json          {"latest": N, "versions": {"1": {...}, ...}}
-      v00001/ *.parquet       full snapshot per committed version
-      v00002/ ...
+      _manifest.json    {"latest": N, "versions": {"1": {"kind": "base"|
+                         "delta", "adds": n, "deletes": n, "key": ...}}}
+      v00001/adds/      parquet rows added/updated by this version
+      v00001/deletes/   parquet (key) tombstones (delta commits only)
 
-- **Atomic commit**: the snapshot directory is fully written FIRST, then
+- **Atomic commit**: the version directory is fully written FIRST, then
   the manifest is replaced via write-temp + ``os.replace`` (atomic on
   POSIX).  A reader that loaded the old manifest keeps reading the old
-  snapshot directory — never a half-written one.
-- **MERGE** (`merge`): upsert-by-key + optional delete marker, the
-  Delta ``MERGE INTO`` semantics as one anti-join + union, committed as a
-  new version.  Source rows win on key collision (``WHEN MATCHED THEN
-  UPDATE``); marker rows are dropped (``WHEN MATCHED AND del THEN
-  DELETE``); unmatched source rows insert.
+  layers — never a half-written one.
+- **Base commits** (`write`, `compact`): a full snapshot; reading this
+  version ignores all earlier layers.
+- **Delta commits** (`merge`): Delta ``MERGE INTO`` semantics — matched
+  source rows update, unmatched insert, marker rows delete — but the
+  commit writes ONLY the upserted rows + tombstone keys.  Duplicate
+  source keys are an error (Delta's multiple-source-matches rule).
+- **Merge-on-read** (`read`): reconstructs version ``v`` from the layer
+  chain [latest base ≤ v .. v]: union every layer's adds and tombstones
+  as (key, layer, is_delete) events, keep the max-layer event per key,
+  drop tombstoned keys.  ONE hash shuffle on the key (zero with bucketed
+  layer files — SCALE.md); read cost grows with delta count until
+  ``compact()`` folds the chain into a new base, exactly Iceberg MoR
+  compaction.  Every method keeps its 1:1 Delta equivalent (merge →
+  MERGE INTO, read(version) → VERSION AS OF, diff → CDF, compact →
+  OPTIMIZE, vacuum → VACUUM).
 - **Time travel** (`read(version=...)`): any retained version stays
   readable; `diff` classifies added/removed/changed between two versions
   through `operators/cdc.snapshot_diff` — the CDC feed for incremental
   dedup / re-embedding / index refresh.
-- **Retention** (`vacuum`): drop snapshot dirs older than the last N
-  versions (manifest entries stay, marked vacuumed — history is an
-  append-only fact).
-
-Local-mode deviation, stated plainly (SCALE.md §Known local-mode
-deviations): each version stores a FULL snapshot, so commit cost is a
-corpus rewrite — right for the test scales here, wrong at 100 TB.  On a
-cluster this class swaps its storage layer for a real Delta/Iceberg table
-(copy-on-write data files + metadata commit); every public method here has
-a 1:1 Delta equivalent (merge → MERGE INTO, read(version) → VERSION AS OF,
-diff → CDF, vacuum → VACUUM), which is exactly why the API is the seam.
+- **Retention** (`vacuum`): drop version directories no retained version
+  depends on (a retained version depends on its whole layer chain, so
+  deltas pin their base until compaction — the same rule that makes
+  Delta VACUUM safe).  Manifest entries stay, marked vacuumed — history
+  is an append-only fact.  ``keep_last`` must be ≥ 1: the head of the
+  store is always retained.
 """
 
 from __future__ import annotations
@@ -49,6 +57,7 @@ import shutil
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import Window
 
 
 class VersionedCorpus:
@@ -86,30 +95,89 @@ class VersionedCorpus:
     def _vdir(self, version: int) -> str:
         return os.path.join(self.root, f"v{version:05d}")
 
+    def _adds_dir(self, version: int) -> str:
+        return os.path.join(self._vdir(version), "adds")
+
+    def _dels_dir(self, version: int) -> str:
+        return os.path.join(self._vdir(version), "deletes")
+
     # --- commits ------------------------------------------------------------
 
     def write(self, df: DataFrame) -> int:
-        """Commit a full snapshot as the next version; returns it."""
+        """Commit a full snapshot as the next version (a BASE commit —
+        reading it never consults earlier layers); returns it."""
         m = self._manifest()
         v = int(m["latest"]) + 1
-        path = self._vdir(v)
-        df.write.mode("overwrite").parquet(path)  # data first...
-        rows = self.spark.read.parquet(path).count()
-        m["versions"][str(v)] = {"rows": rows, "parent": int(m["latest"])}
+        df.write.mode("overwrite").parquet(self._adds_dir(v))  # data first...
+        rows = self.spark.read.parquet(self._adds_dir(v)).count()
+        m["versions"][str(v)] = {
+            "kind": "base",
+            "adds": rows,
+            "deletes": 0,
+            "parent": int(m["latest"]),
+        }
         m["latest"] = v
         self._commit_manifest(m)  # ...manifest last, atomically
         return v
 
+    def _layer_chain(self, v: int, m: dict) -> list[int]:
+        """[latest base <= v .. v] — the layers read(v) folds together."""
+        chain: list[int] = []
+        for w in range(v, 0, -1):
+            info = m["versions"].get(str(w))
+            if info is None:
+                continue  # versions are contiguous today; tolerate gaps
+            if info.get("vacuumed"):
+                raise ValueError(
+                    f"version {v} depends on layer {w}, which was vacuumed "
+                    "(history retained, data dropped)"
+                )
+            chain.append(w)
+            if info["kind"] == "base":
+                return list(reversed(chain))
+        raise ValueError(f"version {v} has no base layer (corrupt manifest)")
+
     def read(self, version: int | None = None) -> DataFrame:
-        """Latest snapshot, or ``VERSION AS OF`` any retained version."""
+        """Latest snapshot, or ``VERSION AS OF`` any retained version.
+
+        Merge-on-read: one union over the layer chain + one latest-wins
+        window keyed by the MERGE key.  A base version (no deltas on top)
+        is returned as a plain scan — no shuffle at all.
+        """
         m = self._manifest()
         v = int(m["latest"]) if version is None else int(version)
         info = m["versions"].get(str(v))
         if v == 0 or info is None:
             raise ValueError(f"version {version!r} does not exist")
-        if info.get("vacuumed"):
-            raise ValueError(f"version {v} was vacuumed (history retained, data dropped)")
-        return self.spark.read.parquet(self._vdir(v))
+        chain = self._layer_chain(v, m)
+        base = self.spark.read.parquet(self._adds_dir(chain[0]))
+        if len(chain) == 1:
+            return base
+        key = m["versions"][str(chain[1])]["key"]  # all deltas share it
+        data_cols = [c for c in base.columns if c != key]
+        events = base.select(
+            key, *data_cols, F.lit(chain[0]).alias("_layer"), F.lit(False).alias("_del")
+        )
+        for w in chain[1:]:
+            winfo = m["versions"][str(w)]
+            adds = self.spark.read.parquet(self._adds_dir(w)).select(
+                key, *data_cols, F.lit(w).alias("_layer"), F.lit(False).alias("_del")
+            )
+            events = events.unionByName(adds)
+            if winfo.get("deletes"):
+                dels = self.spark.read.parquet(self._dels_dir(w)).select(
+                    key,
+                    *[F.lit(None).cast(base.schema[c].dataType).alias(c) for c in data_cols],
+                    F.lit(w).alias("_layer"),
+                    F.lit(True).alias("_del"),
+                )
+                events = events.unionByName(dels)
+        latest = Window.partitionBy(key).orderBy(F.desc("_layer"))
+        return (
+            events.withColumn("_rn", F.row_number().over(latest))
+            .filter((F.col("_rn") == 1) & ~F.col("_del"))
+            .select(key, *data_cols)
+        )
 
     def merge(
         self,
@@ -117,7 +185,9 @@ class VersionedCorpus:
         key: str = "doc_id",
         delete_col: str | None = None,
     ) -> int:
-        """Delta-style MERGE INTO latest, committed as a new version.
+        """Delta-style MERGE INTO latest, committed as a DELTA version:
+        only the upserted rows and tombstone keys are written — commit
+        cost is O(changed rows), never a snapshot rewrite.
 
         - matched source rows replace target rows (update),
         - unmatched source rows insert,
@@ -126,12 +196,8 @@ class VersionedCorpus:
 
         Duplicate source keys are an ERROR, matching Delta's MERGE INTO
         ("multiple source rows matched" — ADVICE r6): two update rows for
-        one key would both survive the anti-join + union and silently
-        corrupt the snapshot with a duplicate key.  The check is one
+        one key would make latest-wins ambiguous.  The check is one
         bounded action (``limit(1)``) on the source frame.
-
-        One anti-join + one union on the key; with both sides bucketed by
-        the key this is the zero-shuffle CRUD shape (SCALE.md).
         """
         dup = (
             updates.groupBy(key)
@@ -146,10 +212,21 @@ class VersionedCorpus:
                 f"{dup[0][key]!r} — MERGE requires at most one source row "
                 "per key (Delta MERGE INTO semantics)"
             )
-        if self.latest_version() == 0:
-            base = None
-        else:
-            base = self.read()
+        m = self._manifest()
+        if int(m["latest"]) == 0:
+            return self.write(
+                updates.filter(~F.coalesce(F.col(delete_col), F.lit(False))).drop(
+                    delete_col
+                )
+                if delete_col is not None
+                else updates
+            )
+        prev_delta = m["versions"][str(m["latest"])]
+        if prev_delta["kind"] == "delta" and prev_delta["key"] != key:
+            raise ValueError(
+                f"merge: key {key!r} differs from the chain's key "
+                f"{prev_delta['key']!r} — compact() before re-keying"
+            )
         if delete_col is not None:
             dels = updates.filter(F.col(delete_col)).select(key)
             ups = updates.filter(
@@ -158,12 +235,32 @@ class VersionedCorpus:
         else:
             dels = updates.limit(0).select(key)
             ups = updates
-        touched = ups.select(key).unionByName(dels).distinct()
-        if base is None:
-            merged = ups
-        else:
-            merged = base.join(touched, key, "left_anti").unionByName(ups)
-        return self.write(merged)
+        v = int(m["latest"]) + 1
+        ups.write.mode("overwrite").parquet(self._adds_dir(v))
+        n_adds = self.spark.read.parquet(self._adds_dir(v)).count()
+        # tombstone only keys that are NOT re-inserted in this same commit
+        # (disjointness is guaranteed by the dup check above) and write the
+        # file only when non-empty
+        n_dels = dels.count()
+        if n_dels:
+            dels.write.mode("overwrite").parquet(self._dels_dir(v))
+        m["versions"][str(v)] = {
+            "kind": "delta",
+            "adds": n_adds,
+            "deletes": n_dels,
+            "key": key,
+            "parent": int(m["latest"]),
+        }
+        m["latest"] = v
+        self._commit_manifest(m)
+        return v
+
+    def compact(self) -> int:
+        """Fold the current layer chain into a new BASE commit (Iceberg
+        MoR compaction / Delta OPTIMIZE): read cost drops back to a plain
+        scan and pre-base layers become vacuum-eligible.  Returns the new
+        version."""
+        return self.write(self.read())
 
     # --- CDC + retention ----------------------------------------------------
 
@@ -182,13 +279,15 @@ class VersionedCorpus:
         return snapshot_diff(self.read(v_old), self.read(v_new), key=key, content=content)
 
     def vacuum(self, keep_last: int = 2) -> list[int]:
-        """Drop snapshot data older than the newest ``keep_last`` versions;
+        """Drop version directories no retained version depends on;
         manifest history stays (entries marked vacuumed).  Returns the
         versions whose data was removed.
 
-        ``keep_last`` must be >= 1: retention may never drop the head of
-        the store (``keep_last=0`` would delete the latest snapshot and
-        make ``read()`` permanently fail — ADVICE r6)."""
+        The newest ``keep_last`` versions are retained, PLUS every layer
+        their chains reach (a delta pins its base — compact() first to
+        unpin).  ``keep_last`` must be >= 1: retention may never drop the
+        head of the store (``keep_last=0`` would delete the latest
+        snapshot and make ``read()`` permanently fail — ADVICE r6)."""
         if keep_last < 1:
             raise ValueError(
                 f"vacuum: keep_last must be >= 1 (got {keep_last}) — the "
@@ -196,9 +295,13 @@ class VersionedCorpus:
             )
         m = self._manifest()
         live = sorted(
-            (int(v) for v, i in m["versions"].items() if not i.get("vacuumed")),
+            int(v) for v, i in m["versions"].items() if not i.get("vacuumed")
         )
-        victims = live[:-keep_last]
+        retained = set(live[-keep_last:])
+        needed: set[int] = set()
+        for v in retained:
+            needed.update(self._layer_chain(v, m))
+        victims = [v for v in live if v not in retained and v not in needed]
         for v in victims:
             shutil.rmtree(self._vdir(v), ignore_errors=True)
             m["versions"][str(v)]["vacuumed"] = True
