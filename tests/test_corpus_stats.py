@@ -1,0 +1,97 @@
+"""Incremental HLL corpus stats — sharded union == single pass (exact),
+replay idempotence, stream drain, and error bounds vs exact distincts."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from vector_graph_rag_spark.sources.tables import load_table
+from vector_graph_rag_spark.streaming.corpus_stats import (
+    _batch_stats,
+    corpus_stats,
+    stream_corpus_stats,
+    write_batch_stats,
+)
+
+SF = "/root/testdata/sf0.001"
+COLS = ["doc_id", "source", "text"]
+
+
+def _docs(spark):
+    return load_table(spark, SF, "documents").select("doc_id", "text", "source")
+
+
+def test_merged_estimate_is_sharding_independent(spark, tmp_path):
+    """HLL union takes bucket-wise register maxima — associative and
+    commutative — so the merged estimate must be IDENTICAL for any
+    sharding of the same corpus (the property that makes stored shard
+    state trustworthy), and the additive counters exact."""
+    docs = _docs(spark)
+    results = []
+    for mod in (2, 5):
+        state = str(tmp_path / f"stats{mod}")
+        for b in range(mod):
+            write_batch_stats(
+                docs.filter(F.col("doc_id") % mod == b), state, b, COLS
+            )
+        results.append(
+            {r["col"]: r.asDict() for r in corpus_stats(spark, state).collect()}
+        )
+    two, five = results
+    assert set(two) == set(COLS)
+    exact_rows = {
+        c: docs.filter(F.col(c).isNotNull()).count() for c in COLS
+    }
+    for c in COLS:
+        assert two[c]["distinct_est"] == five[c]["distinct_est"], c  # exact
+        assert two[c]["n_rows"] == five[c]["n_rows"] == exact_rows[c]
+        assert two[c]["n_bytes"] == five[c]["n_bytes"]
+        assert (two[c]["n_shards"], five[c]["n_shards"]) == (2, 5)
+
+
+def test_estimates_within_hll_error_of_exact(spark, tmp_path):
+    docs = _docs(spark)
+    state = str(tmp_path / "stats")
+    write_batch_stats(docs, state, 0, COLS)
+    got = {r["col"]: r["distinct_est"] for r in corpus_stats(spark, state).collect()}
+    for c in COLS:
+        exact = docs.agg(F.countDistinct(F.col(c).cast("string"))).collect()[0][0]
+        # lgConfigK=12 -> ~1.6% RSE; allow 5 sigma + small-count slack
+        assert abs(got[c] - exact) <= max(0.08 * exact, 2), (c, got[c], exact)
+
+
+def test_replay_overwrites_shard_idempotently(spark, tmp_path):
+    """A replayed batch id must overwrite its own shard, not double-count
+    (the Structured Streaming checkpoint-replay contract)."""
+    docs = _docs(spark)
+    state = str(tmp_path / "stats")
+    write_batch_stats(docs.filter(F.col("doc_id") % 2 == 0), state, 0, COLS)
+    write_batch_stats(docs.filter(F.col("doc_id") % 2 == 1), state, 1, COLS)
+    once = {r["col"]: r.asDict() for r in corpus_stats(spark, state).collect()}
+    write_batch_stats(docs.filter(F.col("doc_id") % 2 == 1), state, 1, COLS)  # replay
+    twice = {r["col"]: r.asDict() for r in corpus_stats(spark, state).collect()}
+    assert once == twice
+
+
+def test_stream_drain_matches_batch(spark, tmp_path):
+    """availableNow drain over the parquet files == batch-written shards."""
+    state = str(tmp_path / "stats")
+    n = stream_corpus_stats(
+        spark, os.path.join(SF, "documents.parquet"), state, COLS
+    )
+    assert n >= 1
+    got = {r["col"]: r["n_rows"] for r in corpus_stats(spark, state).collect()}
+    docs = spark.read.parquet(os.path.join(SF, "documents.parquet"))
+    for c in COLS:
+        assert got[c] == docs.filter(F.col(c).isNotNull()).count(), c
+
+
+def test_plan_is_jvm_only(spark, tmp_path):
+    docs = _docs(spark)
+    state = str(tmp_path / "stats")
+    write_batch_stats(docs, state, 0, COLS)
+    plan = corpus_stats(spark, state)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan

@@ -195,13 +195,15 @@ def test_vacuum_never_drops_the_head(spark, store):
     assert store.read().count() == 3
 
 
-def test_merge_plan_is_antijoin_union_no_cartesian(spark, store):
+def test_chain_read_plan_one_keyed_shuffle_no_cartesian(spark, store):
+    """The merge-on-read fold must cost exactly ONE hash shuffle on the
+    MERGE key (the latest-wins window), with no cartesian product and no
+    Python in the plan — the price of an un-compacted chain."""
     docs = _docs(spark)
     store.write(docs)
-    base = store.read()
-    updates = docs.limit(5)
-    touched = updates.select("doc_id").distinct()
-    merged = base.join(touched, "doc_id", "left_anti").unionByName(updates)
-    plan = merged._jdf.queryExecution().executedPlan().toString()
+    store.merge(spark.createDataFrame([(0, "X")], "doc_id long, text string"))
+    plan = store.read()._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+    assert plan.count("Exchange hashpartitioning(doc_id") == 1, plan[:2000]
+    assert "SinglePartition" not in plan
