@@ -32,7 +32,15 @@ def apply_eviction(
 
     Kept DF columns: relation_id, evict_order (1-based), score (null in the
     no-eviction branch, matching the reference which returns no scores there).
+
+    The candidate set is eagerly localCheckpointed before the branch count:
+    candidates typically arrive as the full expansion DAG, and without
+    materialization the count action would execute that DAG once and the
+    downstream retrieval action would execute it AGAIN (measured ~1.5s of
+    the backfill composite's 4.1s at sf0.1).  The set is frontier-sized —
+    bounded by the eviction threshold's input, never corpus-sized.
     """
+    candidate_relations = candidate_relations.localCheckpoint(eager=True)
     n = candidate_relations.count()
     if n <= threshold:
         # No eviction: all candidates, sorted lexicographically by id
