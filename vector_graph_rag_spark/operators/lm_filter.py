@@ -474,6 +474,7 @@ def train_quality_classifier(
     l2: float = 1e-4,
     portable_hash: bool = False,
     quantized: bool = False,
+    features: DataFrame | None = None,
 ) -> dict:
     """Logistic-regression quality classifier on hashed bigram features —
     the GPT-3 appendix-A "trained to discriminate WebText from raw Common
@@ -499,9 +500,13 @@ def train_quality_classifier(
     float adds are reassociated only inside Spark's fixed-plan partial
     aggregation, and the twin test pins results at 1e-6.
     """
-    feats = _doc_features(
-        docs.select("doc_id", text_col), text_col, n_buckets,
-        portable=portable_hash,
+    feats = (
+        features
+        if features is not None
+        else _doc_features(
+            docs.select("doc_id", text_col), text_col, n_buckets,
+            portable=portable_hash,
+        )
     )
     labels = (
         docs.select("doc_id", F.col(label).cast("double").alias("y"))
@@ -582,18 +587,28 @@ def train_quality_classifier(
     }
 
 
-def quality_scores(docs: DataFrame, model: dict) -> DataFrame:
+def quality_scores(
+    docs: DataFrame, model: dict, features: DataFrame | None = None
+) -> DataFrame:
     """(doc_id, score) — sigmoid quality probability under the trained
-    classifier.  One broadcast join + one ``groupBy(doc_id)``."""
+    classifier.  One broadcast join + one ``groupBy(doc_id)``.
+
+    ``features`` lets a caller scoring the SAME corpus it trained on pass
+    the already-materialized (doc_id, bucket, x) stream instead of paying
+    the tokenize+hash pass twice (the registered query does)."""
     spark = docs.sparkSession
     w_df = spark.createDataFrame(
         list(model["weights"].items()) or [(0, 0.0)], "bucket int, w double"
     )
-    feats = _doc_features(
-        docs.select("doc_id", model["text_col"]),
-        model["text_col"],
-        model["n_buckets"],
-        portable=model.get("portable_hash", False),
+    feats = (
+        features
+        if features is not None
+        else _doc_features(
+            docs.select("doc_id", model["text_col"]),
+            model["text_col"],
+            model["n_buckets"],
+            portable=model.get("portable_hash", False),
+        )
     )
     return (
         feats.join(F.broadcast(w_df), "bucket", "left")
