@@ -19,6 +19,13 @@ doc_id joins, finishing with the ``write_training_shards`` sink:
                             src0 target, top-FRAC of the raw pool kept)
     → [--bpe-merges N]     (train a BPE tokenizer on the survivors and
                             report subword token accounting)
+    → [--store DIR]        (commit survivors into the merge-on-read
+                            versioned store: first run = base snapshot,
+                            reruns = MERGE upserts + tombstones with the
+                            added/changed/removed CDC delta reported —
+                            the incremental nightly shape)
+    → [--stats DIR]        (record an HLL register shard and report
+                            merged distinct estimates across runs)
     → sequence packing + partitioned shard write (write_training_shards)
 
 Prints one JSON line with per-stage surviving-document counts and the
@@ -75,6 +82,19 @@ def main() -> None:
         "--dsir-keep", type=float, default=None, metavar="FRAC",
         help="DSIR stage: keep only the FRAC highest importance-weight "
              "documents (target distribution = source=src0)",
+    )
+    ap.add_argument(
+        "--store", default=None, metavar="DIR",
+        help="commit the curated corpus into the versioned store at DIR "
+             "via merge-on-read MERGE (upsert survivors, tombstone keys "
+             "that fell out since the last run) and report the CDC delta "
+             "— the incremental nightly-run shape",
+    )
+    ap.add_argument(
+        "--stats", default=None, metavar="DIR",
+        help="write an HLL register shard for the curated corpus under "
+             "DIR and report the merged distinct estimates across all "
+             "recorded runs (streaming/corpus_stats.py)",
     )
     args = ap.parse_args()
 
@@ -186,6 +206,52 @@ def main() -> None:
         counts["bpe_vocab"] = len(bpe["vocab"])
         counts["bpe_pieces_per_word"] = round(stats["pieces_per_word"], 4)
         counts["bpe_chars_per_piece"] = round(stats["chars_per_piece"], 4)
+
+    store_version = 0
+    if args.store is not None:
+        from vector_graph_rag_spark.sources.versioned import VersionedCorpus
+
+        store = VersionedCorpus(spark, args.store)
+        cols = ["doc_id", "text", "source"]
+        cur = stage.select(*cols)
+        if store.latest_version() == 0:
+            store_version = store.write(cur)
+        else:
+            gone = (
+                store.read()
+                .select("doc_id")
+                .join(cur.select("doc_id"), "doc_id", "left_anti")
+                .select(
+                    "doc_id",
+                    *[F.lit(None).cast("string").alias(c) for c in cols[1:]],
+                    F.lit(True).alias("is_delete"),
+                )
+            )
+            ups = cur.withColumn("is_delete", F.lit(False))
+            store_version = store.merge(
+                ups.unionByName(gone), key="doc_id", delete_col="is_delete"
+            )
+            delta = (
+                store.diff(store_version - 1, store_version)
+                .groupBy("change")
+                .count()
+                .collect()
+            )
+            for r in delta:
+                counts[f"store_{r['change']}"] = r["count"]
+        counts["store_version"] = store_version
+
+    if args.stats is not None:
+        from vector_graph_rag_spark.streaming.corpus_stats import (
+            corpus_stats,
+            write_batch_stats,
+        )
+
+        write_batch_stats(
+            stage, args.stats, store_version, ["doc_id", "source", "text"]
+        )
+        for r in corpus_stats(spark, args.stats).collect():
+            counts[f"distinct_{r['col']}"] = int(r["distinct_est"])
 
     write_training_shards(stage, args.out, budget=args.budget, shards=args.shards)
     shards_df = spark.read.parquet(args.out)
