@@ -28,6 +28,12 @@ REPARTITION_CHECKED = [
     "sequence_packing",         # per-shard sequential fold (partition-order risk)
     "kmeans_embedding_clusters",  # iterative centroid update (sum-order risk)
     "repetition_quality_filters",  # ratio thresholds on float divisions
+    # round-7 registered family
+    "perplexity_buckets",       # grouped-histogram rank cuts (driver prefix sums)
+    "quality_classifier_scores",  # quantized GD sums (ADVICE r6 flake risk)
+    "bpe_train_merges",         # argmax tie-breaks across 8 merge iterations
+    "bloom_membership_profile",  # bit array + probe determinism
+    "versioned_merge_diff",     # MoR latest-wins fold through parquet round-trip
 ]
 
 

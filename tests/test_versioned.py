@@ -195,6 +195,39 @@ def test_vacuum_never_drops_the_head(spark, store):
     assert store.read().count() == 3
 
 
+def test_empty_merge_and_base_only_compact(spark, store):
+    """Degenerate commits must stay consistent: a zero-row MERGE still
+    commits a (no-op) version, and compact() of a base-only store is a
+    plain re-base."""
+    docs = _docs(spark)
+    store.write(docs)
+    v2 = store.merge(
+        spark.createDataFrame([], "doc_id long, text string")
+    )
+    assert v2 == 2
+    assert store.read().count() == docs.count()
+    v3 = store.compact()
+    assert store._manifest()["versions"][str(v3)]["kind"] == "base"
+    assert store.read(v3).count() == docs.count()
+
+
+def test_merge_rejects_rekeyed_chain(spark, store):
+    """A delta chain has ONE merge key; re-keying mid-chain would make
+    latest-wins nonsense — rejected until compact()."""
+    docs = _docs(spark).withColumn("alt_key", F.col("doc_id") + 1)
+    store.write(docs)
+    store.merge(
+        spark.createDataFrame([(0, "X", 1)], "doc_id long, text string, alt_key long")
+    )
+    with pytest.raises(ValueError, match="compact"):
+        store.merge(
+            spark.createDataFrame(
+                [(9, "Y", 10)], "doc_id long, text string, alt_key long"
+            ),
+            key="alt_key",
+        )
+
+
 def test_chain_read_plan_one_keyed_shuffle_no_cartesian(spark, store):
     """The merge-on-read fold must cost exactly ONE hash shuffle on the
     MERGE key (the latest-wins window), with no cartesian product and no
