@@ -1,0 +1,129 @@
+"""Fixed-block token packing — exact concat-and-slice twin, partition
+invariance, span handling, and the BPE id-encoding front end."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from vector_graph_rag_spark.operators.packing import pack_fixed_blocks
+
+EOD = 9999
+B = 7
+
+
+def _encoded(spark, lengths):
+    """Synthetic (doc_id, ids) frame: doc d gets ids [d*100 .. d*100+len)."""
+    rows = [
+        (d, list(range(d * 100, d * 100 + n))) for d, n in enumerate(lengths)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, ids array<int>")
+
+
+def _python_twin(lengths):
+    stream = []
+    for d, n in enumerate(lengths):
+        stream.extend(range(d * 100, d * 100 + n))
+        stream.append(EOD)
+    blocks = {}
+    for b in range(len(stream) // B):
+        blocks[b] = stream[b * B : (b + 1) * B]
+    return blocks
+
+
+# lengths exercise: empty doc (eod only), doc shorter than a block, doc
+# exactly filling the remainder, doc spanning >2 blocks
+LENGTH_SETS = [
+    [3, 0, 25, 6, 1, 13],
+    [20],
+    [1, 1, 1, 1, 1, 1, 1, 1],
+    [6, 6, 6],  # each doc+eod exactly one block
+]
+
+
+@pytest.mark.parametrize("lengths", LENGTH_SETS)
+def test_matches_python_concat_and_slice(spark, lengths):
+    got = {
+        r["block_id"]: list(r["ids"])
+        for r in pack_fixed_blocks(_encoded(spark, lengths), B, EOD).collect()
+    }
+    assert got == _python_twin(lengths)
+
+
+def test_partitioning_invariant(spark):
+    lengths = [5, 17, 2, 0, 31, 8, 8, 3]
+    enc = _encoded(spark, lengths)
+    a = {
+        r["block_id"]: list(r["ids"])
+        for r in pack_fixed_blocks(enc.repartition(1), B, EOD, partitions=2).collect()
+    }
+    b = {
+        r["block_id"]: list(r["ids"])
+        for r in pack_fixed_blocks(
+            enc.repartition(16, "doc_id"), B, EOD, partitions=5
+        ).collect()
+    }
+    assert a == b == _python_twin(lengths)
+
+
+def test_empty_corpus_and_bad_block_len(spark):
+    empty = spark.createDataFrame([], "doc_id long, ids array<int>")
+    assert pack_fixed_blocks(empty, B, EOD).count() == 0
+    with pytest.raises(ValueError, match="block_len"):
+        pack_fixed_blocks(empty, 0, EOD)
+
+
+def test_plan_has_no_single_partition_and_no_python(spark):
+    enc = _encoded(spark, [10, 20, 30, 40])
+    plan = (
+        pack_fixed_blocks(enc, B, EOD, partitions=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SinglePartition" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bpe_encode_ids_roundtrip(spark):
+    from vector_graph_rag_spark.operators.bpe import bpe_encode_ids, train_bpe
+    from vector_graph_rag_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    ).limit(50)
+    model = train_bpe(docs, n_merges=10, min_pair_count=1)
+    enc = bpe_encode_ids(docs, model)
+    vocab = model["vocab"]
+    rows = enc.collect()
+    assert len(rows) == docs.filter(F.length("text") > 0).count()
+    for r in rows[:10]:
+        assert r["n_ids"] == len(r["ids"])
+        assert all(0 <= i <= len(vocab) for i in r["ids"])
+    # round-trip: decoding ids through the vocab reproduces the document's
+    # whitespace tokens (EOW markers delimit words)
+    r0 = min(rows, key=lambda r: r["doc_id"])
+    text = {d["doc_id"]: d["text"] for d in docs.collect()}[r0["doc_id"]]
+    decoded = "".join(
+        vocab[i] if i < len(vocab) else "<unk>" for i in r0["ids"]
+    ).replace("</w>", " ").strip()
+    assert decoded == " ".join(text.split())
+
+
+def test_bpe_ids_pack_end_to_end(spark):
+    """The full final-mile path: train -> encode -> pack; total packed
+    tokens == floor(total ids + eods / B) * B."""
+    from vector_graph_rag_spark.operators.bpe import bpe_encode_ids, train_bpe
+    from vector_graph_rag_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    ).limit(40)
+    model = train_bpe(docs, n_merges=8, min_pair_count=1)
+    enc = bpe_encode_ids(docs, model)
+    total = enc.agg(F.sum(F.size("ids") + 1)).collect()[0][0]
+    blocks = pack_fixed_blocks(enc, 128, eod_id=len(model["vocab"]) + 1)
+    n_blocks = blocks.count()
+    assert n_blocks == total // 128
+    assert blocks.filter(F.size("ids") != 128).count() == 0

@@ -236,6 +236,46 @@ def bpe_tokenize(
     )
 
 
+def bpe_encode_ids(
+    docs: DataFrame, model: dict, text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, n_ids, ids array<int>) — the corpus as integer BPE piece
+    ids, the input shape :func:`operators.packing.pack_fixed_blocks`
+    slices into training blocks.
+
+    The id space is deterministic: the trained model's sorted vocabulary
+    maps to ids 0..V-1 (a pure function of the corpus, like the merge
+    list), and pieces outside it — possible only for OOV segmentations
+    that produce characters unseen in training — take the reserved id V
+    (the <unk> convention).  Pieces resolve through a broadcast
+    piece→id join; order is restored via the position index.
+    """
+    vocab = model["vocab"]
+    spark = docs.sparkSession
+    vmap = spark.createDataFrame(
+        [(p, i) for i, p in enumerate(vocab)] or [("", -1)],
+        "piece string, pid int",
+    )
+    pieces = bpe_tokenize(docs, model, text_col).select(
+        "doc_id", F.posexplode("pieces").alias("pos", "piece")
+    )
+    unk = len(vocab)
+    return (
+        pieces.join(F.broadcast(vmap), "piece", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_ids"),
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        "pos", F.coalesce("pid", F.lit(unk)).alias("pid")
+                    )
+                )
+            ).pid.alias("ids"),
+        )
+    )
+
+
 def bpe_token_stats(docs: DataFrame, model: dict, text_col: str = "text") -> DataFrame:
     """One-row corpus statistics under the trained tokenizer: total words,
     total BPE pieces, pieces/word, chars/piece (compression) — the token
