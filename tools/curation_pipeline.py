@@ -84,6 +84,13 @@ def main() -> None:
              "documents (target distribution = source=src0)",
     )
     ap.add_argument(
+        "--pack-blocks", type=int, default=None, metavar="B",
+        help="with --bpe-merges, also encode survivors to BPE ids and "
+             "slice them into exact fixed-length training blocks of B "
+             "tokens (GPT-style concat-and-slice; operators/packing.py), "
+             "written under OUT_blocks",
+    )
+    ap.add_argument(
         "--store", default=None, metavar="DIR",
         help="commit the curated corpus into the versioned store at DIR "
              "via merge-on-read MERGE (upsert survivors, tombstone keys "
@@ -206,6 +213,19 @@ def main() -> None:
         counts["bpe_vocab"] = len(bpe["vocab"])
         counts["bpe_pieces_per_word"] = round(stats["pieces_per_word"], 4)
         counts["bpe_chars_per_piece"] = round(stats["chars_per_piece"], 4)
+
+        if args.pack_blocks is not None:
+            from vector_graph_rag_spark.operators.bpe import bpe_encode_ids
+            from vector_graph_rag_spark.operators.packing import pack_fixed_blocks
+
+            blocks = pack_fixed_blocks(
+                bpe_encode_ids(stage, bpe),
+                args.pack_blocks,
+                eod_id=len(bpe["vocab"]),
+            )
+            blocks.write.mode("overwrite").parquet(args.out + "_blocks")
+            counts["blocks_written"] = spark.read.parquet(args.out + "_blocks").count()
+            counts["block_len"] = args.pack_blocks
 
     store_version = 0
     if args.store is not None:
