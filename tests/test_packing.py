@@ -38,6 +38,9 @@ LENGTH_SETS = [
     [20],
     [1, 1, 1, 1, 1, 1, 1, 1],
     [6, 6, 6],  # each doc+eod exactly one block
+    [0, 0, 0, 0, 0, 0, 0],  # eod-only stream
+    [200],  # one document spanning ~29 blocks
+    [13, 6, 20, 6],  # mixed boundary-exact and spanning
 ]
 
 
