@@ -130,3 +130,21 @@ def test_bpe_ids_pack_end_to_end(spark):
     n_blocks = blocks.count()
     assert n_blocks == total // 128
     assert blocks.filter(F.size("ids") != 128).count() == 0
+
+
+def test_shuffle_blocks_deterministic_permutation(spark):
+    from vector_graph_rag_spark.operators.packing import shuffle_blocks
+
+    blocks = pack_fixed_blocks(_encoded(spark, [5, 17, 2, 31, 8, 8, 3]), B, EOD)
+    base = [r["block_id"] for r in blocks.collect()]
+    e0a = [r["block_id"] for r in shuffle_blocks(blocks, seed=0).collect()]
+    e0b = [
+        r["block_id"]
+        for r in shuffle_blocks(blocks.repartition(7), seed=0).collect()
+    ]
+    e1 = [r["block_id"] for r in shuffle_blocks(blocks, seed=1).collect()]
+    assert e0a == e0b  # reproducible across partitionings
+    assert sorted(e0a) == sorted(base) == sorted(e1)  # same blocks
+    assert e0a != e1  # different epoch, different order
+    plan = shuffle_blocks(blocks)._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan

@@ -52,6 +52,10 @@ QUERIES = [
     "contamination_ngram_overlap",
     "sequence_packing",
     "kmeans_embedding_clusters",
+    # round-7 registered pipeline operators (word-suffixed copies grow the
+    # word-type space ~linearly — the worst case for BPE's vocab-bound claim)
+    "bpe_train_merges",
+    "bloom_membership_profile",
 ]
 
 DOC_STRIDE = 1_000_000

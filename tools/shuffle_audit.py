@@ -35,6 +35,10 @@ DEFAULT_QUERIES = [
     "bm25_keyword_topk",
     "dedup_exact",
     "graph_rag_full_query",
+    # round-7 registered pipeline operators (audited at 2-3 scales in
+    # SCALE.md §shuffle-volume; kept in the default set for continuity)
+    "bpe_train_merges",
+    "bloom_membership_profile",
 ]
 
 

@@ -43,6 +43,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from vector_graph_rag_spark.functions.hashing import hash60
+
 
 def pack_fixed_blocks(
     encoded: DataFrame,
@@ -139,3 +141,17 @@ def pack_fixed_blocks(
         .filter(F.size("ids") == block_len)  # drop the trailing partial
     )
     return assembled.select("block_id", "ids")
+
+
+def shuffle_blocks(blocks: DataFrame, seed: int = 0) -> DataFrame:
+    """Deterministic epoch shuffle of the packed blocks: global sort by a
+    seeded md5 hash of the block id (ties impossible — ids are unique).
+
+    Training wants a different block order per epoch, reproducible across
+    retries and cluster sizes; sorting by ``hash60(seed || block_id)`` is
+    a parallel range sort (never SinglePartition) whose order is a pure
+    function of (blocks, seed).  Writers persist in this order; a new
+    ``seed`` gives an independent permutation of the SAME blocks.
+    """
+    key = hash60(F.concat(F.lit(f"epoch{seed}\x01"), F.col("block_id").cast("string")))
+    return blocks.orderBy(key, "block_id")
