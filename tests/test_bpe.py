@@ -202,3 +202,4 @@ def test_merge_fold_overlap_semantics(spark, word, pair):
     )
     got = list(df.collect()[0]["syms"])
     assert got == _segment_word_python(word, [pair])
+

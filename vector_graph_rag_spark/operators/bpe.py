@@ -30,6 +30,19 @@ The reference repo has no tokenizer training (its token counting is
 tiktoken at query time, rag.py); this is a north-star training-pipeline
 operator ("token counting (whitespace + a BPE-ish regex)" taken to the
 real thing).
+
+Design note — why NOT incremental pair-count maintenance: the classic
+single-node Sennrich optimization keeps a mutable pair-count heap and per
+merge updates only words containing the merged pair.  A DataFrame port
+was prototyped and MEASURED 5× slower here (48s vs 10s for 12 merges at
+test scale): with immutable DataFrames, "updating" the pair table means
+rewriting/rechaining an O(distinct pairs) frame every iteration, which
+costs as much as the recount it replaces — while the recount is one
+map-side-combined explode over the word table, embarrassingly parallel
+and fully pipelined.  Per-iteration cost is O(vocab) either way on
+Spark; the recount has the smaller constant and no delta-chain lineage.
+The honest scale lever for the 30k-merge regime is fewer driver round
+trips (batching independent merges), not delta state.
 """
 
 from __future__ import annotations
