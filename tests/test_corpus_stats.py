@@ -95,3 +95,36 @@ def test_plan_is_jvm_only(spark, tmp_path):
     plan = corpus_stats(spark, state)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_registers_match_duckdb_twin_exactly(spark):
+    """The HLL register table is cross-engine portable: md5-derived hash,
+    top-12-bit bucket, integer bit-length rho — DuckDB reproduces every
+    (bucket, rho) register EXACTLY.  This is the oracle path for a future
+    registry swap of the stats surface (the estimate itself divides
+    exact integers through identical IEEE ops)."""
+    import duckdb
+
+    from vector_graph_rag_spark.streaming.corpus_stats import _registers
+
+    duck = {
+        b: r
+        for b, r in duckdb.connect()
+        .execute(
+            """
+            WITH v AS (SELECT CAST(range AS VARCHAR) AS s FROM range(0, 500)),
+            h AS (SELECT CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) AS h60 FROM v),
+            r AS (
+              SELECT h60 >> 48 AS bucket,
+                     CASE WHEN h60 % 281474976710656 = 0 THEN 49
+                          ELSE 49 - length(to_base(h60 % 281474976710656, 2)) END AS rho
+              FROM h
+            )
+            SELECT bucket, MAX(rho) FROM r GROUP BY bucket
+            """
+        )
+        .fetchall()
+    }
+    df = spark.range(500).select(F.col("id").cast("string").alias("v"))
+    got = {r["bucket"]: r["rho"] for r in _registers(df, "v").collect()}
+    assert got == duck
