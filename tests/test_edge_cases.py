@@ -212,3 +212,20 @@ def test_kmeans_with_fewer_vectors_than_k(spark, tmp_path):
     assert {(r["vec_id"], r["cluster"], r["dist"]) for r in rows} == {
         (0, 0, 0), (1, 1, 0), (2, 2, 0)
     }
+
+
+def test_testdata_free_of_oracle_sentinel_chars(spark):
+    """Several oracles encode structure with control-char sentinels the
+    corpus must not contain: \\x01 (n-gram joiner), \\x02 (LM BOS),
+    \\x1e/\\x1f (the BPE oracle's list_reduce fold state).  This pins the
+    data contract at every test SF — if a future corpus violates it, the
+    failure points here instead of at a hash mismatch."""
+    from pyspark.sql import functions as F
+
+    from vector_graph_rag_spark.sources.tables import load_table
+
+    bad = "[\x01\x02\x1e\x1f]"
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        docs = load_table(spark, f"/root/testdata/{sf}", "documents")
+        n = docs.filter(F.col("text").rlike(bad)).count()
+        assert n == 0, f"{sf}: {n} documents contain oracle sentinel chars"
