@@ -41,6 +41,7 @@ ALLOWED_DRIVER_MATERIALIZATION = {
     ("operators/lm_filter.py", "perplexity_buckets", "collect"): "rounded-score histogram, bounded by round_to quantization",
     ("operators/lm_filter.py", "perplexity_buckets_approx", "collect"): "2 sketched cut points",
     ("operators/lm_filter.py", "train_bigram_lm", "collect"): "2 scalar totals",
+    ("operators/expectations.py", "validate", "collect"): "ONE aggregated metrics row for all constraints",
     ("operators/lm_filter.py", "train_quality_classifier", "collect"): "n_buckets gradient rows per iteration (fixed feature space)",
     ("operators/packing.py", "pack_fixed_blocks", "collect"): "one total per partition (O(partitions) prefix-sum bases)",
     ("operators/topk.py", "cosine_topk_matmul", "collect"): "the broadcast query-vector block (|queries| x dim)",

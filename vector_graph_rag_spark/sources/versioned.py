@@ -103,9 +103,18 @@ class VersionedCorpus:
 
     # --- commits ------------------------------------------------------------
 
-    def write(self, df: DataFrame) -> int:
+    def write(self, df: DataFrame, checks: list | None = None) -> int:
         """Commit a full snapshot as the next version (a BASE commit —
-        reading it never consults earlier layers); returns it."""
+        reading it never consults earlier layers); returns it.
+
+        ``checks`` (``operators/expectations`` constraints) gate the
+        commit: a violation raises BEFORE any file is written, so the
+        store never holds a bad version (Delta table-constraint
+        semantics)."""
+        if checks:
+            from vector_graph_rag_spark.operators.expectations import enforce
+
+            enforce(df, checks)
         m = self._manifest()
         v = int(m["latest"]) + 1
         df.write.mode("overwrite").parquet(self._adds_dir(v))  # data first...
@@ -184,6 +193,7 @@ class VersionedCorpus:
         updates: DataFrame,
         key: str = "doc_id",
         delete_col: str | None = None,
+        checks: list | None = None,
     ) -> int:
         """Delta-style MERGE INTO latest, committed as a DELTA version:
         only the upserted rows and tombstone keys are written — commit
@@ -198,6 +208,10 @@ class VersionedCorpus:
         ("multiple source rows matched" — ADVICE r6): two update rows for
         one key would make latest-wins ambiguous.  The check is one
         bounded action (``limit(1)``) on the source frame.
+
+        ``checks`` (``operators/expectations`` constraints) run on the
+        UPSERTED rows (the rows this commit writes — the Delta constraint
+        surface) and refuse the commit before any file lands.
         """
         dup = (
             updates.groupBy(key)
@@ -219,7 +233,8 @@ class VersionedCorpus:
                     delete_col
                 )
                 if delete_col is not None
-                else updates
+                else updates,
+                checks=checks,
             )
         prev_delta = m["versions"][str(m["latest"])]
         if prev_delta["kind"] == "delta" and prev_delta["key"] != key:
@@ -235,6 +250,10 @@ class VersionedCorpus:
         else:
             dels = updates.limit(0).select(key)
             ups = updates
+        if checks:
+            from vector_graph_rag_spark.operators.expectations import enforce
+
+            enforce(ups, checks)  # refuse BEFORE any file lands
         v = int(m["latest"]) + 1
         ups.write.mode("overwrite").parquet(self._adds_dir(v))
         n_adds = self.spark.read.parquet(self._adds_dir(v)).count()
