@@ -231,11 +231,21 @@ def main() -> None:
     if args.store is not None:
         from vector_graph_rag_spark.sources.versioned import VersionedCorpus
 
+        from vector_graph_rag_spark.operators import expectations as X
+
         store = VersionedCorpus(spark, args.store)
         cols = ["doc_id", "text", "source"]
         cur = stage.select(*cols)
+        # commit gate: a curated corpus with a null/duplicate key or empty
+        # text never lands in the store (Delta-constraint semantics)
+        gate = [
+            X.not_null("doc_id"),
+            X.unique("doc_id"),
+            X.not_null("text"),
+            X.row_count_between(1),
+        ]
         if store.latest_version() == 0:
-            store_version = store.write(cur)
+            store_version = store.write(cur, checks=gate)
         else:
             gone = (
                 store.read()
@@ -249,7 +259,10 @@ def main() -> None:
             )
             ups = cur.withColumn("is_delete", F.lit(False))
             store_version = store.merge(
-                ups.unionByName(gone), key="doc_id", delete_col="is_delete"
+                ups.unionByName(gone),
+                key="doc_id",
+                delete_col="is_delete",
+                checks=[X.not_null("doc_id"), X.unique("doc_id")],
             )
             delta = (
                 store.diff(store_version - 1, store_version)
