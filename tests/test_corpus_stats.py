@@ -128,3 +128,22 @@ def test_registers_match_duckdb_twin_exactly(spark):
     df = spark.range(500).select(F.col("id").cast("string").alias("v"))
     got = {r["bucket"]: r["rho"] for r in _registers(df, "v").collect()}
     assert got == duck
+
+
+def test_stats_drift_flags_breaks_not_growth(spark, tmp_path):
+    """Organic growth inside the threshold passes; a collapsed feed (most
+    rows gone) and a missing column both flag."""
+    from vector_graph_rag_spark.streaming.corpus_stats import stats_drift
+
+    docs = _docs(spark)
+    d1, d2 = str(tmp_path / "day1"), str(tmp_path / "day2")
+    write_batch_stats(docs, d1, 0, COLS)
+    write_batch_stats(docs.filter(F.col("doc_id") % 20 == 0), d2, 0, ["doc_id", "source"])
+    prev, cur = corpus_stats(spark, d1), corpus_stats(spark, d2)
+    rep = {(r["col"], r["metric"]): r for r in stats_drift(cur, prev).collect()}
+    assert not rep[("doc_id", "n_rows")]["ok"]  # 95% collapse
+    assert not rep[("text", "n_rows")]["ok"]  # column vanished -> NULL cur
+    assert rep[("text", "n_rows")]["cur"] is None
+    # identical snapshots pass everywhere
+    all_ok = stats_drift(prev, prev).collect()
+    assert all(r["ok"] for r in all_ok)

@@ -148,3 +148,29 @@ def test_shuffle_blocks_deterministic_permutation(spark):
     assert e0a != e1  # different epoch, different order
     plan = shuffle_blocks(blocks)._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" not in plan
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    lengths=st.lists(st.integers(min_value=0, max_value=40), min_size=1, max_size=12),
+    block_len=st.integers(min_value=1, max_value=11),
+)
+def test_property_concat_and_slice(spark, lengths, block_len):
+    """Randomized lengths × block sizes against the Python twin — the
+    exactness claim beyond handpicked cases."""
+    got = {
+        r["block_id"]: list(r["ids"])
+        for r in pack_fixed_blocks(_encoded(spark, lengths), block_len, EOD).collect()
+    }
+    stream = []
+    for d, n in enumerate(lengths):
+        stream.extend(range(d * 100, d * 100 + n))
+        stream.append(EOD)
+    exp = {
+        b: stream[b * block_len : (b + 1) * block_len]
+        for b in range(len(stream) // block_len)
+    }
+    assert got == exp

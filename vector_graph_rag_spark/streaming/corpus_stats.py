@@ -198,3 +198,39 @@ def corpus_stats(spark: SparkSession, state_dir: str) -> DataFrame:
         )
         .orderBy("col")
     )
+
+
+def stats_drift(
+    cur: DataFrame, prev: DataFrame, max_rel_change: float = 0.5
+) -> DataFrame:
+    """Per-column drift report between two :func:`corpus_stats` outputs —
+    the monitoring check a nightly pipeline runs before promoting a new
+    corpus version: a distinct-count or row-count swinging more than
+    ``max_rel_change`` relative to the previous run usually means a
+    broken upstream feed, not organic growth.
+
+    Returns (col, metric, prev, cur, rel_change, ok) with one row per
+    (column, metric) pair; a column missing on either side reports with
+    NULLs and ok = false.  Both inputs are stats frames (one row per
+    column), so this is driver-trivial arithmetic over tiny data.
+    """
+    metrics = ["distinct_est", "n_rows", "n_bytes"]
+    stacked = None
+    for m in metrics:
+        c = cur.select("col", F.lit(m).alias("metric"), F.col(m).cast("double").alias("cur"))
+        p = prev.select("col", F.lit(m).alias("metric"), F.col(m).cast("double").alias("prev"))
+        j = p.join(c, ["col", "metric"], "full_outer")
+        stacked = j if stacked is None else stacked.unionByName(j)
+    rel = F.when(
+        F.col("prev").isNull() | F.col("cur").isNull(), F.lit(None)
+    ).otherwise(
+        F.abs(F.col("cur") - F.col("prev")) / F.greatest(F.abs("prev"), F.lit(1.0))
+    )
+    return stacked.select(
+        "col",
+        "metric",
+        "prev",
+        "cur",
+        rel.alias("rel_change"),
+        F.coalesce(rel <= max_rel_change, F.lit(False)).alias("ok"),
+    ).orderBy("col", "metric")
