@@ -147,3 +147,11 @@ def test_stats_drift_flags_breaks_not_growth(spark, tmp_path):
     # identical snapshots pass everywhere
     all_ok = stats_drift(prev, prev).collect()
     assert all(r["ok"] for r in all_ok)
+
+
+def test_n_bytes_counts_utf8_bytes_not_chars(spark, tmp_path):
+    df = spark.createDataFrame([("äöü",), ("abc",)], "text string")
+    state = str(tmp_path / "stats")
+    write_batch_stats(df, state, 0, ["text"])
+    row = corpus_stats(spark, state).collect()[0]
+    assert row["n_bytes"] == 6 + 3  # ä/ö/ü are 2 bytes each in UTF-8

@@ -562,3 +562,13 @@ def test_registered_binary_auc_bounds_driver_histogram(spark, monkeypatch):
     out = binary_auc_q(spark, "/root/testdata/sf0.001").collect()
     assert seen["round_to"] == 6
     assert len(out) == 1 and 0.0 <= out[0]["auc"] <= 1.0
+
+
+def test_perplexity_buckets_rejects_null_scores(spark):
+    from vector_graph_rag_spark.operators.lm_filter import perplexity_buckets
+
+    df = spark.createDataFrame(
+        [(0, 5, 1.0), (1, 5, None)], "doc_id long, n_tokens long, cross_entropy double"
+    )
+    with pytest.raises(ValueError, match="contains NULLs"):
+        perplexity_buckets(df)

@@ -174,3 +174,17 @@ def test_property_concat_and_slice(spark, lengths, block_len):
         for b in range(len(stream) // block_len)
     }
     assert got == exp
+
+
+def test_null_ids_treated_as_empty_document(spark):
+    """size(NULL) = -1 must not poison the stream: a NULL ids array is an
+    empty document contributing only its eod (review finding r7)."""
+    rows = [(0, [1, 2, 3]), (1, None), (2, [4, 5, 6, 7, 8])]
+    df = spark.createDataFrame(rows, "doc_id long, ids array<int>")
+    got = {
+        r["block_id"]: list(r["ids"])
+        for r in pack_fixed_blocks(df, 5, EOD).collect()
+    }
+    stream = [1, 2, 3, EOD, EOD, 4, 5, 6, 7, 8, EOD]
+    exp = {b: stream[b * 5 : (b + 1) * 5] for b in range(len(stream) // 5)}
+    assert got == exp

@@ -240,3 +240,24 @@ def test_chain_read_plan_one_keyed_shuffle_no_cartesian(spark, store):
     assert "BatchEvalPython" not in plan
     assert plan.count("Exchange hashpartitioning(doc_id") == 1, plan[:2000]
     assert "SinglePartition" not in plan
+
+
+def test_legacy_snapshot_layout_still_readable(spark, store):
+    """Stores committed by the pre-merge-on-read layout (full snapshot
+    directly under v*/, manifest entries without 'kind') must stay
+    readable and mergeable — history is an append-only fact."""
+    import json
+
+    docs = _docs(spark)
+    # hand-build an r6-layout store
+    docs.write.mode("overwrite").parquet(store._vdir(1))
+    store._commit_manifest(
+        {"latest": 1, "versions": {"1": {"rows": docs.count(), "parent": 0}}}
+    )
+    assert store.read().count() == docs.count()
+    assert store.read(1).count() == docs.count()
+    # a new-layout delta merges on top of the legacy base
+    v2 = store.merge(spark.createDataFrame([(0, "UPGRADED")], "doc_id long, text string"))
+    assert v2 == 2
+    got = {r["doc_id"]: r["text"] for r in store.read().collect()}
+    assert got[0] == "UPGRADED" and len(got) == docs.count()

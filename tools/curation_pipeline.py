@@ -202,7 +202,11 @@ def main() -> None:
         counts["span_tokens_removed"] = int(
             cleaned.agg(F.sum("n_removed_tokens")).collect()[0][0] or 0
         )
-        stage = cleaned.select("doc_id", F.col("cleaned_text").alias("text"))
+        # re-attach the non-text columns the span stage projects away —
+        # downstream stages (--store / --stats / DSIR) select `source`
+        stage = cleaned.select(
+            "doc_id", F.col("cleaned_text").alias("text")
+        ).join(stage.drop("text"), "doc_id")
 
     if args.bpe_merges is not None:
         from vector_graph_rag_spark.operators.bpe import bpe_token_stats, train_bpe
@@ -218,10 +222,12 @@ def main() -> None:
             from vector_graph_rag_spark.operators.bpe import bpe_encode_ids
             from vector_graph_rag_spark.operators.packing import pack_fixed_blocks
 
+            # eod must not collide with bpe_encode_ids' reserved <unk>=V,
+            # or OOV pieces become indistinguishable from doc boundaries
             blocks = pack_fixed_blocks(
                 bpe_encode_ids(stage, bpe),
                 args.pack_blocks,
-                eod_id=len(bpe["vocab"]),
+                eod_id=len(bpe["vocab"]) + 1,
             )
             blocks.write.mode("overwrite").parquet(args.out + "_blocks")
             counts["blocks_written"] = spark.read.parquet(args.out + "_blocks").count()
@@ -275,13 +281,22 @@ def main() -> None:
         counts["store_version"] = store_version
 
     if args.stats is not None:
+        import glob as _glob
+
         from vector_graph_rag_spark.streaming.corpus_stats import (
             corpus_stats,
             write_batch_stats,
         )
 
+        # shard id: the store version when --store is on (reruns of the
+        # same version overwrite their own shard — idempotent), else the
+        # next free slot so standalone runs ACCUMULATE instead of
+        # silently overwriting batch 0
+        batch_id = store_version or len(
+            _glob.glob(os.path.join(args.stats, "batch=*"))
+        )
         write_batch_stats(
-            stage, args.stats, store_version, ["doc_id", "source", "text"]
+            stage, args.stats, batch_id, ["doc_id", "source", "text"]
         )
         for r in corpus_stats(spark, args.stats).collect():
             counts[f"distinct_{r['col']}"] = int(r["distinct_est"])

@@ -232,10 +232,16 @@ def perplexity_buckets(
     scores = scores.localCheckpoint(eager=True)
     hi_cut = 1.0 - tail_frac
     h = F.round("cross_entropy", round_to)
-    hist = sorted(
-        scores.groupBy(h.alias("h")).agg(F.count("*").alias("cnt")).collect(),
-        key=lambda r: r["h"],
-    )
+    hist = scores.groupBy(h.alias("h")).agg(F.count("*").alias("cnt")).collect()
+    if any(r["h"] is None for r in hist):
+        # lm_cross_entropy never yields NULL (every token has positive
+        # probability); a NULL here means a broken upstream — fail with a
+        # named cause rather than an ambiguous rank
+        raise ValueError(
+            "perplexity_buckets: cross_entropy contains NULLs — rank-based "
+            "tiers are undefined for unscored documents (filter them first)"
+        )
+    hist = sorted(hist, key=lambda r: r["h"])
     n = sum(r["cnt"] for r in hist)
 
     def tier_of(pr: float) -> str:
@@ -272,7 +278,6 @@ def perplexity_buckets(
         tier = F.when(F.col("h") >= tail_min, "tail").otherwise(tier)
     if head_max is not None:
         tier = F.when(F.col("h") <= head_max, "head").otherwise(tier)
-    out_cols = ["doc_id", "n_tokens", "cross_entropy", "tier"]
     main = scored.filter(~F.col("h").isin(bscores) if bscores else F.lit(True)).select(
         "doc_id", "n_tokens", "cross_entropy", tier.alias("tier")
     )

@@ -64,10 +64,16 @@ def pack_fixed_blocks(
     """
     if block_len < 1:
         raise ValueError(f"block_len must be >= 1 (got {block_len})")
+    # NULL id arrays are treated as empty documents (they contribute only
+    # their eod): without the coalesce, size(NULL) = -1 poisons L and the
+    # NULL sub-slices would silently delete the containing blocks
+    ids = F.coalesce(
+        F.col(ids_col), F.array().cast(encoded.schema[ids_col].dataType)
+    )
     with_len = encoded.select(
         F.col(id_col).alias("doc_id"),
-        F.concat(F.col(ids_col), F.array(F.lit(eod_id))).alias("a"),
-        (F.size(ids_col) + 1).cast("long").alias("L"),
+        F.concat(ids, F.array(F.lit(eod_id))).alias("a"),
+        (F.size(ids) + 1).cast("long").alias("L"),
     )
     n_parts = partitions or encoded.rdd.getNumPartitions()
     # pass 1: per-partition running totals (window PARTITIONED by pid —

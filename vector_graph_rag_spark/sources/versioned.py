@@ -98,6 +98,13 @@ class VersionedCorpus:
     def _adds_dir(self, version: int) -> str:
         return os.path.join(self._vdir(version), "adds")
 
+    def _base_data_dir(self, version: int, info: dict) -> str:
+        """Data directory of a base layer.  Manifest entries without a
+        "kind" field are pre-merge-on-read commits (r6 layout: a full
+        snapshot directly under v*/): history is an append-only fact, so
+        old stores stay readable after the layout upgrade."""
+        return self._adds_dir(version) if "kind" in info else self._vdir(version)
+
     def _dels_dir(self, version: int) -> str:
         return os.path.join(self._vdir(version), "deletes")
 
@@ -142,7 +149,7 @@ class VersionedCorpus:
                     "(history retained, data dropped)"
                 )
             chain.append(w)
-            if info["kind"] == "base":
+            if info.get("kind", "base") == "base":  # legacy entries are bases
                 return list(reversed(chain))
         raise ValueError(f"version {v} has no base layer (corrupt manifest)")
 
@@ -159,7 +166,9 @@ class VersionedCorpus:
         if v == 0 or info is None:
             raise ValueError(f"version {version!r} does not exist")
         chain = self._layer_chain(v, m)
-        base = self.spark.read.parquet(self._adds_dir(chain[0]))
+        base = self.spark.read.parquet(
+            self._base_data_dir(chain[0], m["versions"][str(chain[0])])
+        )
         if len(chain) == 1:
             return base
         key = m["versions"][str(chain[1])]["key"]  # all deltas share it
@@ -212,7 +221,15 @@ class VersionedCorpus:
         ``checks`` (``operators/expectations`` constraints) run on the
         UPSERTED rows (the rows this commit writes — the Delta constraint
         surface) and refuse the commit before any file lands.
+
+        The source frame is eagerly localCheckpointed first: it feeds
+        four actions (dup guard, checks, adds write, tombstone
+        count/write), and callers often build it FROM a merge-on-read
+        ``read()`` (the nightly upsert-missing-keys shape) — without
+        materialization that chain would re-execute per action.  Delta
+        size, not corpus size.
         """
+        updates = updates.localCheckpoint(eager=True)
         dup = (
             updates.groupBy(key)
             .agg(F.count("*").alias("c"))
@@ -237,7 +254,7 @@ class VersionedCorpus:
                 checks=checks,
             )
         prev_delta = m["versions"][str(m["latest"])]
-        if prev_delta["kind"] == "delta" and prev_delta["key"] != key:
+        if prev_delta.get("kind") == "delta" and prev_delta["key"] != key:
             raise ValueError(
                 f"merge: key {key!r} differs from the chain's key "
                 f"{prev_delta['key']!r} — compact() before re-keying"

@@ -85,7 +85,9 @@ def _batch_stats(batch_df: DataFrame, cols: list[str]) -> DataFrame:
                 F.lit(c).alias("col"),
                 F.lit(-1).cast("long").alias("bucket"),
                 F.count(s).alias("n_rows"),
-                F.coalesce(F.sum(F.length(s)), F.lit(0)).alias("n_bytes"),
+                # octet_length = UTF-8 BYTES (F.length counts characters
+                # and undercounts multi-byte text up to 4x)
+                F.coalesce(F.sum(F.octet_length(s)), F.lit(0)).alias("n_bytes"),
             ).select(
                 "col",
                 "bucket",
