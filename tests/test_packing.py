@@ -188,3 +188,59 @@ def test_null_ids_treated_as_empty_document(spark):
     stream = [1, 2, 3, EOD, EOD, 4, 5, 6, 7, 8, EOD]
     exp = {b: stream[b * 5 : (b + 1) * 5] for b in range(len(stream) // 5)}
     assert got == exp
+
+
+def test_pack_matches_duckdb_twin_on_documents(spark):
+    """Cross-engine oracle readiness (r8 swap candidate): the whole
+    packing dataflow — portable hash ids, global prefix-sum offsets,
+    concat-and-slice — reproduces EXACTLY in DuckDB over the real
+    documents table."""
+    import duckdb
+
+    from vector_graph_rag_spark.functions.hashing import hash60
+    from vector_graph_rag_spark.functions.text import tokens
+    from vector_graph_rag_spark.sources.tables import load_table
+
+    Bn, eod = 64, 1000
+    duck = {
+        r[0]: list(r[1])
+        for r in duckdb.connect()
+        .execute(
+            f"""
+            WITH toks AS (
+              SELECT doc_id, list_filter(str_split(text, ' '), x -> x <> '') AS ts
+              FROM read_parquet('/root/testdata/sf0.001/documents.parquet')
+            ),
+            enc AS (
+              SELECT doc_id,
+                     list_append(
+                       list_transform(ts, t -> CAST(CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) % 1000 AS INT)),
+                       {eod}) AS a
+              FROM toks
+            ),
+            off AS (
+              SELECT doc_id, a,
+                     COALESCE(SUM(len(a)) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s
+              FROM enc
+            ),
+            tok AS (
+              SELECT (o.s + u.i - 1) // {Bn} AS block_id, o.s + u.i - 1 AS pos, o.a[u.i] AS id
+              FROM off o, UNNEST(range(1, len(o.a) + 1)) AS u(i)
+            )
+            SELECT block_id, list(id ORDER BY pos) AS ids
+            FROM tok GROUP BY block_id HAVING COUNT(*) = {Bn}
+            """
+        )
+        .fetchall()
+    }
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    enc = docs.select(
+        "doc_id",
+        F.transform(tokens("text"), lambda t: (hash60(t) % 1000).cast("int")).alias("ids"),
+    )
+    got = {
+        r["block_id"]: list(r["ids"])
+        for r in pack_fixed_blocks(enc, Bn, eod, partitions=5).collect()
+    }
+    assert got == duck
