@@ -295,11 +295,30 @@ def main() -> None:
         batch_id = store_version or len(
             _glob.glob(os.path.join(args.stats, "batch=*"))
         )
+        # drift compares THIS run's shard against the previous run's shard
+        # (cumulative register unions are monotone, so a collapsed feed
+        # would never show against the whole-history merge)
+        existing = sorted(
+            _glob.glob(os.path.join(args.stats, "batch=*")),
+            key=lambda p: int(p.rsplit("=", 1)[1]),
+        )
         write_batch_stats(
             stage, args.stats, batch_id, ["doc_id", "source", "text"]
         )
         for r in corpus_stats(spark, args.stats).collect():
             counts[f"distinct_{r['col']}"] = int(r["distinct_est"])
+        if existing:
+            from vector_graph_rag_spark.streaming.corpus_stats import stats_drift
+
+            prev_run = corpus_stats(spark, existing[-1])
+            this_run = corpus_stats(
+                spark, os.path.join(args.stats, f"batch={batch_id}")
+            )
+            flagged = stats_drift(this_run, prev_run).filter(~F.col("ok")).collect()
+            counts["stats_drift_flags"] = [
+                f"{r['col']}.{r['metric']}: {r['prev']} -> {r['cur']}"
+                for r in flagged
+            ]
 
     write_training_shards(stage, args.out, budget=args.budget, shards=args.shards)
     shards_df = spark.read.parquet(args.out)
