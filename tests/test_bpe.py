@@ -203,3 +203,26 @@ def test_merge_fold_overlap_semantics(spark, word, pair):
     got = list(df.collect()[0]["syms"])
     assert got == _segment_word_python(word, [pair])
 
+
+
+def test_tokenize_joins_are_aqe_chosen_not_forced_broadcast(spark):
+    """At web scale the word->pieces table is vocab-sized (10^7-10^8
+    rows) — a FORCED broadcast there is a guaranteed executor OOM, so
+    bpe_tokenize must carry no F.broadcast hint and rely on AQE, which
+    still broadcasts at test scale (both facts pinned)."""
+    import inspect
+
+    from vector_graph_rag_spark.operators import bpe as bpe_mod
+    from vector_graph_rag_spark.operators.bpe import bpe_tokenize, train_bpe
+    from vector_graph_rag_spark.sources.tables import load_table
+
+    src = inspect.getsource(bpe_mod.bpe_tokenize)
+    assert "F.broadcast(" not in src, "bpe_tokenize reintroduced a forced broadcast"
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    ).limit(60)
+    model = train_bpe(docs, n_merges=6, min_pair_count=1)
+    tok = bpe_tokenize(docs, model)
+    assert tok.count() == 60
+    plan = tok._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # AQE's choice at small vocab

@@ -209,11 +209,16 @@ def bpe_tokenize(
     trained BPE model.
 
     Known words (the entire training vocabulary) resolve through a
-    broadcast word→pieces join — pure JVM.  OOV words replay the merge
+    word→pieces join — pure JVM; the join strategy is left to AQE, which
+    broadcasts the pieces table whenever it fits the threshold (asserted
+    at test scale) and falls back to a hash join when the vocabulary is
+    genuinely large (10^7-10^8 words at web scale — a FORCED broadcast
+    there is a guaranteed executor OOM, which is why there is no
+    ``F.broadcast`` hint on either join).  OOV words replay the merge
     list in an Arrow-batched ``pandas_udf`` over the DISTINCT OOV words
-    only (vocab-sized, deduplicated before the Python boundary), then ride
-    the same broadcast-join path.  Piece order within a document follows
-    word order (explode preserves it via the position index).
+    only (deduplicated before the Python boundary), then ride the same
+    join path.  Piece order within a document follows word order
+    (explode preserves it via the position index).
     """
     from pyspark.sql.functions import pandas_udf
 
@@ -224,7 +229,7 @@ def bpe_tokenize(
     words = docs.select(
         "doc_id", F.posexplode(tokens(text_col)).alias("pos", "w")
     )
-    known = words.join(F.broadcast(wp), "w", "left")
+    known = words.join(wp, "w", "left")
 
     oov_words = known.filter(F.col("pieces").isNull()).select("w").distinct()
 
@@ -235,7 +240,7 @@ def bpe_tokenize(
     oov_pieces = oov_words.select(
         "w", segment_oov(F.col("w")).alias("oov_pieces")
     )
-    resolved = known.join(F.broadcast(oov_pieces), "w", "left").select(
+    resolved = known.join(oov_pieces, "w", "left").select(
         "doc_id",
         "pos",
         F.coalesce("pieces", "oov_pieces").alias("pieces"),
