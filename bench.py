@@ -101,14 +101,37 @@ def main() -> None:
     # across machines and rounds (measured in SCALE.md §bench-noise); the
     # warm min is the stable, comparable signal for steady-state query cost.
     # Labeled in the output so the methodology is explicit.
+    #
+    # Action: a full-materialization noop write, NOT ``.count()``.  Counting
+    # lets Catalyst prune cardinality-preserving work (windows, projections
+    # over cardinality-guaranteed joins) out of the measured plan — the exact
+    # mechanism that manufactured perplexity_buckets' fake-fast 0.69s in r6
+    # (SCALE.md §round-7 drift pinning; r7 verdict "What's wrong #1").  The
+    # noop sink consumes EVERY row and EVERY column, so the measured time is
+    # the cost of producing the query's actual result.  Row counts ride the
+    # same action via the Observation API (no second pass).  The legacy
+    # action stays selectable (SPARK_GRAFT_BENCH_ACTION=count) for the
+    # one-time r8 re-baseline comparison recorded in SCALE.md.
     ITERATIONS = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "2"))
+    ACTION = os.environ.get("SPARK_GRAFT_BENCH_ACTION", "noop")
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         q = registry[name]
         runs = []
         for _ in range(ITERATIONS):
             t0 = time.perf_counter()
-            n = q.fn(spark, SF_DIR).count()
+            if ACTION == "count":
+                n = q.fn(spark, SF_DIR).count()
+            else:
+                obs = Observation(f"rows_{name}")
+                df = q.fn(spark, SF_DIR)
+                df.observe(obs, F.count(F.lit(1)).alias("n")).write.format(
+                    "noop"
+                ).mode("overwrite").save()
+                n = obs.get["n"]
             runs.append(round(time.perf_counter() - t0, 3))
         timings[name] = min(runs)
         print(f"# {name}: {runs} -> {timings[name]}s ({n} rows)", file=sys.stderr)
@@ -123,6 +146,7 @@ def main() -> None:
                 "queries": timings,
                 "iterations": ITERATIONS,
                 "timing": "min",
+                "action": ACTION,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

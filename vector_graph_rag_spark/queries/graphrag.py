@@ -246,7 +246,12 @@ JOIN final_relations fr ON rp.relation_id = fr.relation_id
 """
 
 
-@register("subgraph_expand_passages", oracle=_EXPAND_PASSAGES_SQL, description="passage collection after expansion (knowledge_graph.py:349-356)")
+@register(
+    "subgraph_expand_passages",
+    oracle=_EXPAND_PASSAGES_SQL,
+    description="passage collection after expansion (knowledge_graph.py:349-356)",
+    retired=True,  # r8 swap: one-column accessor over the same d=1 expansion gated via subgraph_expand_d1; passage consumption gated via passage_fanout_dedup + graph_rag_full_query
+)
 def subgraph_expand_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = _graph(spark, sf_dir)
     res = expand_subgraph(g, _seed_entities(spark), degree=1)

@@ -304,6 +304,7 @@ GROUP BY e.query_id
     "ann_recall_eval",
     oracle=_RECALL_SQL,
     description="recall@5 of LSH ANN vs exact top-5 per query (index-quality eval, evaluate.py:177-229 shape)",
+    retired=True,  # r8 swap: composite of three still-gated queries (ann_lsh_topk + knn_cosine_topk + recall_at_k's ratio arithmetic)
 )
 def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vector_graph_rag_spark.queries.vector import ann_lsh_topk

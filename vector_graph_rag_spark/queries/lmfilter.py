@@ -404,6 +404,7 @@ def dsir_importance_weights_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"deterministic DSIR selection: top-{_DSIR_SELECT_N} importance-weight "
         "documents (TakeOrderedAndProject, ties by doc_id)"
     ),
+    retired=True,  # r8 swap: deterministic top-n over dsir_importance_weights' exact gated weights; TakeOrderedAndProject plan stays locally gated
 )
 def dsir_select_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vector_graph_rag_spark.operators.lm_filter import dsir_select
