@@ -117,6 +117,23 @@ def main() -> None:
     from pyspark.sql import Observation
     from pyspark.sql import functions as F
 
+    # Untimed post-run cleanup: several queries eagerly localCheckpoint
+    # multi-consumer subtrees; the blocks are only released when the
+    # ContextCleaner sees the RDD become weakly reachable, which needs a
+    # JVM GC (spark.cleaner.periodicGC.interval defaults to 30 MINUTES —
+    # far longer than this run).  Without this, checkpoint blocks from 46
+    # queries x 2 iterations pile up in the block manager and later
+    # queries run under memory pressure: measured swings of 12 -> 48s on
+    # the SAME query within one run (SCALE.md §round-8 honest-tail
+    # profiling).  A long-running production driver gets the same effect
+    # from periodicGC; here it runs between timings so no query pays for
+    # another query's garbage.
+    import gc
+
+    def _release_checkpoints() -> None:
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         q = registry[name]
@@ -133,6 +150,9 @@ def main() -> None:
                 ).mode("overwrite").save()
                 n = obs.get["n"]
             runs.append(round(time.perf_counter() - t0, 3))
+            if ACTION != "count":
+                del df, obs
+            _release_checkpoints()
         timings[name] = min(runs)
         print(f"# {name}: {runs} -> {timings[name]}s ({n} rows)", file=sys.stderr)
 

@@ -504,6 +504,21 @@ FROM l3
 )
 
 
+def _neardup_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup edge list: LSH pairs above the est-jaccard threshold,
+    eagerly ``localCheckpoint``-ed.  The CC loop references the edge frame
+    once per round on BOTH sides of ``undirect`` — up to 6 instances of
+    the whole minhash->band->bucket-join pipeline in one physical plan —
+    so the (small, pair-count-sized) edge set is materialized once.
+    Measured at sf0.1: 7.4s -> 0.6s warm for ``neardup_clusters``
+    (SCALE.md §round-8 honest-tail profiling)."""
+    return (
+        minhash_lsh_pairs(spark, sf_dir)
+        .filter(F.col("est_jaccard") >= _NEARDUP_THRESHOLD_EQ / N_MINHASH)
+        .localCheckpoint(eager=True)
+    )
+
+
 @register(
     "neardup_clusters",
     oracle=_NEARDUP_CLUSTERS_SQL,
@@ -515,9 +530,7 @@ def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         undirect,
     )
 
-    pairs = minhash_lsh_pairs(spark, sf_dir).filter(
-        F.col("est_jaccard") >= _NEARDUP_THRESHOLD_EQ / N_MINHASH
-    )
+    pairs = _neardup_edges(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents").select(F.col("doc_id").alias("id"))
     labels = min_label_propagation(
         docs, undirect(pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))), rounds=3
@@ -545,9 +558,7 @@ def neardup_clusters_converged(
         undirect,
     )
 
-    pairs = minhash_lsh_pairs(spark, sf_dir).filter(
-        F.col("est_jaccard") >= _NEARDUP_THRESHOLD_EQ / N_MINHASH
-    )
+    pairs = _neardup_edges(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents").select(F.col("doc_id").alias("id"))
     labels, rounds = components_to_convergence(
         docs,
