@@ -37,12 +37,30 @@ def l2_norm(a: Column | str) -> Column:
 
 def l2_normalize(a: Column | str) -> Column:
     """x / ||x||, zero vectors passed through unchanged (matches the
-    reference's empty-text zero-vector guard, embeddings.py:180-203)."""
+    reference's empty-text zero-vector guard, embeddings.py:180-203).
+
+    The input array expression is bound ONCE as a lambda variable
+    (``transform(array(x), v -> ...)[0]`` is Spark's "let v = x"): naive
+    composition would inline it into the norm's zip_with (twice), the
+    zero-guard, and every element's divisor — ~20 evaluations of the full
+    array expression per row, a measured 8x slowdown when the input is
+    mock_embedding's md5-derived array (SCALE.md §round-8 honest-tail
+    profiling).  The arithmetic (left-to-right fold of self-products,
+    sqrt, per-element divide) is unchanged, so results stay bitwise
+    identical."""
     arr = _c(a).cast("array<double>")
-    n = l2_norm(arr)
-    return F.when(n == 0.0, arr).otherwise(
-        F.transform(arr, lambda x: x / n)
-    )
+
+    def _one(v: Column) -> Column:
+        n = F.sqrt(
+            F.aggregate(
+                F.zip_with(v, v, lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+        return F.when(n == 0.0, v).otherwise(F.transform(v, lambda x: x / n))
+
+    return F.transform(F.array(arr), _one)[0]
 
 
 def cosine(a: Column | str, b: Column | str) -> Column:
