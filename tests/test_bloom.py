@@ -71,17 +71,21 @@ def test_positions_match_python_twin(spark):
     for v in vals:
         hx = hashlib.md5(v.encode()).hexdigest()
         h1, h2 = int(hx[0:15], 16), int(hx[15:30], 16)
-        b, s = h1 % m, h2 % (m - 1) + 1
+        b, s = h1 % m, (h2 % (m // 2)) * 2 + 1
         assert got[v] == [(b + i * s) % m for i in range(k)], v
 
 
-def test_step_never_zero_k_validated(spark):
-    """h2 % (m-1) + 1 ∈ [1, m-1]: a zero step would probe one bit k times."""
+def test_step_always_odd_k_validated(spark):
+    """2*(h2 mod m/2) + 1 is odd in [1, m-1]: odd steps are coprime to the
+    power-of-two m, so the k probes always hit k distinct bits (ADVICE r7
+    — the old non-zero-only step could collapse to 2 bits at step=m/2)."""
     df = spark.createDataFrame([(f"s{i}",) for i in range(500)], "v string")
     m = 1 << 10
     _, step = _imported_base_step(df, m)
-    lo, hi = step.agg(F.min("s"), F.max("s")).collect()[0]
-    assert lo >= 1 and hi <= m - 1
+    rows = step.agg(F.min("s"), F.max("s"),
+                    F.sum((F.col("s") % 2 == 0).cast("int"))).collect()[0]
+    lo, hi, evens = rows
+    assert lo >= 1 and hi <= m - 1 and evens == 0
     with pytest.raises(ValueError, match="k must be >= 1"):
         build_bloom(df, "v", n_bits=1 << 10, k=0)
 

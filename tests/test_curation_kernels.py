@@ -581,3 +581,65 @@ def test_curation_pipeline_tool_bpe_stats(spark, tmp_path, monkeypatch, capsys):
     assert f["bpe_pieces_per_word"] >= 1.0
     assert f["bpe_chars_per_piece"] > 0
     assert f["sequences_written"] > 0
+
+
+def test_curation_pipeline_promote_gate(spark, tmp_path, monkeypatch, capsys):
+    """--promote (r7 verdict, Next #7): merge -> expectations -> drift ->
+    commit or reject, one command.  Run 1 promotes (nothing to drift
+    against); run 2 on a collapsed feed (10x fewer documents) is REJECTED
+    before anything lands: exit 3, store version unchanged, no new stats
+    shard, and the drift flags are in the report."""
+    import glob
+    import importlib.util
+    import json
+    import os
+    import sys
+
+    spec = importlib.util.spec_from_file_location(
+        "curation_pipeline",
+        os.path.join(os.path.dirname(__file__), "..", "tools", "curation_pipeline.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    from pyspark.sql import SparkSession
+
+    monkeypatch.setattr(SparkSession, "stop", lambda self: None)
+    out = str(tmp_path / "shards")
+    store_dir = str(tmp_path / "store")
+    stats_dir = str(tmp_path / "stats")
+
+    def run(*extra):
+        monkeypatch.setattr(
+            sys, "argv",
+            ["curation_pipeline.py", "--sf", "/root/testdata/sf0.001",
+             "--out", out, "--store", store_dir, "--stats", stats_dir,
+             "--promote", *extra],
+        )
+        mod.main()
+        return json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    r1 = run()
+    assert r1["promoted"] is True
+    assert r1["funnel"]["store_version"] == 1
+    shards_after_r1 = glob.glob(os.path.join(stats_dir, "batch=*"))
+    assert len(shards_after_r1) == 1
+
+    import pytest as _pytest
+
+    # run 2: a collapsed feed (30 of 500 docs) must be rejected pre-commit
+    with _pytest.raises(SystemExit) as exc:
+        run("--limit", "30")
+    assert exc.value.code == 3
+    r2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert r2["promoted"] is False
+    assert any("n_rows" in f for f in r2["funnel"]["stats_drift_flags"])
+    # nothing landed: same store version, same single stats shard
+    from vector_graph_rag_spark.sources.versioned import VersionedCorpus
+
+    assert VersionedCorpus(spark, store_dir).latest_version() == 1
+    assert glob.glob(os.path.join(stats_dir, "batch=*")) == shards_after_r1
+    # --promote without --store/--stats is a usage error
+    monkeypatch.setattr(sys, "argv", ["curation_pipeline.py", "--promote"])
+    with _pytest.raises(SystemExit) as exc2:
+        mod.main()
+    assert exc2.value.code == 2

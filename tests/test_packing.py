@@ -100,7 +100,9 @@ def test_bpe_encode_ids_roundtrip(spark):
     enc = bpe_encode_ids(docs, model)
     vocab = model["vocab"]
     rows = enc.collect()
-    assert len(rows) == docs.filter(F.length("text") > 0).count()
+    # one row per input document — token-less docs come back with ids=[]
+    # so their eod sentinel survives into pack_fixed_blocks (ADVICE r7)
+    assert len(rows) == docs.count()
     for r in rows[:10]:
         assert r["n_ids"] == len(r["ids"])
         assert all(0 <= i <= len(vocab) for i in r["ids"])
@@ -244,3 +246,23 @@ def test_pack_matches_duckdb_twin_on_documents(spark):
         for r in pack_fixed_blocks(enc, Bn, eod, partitions=5).collect()
     }
     assert got == duck
+
+def test_bpe_encode_ids_keeps_tokenless_docs(spark):
+    """Empty / whitespace-only documents must appear with n_ids=0, ids=[]
+    so pack_fixed_blocks sees their eod sentinel (ADVICE r7)."""
+    from vector_graph_rag_spark.operators.bpe import bpe_encode_ids, train_bpe
+
+    docs = spark.createDataFrame(
+        [(0, "hello hello world"), (1, ""), (2, "   "), (3, "world")],
+        "doc_id long, text string",
+    )
+    model = train_bpe(docs, n_merges=3, min_pair_count=1)
+    got = {r["doc_id"]: r for r in bpe_encode_ids(docs, model).collect()}
+    assert set(got) == {0, 1, 2, 3}
+    assert got[1]["n_ids"] == 0 and list(got[1]["ids"]) == []
+    assert got[2]["n_ids"] == 0 and list(got[2]["ids"]) == []
+    assert got[0]["n_ids"] > 0 and got[3]["n_ids"] > 0
+    # through the packer: 4 docs -> 4 eods in the virtual stream
+    blocks = pack_fixed_blocks(bpe_encode_ids(docs, model), 1, eod_id=777)
+    stream = [r["ids"][0] for r in sorted(blocks.collect(), key=lambda r: r["block_id"])]
+    assert stream.count(777) == 4

@@ -261,3 +261,54 @@ def test_legacy_snapshot_layout_still_readable(spark, store):
     assert v2 == 2
     got = {r["doc_id"]: r["text"] for r in store.read().collect()}
     assert got[0] == "UPGRADED" and len(got) == docs.count()
+
+
+def test_merge_refuses_dup_key_base(spark, store):
+    """A base may hold duplicate keys (write() takes any frame), but
+    chaining a delta on top would let read()'s latest-wins window
+    silently collapse the duplicates to one arbitrary survivor — merge
+    must refuse instead (ADVICE r7).  The validation is memoized in the
+    manifest, so a clean base is scanned once per key, not per merge."""
+    dup = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "c")], "doc_id long, text string"
+    )
+    store.write(dup)
+    with pytest.raises(ValueError, match="duplicate rows for key"):
+        store.merge(spark.createDataFrame([(3, "d")], "doc_id long, text string"))
+    # base layer untouched and still fully readable (both dup rows)
+    assert store.read().count() == 3
+    # a clean base chains fine, and the validation is memoized
+    clean = spark.createDataFrame([(1, "a"), (2, "c")], "doc_id long, text string")
+    v = store.write(clean)
+    store.merge(spark.createDataFrame([(3, "d")], "doc_id long, text string"))
+    m = json.load(open(store._manifest_path))
+    assert m["versions"][str(v)]["unique_keys"] == ["doc_id"]
+    assert store.read().count() == 3
+
+
+def test_maybe_compact_policy_resets_chain_and_plan(spark, store):
+    """Auto-compaction (r7 verdict, Next #6): once the live chain reaches
+    max_chain layers, maybe_compact folds it into a new base — chain
+    length resets to 1 and the read plan drops back to a plain scan
+    (no Exchange, no Window)."""
+    docs = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(20)], "doc_id long, text string"
+    )
+    store.write(docs)
+    assert store.chain_length() == 1
+    assert store.maybe_compact(max_chain=3) is None  # base only — no-op
+    for i in range(2):  # two deltas -> chain of 3
+        store.merge(
+            spark.createDataFrame([(i, f"v{i}")], "doc_id long, text string")
+        )
+    assert store.chain_length() == 3
+    plan_before = store.read()._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" in plan_before  # MoR fold shuffles on the key
+    v = store.maybe_compact(max_chain=3)
+    assert v == 4 and store.chain_length() == 1
+    plan_after = store.read()._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan_after and "Window" not in plan_after
+    got = {r["doc_id"]: r["text"] for r in store.read().collect()}
+    assert got[0] == "v0" and got[1] == "v1" and len(got) == 20
+    with pytest.raises(ValueError, match="max_chain"):
+        store.maybe_compact(max_chain=1)

@@ -23,10 +23,24 @@ doc_id joins, finishing with the ``write_training_shards`` sink:
                             versioned store: first run = base snapshot,
                             reruns = MERGE upserts + tombstones with the
                             added/changed/removed CDC delta reported —
-                            the incremental nightly shape)
+                            the incremental nightly shape; the chain
+                            auto-compacts at --compact-after layers)
     → [--stats DIR]        (record an HLL register shard and report
                             merged distinct estimates across runs)
     → sequence packing + partitioned shard write (write_training_shards)
+
+Nightly shard promotion (one command)::
+
+    python tools/curation_pipeline.py --sf ... --out ... \
+        --store /data/corpus_store --stats /data/corpus_stats --promote
+
+curate → drift-compare the candidate against the last promoted run's HLL
+shard → expectations gate (null/dup keys, empty text — refused before any
+file lands) → MERGE commit + auto-compact + stats shard + training shards.
+A flagged drift (collapsed feed, vanished column) REJECTS the whole run:
+exit 3, ``"promoted": false`` with the flags in the report, and nothing —
+store version, stats shard, shards on disk — changes.  Golden-tested in
+``tests/test_curation_kernels.py::test_curation_pipeline_promote_gate``.
 
 Prints one JSON line with per-stage surviving-document counts and the
 written shard/sequence totals.
@@ -103,7 +117,31 @@ def main() -> None:
              "DIR and report the merged distinct estimates across all "
              "recorded runs (streaming/corpus_stats.py)",
     )
+    ap.add_argument(
+        "--compact-after", type=int, default=8, metavar="N",
+        help="with --store: auto-compact the merge-on-read chain into a "
+             "new base once it reaches N layers (chain-read cost is "
+             "measured linear in chain length; compaction resets it). "
+             "0 disables",
+    )
+    ap.add_argument(
+        "--promote", action="store_true",
+        help="nightly promote-gate: BEFORE committing anything, compare "
+             "this run's corpus statistics against the last recorded "
+             "shard (--stats DIR) and REJECT the whole run (exit 3, no "
+             "store commit, no shard, no training shards) when the drift "
+             "check flags a break — collapsed feed, vanished column. "
+             "Requires --store and --stats",
+    )
+    ap.add_argument(
+        "--limit", type=int, default=None, metavar="N",
+        help="debug/sampling: curate only the first N documents by doc_id "
+             "(the funnel is doc_id equi-joins, so the whole pipeline "
+             "shrinks with the spine)",
+    )
     args = ap.parse_args()
+    if args.promote and not (args.store and args.stats):
+        ap.error("--promote requires --store and --stats")
 
     from pyspark.sql import functions as F
 
@@ -122,6 +160,10 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     docs = load_table(spark, args.sf, "documents")
+    if args.limit:
+        # deterministic sample: the funnel is doc_id equi-joins against
+        # kernel keep-sets, so limiting the spine limits every stage
+        docs = docs.orderBy("doc_id").limit(args.limit)
     counts: dict[str, int] = {"raw": docs.count()}
 
     lang_ok = (
@@ -233,6 +275,55 @@ def main() -> None:
             counts["blocks_written"] = spark.read.parquet(args.out + "_blocks").count()
             counts["block_len"] = args.pack_blocks
 
+    # --- promote gate: drift check FIRST, before any commit ------------------
+    # The nightly promotion order is curate → drift-compare → expectations →
+    # commit: a broken feed (ingest collapse, vanished column) must be caught
+    # by comparing the CANDIDATE shard against the last promoted one before
+    # the store, the stats history, or the training shards see a single row.
+    if args.promote:
+        import glob as _glob
+        import shutil as _shutil
+        import tempfile as _tempfile
+
+        from vector_graph_rag_spark.streaming.corpus_stats import (
+            corpus_stats,
+            stats_drift,
+            write_batch_stats,
+        )
+
+        promoted_shards = sorted(
+            _glob.glob(os.path.join(args.stats, "batch=*")),
+            key=lambda p: int(p.rsplit("=", 1)[1]),
+        )
+        if promoted_shards:  # first-ever run has nothing to drift against
+            cand = _tempfile.mkdtemp(prefix="vgr_promote_")
+            try:
+                write_batch_stats(
+                    stage, cand, 0, ["doc_id", "source", "text"]
+                )
+                flagged = (
+                    stats_drift(
+                        corpus_stats(spark, cand),
+                        corpus_stats(spark, promoted_shards[-1]),
+                    )
+                    .filter(~F.col("ok"))
+                    .collect()
+                )
+            finally:
+                _shutil.rmtree(cand, ignore_errors=True)
+            if flagged:
+                counts["stats_drift_flags"] = [
+                    f"{r['col']}.{r['metric']}: {r['prev']} -> {r['cur']}"
+                    for r in flagged
+                ]
+                print(
+                    json.dumps(
+                        {"out": args.out, "promoted": False, "funnel": counts}
+                    )
+                )
+                spark.stop()
+                sys.exit(3)
+
     store_version = 0
     if args.store is not None:
         from vector_graph_rag_spark.sources.versioned import VersionedCorpus
@@ -279,6 +370,12 @@ def main() -> None:
             for r in delta:
                 counts[f"store_{r['change']}"] = r["count"]
         counts["store_version"] = store_version
+        if args.compact_after:
+            compacted = store.maybe_compact(args.compact_after)
+            if compacted is not None:
+                counts["store_compacted_to"] = compacted
+                store_version = compacted
+        counts["store_chain_length"] = store.chain_length()
 
     if args.stats is not None:
         import glob as _glob
@@ -288,29 +385,37 @@ def main() -> None:
             write_batch_stats,
         )
 
-        # shard id: the store version when --store is on (reruns of the
-        # same version overwrite their own shard — idempotent), else the
-        # next free slot so standalone runs ACCUMULATE instead of
-        # silently overwriting batch 0
-        batch_id = store_version or len(
-            _glob.glob(os.path.join(args.stats, "batch=*"))
-        )
-        # drift compares THIS run's shard against the previous run's shard
-        # (cumulative register unions are monotone, so a collapsed feed
-        # would never show against the whole-history merge)
         existing = sorted(
             _glob.glob(os.path.join(args.stats, "batch=*")),
             key=lambda p: int(p.rsplit("=", 1)[1]),
         )
+        existing_ids = [int(p.rsplit("=", 1)[1]) for p in existing]
+        # shard id: the store version when --store is on (reruns of the
+        # same version overwrite their own shard — idempotent), else
+        # max(existing)+1.  NOT len(existing): store versions and
+        # standalone slots share one numbering, so a standalone run after
+        # a store run would compute an id equal to an existing shard and
+        # silently overwrite it — corrupting the cumulative distincts and
+        # making the drift check compare the shard against itself
+        # (ADVICE r7).
+        batch_id = store_version or (
+            max(existing_ids) + 1 if existing_ids else 0
+        )
+        # drift compares THIS run's shard against the previous run's shard
+        # (cumulative register unions are monotone, so a collapsed feed
+        # would never show against the whole-history merge); a rerun that
+        # overwrites its own shard (batch_id already present) must compare
+        # against the shard BEFORE it, never against itself
+        prior = [p for p in existing if int(p.rsplit("=", 1)[1]) != batch_id]
         write_batch_stats(
             stage, args.stats, batch_id, ["doc_id", "source", "text"]
         )
         for r in corpus_stats(spark, args.stats).collect():
             counts[f"distinct_{r['col']}"] = int(r["distinct_est"])
-        if existing:
+        if prior:
             from vector_graph_rag_spark.streaming.corpus_stats import stats_drift
 
-            prev_run = corpus_stats(spark, existing[-1])
+            prev_run = corpus_stats(spark, prior[-1])
             this_run = corpus_stats(
                 spark, os.path.join(args.stats, f"batch={batch_id}")
             )
@@ -325,7 +430,10 @@ def main() -> None:
     counts["sequences_written"] = shards_df.count()
     counts["tokens_written"] = shards_df.agg(F.sum("n_tokens")).collect()[0][0]
 
-    print(json.dumps({"out": args.out, "funnel": counts}))
+    report = {"out": args.out, "funnel": counts}
+    if args.promote:
+        report["promoted"] = True
+    print(json.dumps(report))
     spark.stop()
 
 

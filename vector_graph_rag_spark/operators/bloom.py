@@ -18,9 +18,12 @@ functions of ONE base reduced mod 2^31-1, so any base collision hit all k
 bits at once: a false-positive floor of ~n/2^31 independent of n_bits/k
 (ADVICE r6).  With two bases a probe only aliases an inserted item when
 BOTH reduced bases collide — the full-vector collision space is
-m*(m-1) ≈ n_bits^2, and the residual floor n/(m*(m-1)) is folded into
-``fpp_est`` below.  The step is forced odd-like via ``% (m-1) + 1`` so it
-is never 0 (a zero step would probe one bit k times).
+m*(m/2) ≈ n_bits^2/2, and the residual floor n/(m*(m/2)) is folded into
+``fpp_est`` below.  The step is forced ODD via ``2*(h2 mod m/2) + 1``
+(ADVICE r7): n_bits is a multiple of 64, so an odd step is coprime to m
+and the k probes always hit k distinct bits — the earlier non-zero-only
+step (``% (m-1) + 1``) could share a factor with a power-of-two m (e.g.
+step = m/2 collapses the probes to 2 distinct bits for ~3/m of items).
 
 Spark-native construction, no UDFs anywhere:
 
@@ -55,8 +58,12 @@ def _positions(base: Column, step: Column, n_bits: int, k: int) -> list[Column]:
 
 
 def _base_step(c: Column, n_bits: int) -> tuple[Column, Column]:
-    """(h1 mod m, h2 mod (m-1) + 1) — independent base and non-zero step."""
-    return hash60(c) % F.lit(n_bits), hash60b(c) % F.lit(n_bits - 1) + F.lit(1)
+    """(h1 mod m, 2*(h2 mod m/2) + 1) — independent base and ODD step
+    (coprime to the even m, so k probes hit k distinct bits)."""
+    return (
+        hash60(c) % F.lit(n_bits),
+        (hash60b(c) % F.lit(n_bits // 2)) * F.lit(2) + F.lit(1),
+    )
 
 
 def build_bloom(
@@ -80,7 +87,7 @@ def build_bloom(
     ).distinct()
     n_items = items.count()
     base = F.col("g1") % F.lit(n_bits)
-    step = F.col("g2") % F.lit(n_bits - 1) + F.lit(1)
+    step = (F.col("g2") % F.lit(n_bits // 2)) * F.lit(2) + F.lit(1)
     positions = items.select(
         F.explode(F.array(*_positions(base, step, n_bits, k))).alias("pos")
     )
@@ -100,7 +107,7 @@ def build_bloom(
     # classic occupancy term + the two-base full-vector collision floor
     fpp = (
         (1.0 - math.exp(-k * n_items / n_bits)) ** k
-        + n_items / (float(n_bits) * (n_bits - 1))
+        + n_items / (float(n_bits) * (n_bits / 2.0))
         if n_items
         else 0.0
     )

@@ -267,6 +267,14 @@ def bpe_encode_ids(
     that produce characters unseen in training — take the reserved id V
     (the <unk> convention).  Pieces resolve through a broadcast
     piece→id join; order is restored via the position index.
+
+    Every input document gets a row — token-less documents (empty or
+    whitespace-only text) come back with ``n_ids=0, ids=[]`` via a left
+    join back to the doc-id universe (ADVICE r7: ``posexplode`` of an
+    empty piece array yields no rows, which silently dropped those
+    documents' end-of-document sentinels from the packed token stream,
+    diverging from ``pack_fixed_blocks``' contract that empty documents
+    contribute their eod).
     """
     vocab = model["vocab"]
     spark = docs.sparkSession
@@ -278,7 +286,7 @@ def bpe_encode_ids(
         "doc_id", F.posexplode("pieces").alias("pos", "piece")
     )
     unk = len(vocab)
-    return (
+    encoded = (
         pieces.join(F.broadcast(vmap), "piece", "left")
         .groupBy("doc_id")
         .agg(
@@ -291,6 +299,11 @@ def bpe_encode_ids(
                 )
             ).pid.alias("ids"),
         )
+    )
+    return docs.select("doc_id").join(encoded, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_ids", F.lit(0).cast("long")).alias("n_ids"),
+        F.coalesce("ids", F.array().cast("array<int>")).alias("ids"),
     )
 
 

@@ -187,7 +187,7 @@ mh AS (
   FROM members
 ),
 bits AS (
-  SELECT DISTINCT (g1 % {_BLOOM_BITS} + u.i * (g2 % {_BLOOM_BITS - 1} + 1))
+  SELECT DISTINCT (g1 % {_BLOOM_BITS} + u.i * ((g2 % {_BLOOM_BITS // 2}) * 2 + 1))
                   % {_BLOOM_BITS} AS pos
   FROM mh, UNNEST(range(0, {_BLOOM_K})) AS u(i)
 ),
@@ -195,7 +195,7 @@ pg AS (SELECT DISTINCT gram FROM grams),
 ph AS (
   SELECT gram,
          {hash60_sql('gram')} % {_BLOOM_BITS} AS base,
-         {hash60b_sql('gram')} % {_BLOOM_BITS - 1} + 1 AS step
+         ({hash60b_sql('gram')} % {_BLOOM_BITS // 2}) * 2 + 1 AS step
   FROM pg
 ),
 probe AS (

@@ -259,6 +259,35 @@ class VersionedCorpus:
                 f"merge: key {key!r} differs from the chain's key "
                 f"{prev_delta['key']!r} — compact() before re-keying"
             )
+        # Refuse to chain on a dup-key base (ADVICE r7): write() accepts any
+        # frame, so a base may legitimately hold duplicate keys — but the
+        # moment a delta sits on top, read()'s latest-wins window would
+        # silently collapse those duplicates to one arbitrary survivor
+        # (silent data loss on keys the merge never touched).  Validated
+        # once per (base, key) and memoized in the manifest entry, so the
+        # base scan is paid only by the first merge after each base/compact.
+        base_v = self._layer_chain(int(m["latest"]), m)[0]
+        base_info = m["versions"][str(base_v)]
+        if key not in base_info.get("unique_keys", []):
+            base_df = self.spark.read.parquet(
+                self._base_data_dir(base_v, base_info)
+            )
+            dup_base = (
+                base_df.groupBy(key)
+                .agg(F.count("*").alias("c"))
+                .filter(F.col("c") > 1)
+                .limit(1)
+                .collect()
+            )
+            if dup_base:
+                raise ValueError(
+                    f"merge: base version {base_v} holds duplicate rows for "
+                    f"key {key}={dup_base[0][key]!r} — a delta chain would "
+                    "silently collapse them on read (latest-wins). "
+                    "Deduplicate and write() a clean base first."
+                )
+            base_info.setdefault("unique_keys", []).append(key)
+            # memoized with this commit's manifest write below
         if delete_col is not None:
             dels = updates.filter(F.col(delete_col)).select(key)
             ups = updates.filter(
@@ -297,6 +326,34 @@ class VersionedCorpus:
         scan and pre-base layers become vacuum-eligible.  Returns the new
         version."""
         return self.write(self.read())
+
+    def chain_length(self, version: int | None = None) -> int:
+        """Number of layers read(version) folds together (1 = plain base
+        scan, no shuffle).  0 for an empty store."""
+        m = self._manifest()
+        v = int(m["latest"]) if version is None else int(version)
+        if v == 0:
+            return 0
+        return len(self._layer_chain(v, m))
+
+    def maybe_compact(self, max_chain: int = 8) -> int | None:
+        """Auto-compaction policy: fold the chain into a new base once it
+        has reached ``max_chain`` layers; returns the new base version, or
+        None if the chain is still short.
+
+        Chain-read cost is measured LINEAR in chain length and compaction
+        resets it (SCALE.md §merge-on-read chain cost), so a nightly MERGE
+        pipeline calls this after every commit — reads stay O(base + a few
+        deltas) while compaction cost amortizes to one corpus rewrite per
+        ``max_chain`` nights, the Iceberg/Delta maintenance cadence."""
+        if max_chain < 2:
+            raise ValueError(
+                f"max_chain must be >= 2 (got {max_chain}); 1 would rewrite "
+                "the corpus on every commit — that is write(), not MoR"
+            )
+        if self.chain_length() >= max_chain:
+            return self.compact()
+        return None
 
     # --- CDC + retention ----------------------------------------------------
 
