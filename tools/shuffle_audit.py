@@ -39,6 +39,10 @@ DEFAULT_QUERIES = [
     # SCALE.md §shuffle-volume; kept in the default set for continuity)
     "bpe_train_merges",
     "bloom_membership_profile",
+    # round-8 registered pipeline operators
+    "corpus_stats_registers",
+    "fixed_block_packing",
+    "expectations_validate",
 ]
 
 
