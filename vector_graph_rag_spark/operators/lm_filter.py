@@ -393,9 +393,17 @@ def dsir_importance_weights(
     labeled = docs.select("doc_id", is_target).filter(
         F.col(is_target).isNotNull()
     )
-    feats = _hashed_features(
-        docs, text_col, n_buckets, portable=portable_hash
-    ).join(labeled, "doc_id")
+    # The labeled feature stream feeds three plan instances (the totals
+    # action, and — inside the returned plan — the log-ratio table's
+    # distribution agg AND the raw-pool weight agg); Spark re-executes
+    # duplicated subtrees, so the tokenize+hash pass is materialized once
+    # (O(corpus tokens) with disk spill, the stream the operator
+    # inherently processes).
+    feats = (
+        _hashed_features(docs, text_col, n_buckets, portable=portable_hash)
+        .join(labeled, "doc_id")
+        .localCheckpoint(eager=True)
+    )
     dist = feats.groupBy("bucket").agg(
         F.sum(F.when(F.col(is_target), 1).otherwise(0)).alias("c_t"),
         F.sum(F.when(F.col(is_target), 0).otherwise(1)).alias("c_r"),
