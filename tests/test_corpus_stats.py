@@ -155,3 +155,121 @@ def test_n_bytes_counts_utf8_bytes_not_chars(spark, tmp_path):
     write_batch_stats(df, state, 0, ["text"])
     row = corpus_stats(spark, state).collect()[0]
     assert row["n_bytes"] == 6 + 3  # ä/ö/ü are 2 bytes each in UTF-8
+
+
+# --- incremental quantile registers (round 8) --------------------------------
+
+
+def test_quantile_registers_sharding_invariant_and_idempotent(spark, tmp_path):
+    """Bucket counts are additive -> the merged histogram (and therefore
+    every quantile answer) is IDENTICAL for any sharding of the corpus,
+    and a replayed batch id overwrites its own shard."""
+    from vector_graph_rag_spark.streaming.corpus_stats import (
+        corpus_quantiles,
+        write_batch_quantiles,
+    )
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "n_chars")
+    results = []
+    for mod in (2, 5):
+        state = str(tmp_path / f"q{mod}")
+        for b in range(mod):
+            write_batch_quantiles(
+                docs.filter(F.col("doc_id") % mod == b), state, b,
+                ["doc_id", "n_chars"],
+            )
+        results.append(
+            {(r["col"], r["q"]): r.asDict()
+             for r in corpus_quantiles(spark, state).collect()}
+        )
+    assert results[0] == results[1]
+    # replay: rewrite shard 1 of the mod-2 tree — nothing changes
+    state = str(tmp_path / "q2")
+    write_batch_quantiles(
+        docs.filter(F.col("doc_id") % 2 == 1), state, 1, ["doc_id", "n_chars"]
+    )
+    replay = {(r["col"], r["q"]): r.asDict()
+              for r in corpus_quantiles(spark, state).collect()}
+    assert replay == results[0]
+
+
+def test_quantile_bounds_contain_exact_percentile(spark, tmp_path):
+    """The reported [lo, hi] must contain the exact nearest-rank
+    percentile, and hi/lo stays within the 2^-SUBBITS design bound."""
+    from vector_graph_rag_spark.streaming.corpus_stats import (
+        corpus_quantiles,
+        write_batch_quantiles,
+    )
+
+    docs = load_table(spark, SF, "documents").select("n_chars")
+    state = str(tmp_path / "q")
+    write_batch_quantiles(docs, state, 0, ["n_chars"])
+    vals = sorted(r["n_chars"] for r in docs.collect())
+    got = {r["q"]: r for r in corpus_quantiles(spark, state, qs=(0.5, 0.9, 0.99)).collect()}
+    import math
+
+    for q in (0.5, 0.9, 0.99):
+        exact = vals[max(1, min(len(vals), math.ceil(q * len(vals)))) - 1]
+        r = got[q]
+        assert r["lo"] <= exact <= r["hi"], (q, exact, r)
+        if r["lo"] > 0:
+            assert r["hi"] / r["lo"] <= 1 + 2 ** -4 + 1e-9
+
+
+def test_quantile_buckets_match_duckdb_twin_exactly(spark):
+    """The bucket table is cross-engine portable pure-integer arithmetic:
+    DuckDB reproduces every (qb, cnt) row exactly — the oracle path for a
+    future registry swap."""
+    import duckdb
+
+    from vector_graph_rag_spark.streaming.corpus_stats import _qbuckets
+
+    duck = {
+        qb: cnt
+        for qb, cnt in duckdb.connect()
+        .execute(
+            """
+            WITH v AS (
+              SELECT CAST(range * range % 97031 AS BIGINT) AS v
+              FROM range(0, 5000)
+            ),
+            b AS (
+              SELECT CASE WHEN v <= 0 THEN 0
+                          ELSE length(to_base(v, 2)) END AS e,
+                     CASE WHEN v <= 0 THEN 0
+                          ELSE v >> greatest(length(to_base(v, 2)) - 5, 0) END AS m
+              FROM v
+            )
+            SELECT e * 32 + m AS qb, COUNT(*) FROM b GROUP BY 1
+            """
+        )
+        .fetchall()
+    }
+    df = spark.range(5000).select((F.col("id") * F.col("id") % 97031).alias("x"))
+    got = {r["qb"]: r["cnt"] for r in _qbuckets(df, "x").collect()}
+    assert got == duck
+
+
+def test_quantile_exact_region_and_zero(spark, tmp_path):
+    """Values < 32 bin exactly (lo == hi == value); zeros land in bucket 0."""
+    from vector_graph_rag_spark.streaming.corpus_stats import (
+        corpus_quantiles,
+        write_batch_quantiles,
+    )
+
+    df = spark.createDataFrame([(v,) for v in [0, 1, 3, 7, 31, 31, 31]], "x long")
+    state = str(tmp_path / "q")
+    write_batch_quantiles(df, state, 0, ["x"])
+    got = {r["q"]: r for r in corpus_quantiles(spark, state, qs=(0.01, 0.5, 0.99)).collect()}
+    assert got[0.01]["lo"] == got[0.01]["hi"] == 0
+    assert got[0.5]["lo"] == got[0.5]["hi"] == 7
+    assert got[0.99]["lo"] == got[0.99]["hi"] == 31
+
+
+def test_quantile_plan_is_jvm_only(spark, tmp_path):
+    from vector_graph_rag_spark.streaming.corpus_stats import _qbuckets
+
+    docs = load_table(spark, SF, "documents")
+    plan = _qbuckets(docs, "n_chars")._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan

@@ -412,6 +412,22 @@ def main() -> None:
         )
         for r in corpus_stats(spark, args.stats).collect():
             counts[f"distinct_{r['col']}"] = int(r["distinct_est"])
+        # length-distribution registers ride a sibling shard tree: same
+        # batch ids, same overwrite-idempotence, merge = SUM (exactly
+        # sharding-invariant) — P50/P99 document length across every
+        # recorded run without re-reading any corpus
+        from vector_graph_rag_spark.streaming.corpus_stats import (
+            corpus_quantiles,
+            write_batch_quantiles,
+        )
+
+        write_batch_quantiles(
+            stage, args.stats + "_quantiles", batch_id, ["n_chars"]
+        )
+        for r in corpus_quantiles(
+            spark, args.stats + "_quantiles", qs=(0.5, 0.99)
+        ).collect():
+            counts[f"{r['col']}_p{int(r['q'] * 100)}"] = [r["lo"], r["hi"]]
         if prior:
             from vector_graph_rag_spark.streaming.corpus_stats import stats_drift
 

@@ -33,6 +33,7 @@ ride the same shards exactly.
 
 from __future__ import annotations
 
+import math
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -236,3 +237,122 @@ def stats_drift(
         rel.alias("rel_change"),
         F.coalesce(rel <= max_rel_change, F.lit(False)).alias("ok"),
     ).orderBy("col", "metric")
+
+
+# --- Incremental quantile registers (HDR-style integer histogram) -----------
+#
+# Percentile tracking (P50/P99 document length, token count, byte size) is
+# the other statistic a nightly pipeline reports per shard and per corpus.
+# Exact percentiles need a global sort; sampled sketches (t-digest, KLL)
+# have merge results that depend on compaction order.  This register table
+# does neither: values are binned by PURE-INTEGER arithmetic — bucket id =
+# bit_length(v) * 2^(SUBBITS+1) + (top SUBBITS+1 bits of v) — so bucket
+# counts are plain additive counters: shard merge is a SUM, EXACTLY
+# sharding- and replay-invariant (the same contract as the HLL registers
+# above), and DuckDB reproduces the bucket table bit-for-bit
+# (bit_length via length(to_base(v, 2)), the same primitive as rho).
+# Quantile answers carry the bucket's value bounds: relative error
+# <= 2^-SUBBITS (6.25% at 4) by construction, and values < 2^(SUBBITS+1)
+# bin EXACTLY.  This is the HdrHistogram design (Gil Tene, public domain)
+# reduced to its integer core.  <= 64 * 2^(SUBBITS+1) buckets per column,
+# so the merged state is always driver-trivial.
+
+_Q_SUBBITS = 4
+_Q_SMALL_BITS = _Q_SUBBITS + 1
+_Q_SMALL = 1 << _Q_SMALL_BITS  # values below this get exact buckets
+
+
+def _qbuckets(df: DataFrame, col: str) -> DataFrame:
+    """(qb, cnt) bucket counts of one non-negative numeric column.
+
+    v <= 0 collapses into bucket 0 (a corpus length/size metric has no
+    negative values; zeros are counted, not binned).  All-integer:
+    e = bit_length(v), m = v >> max(e - 5, 0), qb = e * 32 + m."""
+    d = (
+        df.filter(F.col(col).isNotNull())
+        .select(F.col(col).cast("long").alias("v"))
+        .select(
+            "v",
+            F.when(F.col("v") <= 0, F.lit(0))
+            .otherwise(F.length(F.conv("v", 10, 2)))
+            .alias("e"),
+        )
+    )
+    m = F.when(F.col("v") <= 0, F.lit(0)).otherwise(
+        F.expr(f"shiftright(v, greatest(e - {_Q_SMALL_BITS}, 0))")
+    )
+    return (
+        d.select((F.col("e") * _Q_SMALL + m).cast("long").alias("qb"))
+        .groupBy("qb")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def qbucket_bounds(qb: int) -> tuple[int, int]:
+    """[lo, hi] value range of a bucket id (driver-side decode)."""
+    e, m = divmod(int(qb), _Q_SMALL)
+    if e == 0:
+        return (0, 0)  # v <= 0
+    if e <= _Q_SMALL_BITS:
+        return (m, m)  # exact region
+    shift = e - _Q_SMALL_BITS
+    return (m << shift, ((m + 1) << shift) - 1)
+
+
+def write_batch_quantiles(
+    batch_df: DataFrame, state_dir: str, batch_id: int, cols: list[str]
+) -> None:
+    """Bucket-count one micro-batch's numeric columns and overwrite its
+    shard — idempotent per batch id (the corpus_stats shard contract)."""
+    out = None
+    for c in cols:
+        p = _qbuckets(batch_df, c).select(
+            F.lit(c).alias("col"), "qb", F.col("cnt").cast("long").alias("cnt")
+        )
+        out = p if out is None else out.unionByName(p)
+    out.write.mode("overwrite").parquet(
+        os.path.join(state_dir, f"batch={batch_id}")
+    )
+
+
+def corpus_quantiles(
+    spark: SparkSession, state_dir: str, qs: tuple = (0.5, 0.9, 0.99)
+) -> DataFrame:
+    """Fold the quantile-shard tree into per-column percentile bounds:
+    ``(col, q, lo, hi, n_rows)``.
+
+    Merge = SUM of bucket counts per (col, qb) — additive, so the merged
+    histogram is EXACTLY the single-pass histogram for any sharding or
+    replay of the corpus.  The quantile walk runs driver-side over the
+    bounded bucket table (<= 2048 rows per column); ``lo``/``hi`` bound
+    the true q-quantile: the reported bucket provably contains the value
+    of rank ceil(q * n) (nearest-rank definition), so hi/lo <= 1 +
+    2^-SUBBITS."""
+    merged = (
+        spark.read.parquet(state_dir)
+        .groupBy("col", "qb")
+        .agg(F.sum("cnt").alias("cnt"))
+        .collect()
+    )
+    by_col: dict[str, list] = {}
+    for r in merged:
+        by_col.setdefault(r["col"], []).append((int(r["qb"]), int(r["cnt"])))
+    rows = []
+    for c, buckets in sorted(by_col.items()):
+        buckets.sort()
+        n = sum(cnt for _, cnt in buckets)
+        for q in qs:
+            if n == 0:
+                rows.append((c, float(q), None, None, 0))
+                continue
+            target = max(1, min(n, math.ceil(q * n)))  # nearest-rank
+            seen = 0
+            for qb, cnt in buckets:
+                seen += cnt
+                if seen >= target:
+                    lo, hi = qbucket_bounds(qb)
+                    rows.append((c, float(q), lo, hi, n))
+                    break
+    return spark.createDataFrame(
+        rows, "col string, q double, lo long, hi long, n_rows long"
+    )
