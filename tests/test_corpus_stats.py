@@ -273,3 +273,27 @@ def test_quantile_plan_is_jvm_only(spark, tmp_path):
     plan = _qbuckets(docs, "n_chars")._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_quantile_drift_flags_shifts_not_overlap(spark, tmp_path):
+    """Bracket-aware drift: identical distributions pass, overlapping
+    brackets pass, a >50% P-shift (doc-length collapse) flags, and a
+    column missing on either side flags with NULLs."""
+    from vector_graph_rag_spark.streaming.corpus_stats import (
+        corpus_quantiles,
+        quantile_drift,
+        write_batch_quantiles,
+    )
+
+    base = spark.createDataFrame([(v,) for v in range(100, 200)], "n long")
+    collapsed = spark.createDataFrame([(v // 10,) for v in range(100, 200)], "n long")
+    d1, d2, d3 = (str(tmp_path / x) for x in ("a", "b", "c"))
+    write_batch_quantiles(base, d1, 0, ["n"])
+    write_batch_quantiles(collapsed, d2, 0, ["n"])
+    write_batch_quantiles(base.withColumnRenamed("n", "m"), d3, 0, ["m"])
+    q1, q2, q3 = (corpus_quantiles(spark, d) for d in (d1, d2, d3))
+    assert all(r["ok"] for r in quantile_drift(q1, q1).collect())
+    shifted = {r["q"]: r["ok"] for r in quantile_drift(q2, q1).collect()}
+    assert not any(shifted.values())  # 10x collapse flags every quantile
+    missing = quantile_drift(q3, q1).collect()
+    assert not any(r["ok"] for r in missing)  # m vs n: both sides missing

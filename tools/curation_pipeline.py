@@ -286,13 +286,20 @@ def main() -> None:
         import tempfile as _tempfile
 
         from vector_graph_rag_spark.streaming.corpus_stats import (
+            corpus_quantiles,
             corpus_stats,
+            quantile_drift,
             stats_drift,
+            write_batch_quantiles,
             write_batch_stats,
         )
 
         promoted_shards = sorted(
             _glob.glob(os.path.join(args.stats, "batch=*")),
+            key=lambda p: int(p.rsplit("=", 1)[1]),
+        )
+        q_shards = sorted(
+            _glob.glob(os.path.join(args.stats + "_quantiles", "batch=*")),
             key=lambda p: int(p.rsplit("=", 1)[1]),
         )
         if promoted_shards:  # first-ever run has nothing to drift against
@@ -309,13 +316,34 @@ def main() -> None:
                     .filter(~F.col("ok"))
                     .collect()
                 )
-            finally:
-                _shutil.rmtree(cand, ignore_errors=True)
-            if flagged:
-                counts["stats_drift_flags"] = [
+                drift_msgs = [
                     f"{r['col']}.{r['metric']}: {r['prev']} -> {r['cur']}"
                     for r in flagged
                 ]
+                # distribution-shape gate: a feed can keep totals flat
+                # while moving P50/P99 (truncation + duplication); the
+                # quantile brackets catch what additive counters mask
+                if q_shards:
+                    qcand = os.path.join(cand, "quantiles")
+                    write_batch_quantiles(stage, qcand, 0, ["n_chars"])
+                    qflagged = (
+                        quantile_drift(
+                            corpus_quantiles(spark, qcand),
+                            corpus_quantiles(spark, q_shards[-1]),
+                        )
+                        .filter(~F.col("ok"))
+                        .collect()
+                    )
+                    drift_msgs += [
+                        f"{r['col']}.p{int(r['q'] * 100)}: "
+                        f"[{r['prev_lo']}, {r['prev_hi']}] -> "
+                        f"[{r['cur_lo']}, {r['cur_hi']}]"
+                        for r in qflagged
+                    ]
+            finally:
+                _shutil.rmtree(cand, ignore_errors=True)
+            if drift_msgs:
+                counts["stats_drift_flags"] = drift_msgs
                 print(
                     json.dumps(
                         {"out": args.out, "promoted": False, "funnel": counts}

@@ -356,3 +356,48 @@ def corpus_quantiles(
     return spark.createDataFrame(
         rows, "col string, q double, lo long, hi long, n_rows long"
     )
+
+
+def quantile_drift(
+    cur: DataFrame, prev: DataFrame, max_rel_change: float = 0.5
+) -> DataFrame:
+    """Drift report between two :func:`corpus_quantiles` outputs — the
+    distribution-shape check additive totals can mask (half the documents
+    truncated and half doubled keeps n_bytes flat but moves P50).
+
+    Quantile answers are [lo, hi] brackets, so drift is bracket-aware:
+    a (col, q) flags only when the brackets are DISJOINT by more than
+    ``max_rel_change`` relative to the previous bracket (cur.lo >
+    prev.hi * (1+t) or cur.hi < prev.lo / (1+t)) — overlap or sub-bound
+    movement can never false-positive from binning alone.  A (col, q)
+    missing on either side reports with NULLs and ok = false.
+    """
+    t = float(max_rel_change)
+    c = cur.select(
+        "col", "q",
+        F.col("lo").cast("double").alias("cur_lo"),
+        F.col("hi").cast("double").alias("cur_hi"),
+    )
+    p = prev.select(
+        "col", "q",
+        F.col("lo").cast("double").alias("prev_lo"),
+        F.col("hi").cast("double").alias("prev_hi"),
+    )
+    j = p.join(c, ["col", "q"], "full_outer")
+    present = (
+        F.col("cur_lo").isNotNull()
+        & F.col("prev_lo").isNotNull()
+        & F.col("cur_hi").isNotNull()
+        & F.col("prev_hi").isNotNull()
+    )
+    grew = F.col("cur_lo") > F.col("prev_hi") * (1.0 + t)
+    shrank = F.col("cur_hi") < F.col("prev_lo") / (1.0 + t)
+    return j.select(
+        "col",
+        "q",
+        "prev_lo",
+        "prev_hi",
+        "cur_lo",
+        "cur_hi",
+        F.coalesce(present & ~grew & ~shrank, F.lit(False)).alias("ok"),
+    ).orderBy("col", "q")
