@@ -1,0 +1,101 @@
+"""Persistent incremental LSH dedup index — incremental == one-shot
+full-corpus pairs (the equivalence contract), replay idempotence, empty
+index, and probe plan shape."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from vector_graph_rag_spark.sources.tables import load_table
+from vector_graph_rag_spark.streaming.dedup_index import (
+    append_to_index,
+    batch_signatures,
+    probe_index,
+    self_pairs,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    return load_table(spark, SF, "documents").select("doc_id", "text")
+
+
+def _full_corpus_pairs(spark):
+    """Reference: the one-shot registered LSH pair query (same arithmetic)."""
+    from vector_graph_rag_spark.queries.dedup import minhash_lsh_pairs
+
+    return {
+        (r["doc_a"], r["doc_b"]): round(r["est_jaccard"], 9)
+        for r in minhash_lsh_pairs(spark, SF).collect()
+    }
+
+
+def test_incremental_flow_equals_one_shot_corpus_pairs(spark, tmp_path):
+    """Probe + self-pairs + append, batch by batch, over a 3-way sharding:
+    the union of found pairs must be EXACTLY the full-corpus banded pair
+    set with identical estimates (canonicalized a < b)."""
+    docs = _docs(spark)
+    state = str(tmp_path / "index")
+    found: dict = {}
+    for b in range(3):
+        batch = docs.filter(F.col("doc_id") % 3 == b)
+        sig = batch_signatures(batch).localCheckpoint(eager=True)
+        for r in probe_index(spark, state, sig).collect():
+            a, c = sorted((r["index_doc_id"], r["new_doc_id"]))
+            found[(a, c)] = round(r["est_jaccard"], 9)
+        for r in self_pairs(sig).collect():
+            found[(r["doc_a"], r["doc_b"])] = round(r["est_jaccard"], 9)
+        append_to_index(sig, state, b)
+    assert found == _full_corpus_pairs(spark)
+    assert len(found) > 0
+
+
+def test_replay_overwrites_shard_and_probe_unchanged(spark, tmp_path):
+    docs = _docs(spark)
+    state = str(tmp_path / "index")
+    for b in range(2):
+        append_to_index(
+            batch_signatures(docs.filter(F.col("doc_id") % 2 == b)), state, b
+        )
+    probe = batch_signatures(docs.filter(F.col("doc_id") % 7 == 0))
+    before = sorted(
+        map(tuple, probe_index(spark, state, probe).collect())
+    )
+    # replay shard 1 — identical content, must not duplicate pairs
+    append_to_index(
+        batch_signatures(docs.filter(F.col("doc_id") % 2 == 1)), state, 1
+    )
+    after = sorted(map(tuple, probe_index(spark, state, probe).collect()))
+    assert before == after
+
+
+def test_empty_index_probe_is_empty(spark, tmp_path):
+    sig = batch_signatures(_docs(spark).limit(10))
+    out = probe_index(spark, str(tmp_path / "nope"), sig)
+    assert out.count() == 0
+    assert out.columns == ["index_doc_id", "new_doc_id", "est_jaccard"]
+
+
+def test_short_docs_produce_no_signature(spark):
+    df = spark.createDataFrame(
+        [(1, "one two"), (2, "a b c d e"), (3, "")], "doc_id long, text string"
+    )
+    got = {r["doc_id"] for r in batch_signatures(df).collect()}
+    assert got == {2}
+
+
+def test_probe_plan_broadcasts_batch_no_cartesian(spark, tmp_path):
+    docs = _docs(spark)
+    state = str(tmp_path / "index")
+    append_to_index(batch_signatures(docs), state, 0)
+    probe = batch_signatures(docs.limit(20))
+    plan = (
+        probe_index(spark, state, probe)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan

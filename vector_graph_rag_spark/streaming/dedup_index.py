@@ -1,0 +1,188 @@
+"""Persistent incremental LSH dedup index — the nightly near-dup path
+that never re-signatures the corpus.
+
+``queries/dedup.dedup_incremental`` demonstrates the batch-vs-corpus
+SHAPE (one nightly batch banded against the whole corpus); at 100 TB the
+missing piece is persistence: the corpus side's shingling + minhashing
+must be paid ONCE, not per night.  This module stores the signature /
+band state as an overwrite-idempotent shard tree (the
+``streaming/lm_counts`` contract — a replayed batch id overwrites its own
+shard, so delivery is exactly-once under a streaming checkpoint):
+
+    state_dir/batch=<id>/sigs/    (doc_id, sig array<long>[16])
+    state_dir/batch=<id>/bands/   (doc_id, band, band_key)
+
+Nightly flow (``tools``-level composition, each step one declared-kernel
+shape):
+
+    sig   = batch_signatures(new_docs)          # the ONLY corpus-rate work
+    dups  = probe_index(spark, state, sig)      # vs ALL prior shards
+          ∪ self_pairs(sig)                     # within tonight's batch
+    ...drop/cluster dups, then...
+    append_to_index(sig, state, batch_id)       # tonight becomes corpus
+
+Equivalence contract (test-pinned): running that flow batch-by-batch over
+any sharding of a corpus finds EXACTLY the pair set (with identical
+estimated jaccards) of the one-shot full-corpus ``minhash_lsh_pairs`` —
+banding, hashes, and estimates are the same md5-derived arithmetic, so
+the incremental path inherits the batch path's DuckDB-oracle pedigree.
+
+Scale notes: probing joins the (small) nightly band set against the index
+on (band, band_key) — Spark broadcasts the batch side, and the index scan
+reads only the ``bands/`` files (column-pruned parquet).  Band files can
+additionally be written bucketed by ``band_key`` to make the probe
+shuffle-free; the signature join fetches only colliding doc_ids.  Index
+growth is one band row per (doc, band) and one 16-long array per doc —
+O(corpus docs), ~100 bytes/doc, 1/1000th of a 100 KB-average corpus.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vector_graph_rag_spark.functions.hashing import (
+    MERSENNE_P,
+    hash60,
+    seeded_hash60_from_base,
+)
+from vector_graph_rag_spark.functions.text import tokens
+from vector_graph_rag_spark.queries.dedup import (
+    N_BANDS,
+    N_MINHASH,
+    ROWS_PER_BAND,
+)
+
+
+def batch_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, sig array<long>) — k=16 minhash over 3-token shingles,
+    identical arithmetic to ``queries/dedup`` (one md5 per shingle, the
+    16 hashes affine transforms of the reduced base).  Documents with
+    fewer than 3 tokens have no shingles and produce no row — they cannot
+    near-dup by shingle overlap."""
+    t = docs.select("doc_id", tokens(text_col).alias("toks"))
+    shingle_arr = F.when(
+        F.size("toks") >= 3,
+        F.expr(
+            "transform(sequence(0, size(toks)-3),"
+            " i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    sh = t.select(
+        "doc_id", F.explode(shingle_arr).alias("shingle")
+    ).select("doc_id", (hash60("shingle") % F.lit(MERSENNE_P)).alias("hbase"))
+    aggs = [
+        F.min(seeded_hash60_from_base(F.col("hbase"), i)).alias(f"m{i}")
+        for i in range(N_MINHASH)
+    ]
+    wide = sh.groupBy("doc_id").agg(*aggs)
+    return wide.select(
+        "doc_id",
+        F.array(*[F.col(f"m{i}") for i in range(N_MINHASH)]).alias("sig"),
+    )
+
+
+def _bands_of(sig: DataFrame) -> DataFrame:
+    """(doc_id, band, band_key) — md5 of each band's signature slice
+    (same key text as queries/dedup._bands_df)."""
+    bands = None
+    for b in range(N_BANDS):
+        key = F.md5(
+            F.concat_ws(
+                ",",
+                *[
+                    F.col("sig")[b * ROWS_PER_BAND + r].cast("string")
+                    for r in range(ROWS_PER_BAND)
+                ],
+            )
+        )
+        part = sig.select("doc_id", F.lit(b).alias("band"), key.alias("band_key"))
+        bands = part if bands is None else bands.unionByName(part)
+    return bands
+
+
+def _est_jaccard(a: str, b: str):
+    """Fraction of agreeing minhashes between two sig arrays."""
+    eq = F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return eq.cast("double") / F.lit(N_MINHASH)
+
+
+def append_to_index(
+    sig: DataFrame, state_dir: str, batch_id: int
+) -> None:
+    """Persist one batch's signatures + band keys as its shard —
+    overwrite-idempotent per batch id."""
+    base = os.path.join(state_dir, f"batch={batch_id}")
+    sig.write.mode("overwrite").parquet(os.path.join(base, "sigs"))
+    _bands_of(sig).write.mode("overwrite").parquet(os.path.join(base, "bands"))
+
+
+def _index_glob(state_dir: str, sub: str) -> str:
+    return os.path.join(state_dir, "batch=*", sub)
+
+
+def probe_index(
+    spark: SparkSession, state_dir: str, sig: DataFrame
+) -> DataFrame:
+    """(index_doc_id, new_doc_id, est_jaccard) — every banded collision
+    between the probe batch and ALL indexed shards.  The batch side rides
+    a broadcast; the index side is a pruned parquet scan of the band
+    files plus a semi-filtered signature fetch."""
+    import glob as _glob
+
+    if not _glob.glob(os.path.join(state_dir, "batch=*")):
+        return sig.sparkSession.createDataFrame(
+            [], "index_doc_id long, new_doc_id long, est_jaccard double"
+        )
+    idx_bands = spark.read.parquet(_index_glob(state_dir, "bands"))
+    idx_sigs = spark.read.parquet(_index_glob(state_dir, "sigs"))
+    new_bands = F.broadcast(
+        _bands_of(sig).select(
+            F.col("doc_id").alias("new_doc_id"), "band", "band_key"
+        )
+    )
+    cand = (
+        idx_bands.select(F.col("doc_id").alias("index_doc_id"), "band", "band_key")
+        .join(new_bands, ["band", "band_key"])
+        .filter(F.col("index_doc_id") != F.col("new_doc_id"))
+        .select("index_doc_id", "new_doc_id")
+        .distinct()
+    )
+    a = idx_sigs.select(F.col("doc_id").alias("index_doc_id"), F.col("sig").alias("sig_a"))
+    b = sig.select(F.col("doc_id").alias("new_doc_id"), F.col("sig").alias("sig_b"))
+    return (
+        cand.join(a, "index_doc_id")
+        .join(F.broadcast(b), "new_doc_id")
+        .select(
+            "index_doc_id",
+            "new_doc_id",
+            _est_jaccard("sig_a", "sig_b").alias("est_jaccard"),
+        )
+    )
+
+
+def self_pairs(sig: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, est_jaccard), doc_a < doc_b — banded collisions
+    WITHIN one batch (the nightly batch is its own dedup universe too)."""
+    bands = _bands_of(sig)
+    x = bands.select(F.col("doc_id").alias("doc_a"), "band", "band_key")
+    y = bands.select(F.col("doc_id").alias("doc_b"), "band", "band_key")
+    cand = (
+        x.join(y, ["band", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    a = sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    b = sig.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select("doc_a", "doc_b", _est_jaccard("sig_a", "sig_b").alias("est_jaccard"))
+    )
