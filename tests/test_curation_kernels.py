@@ -643,3 +643,49 @@ def test_curation_pipeline_promote_gate(spark, tmp_path, monkeypatch, capsys):
     with _pytest.raises(SystemExit) as exc2:
         mod.main()
     assert exc2.value.code == 2
+
+
+def test_curation_pipeline_dedup_index_incremental(spark, tmp_path, monkeypatch, capsys):
+    """--dedup-index: run 1 appends its survivors; run 2 over the SAME
+    corpus finds every survivor in the index (est jaccard 1.0) and drops
+    them all — the corpus was never re-signatured."""
+    import glob
+    import importlib.util
+    import json
+    import os
+    import sys
+
+    spec = importlib.util.spec_from_file_location(
+        "curation_pipeline",
+        os.path.join(os.path.dirname(__file__), "..", "tools", "curation_pipeline.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    from pyspark.sql import SparkSession
+
+    monkeypatch.setattr(SparkSession, "stop", lambda self: None)
+    out = str(tmp_path / "shards")
+    index = str(tmp_path / "index")
+
+    def run():
+        monkeypatch.setattr(
+            sys, "argv",
+            ["curation_pipeline.py", "--sf", "/root/testdata/sf0.001",
+             "--out", out, "--dedup-index", index],
+        )
+        mod.main()
+        return json.loads(capsys.readouterr().out.strip().splitlines()[-1])["funnel"]
+
+    f1 = run()
+    assert f1["neardup_index"] > 0
+    assert f1["neardup_index_shard"] == 0
+    assert f1["neardup_index_appended"] > 0
+    f2 = run()
+    # idempotent re-run: the same doc_ids are canonical re-runs, not
+    # near-dups — nothing drops, and NOTHING re-appends (index stable)
+    assert f2["neardup_index"] == f1["neardup_index"]
+    assert f2["neardup_index_shard"] == 1
+    assert f2["neardup_index_appended"] == 0
+    assert len(glob.glob(os.path.join(index, "batch=*"))) == 2
+    # cross-run near-dup DETECTION (new ids, old content) is pinned at the
+    # library level: tests/test_dedup_index.py equivalence contract

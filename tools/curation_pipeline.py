@@ -112,6 +112,14 @@ def main() -> None:
              "— the incremental nightly-run shape",
     )
     ap.add_argument(
+        "--dedup-index", default=None, metavar="DIR",
+        help="persistent LSH near-dup index (streaming/dedup_index.py): "
+             "drop tonight's docs that near-dup (est jaccard >= 0.5) any "
+             "prior run's survivors or a lower-id doc in tonight's batch, "
+             "then append the kept docs' signatures — the corpus is never "
+             "re-signatured",
+    )
+    ap.add_argument(
         "--stats", default=None, metavar="DIR",
         help="write an HLL register shard for the curated corpus under "
              "DIR and report the merged distinct estimates across all "
@@ -200,6 +208,58 @@ def main() -> None:
     )
     stage = stage.join(keepers, "doc_id", "left_semi")
     counts["dedup_keeper"] = stage.count()
+
+    if args.dedup_index is not None:
+        from vector_graph_rag_spark.streaming.dedup_index import (
+            append_to_index,
+            batch_signatures,
+            probe_index,
+            self_pairs,
+        )
+
+        import glob as _glob
+
+        thr = 0.5
+        sig = batch_signatures(stage).localCheckpoint(eager=True)
+        # a doc_id already in the index is a canonical re-run of the same
+        # document, not a near-dup candidate: it neither probes nor
+        # re-appends (idempotent nightly re-runs).  Only genuinely NEW ids
+        # pass the near-dup gate: drop a new doc that near-dups any
+        # indexed doc (the indexed copy wins — first-seen keeps) or a
+        # lower-id doc in tonight's batch.
+        idx_sig_glob = os.path.join(args.dedup_index, "batch=*", "sigs")
+        if _glob.glob(os.path.join(args.dedup_index, "batch=*")):
+            idx_ids = spark.read.parquet(idx_sig_glob).select("doc_id").distinct()
+            new_sig = sig.join(idx_ids, "doc_id", "left_anti").localCheckpoint(
+                eager=True
+            )
+        else:
+            new_sig = sig
+        idx_dups = (
+            probe_index(spark, args.dedup_index, new_sig)
+            .filter(F.col("est_jaccard") >= thr)
+            .select(F.col("new_doc_id").alias("doc_id"))
+        )
+        self_dups = (
+            self_pairs(new_sig)
+            .filter(F.col("est_jaccard") >= thr)
+            .select(F.col("doc_b").alias("doc_id"))
+        )
+        drop = idx_dups.unionByName(self_dups).distinct()
+        stage = stage.join(drop, "doc_id", "left_anti")
+        counts["neardup_index"] = stage.count()
+        # only the kept docs enter the index (canonical corpus);
+        # max(existing)+1, never len() (the --stats shard-id collision,
+        # ADVICE r7)
+        existing_ids = [
+            int(p.rsplit("=", 1)[1])
+            for p in _glob.glob(os.path.join(args.dedup_index, "batch=*"))
+        ]
+        shard_id = max(existing_ids) + 1 if existing_ids else 0
+        kept_new = new_sig.join(stage.select("doc_id"), "doc_id", "left_semi")
+        append_to_index(kept_new, args.dedup_index, shard_id)
+        counts["neardup_index_shard"] = shard_id
+        counts["neardup_index_appended"] = kept_new.count()
 
     if args.lm_filter:
         from vector_graph_rag_spark.operators.lm_filter import (
