@@ -74,6 +74,12 @@ HEADLINE = [
     "bloom_membership_profile",
     "versioned_merge_diff",
     "lm_counts_incremental",
+    # round-8 additions: the registered round-7 library operators
+    # (queries/pipeline.py §round-8 — HLL register merge, fixed-block
+    # packing, the expectations gate)
+    "corpus_stats_registers",
+    "fixed_block_packing",
+    "expectations_validate",
 ]
 
 
