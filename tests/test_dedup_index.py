@@ -99,3 +99,21 @@ def test_probe_plan_broadcasts_batch_no_cartesian(spark, tmp_path):
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_empty_shard_appends_are_harmless(spark, tmp_path):
+    """A run where nothing new survived appends a 0-row shard; later
+    probes over the mixed glob must still work (Spark's empty parquet
+    carries schema)."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "a b c d e f g h")], "doc_id long, text string"
+    )
+    state = str(tmp_path / "index")
+    sig = batch_signatures(df)
+    append_to_index(sig.limit(0), state, 0)  # empty-only index
+    assert probe_index(spark, state, sig).count() == 0
+    append_to_index(sig, state, 1)
+    rekeyed = sig.withColumn("doc_id", F.col("doc_id") + 100)
+    assert probe_index(spark, state, rekeyed).count() == 4  # 2 exact + 2 cross
