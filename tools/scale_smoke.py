@@ -140,13 +140,30 @@ def time_queries(spark, sf_dir: str, iters: int) -> dict[str, dict]:
     _graph(spark, sf_dir)  # untimed build-once indexing
     print(f"# graph build ({sf_dir}): {time.perf_counter() - t0:.1f}s", file=sys.stderr)
 
+    # Full-materialization action + row count via Observation, and an
+    # untimed GC after each run — the same honesty fixes as bench.py r8
+    # (count-pruning and checkpoint-block pollution both distort scale
+    # FACTORS just like absolute numbers; SCALE.md §Round-8 re-baseline).
+    import gc
+
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
     out: dict[str, dict] = {}
     for name in QUERIES:
         times, rows = [], 0
-        for _ in range(iters):
+        for i in range(iters):
             t0 = time.perf_counter()
-            rows = registry[name].fn(spark, sf_dir).count()
+            obs = Observation(f"rows_{name}_{i}")
+            df = registry[name].fn(spark, sf_dir)
+            df.observe(obs, F.count(F.lit(1)).alias("n")).write.format(
+                "noop"
+            ).mode("overwrite").save()
+            rows = obs.get["n"]
             times.append(round(time.perf_counter() - t0, 3))
+            del df, obs
+            gc.collect()
+            spark.sparkContext._jvm.System.gc()
         out[name] = {"iters": times, "min": min(times), "rows": rows}
         print(f"# {sf_dir} {name}: {times} ({rows} rows)", file=sys.stderr)
     return out
