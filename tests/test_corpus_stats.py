@@ -297,3 +297,36 @@ def test_quantile_drift_flags_shifts_not_overlap(spark, tmp_path):
     assert not any(shifted.values())  # 10x collapse flags every quantile
     missing = quantile_drift(q3, q1).collect()
     assert not any(r["ok"] for r in missing)  # m vs n: both sides missing
+
+
+def test_qbucket_bounds_property():
+    """Pure-python property over the full value range: every value falls
+    inside its own bucket's [lo, hi], ids are monotone in value, and the
+    relative width respects the 2^-SUBBITS design bound."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from vector_graph_rag_spark.streaming.corpus_stats import (
+        _Q_SMALL,
+        qbucket_bounds,
+    )
+
+    def bucket_of(v: int) -> int:
+        if v <= 0:
+            return 0
+        e = v.bit_length()
+        m = v >> max(e - 5, 0)
+        return e * _Q_SMALL + m
+
+    @settings(max_examples=500, deadline=None)
+    @given(v=st.integers(min_value=0, max_value=2**62))
+    def check(v):
+        qb = bucket_of(v)
+        lo, hi = qbucket_bounds(qb)
+        assert lo <= v <= hi
+        if lo > 0:
+            assert hi / lo <= 1 + 2 ** -4 + 1e-9
+        # monotone: the next value's bucket never decreases
+        assert bucket_of(v + 1) >= qb
+
+    check()
