@@ -117,3 +117,31 @@ def test_empty_shard_appends_are_harmless(spark, tmp_path):
     append_to_index(sig, state, 1)
     rekeyed = sig.withColumn("doc_id", F.col("doc_id") + 100)
     assert probe_index(spark, state, rekeyed).count() == 4  # 2 exact + 2 cross
+
+
+def test_probe_bucket_cap_bounds_hot_fanout(spark, tmp_path):
+    """A degenerate index bucket (many identical docs) fans the probe out
+    by its full occupancy; the cap drops it (boilerplate is exact-dedup's
+    job) while normal pairs keep matching."""
+    boiler = [(i, "the same boilerplate text repeated here every time") for i in range(100)]
+    normal = [(200, "a unique document about spark and parquet layout"),
+              (201, "a unique document about spark and parquet layout")]
+    idx_docs = spark.createDataFrame(boiler + normal[:1], "doc_id long, text string")
+    state = str(tmp_path / "index")
+    append_to_index(batch_signatures(idx_docs), state, 0)
+    probe = batch_signatures(
+        spark.createDataFrame(
+            [(300, "the same boilerplate text repeated here every time"),
+             normal[1]],
+            "doc_id long, text string",
+        )
+    )
+    uncapped = probe_index(spark, state, probe)
+    capped = probe_index(spark, state, probe, bucket_cap=50)
+    # uncapped: the boilerplate probe matches all 100 copies
+    assert uncapped.filter(F.col("new_doc_id") == 300).count() == 100
+    # capped: the hot bucket is gone, the near-identical normal pair stays
+    assert capped.filter(F.col("new_doc_id") == 300).count() == 0
+    kept = capped.filter(F.col("new_doc_id") == 201).collect()
+    assert [r["index_doc_id"] for r in kept] == [200]
+    assert kept[0]["est_jaccard"] == 1.0  # identical text, identical sig

@@ -128,12 +128,22 @@ def _index_glob(state_dir: str, sub: str) -> str:
 
 
 def probe_index(
-    spark: SparkSession, state_dir: str, sig: DataFrame
+    spark: SparkSession, state_dir: str, sig: DataFrame,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """(index_doc_id, new_doc_id, est_jaccard) — every banded collision
     between the probe batch and ALL indexed shards.  The batch side rides
     a broadcast; the index side is a pruned parquet scan of the band
-    files plus a semi-filtered signature fetch."""
+    files plus a semi-filtered signature fetch.
+
+    ``bucket_cap``: the LSH skew guard (same rationale as the one-shot
+    path's ``minhash_lsh_pairs_capped``) — an index bucket holding more
+    than ``cap`` docs is boilerplate/stop-text whose members exact-dedup
+    catches first; probing it fans the join out by its full occupancy per
+    matching new doc.  Capped buckets drop from the probe (hot keys are
+    few by definition, so the anti-join side stays broadcast-small).  At
+    100 TB pass a cap; the default None preserves the exact one-shot
+    equivalence contract."""
     import glob as _glob
 
     if not _glob.glob(os.path.join(state_dir, "batch=*")):
@@ -142,6 +152,16 @@ def probe_index(
         )
     idx_bands = spark.read.parquet(_index_glob(state_dir, "bands"))
     idx_sigs = spark.read.parquet(_index_glob(state_dir, "sigs"))
+    if bucket_cap is not None:
+        hot = (
+            idx_bands.groupBy("band", "band_key")
+            .agg(F.count(F.lit(1)).alias("__bn"))
+            .filter(F.col("__bn") > bucket_cap)
+            .select("band", "band_key")
+        )
+        idx_bands = idx_bands.join(
+            F.broadcast(hot), ["band", "band_key"], "left_anti"
+        )
     new_bands = F.broadcast(
         _bands_of(sig).select(
             F.col("doc_id").alias("new_doc_id"), "band", "band_key"
