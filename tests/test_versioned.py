@@ -312,3 +312,45 @@ def test_maybe_compact_policy_resets_chain_and_plan(spark, store):
     assert got[0] == "v0" and got[1] == "v1" and len(got) == 20
     with pytest.raises(ValueError, match="max_chain"):
         store.maybe_compact(max_chain=1)
+
+
+def test_bucketed_base_lookup_prunes_partitions(spark, store):
+    """write(bucket_by): the base lays out hash-partitioned by the key;
+    lookup() carries a PartitionFilter on the layout column (only 1/n of
+    the base is read), results match a full-read filter, and plain read()
+    never leaks the internal __kb column."""
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(200)], "doc_id long, text string"
+    )
+    store.write(docs, bucket_by=("doc_id", 8))
+    assert store.read().columns == ["doc_id", "text"]
+    assert store.read().count() == 200
+    got = store.lookup(42).collect()
+    assert [(r["doc_id"], r["text"]) for r in got] == [(42, "text 42")]
+    plan = store.lookup(42)._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(__kb" in plan or "__kb" in plan.split("PartitionFilters")[1][:200]
+    # chain on top: lookup folds deltas for the key, still pruned base-side
+    store.merge(spark.createDataFrame([(42, "EDITED")], "doc_id long, text string"))
+    store.merge(
+        spark.createDataFrame(
+            [(7, None, True)], "doc_id long, text string, is_delete boolean"
+        ),
+        delete_col="is_delete",
+    )
+    assert [r["text"] for r in store.lookup(42).collect()] == ["EDITED"]
+    assert store.lookup(7).count() == 0
+    assert store.lookup(41).collect()[0]["text"] == "text 41"
+    # compact preserves the layout by default; lookups stay pruned
+    v = store.compact()
+    info = store._manifest()["versions"][str(v)]
+    assert (info["bucket_key"], info["bucket_n"]) == ("doc_id", 8)
+    plan2 = store.lookup(42)._jdf.queryExecution().executedPlan().toString()
+    assert "__kb" in plan2
+    assert [r["text"] for r in store.lookup(42).collect()] == ["EDITED"]
+    assert store.read().count() == 199  # 7 deleted
+
+
+def test_lookup_on_unkeyed_plain_base_raises(spark, store):
+    store.write(spark.createDataFrame([(1, "a")], "doc_id long, text string"))
+    with pytest.raises(ValueError, match="keyed store"):
+        store.lookup(1)

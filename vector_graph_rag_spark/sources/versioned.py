@@ -110,28 +110,56 @@ class VersionedCorpus:
 
     # --- commits ------------------------------------------------------------
 
-    def write(self, df: DataFrame, checks: list | None = None) -> int:
+    def write(
+        self,
+        df: DataFrame,
+        checks: list | None = None,
+        bucket_by: tuple[str, int] | None = None,
+    ) -> int:
         """Commit a full snapshot as the next version (a BASE commit —
         reading it never consults earlier layers); returns it.
 
         ``checks`` (``operators/expectations`` constraints) gate the
         commit: a violation raises BEFORE any file is written, so the
         store never holds a bad version (Delta table-constraint
-        semantics)."""
+        semantics).
+
+        ``bucket_by=(key, n)``: lay the base out hash-partitioned into
+        ``n`` directories by ``pmod(xxhash64(key), n)`` — the file-layout
+        half of data skipping.  A :meth:`lookup` on the key then prunes
+        to ONE directory via a PartitionFilter (plan-verified), which at
+        100 TB is the difference between a point lookup scanning 1/n of
+        the corpus and scanning all of it.  The partition column is
+        internal (``__kb``) and stripped on every read; the layout is
+        recorded in the manifest so reads and lookups self-configure."""
         if checks:
             from vector_graph_rag_spark.operators.expectations import enforce
 
             enforce(df, checks)
         m = self._manifest()
         v = int(m["latest"]) + 1
-        df.write.mode("overwrite").parquet(self._adds_dir(v))  # data first...
-        rows = self.spark.read.parquet(self._adds_dir(v)).count()
-        m["versions"][str(v)] = {
+        info: dict = {
             "kind": "base",
-            "adds": rows,
             "deletes": 0,
             "parent": int(m["latest"]),
         }
+        if bucket_by is not None:
+            key, n = bucket_by
+            if n < 1:
+                raise ValueError(f"bucket_by needs n >= 1 (got {n})")
+            (
+                df.withColumn("__kb", F.pmod(F.xxhash64(F.col(key)), F.lit(n)))
+                .write.mode("overwrite")
+                .partitionBy("__kb")
+                .parquet(self._adds_dir(v))
+            )
+            info["bucket_key"], info["bucket_n"] = key, int(n)
+        else:
+            df.write.mode("overwrite").parquet(self._adds_dir(v))  # data first...
+        info["adds"] = (
+            self.spark.read.parquet(self._adds_dir(v)).count()
+        )
+        m["versions"][str(v)] = info
         m["latest"] = v
         self._commit_manifest(m)  # ...manifest last, atomically
         return v
@@ -169,21 +197,38 @@ class VersionedCorpus:
         base = self.spark.read.parquet(
             self._base_data_dir(chain[0], m["versions"][str(chain[0])])
         )
+        if "__kb" in base.columns:  # bucketed base: internal layout column
+            base = base.drop("__kb")
         if len(chain) == 1:
             return base
         key = m["versions"][str(chain[1])]["key"]  # all deltas share it
+        return self._fold_chain(chain, m, base, key)
+
+    def _fold_chain(
+        self, chain: list[int], m: dict, base: DataFrame, key: str,
+        layer_filter=None,
+    ) -> DataFrame:
+        """Merge-on-read fold: union every layer's adds/tombstones as
+        (key, layer, is_delete) events, keep the max-layer event per key,
+        drop tombstoned keys.  ``layer_filter`` (df -> df) narrows every
+        layer BEFORE the fold — a key-equality filter turns this into a
+        point lookup whose base side can partition-prune."""
+        if layer_filter is None:
+            layer_filter = lambda df: df  # noqa: E731
         data_cols = [c for c in base.columns if c != key]
-        events = base.select(
+        events = layer_filter(base).select(
             key, *data_cols, F.lit(chain[0]).alias("_layer"), F.lit(False).alias("_del")
         )
         for w in chain[1:]:
             winfo = m["versions"][str(w)]
-            adds = self.spark.read.parquet(self._adds_dir(w)).select(
+            adds = layer_filter(self.spark.read.parquet(self._adds_dir(w))).select(
                 key, *data_cols, F.lit(w).alias("_layer"), F.lit(False).alias("_del")
             )
             events = events.unionByName(adds)
             if winfo.get("deletes"):
-                dels = self.spark.read.parquet(self._dels_dir(w)).select(
+                dels = layer_filter(
+                    self.spark.read.parquet(self._dels_dir(w))
+                ).select(
                     key,
                     *[F.lit(None).cast(base.schema[c].dataType).alias(c) for c in data_cols],
                     F.lit(w).alias("_layer"),
@@ -195,6 +240,46 @@ class VersionedCorpus:
             events.withColumn("_rn", F.row_number().over(latest))
             .filter((F.col("_rn") == 1) & ~F.col("_del"))
             .select(key, *data_cols)
+        )
+
+    def lookup(self, value, version: int | None = None) -> DataFrame:
+        """Point lookup by the store's key — the read path a bucketed base
+        makes cheap: the base scan carries a ``__kb`` PartitionFilter
+        (plan-verified in tests), so only 1/n of the base's files are
+        read; delta layers are delta-sized and filter by key.
+
+        Works on any keyed store (a bucketed base, or a delta chain whose
+        MERGE key names the column); raises on an unkeyed plain base."""
+        m = self._manifest()
+        v = int(m["latest"]) if version is None else int(version)
+        info = m["versions"].get(str(v))
+        if v == 0 or info is None:
+            raise ValueError(f"version {version!r} does not exist")
+        chain = self._layer_chain(v, m)
+        base_info = m["versions"][str(chain[0])]
+        base = self.spark.read.parquet(
+            self._base_data_dir(chain[0], base_info)
+        )
+        key = base_info.get("bucket_key") or (
+            m["versions"][str(chain[1])]["key"] if len(chain) > 1 else None
+        )
+        if key is None:
+            raise ValueError(
+                "lookup needs a keyed store: a bucket_by base or a delta "
+                "chain (plain unkeyed bases have no key column to look up)"
+            )
+        lit_val = F.lit(value).cast(base.schema[key].dataType)
+        if base_info.get("bucket_key") == key:
+            # prune FIRST (PartitionFilter on the layout column), then drop
+            base = base.filter(
+                F.col("__kb")
+                == F.pmod(F.xxhash64(lit_val), F.lit(int(base_info["bucket_n"])))
+            ).drop("__kb")
+        elif "__kb" in base.columns:
+            base = base.drop("__kb")
+        return self._fold_chain(
+            chain, m, base, key,
+            layer_filter=lambda df: df.filter(F.col(key) == lit_val),
         )
 
     def merge(
@@ -320,12 +405,24 @@ class VersionedCorpus:
         self._commit_manifest(m)
         return v
 
-    def compact(self) -> int:
+    def compact(self, bucket_by: tuple[str, int] | None = None) -> int:
         """Fold the current layer chain into a new BASE commit (Iceberg
         MoR compaction / Delta OPTIMIZE): read cost drops back to a plain
         scan and pre-base layers become vacuum-eligible.  Returns the new
-        version."""
-        return self.write(self.read())
+        version.
+
+        ``bucket_by=(key, n)``: also re-lay the base out hash-partitioned
+        by the key (see :meth:`write`) — the OPTIMIZE-with-layout shape,
+        making subsequent :meth:`lookup` calls partition-pruned.  By
+        default the previous base's bucket layout (if any) is preserved,
+        so nightly auto-compaction never silently degrades lookups."""
+        if bucket_by is None:
+            m = self._manifest()
+            chain = self._layer_chain(int(m["latest"]), m)
+            base_info = m["versions"][str(chain[0])]
+            if base_info.get("bucket_key"):
+                bucket_by = (base_info["bucket_key"], int(base_info["bucket_n"]))
+        return self.write(self.read(), bucket_by=bucket_by)
 
     def chain_length(self, version: int | None = None) -> int:
         """Number of layers read(version) folds together (1 = plain base
