@@ -509,6 +509,18 @@ def _rowlocal_margin(fs_col: str, wmap: Column, quantized: bool) -> Column:
     )
 
 
+
+def group_doc_features(feats: DataFrame) -> DataFrame:
+    """(doc_id, fs array<struct<bucket,x>>) — the per-document grouped form
+    of a (doc_id, bucket, x) feature stream.  Group ONCE and share: both
+    :func:`train_quality_classifier` and :func:`quality_scores` accept the
+    grouped frame via ``grouped_features``, so a train-then-score-the-same-
+    corpus caller pays the grouping shuffle a single time."""
+    return feats.groupBy("doc_id").agg(
+        F.collect_list(F.struct("bucket", "x")).alias("fs")
+    )
+
+
 def train_quality_classifier(
     docs: DataFrame,
     label: str,
@@ -520,6 +532,7 @@ def train_quality_classifier(
     portable_hash: bool = False,
     quantized: bool = False,
     features: DataFrame | None = None,
+    grouped_features: DataFrame | None = None,
 ) -> dict:
     """Logistic-regression quality classifier on hashed bigram features —
     the GPT-3 appendix-A "trained to discriminate WebText from raw Common
@@ -545,39 +558,48 @@ def train_quality_classifier(
     float adds are reassociated only inside Spark's fixed-plan partial
     aggregation, and the twin test pins results at 1e-6.
     """
-    feats = (
-        features
-        if features is not None
-        else _doc_features(
-            docs.select("doc_id", text_col), text_col, n_buckets,
-            portable=portable_hash,
+    if grouped_features is not None:
+        grouped = grouped_features
+    else:
+        feats = (
+            features
+            if features is not None
+            else _doc_features(
+                docs.select("doc_id", text_col), text_col, n_buckets,
+                portable=portable_hash,
+            )
         )
-    )
+        grouped = group_doc_features(feats)
     labels = docs.select(
         "doc_id", F.col(label).cast("double").alias("y")
     ).filter(F.col("y").isNotNull())
-    # Sentinel bias-feature rows: one (doc, bucket=-1, x=1.0) per labeled
-    # doc, so sum(x*r) over bucket -1 IS the bias gradient and the whole
-    # iteration needs a single collect.  Real buckets are pmod-non-negative.
-    train_feats = feats.unionByName(
-        labels.select(
-            "doc_id", F.lit(-1).alias("bucket"), F.lit(1.0).alias("x")
-        )
+    # Per-doc grouped features (ONE grouping shuffle, shareable with
+    # scoring via ``grouped_features``), with the bias sentinel appended
+    # ROW-LOCALLY as the array's last element: sum(x*r) over bucket -1 IS
+    # the bias gradient, so each iteration is one collect; bucket -1 never
+    # enters the weight map, so sentinels cannot perturb margins.  Labeled
+    # docs with no features (empty text) ride the left join with an empty
+    # array + sentinel.  Margins fold ROW-LOCALLY against the broadcast
+    # weight map — one shuffle per iteration (the gradient explode,
+    # map-side-combined to n_buckets x partitions rows).  Weights are
+    # bit-identical to the r7 join+groupBy formulation: quantized
+    # DECIMAL(18,6) term sums are add-order-independent (verified
+    # max-diff 0.0 at sf0.1).
+    et = grouped.schema["fs"].dataType.elementType
+    sentinel = F.struct(
+        F.lit(-1).cast(et["bucket"].dataType).alias("bucket"),
+        F.lit(1.0).cast(et["x"].dataType).alias("x"),
     )
-    # Group the labeled feature stream per document ONCE (the sentinel
-    # guarantees every labeled doc a group), materialized for the loop.
-    # Margins then fold ROW-LOCALLY against the broadcast weight map —
-    # the per-iteration cost drops from two corpus-stream shuffles
-    # (margins groupBy(doc) + gradient groupBy(bucket)) to ONE (the
-    # gradient explode, whose map-side combine caps it at
-    # n_buckets x partitions rows).  Weights are bit-identical to the
-    # join+groupBy formulation: quantized DECIMAL(18,6) term sums are
-    # add-order-independent (verified max-diff 0.0 at sf0.1; 3.3 -> 2.2s
-    # warm for the 2-iteration registered query).
     doc_feats = (
-        train_feats.groupBy("doc_id")
-        .agg(F.collect_list(F.struct("bucket", "x")).alias("fs"))
-        .join(labels, "doc_id")
+        labels.join(grouped, "doc_id", "left")
+        .select(
+            "doc_id",
+            "y",
+            F.concat(
+                F.coalesce("fs", F.array().cast(grouped.schema["fs"].dataType)),
+                F.array(sentinel),
+            ).alias("fs"),
+        )
         .localCheckpoint(eager=True)
     )
     n_docs = doc_feats.count()
@@ -626,7 +648,10 @@ def train_quality_classifier(
 
 
 def quality_scores(
-    docs: DataFrame, model: dict, features: DataFrame | None = None
+    docs: DataFrame,
+    model: dict,
+    features: DataFrame | None = None,
+    grouped_features: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, score) — sigmoid quality probability under the trained
     classifier.  One ``groupBy(doc_id)`` to collect each doc's (bucket, x)
@@ -637,24 +662,26 @@ def quality_scores(
     ``features`` lets a caller scoring the SAME corpus it trained on pass
     the already-materialized (doc_id, bucket, x) stream instead of paying
     the tokenize+hash pass twice (the registered query does)."""
-    feats = (
-        features
-        if features is not None
-        else _doc_features(
-            docs.select("doc_id", model["text_col"]),
-            model["text_col"],
-            model["n_buckets"],
-            portable=model.get("portable_hash", False),
+    if grouped_features is not None:
+        grouped = grouped_features
+    else:
+        feats = (
+            features
+            if features is not None
+            else _doc_features(
+                docs.select("doc_id", model["text_col"]),
+                model["text_col"],
+                model["n_buckets"],
+                portable=model.get("portable_hash", False),
+            )
         )
-    )
+        grouped = group_doc_features(feats)
     wmap = _weight_map(model["weights"])
     m = _rowlocal_margin(
         "fs", wmap, model.get("quantized", False)
     )
     return (
-        feats.groupBy("doc_id")
-        .agg(F.collect_list(F.struct("bucket", "x")).alias("fs"))
-        .select(
+        grouped.select(
             "doc_id",
             (
                 F.lit(1.0)

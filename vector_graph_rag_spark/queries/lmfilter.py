@@ -424,22 +424,24 @@ def dsir_select_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def quality_classifier_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vector_graph_rag_spark.operators.lm_filter import (
         _doc_features,
+        group_doc_features,
         quality_scores,
         train_quality_classifier,
     )
 
     d = _docs(spark, sf_dir)
     labeled = d.withColumn("hq", F.col("source") == "src0")
-    # train set == score set, so the tokenize+hash feature pass is
-    # materialized once and shared by both phases
-    feats = _doc_features(
-        d.select("doc_id", "text"), "text", 512, portable=True
+    # train set == score set, so the tokenize+hash feature pass AND the
+    # per-doc grouping shuffle are each paid once and shared by both
+    # phases (r8: grouped_features replaces the second groupBy + rescan)
+    grouped = group_doc_features(
+        _doc_features(d.select("doc_id", "text"), "text", 512, portable=True)
     ).localCheckpoint(eager=True)
     model = train_quality_classifier(
         labeled, "hq", n_buckets=512, iters=2, portable_hash=True,
-        quantized=True, features=feats,
+        quantized=True, grouped_features=grouped,
     )
-    return quality_scores(d, model, features=feats).select(
+    return quality_scores(d, model, grouped_features=grouped).select(
         "doc_id", F.round("score", 6).alias("score")
     )
 
