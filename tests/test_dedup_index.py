@@ -145,3 +145,58 @@ def test_probe_bucket_cap_bounds_hot_fanout(spark, tmp_path):
     kept = capped.filter(F.col("new_doc_id") == 201).collect()
     assert [r["index_doc_id"] for r in kept] == [200]
     assert kept[0]["est_jaccard"] == 1.0  # identical text, identical sig
+
+
+def test_incremental_equivalence_fuzz(spark):
+    """Random small corpora (with planted near-dups) under random
+    shardings: the incremental flow must find exactly the same pair set
+    as a one-shot self_pairs over the whole corpus — the equivalence
+    contract beyond the fixed-corpus case."""
+    import tempfile
+    import shutil
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    base_texts = [
+        "the quick brown fox jumps over the lazy dog today",
+        "a completely different document about spark shuffles and joins",
+        "tokens and shingles and bands and buckets for dedup",
+    ]
+
+    @settings(
+        max_examples=6, deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        picks=st.lists(st.integers(min_value=0, max_value=2), min_size=4, max_size=10),
+        mod=st.integers(min_value=2, max_value=4),
+    )
+    def check(picks, mod):
+        rows = [(i, base_texts[p]) for i, p in enumerate(picks)]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        # one-shot reference over the whole corpus
+        ref = {
+            (r["doc_a"], r["doc_b"]): round(r["est_jaccard"], 9)
+            for r in self_pairs(batch_signatures(docs)).collect()
+        }
+        state = tempfile.mkdtemp(prefix="vgr_fuzz_")
+        try:
+            found = {}
+            from pyspark.sql import functions as F
+
+            for b in range(mod):
+                sig = batch_signatures(
+                    docs.filter(F.col("doc_id") % mod == b)
+                ).localCheckpoint(eager=True)
+                for r in probe_index(spark, state, sig).collect():
+                    a, c = sorted((r["index_doc_id"], r["new_doc_id"]))
+                    found[(a, c)] = round(r["est_jaccard"], 9)
+                for r in self_pairs(sig).collect():
+                    found[(r["doc_a"], r["doc_b"])] = round(r["est_jaccard"], 9)
+                append_to_index(sig, state, b)
+            assert found == ref, (picks, mod, found, ref)
+        finally:
+            shutil.rmtree(state, ignore_errors=True)
+
+    check()
