@@ -28,7 +28,10 @@ class DeclaredQuery:
 
 REGISTRY: dict[str, DeclaredQuery] = {}
 
-# Queries rotated OUT of the driver-facing registry (round-6 swap: the
+# Queries NOT on the driver surface: rotated-out retirees AND queries
+# STAGED for a future swap (registered retired=True before activation so
+# the local oracle-parity suite hash-gates them every session — see
+# queries/pipeline.py §round-9 staged).  (Round-6 swap rationale: the
 # registry is frozen at exactly 100 = 2x the driver window so the two-round
 # rotation-union guarantee stays exact; registering the round-5 library
 # operators therefore retires an equal number of redundant near-sibling

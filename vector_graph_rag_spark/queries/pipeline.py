@@ -646,3 +646,198 @@ def expectations_validate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(r.name, r.ok, r.observed) for r in results],
         "name string, ok boolean, observed string",
     )
+
+
+# =============================================================================
+# Round-9 STAGED queries — registered with ``retired=True`` so the driver
+# surface (exactly 100 active) is untouched while the local oracle-parity
+# suite hash-gates them EVERY session starting now.  The r9 swap is then a
+# two-flag flip per query (stage -> active, one r7-green sibling -> retired)
+# with the oracle path already battle-tested.  See COVERAGE.md §Round-9
+# swap candidates and the registry-frozen-at-100 policy.
+# =============================================================================
+
+# --- HDR quantile registers ---------------------------------------------------
+
+_QR_COLS = ["doc_id", "n_chars"]
+
+_QR_VALS = "\nUNION ALL\n".join(
+    f"SELECT '{c}' AS col, CAST({c} AS BIGINT) AS v FROM documents "
+    f"WHERE {c} IS NOT NULL"
+    for c in _QR_COLS
+)
+
+_QR_SQL = f"""WITH vals AS (
+{_QR_VALS}
+),
+b AS (
+  SELECT col,
+         CASE WHEN v <= 0 THEN 0 ELSE length(to_base(v, 2)) END AS e,
+         CASE WHEN v <= 0 THEN 0
+              ELSE v >> greatest(length(to_base(v, 2)) - 5, 0) END AS m
+  FROM vals
+)
+SELECT col, CAST(e * 32 + m AS BIGINT) AS qb, COUNT(*) AS cnt
+FROM b GROUP BY 1, 2"""
+
+
+@register(
+    "corpus_quantiles_registers",
+    oracle=_QR_SQL,
+    description=(
+        "incremental HDR quantile registers: 3 shards merged by SUM vs the "
+        "oracle's single binning pass — pure-integer buckets, merged == "
+        "one-pass pinned exactly (staged for the r9 swap)"
+    ),
+    retired=True,  # STAGED for r9 (locally gated now; never driver-facing yet)
+)
+def corpus_quantiles_registers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_graph_rag_spark.streaming.corpus_stats import (
+        write_batch_quantiles,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select(*_QR_COLS)
+    state = tempfile.mkdtemp(prefix="vgr_qrstate_")
+    try:
+        for b in range(3):
+            write_batch_quantiles(
+                d.filter(F.col("doc_id") % 3 == b), state, b, _QR_COLS
+            )
+        return (
+            spark.read.parquet(state)
+            .groupBy("col", "qb")
+            .agg(F.sum("cnt").alias("cnt"))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(state, ignore_errors=True)
+
+
+# --- Count-Min frequency registers -------------------------------------------
+
+_CM_COLS = ["source", "lang"]
+
+
+def _cm_sql() -> str:
+    from vector_graph_rag_spark.functions.hashing import (
+        _A_PARAMS,
+        _B_PARAMS,
+        MERSENNE_P,
+    )
+    from vector_graph_rag_spark.streaming.freq_sketch import CM_DEPTH, CM_WIDTH
+
+    vals = "\nUNION ALL\n".join(
+        f"SELECT '{c}' AS col, {c} AS s FROM documents WHERE {c} IS NOT NULL"
+        for c in _CM_COLS
+    )
+    rows = "\nUNION ALL\n".join(
+        f"SELECT col, {i} AS row, "
+        f"({_A_PARAMS[i]} * h + {_B_PARAMS[i]}) % {MERSENNE_P} % {CM_WIDTH} AS pos FROM h"
+        for i in range(CM_DEPTH)
+    )
+    return f"""WITH vals AS (
+{vals}
+),
+h AS (
+  SELECT col, {hash60_sql('s')} % {MERSENNE_P} AS h FROM vals
+),
+pos AS (
+{rows}
+)
+SELECT col, CAST(row AS BIGINT) AS row, CAST(pos AS BIGINT) AS pos,
+       COUNT(*) AS cnt
+FROM pos GROUP BY 1, 2, 3"""
+
+
+@register(
+    "cm_frequency_registers",
+    oracle=_cm_sql(),
+    description=(
+        "Count-Min frequency registers: 3 shards merged by SUM vs the "
+        "oracle's single pass — md5-derived universal hashes, every counter "
+        "pinned exactly (staged for the r9 swap; the per-shard heavy-hitter "
+        "candidate rows are shard-threshold-dependent and stay unit-gated)"
+    ),
+    retired=True,  # STAGED for r9
+)
+def cm_frequency_registers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_graph_rag_spark.streaming.freq_sketch import write_batch_freq
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", *_CM_COLS)
+    state = tempfile.mkdtemp(prefix="vgr_cmstate_")
+    try:
+        for b in range(3):
+            write_batch_freq(
+                d.filter(F.col("doc_id") % 3 == b), state, b, _CM_COLS
+            )
+        return (
+            spark.read.parquet(state)
+            .filter(F.col("kind") == "cm")
+            .groupBy("col", "row", "pos")
+            .agg(F.sum("cnt").alias("cnt"))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(state, ignore_errors=True)
+
+
+# --- Incremental LSH dedup (persistent index flow) ---------------------------
+
+
+def _lsh_oracle() -> str:
+    # incremental == one-shot is the test-pinned contract, so the oracle is
+    # the one-shot LSH SQL VERBATIM (the lm_counts_incremental pattern:
+    # the hash gate pins the incremental flow to the batch semantics)
+    from vector_graph_rag_spark.queries.dedup import _LSH_SQL
+
+    return _LSH_SQL
+
+
+@register(
+    "dedup_index_incremental",
+    oracle=_lsh_oracle(),
+    description=(
+        "persistent-LSH-index nightly flow: 3 batches probe + self-pair + "
+        "append — the oracle is the one-shot LSH pair SQL verbatim, pinning "
+        "incremental == batch under the hash gate (staged for the r9 swap)"
+    ),
+    retired=True,  # STAGED for r9
+)
+def dedup_index_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_graph_rag_spark.streaming.dedup_index import (
+        append_to_index,
+        batch_signatures,
+        probe_index,
+        self_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    state = tempfile.mkdtemp(prefix="vgr_dindex_")
+    try:
+        parts = []
+        for b in range(3):
+            sig = batch_signatures(
+                docs.filter(F.col("doc_id") % 3 == b)
+            ).localCheckpoint(eager=True)
+            # eager per batch: each probe must see EXACTLY the shards
+            # appended so far (file listings are taken at read time; the
+            # checkpoint pins them before the next append lands)
+            parts.append(
+                probe_index(spark, state, sig)
+                .select(
+                    F.least("index_doc_id", "new_doc_id").alias("doc_a"),
+                    F.greatest("index_doc_id", "new_doc_id").alias("doc_b"),
+                    "est_jaccard",
+                )
+                .localCheckpoint(eager=True)
+            )
+            parts.append(
+                self_pairs(sig).localCheckpoint(eager=True)
+            )
+            append_to_index(sig, state, b)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+    finally:
+        shutil.rmtree(state, ignore_errors=True)
