@@ -104,6 +104,7 @@ SELECT degree, COUNT(*) AS n_entities FROM deg GROUP BY degree
     "entity_degree_histogram",
     oracle=_DEGREE_SQL,
     description="entity degree distribution over the entity-relation edge table",
+    retired=True,  # r9 swap: frequency-count coverage driver-gated via cm_frequency_registers; degree coverage via graph_stats/pagerank/triangle_count; r7-green
 )
 def entity_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vector_graph_rag_spark.queries.graphrag import _graph

@@ -371,6 +371,7 @@ FROM exact
     "minhash_estimate_quality",
     oracle=_EST_QUALITY_SQL,
     description="est vs exact jaccard per LSH pair (signature-quality eval, dedup twin of ann_recall_eval)",
+    retired=True,  # r9 swap: minhash family driver-gated via dedup_index_incremental (+ signatures/lsh_pairs/clusters); r7-green
 )
 def minhash_estimate_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     est = minhash_lsh_pairs(spark, sf_dir)

@@ -649,12 +649,12 @@ def expectations_validate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =============================================================================
-# Round-9 STAGED queries — registered with ``retired=True`` so the driver
-# surface (exactly 100 active) is untouched while the local oracle-parity
-# suite hash-gates them EVERY session starting now.  The r9 swap is then a
-# two-flag flip per query (stage -> active, one r7-green sibling -> retired)
-# with the oracle path already battle-tested.  See COVERAGE.md §Round-9
-# swap candidates and the registry-frozen-at-100 policy.
+# Round-9 swap queries — staged retired=True in r8 (locally hash-gated every
+# session since), flipped ACTIVE in r9 with three r7-green near-siblings
+# retired in their place (``minhash_estimate_quality``,
+# ``customer_balance_quartiles``, ``entity_degree_histogram``) so the driver
+# surface stays exactly 100 and r8 ∪ r9 covers the full registry.  See
+# COVERAGE.md §"retired queries" and the registry-frozen-at-100 policy.
 # =============================================================================
 
 # --- HDR quantile registers ---------------------------------------------------
@@ -687,9 +687,8 @@ FROM b GROUP BY 1, 2"""
     description=(
         "incremental HDR quantile registers: 3 shards merged by SUM vs the "
         "oracle's single binning pass — pure-integer buckets, merged == "
-        "one-pass pinned exactly (staged for the r9 swap)"
+        "one-pass pinned exactly (r9 swap: active)"
     ),
-    retired=True,  # STAGED for r9 (locally gated now; never driver-facing yet)
 )
 def corpus_quantiles_registers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vector_graph_rag_spark.streaming.corpus_stats import (
@@ -755,10 +754,9 @@ FROM pos GROUP BY 1, 2, 3"""
     description=(
         "Count-Min frequency registers: 3 shards merged by SUM vs the "
         "oracle's single pass — md5-derived universal hashes, every counter "
-        "pinned exactly (staged for the r9 swap; the per-shard heavy-hitter "
+        "pinned exactly (r9 swap: active; the per-shard heavy-hitter "
         "candidate rows are shard-threshold-dependent and stay unit-gated)"
     ),
-    retired=True,  # STAGED for r9
 )
 def cm_frequency_registers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vector_graph_rag_spark.streaming.freq_sketch import write_batch_freq
@@ -799,9 +797,8 @@ def _lsh_oracle() -> str:
     description=(
         "persistent-LSH-index nightly flow: 3 batches probe + self-pair + "
         "append — the oracle is the one-shot LSH pair SQL verbatim, pinning "
-        "incremental == batch under the hash gate (staged for the r9 swap)"
+        "incremental == batch under the hash gate (r9 swap: active)"
     ),
-    retired=True,  # STAGED for r9
 )
 def dedup_index_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vector_graph_rag_spark.streaming.dedup_index import (

@@ -168,6 +168,7 @@ WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal ASC, c_custkey ASC)
     "customer_balance_quartiles",
     oracle=_NTILE_SQL,
     description="ntile(4) + cume_dist segmentation per nation (parallel window partitions)",
+    retired=True,  # r9 swap: quantile coverage driver-gated via corpus_quantiles_registers + events_value_percentiles; r7-green
 )
 def customer_balance_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
