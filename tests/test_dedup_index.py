@@ -147,6 +147,73 @@ def test_probe_bucket_cap_bounds_hot_fanout(spark, tmp_path):
     assert kept[0]["est_jaccard"] == 1.0  # identical text, identical sig
 
 
+def test_replay_does_not_double_count_band_rows(spark, tmp_path):
+    """External-table DROP PARTITION is metadata-only; append_to_index
+    must physically delete the replayed batch's partition dir or stale
+    files resurface and double the band rows (the probe's distinct would
+    mask it — assert on the table itself)."""
+    from vector_graph_rag_spark.streaming.dedup_index import _ensure_bands_table
+
+    docs = _docs(spark).limit(50)
+    state = str(tmp_path / "index")
+    sig = batch_signatures(docs).localCheckpoint(eager=True)
+    append_to_index(sig, state, 0)
+    tbl = _ensure_bands_table(spark, state)
+    before = spark.table(tbl).count()
+    assert before > 0
+    append_to_index(sig, state, 0)  # replay the same batch id
+    assert spark.table(tbl).count() == before
+
+
+def test_probe_survives_fresh_catalog(spark, tmp_path):
+    """The catalog entry is session-local; the durable contract is the
+    directory layout.  Dropping the table (≈ a new session) and probing
+    again must transparently re-register + recover partitions and return
+    the identical pair set."""
+    from vector_graph_rag_spark.streaming.dedup_index import drop_index
+
+    docs = _docs(spark)
+    state = str(tmp_path / "index")
+    for b in range(2):
+        append_to_index(
+            batch_signatures(docs.filter(F.col("doc_id") % 2 == b)), state, b
+        )
+    probe = batch_signatures(docs.filter(F.col("doc_id") % 7 == 0))
+    before = sorted(map(tuple, probe_index(spark, state, probe).collect()))
+    assert before  # non-trivial
+    drop_index(spark, state)  # simulate a fresh session's empty catalog
+    after = sorted(map(tuple, probe_index(spark, state, probe).collect()))
+    assert before == after
+
+
+def test_probe_plan_has_no_index_side_exchange(spark, tmp_path):
+    """The 100 TB contract: every Exchange in the capped probe plan is
+    batch-proportional.  The band table is bucketed by band_key, so the
+    hot-bucket aggregation and the band join must NOT hash-repartition
+    the index — no Exchange keyed on band columns anywhere, and the
+    signature fetch must build on broadcast sides (no Exchange keyed on
+    index_doc_id over the sigs scan)."""
+    import re
+
+    docs = _docs(spark)
+    state = str(tmp_path / "index")
+    append_to_index(batch_signatures(docs), state, 0)
+    probe = batch_signatures(docs.limit(20))
+    plan = (
+        probe_index(spark, state, probe, bucket_cap=50)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    shuffles = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    for keys in shuffles:
+        assert "band" not in keys, f"index bands shuffled on ({keys}):\n{plan[:2000]}"
+        assert "sig" not in keys, f"index sigs shuffled on ({keys}):\n{plan[:2000]}"
+    # the only hash exchange left is the candidate-pair distinct
+    assert all("doc_id" in k for k in shuffles), shuffles
+    assert "CartesianProduct" not in plan
+
+
 def test_incremental_equivalence_fuzz(spark):
     """Random small corpora (with planted near-dups) under random
     shardings: the incremental flow must find exactly the same pair set
@@ -197,6 +264,9 @@ def test_incremental_equivalence_fuzz(spark):
                 append_to_index(sig, state, b)
             assert found == ref, (picks, mod, found, ref)
         finally:
+            from vector_graph_rag_spark.streaming.dedup_index import drop_index
+
+            drop_index(spark, state)
             shutil.rmtree(state, ignore_errors=True)
 
     check()

@@ -804,6 +804,7 @@ def dedup_index_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vector_graph_rag_spark.streaming.dedup_index import (
         append_to_index,
         batch_signatures,
+        drop_index,
         probe_index,
         self_pairs,
     )
@@ -837,4 +838,5 @@ def dedup_index_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             out = out.unionByName(p)
         return out
     finally:
+        drop_index(spark, state)
         shutil.rmtree(state, ignore_errors=True)

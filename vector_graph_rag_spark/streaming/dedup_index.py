@@ -10,7 +10,17 @@ band state as an overwrite-idempotent shard tree (the
 shard, so delivery is exactly-once under a streaming checkpoint):
 
     state_dir/batch=<id>/sigs/    (doc_id, sig array<long>[16])
-    state_dir/batch=<id>/bands/   (doc_id, band, band_key)
+    state_dir/bands/batch=<id>/   (doc_id, band, band_key) — ONE external
+                                  parquet table, bucketed by band_key
+
+The band side is a real Spark bucketed table (``CLUSTERED BY (band_key)
+INTO ``BAND_BUCKETS`` BUCKETS``, partitioned by batch): every probe-side
+operation keyed on ``band_key`` — the nightly hot-bucket occupancy
+aggregation above all — reads the index WITHOUT an Exchange, because the
+scan itself carries the hash distribution.  Batch replays physically
+delete the batch's partition directory before re-appending (``DROP
+PARTITION`` alone is metadata-only on external tables: stale files would
+resurface on the next append and double-count).
 
 Nightly flow (``tools``-level composition, each step one declared-kernel
 shape):
@@ -29,11 +39,17 @@ the incremental path inherits the batch path's DuckDB-oracle pedigree.
 
 Scale notes: probing joins the (small) nightly band set against the index
 on (band, band_key) — Spark broadcasts the batch side, and the index scan
-reads only the ``bands/`` files (column-pruned parquet).  Band files can
-additionally be written bucketed by ``band_key`` to make the probe
-shuffle-free; the signature join fetches only colliding doc_ids.  Index
-growth is one band row per (doc, band) and one 16-long array per doc —
-O(corpus docs), ~100 bytes/doc, 1/1000th of a 100 KB-average corpus.
+reads only the ``bands`` table (column-pruned parquet, bucketed by
+``band_key`` so neither the band join nor the hot-bucket aggregation
+shuffles the index).  The signature fetch joins the full ``sigs`` scan
+against the BROADCAST candidate set (batch-bounded: ≤ batch bands ×
+``bucket_cap`` pairs when capped), so no index-side shuffle there either
+— every Exchange left in the probe plan is proportional to the nightly
+batch, never to the index.  Index growth is one band row per (doc, band)
+and one 16-long array per doc — O(corpus docs), ~100 bytes/doc, 1/1000th
+of a 100 KB-average corpus.  All filesystem probing goes through the
+Hadoop FileSystem API, so a non-local ``state_dir`` (object storage)
+behaves identically to a local one.
 """
 
 from __future__ import annotations
@@ -113,14 +129,109 @@ def _est_jaccard(a: str, b: str):
     return eq.cast("double") / F.lit(N_MINHASH)
 
 
+# Bucket count for the band table.  32 matches the test/bench shuffle
+# width; a 100 TB deployment raises it at index-creation time (the value
+# is only read when the table is first CREATEd — existing tables keep
+# their own bucket spec).
+BAND_BUCKETS = 32
+
+
+def _index_loc(state_dir: str) -> str:
+    """Stable absolute location for catalog registration: local paths are
+    absolutized, URI paths (s3://, hdfs://, ...) pass through."""
+    return state_dir if "://" in state_dir else os.path.abspath(state_dir)
+
+
+def _bands_table_name(state_dir: str) -> str:
+    import hashlib
+
+    digest = hashlib.md5(_index_loc(state_dir).encode()).hexdigest()[:12]
+    return f"vgr_dedup_bands_{digest}"
+
+
+def _hadoop_fs(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    return hpath.getFileSystem(spark._jsc.hadoopConfiguration()), hpath
+
+
+def list_batch_ids(spark: SparkSession, state_dir: str) -> list[int]:
+    """Batch ids present in the index, via the Hadoop FileSystem API —
+    works identically for local dirs and object-store URIs (a local-only
+    ``glob`` would silently report a remote index as empty)."""
+    fs, hpath = _hadoop_fs(spark, _index_loc(state_dir))
+    if not fs.exists(hpath):
+        return []
+    ids = []
+    for status in fs.listStatus(hpath):
+        name = status.getPath().getName()
+        if status.isDirectory() and name.startswith("batch="):
+            try:
+                ids.append(int(name.split("=", 1)[1]))
+            except ValueError:
+                continue
+    return sorted(ids)
+
+
+def _ensure_bands_table(spark: SparkSession, state_dir: str) -> str:
+    """Register (idempotently) the external bucketed band table over
+    ``state_dir/bands`` and recover any partitions written by earlier
+    sessions.  The catalog entry is session-local; the DATA layout is
+    the durable contract, so a fresh session re-creates the entry and
+    recovers partitions from the directory tree."""
+    tbl = _bands_table_name(state_dir)
+    if not spark.catalog.tableExists(tbl):
+        loc = os.path.join(_index_loc(state_dir), "bands")
+        spark.sql(
+            f"CREATE TABLE {tbl} "
+            "(doc_id BIGINT, band INT, band_key STRING, batch INT) "
+            "USING PARQUET PARTITIONED BY (batch) "
+            f"CLUSTERED BY (band_key) SORTED BY (band_key ASC) "
+            f"INTO {BAND_BUCKETS} BUCKETS "
+            f"LOCATION '{loc}'"
+        )
+        # adopt partitions written by earlier sessions; a brand-new index
+        # has no bands dir yet and RECOVER would throw on the missing path
+        fs, hpath = _hadoop_fs(spark, loc)
+        if fs.exists(hpath):
+            spark.sql(f"ALTER TABLE {tbl} RECOVER PARTITIONS")
+    return tbl
+
+
+def drop_index(spark: SparkSession, state_dir: str) -> None:
+    """Drop the session catalog entry for an index whose files are being
+    (or have been) deleted.  Data removal is the caller's job; this only
+    prevents a dangling catalog entry from pointing at a dead path."""
+    spark.sql(f"DROP TABLE IF EXISTS {_bands_table_name(state_dir)}")
+
+
 def append_to_index(
     sig: DataFrame, state_dir: str, batch_id: int
 ) -> None:
-    """Persist one batch's signatures + band keys as its shard —
-    overwrite-idempotent per batch id."""
+    """Persist one batch's signatures + band keys — overwrite-idempotent
+    per batch id.  Bands append to the bucketed table; a replayed batch
+    physically deletes its partition directory first (external-table
+    ``DROP PARTITION`` is metadata-only — without the delete, stale files
+    resurface on the next append and double-count the batch)."""
+    spark = sig.sparkSession
     base = os.path.join(state_dir, f"batch={batch_id}")
     sig.write.mode("overwrite").parquet(os.path.join(base, "sigs"))
-    _bands_of(sig).write.mode("overwrite").parquet(os.path.join(base, "bands"))
+    tbl = _ensure_bands_table(spark, state_dir)
+    part_dir = os.path.join(_index_loc(state_dir), "bands", f"batch={batch_id}")
+    fs, hpath = _hadoop_fs(spark, part_dir)
+    if fs.exists(hpath):
+        fs.delete(hpath, True)
+        spark.sql(f"ALTER TABLE {tbl} DROP IF EXISTS PARTITION (batch={batch_id})")
+    (
+        _bands_of(sig)
+        .withColumn("batch", F.lit(batch_id).cast("int"))
+        .write.mode("append")
+        .format("parquet")
+        .partitionBy("batch")
+        .bucketBy(BAND_BUCKETS, "band_key")
+        .sortBy("band_key")
+        .saveAsTable(tbl)
+    )
 
 
 def _index_glob(state_dir: str, sub: str) -> str:
@@ -133,26 +244,31 @@ def probe_index(
 ) -> DataFrame:
     """(index_doc_id, new_doc_id, est_jaccard) — every banded collision
     between the probe batch and ALL indexed shards.  The batch side rides
-    a broadcast; the index side is a pruned parquet scan of the band
-    files plus a semi-filtered signature fetch.
+    a broadcast against the bucketed band table (no index-side Exchange:
+    the hot-bucket aggregation rides the scan's bucket distribution, the
+    band join and the signature fetch build on broadcast sides) — every
+    shuffle in the plan is batch-proportional, so the probe stays flat as
+    the index grows.
 
     ``bucket_cap``: the LSH skew guard (same rationale as the one-shot
     path's ``minhash_lsh_pairs_capped``) — an index bucket holding more
     than ``cap`` docs is boilerplate/stop-text whose members exact-dedup
     catches first; probing it fans the join out by its full occupancy per
     matching new doc.  Capped buckets drop from the probe (hot keys are
-    few by definition, so the anti-join side stays broadcast-small).  At
-    100 TB pass a cap; the default None preserves the exact one-shot
-    equivalence contract."""
-    import glob as _glob
-
-    if not _glob.glob(os.path.join(state_dir, "batch=*")):
+    few by definition, so the anti-join side stays broadcast-small), and
+    they also bound the broadcast candidate set at batch bands × cap.
+    At 100 TB pass a cap (the nightly CLI defaults one on); the default
+    None preserves the exact one-shot equivalence contract."""
+    if not list_batch_ids(spark, state_dir):
         return sig.sparkSession.createDataFrame(
             [], "index_doc_id long, new_doc_id long, est_jaccard double"
         )
-    idx_bands = spark.read.parquet(_index_glob(state_dir, "bands"))
+    tbl = _ensure_bands_table(spark, state_dir)
+    idx_bands = spark.table(tbl)
     idx_sigs = spark.read.parquet(_index_glob(state_dir, "sigs"))
     if bucket_cap is not None:
+        # bucketed scan ⇒ this aggregation needs NO Exchange: rows with
+        # one band_key already live in one bucket
         hot = (
             idx_bands.groupBy("band", "band_key")
             .agg(F.count(F.lit(1)).alias("__bn"))
@@ -177,7 +293,7 @@ def probe_index(
     a = idx_sigs.select(F.col("doc_id").alias("index_doc_id"), F.col("sig").alias("sig_a"))
     b = sig.select(F.col("doc_id").alias("new_doc_id"), F.col("sig").alias("sig_b"))
     return (
-        cand.join(a, "index_doc_id")
+        a.join(F.broadcast(cand), "index_doc_id")
         .join(F.broadcast(b), "new_doc_id")
         .select(
             "index_doc_id",
