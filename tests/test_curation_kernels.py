@@ -608,12 +608,15 @@ def test_curation_pipeline_promote_gate(spark, tmp_path, monkeypatch, capsys):
     store_dir = str(tmp_path / "store")
     stats_dir = str(tmp_path / "stats")
 
+    index_dir = str(tmp_path / "index")
+
     def run(*extra):
         monkeypatch.setattr(
             sys, "argv",
             ["curation_pipeline.py", "--sf", "/root/testdata/sf0.001",
              "--out", out, "--store", store_dir, "--stats", stats_dir,
-             "--promote", *extra],
+             "--dedup-index", index_dir, "--bpe-merges", "8",
+             "--pack-blocks", "64", "--promote", *extra],
         )
         mod.main()
         return json.loads(capsys.readouterr().out.strip().splitlines()[-1])
@@ -621,8 +624,19 @@ def test_curation_pipeline_promote_gate(spark, tmp_path, monkeypatch, capsys):
     r1 = run()
     assert r1["promoted"] is True
     assert r1["funnel"]["store_version"] == 1
+    assert r1["funnel"]["neardup_index_appended"] > 0
+    assert r1["funnel"]["blocks_written"] > 0
+    assert r1["funnel"]["heavy_hitters_source"]  # brackets reported
     shards_after_r1 = glob.glob(os.path.join(stats_dir, "batch=*"))
     assert len(shards_after_r1) == 1
+    index_after_r1 = sorted(glob.glob(os.path.join(index_dir, "batch=*")))
+    assert len(index_after_r1) == 1
+    bands_files_r1 = sorted(
+        glob.glob(os.path.join(index_dir, "bands", "**", "*.parquet"), recursive=True)
+    )
+    import shutil as _shutil
+
+    _shutil.rmtree(out + "_blocks")  # fresh slate: rejection must not recreate it
 
     import pytest as _pytest
 
@@ -633,16 +647,168 @@ def test_curation_pipeline_promote_gate(spark, tmp_path, monkeypatch, capsys):
     r2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert r2["promoted"] is False
     assert any("n_rows" in f for f in r2["funnel"]["stats_drift_flags"])
-    # nothing landed: same store version, same single stats shard
+    # nothing landed: same store version, same single stats shard, the
+    # dedup index untouched (same batch dirs AND same band files — the
+    # rejected batch's signatures never became canonical), no blocks
     from vector_graph_rag_spark.sources.versioned import VersionedCorpus
 
     assert VersionedCorpus(spark, store_dir).latest_version() == 1
     assert glob.glob(os.path.join(stats_dir, "batch=*")) == shards_after_r1
+    assert sorted(glob.glob(os.path.join(index_dir, "batch=*"))) == index_after_r1
+    assert sorted(
+        glob.glob(os.path.join(index_dir, "bands", "**", "*.parquet"), recursive=True)
+    ) == bands_files_r1
+    assert not os.path.exists(out + "_blocks")
     # --promote without --store/--stats is a usage error
     monkeypatch.setattr(sys, "argv", ["curation_pipeline.py", "--promote"])
     with _pytest.raises(SystemExit) as exc2:
         mod.main()
     assert exc2.value.code == 2
+
+
+def test_promote_gate_rejects_neardup_batch_end_to_end(
+    spark, tmp_path, monkeypatch, capsys
+):
+    """Full nightly story in ONE --promote command (r8 verdict, Next #7):
+    night 1 curates, probes the (empty) dedup index, drift-checks,
+    expectation-checks, and commits store + stats + quantiles + heavy
+    hitters + index.  Night 2 is a seeded near-dup batch — brand-new
+    doc_ids carrying night-1 survivors' exact texts — so the index probe
+    drops essentially everything, the HLL drift gate flags the collapse,
+    and the run exits 3 with NOTHING landed: store version, stats shards,
+    index batch dirs, band files, and the output dir all unchanged."""
+    import glob
+    import importlib.util
+    import json
+    import os
+    import sys
+
+    import pytest as _pytest
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    spec = importlib.util.spec_from_file_location(
+        "curation_pipeline",
+        os.path.join(os.path.dirname(__file__), "..", "tools", "curation_pipeline.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    monkeypatch.setattr(SparkSession, "stop", lambda self: None)
+    out1 = str(tmp_path / "night1")
+    out2 = str(tmp_path / "night2")
+    store_dir = str(tmp_path / "store")
+    stats_dir = str(tmp_path / "stats")
+    index_dir = str(tmp_path / "index")
+
+    def run(sf, out):
+        monkeypatch.setattr(
+            sys, "argv",
+            ["curation_pipeline.py", "--sf", sf, "--out", out,
+             "--store", store_dir, "--stats", stats_dir,
+             "--dedup-index", index_dir, "--promote"],
+        )
+        mod.main()
+        return json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    r1 = run("/root/testdata/sf0.001", out1)
+    assert r1["promoted"] is True
+    assert r1["funnel"]["neardup_index_appended"] > 0
+    shards_r1 = sorted(glob.glob(os.path.join(stats_dir, "batch=*")))
+    index_r1 = sorted(glob.glob(os.path.join(index_dir, "batch=*")))
+    bands_r1 = sorted(
+        glob.glob(os.path.join(index_dir, "bands", "**", "*.parquet"), recursive=True)
+    )
+
+    # night 2: every night-1 survivor's text under a fresh doc_id — a
+    # batch that should near-dup away entirely against the index
+    from vector_graph_rag_spark.sources.versioned import VersionedCorpus
+
+    survivors = VersionedCorpus(spark, store_dir).read().select("doc_id")
+    sf2 = str(tmp_path / "sf2")
+    (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .join(survivors, "doc_id", "left_semi")
+        .withColumn("doc_id", F.col("doc_id") + F.lit(1_000_001))
+        .write.parquet(os.path.join(sf2, "documents.parquet"))
+    )
+
+    with _pytest.raises(SystemExit) as exc:
+        run(sf2, out2)
+    assert exc.value.code == 3
+    r2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert r2["promoted"] is False
+    # the probe did the catching: survivors existed going in, (almost)
+    # none survived the index stage, and the drift gate saw the collapse
+    assert r2["funnel"]["dedup_keeper"] > 0
+    assert r2["funnel"]["neardup_index"] <= r2["funnel"]["dedup_keeper"] * 0.05
+    assert any("n_rows" in f for f in r2["funnel"]["stats_drift_flags"])
+    # nothing landed anywhere
+    assert VersionedCorpus(spark, store_dir).latest_version() == 1
+    assert sorted(glob.glob(os.path.join(stats_dir, "batch=*"))) == shards_r1
+    assert len(glob.glob(os.path.join(stats_dir + "_freq", "batch=*"))) == 1
+    assert sorted(glob.glob(os.path.join(index_dir, "batch=*"))) == index_r1
+    assert sorted(
+        glob.glob(os.path.join(index_dir, "bands", "**", "*.parquet"), recursive=True)
+    ) == bands_r1
+    assert not os.path.exists(out2)
+
+
+def test_promote_gate_rejects_expectation_violation_before_index(
+    spark, tmp_path, monkeypatch, capsys
+):
+    """The expectations gate fires INSIDE the promote gate, before the
+    deferred index/blocks writes — not only at store-commit time.  The
+    organic trigger a funnel keyed on doc_id can't self-heal: a
+    first-ever run on an empty feed (drift is skipped with no prior
+    shard, so ONLY row_count_between(1) can reject) must exit 3 having
+    written nothing — no index batch dir, no store, no stats, no
+    shards."""
+    import glob
+    import importlib.util
+    import json
+    import os
+    import sys
+
+    import pytest as _pytest
+    from pyspark.sql import SparkSession
+
+    spec = importlib.util.spec_from_file_location(
+        "curation_pipeline",
+        os.path.join(os.path.dirname(__file__), "..", "tools", "curation_pipeline.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    monkeypatch.setattr(SparkSession, "stop", lambda self: None)
+    store_dir = str(tmp_path / "store")
+    stats_dir = str(tmp_path / "stats")
+    index_dir = str(tmp_path / "index")
+    out = str(tmp_path / "shards")
+
+    sf_empty = str(tmp_path / "sf_empty")
+    (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .limit(0)
+        .write.parquet(os.path.join(sf_empty, "documents.parquet"))
+    )
+
+    monkeypatch.setattr(
+        sys, "argv",
+        ["curation_pipeline.py", "--sf", sf_empty, "--out", out,
+         "--store", store_dir, "--stats", stats_dir,
+         "--dedup-index", index_dir, "--promote"],
+    )
+    with _pytest.raises(SystemExit) as exc:
+        mod.main()
+    assert exc.value.code == 3
+    r = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert r["promoted"] is False
+    assert any("row_count_between" in f for f in r["funnel"]["expectations_flags"])
+    # nothing was ever written: the deferred index append in particular
+    # never ran (an eager append would have created batch=0/sigs)
+    assert glob.glob(os.path.join(index_dir, "**", "*.parquet"), recursive=True) == []
+    assert not os.path.exists(store_dir)
+    assert glob.glob(os.path.join(stats_dir, "batch=*")) == []
+    assert not os.path.exists(out)
 
 
 def test_curation_pipeline_dedup_index_incremental(spark, tmp_path, monkeypatch, capsys):

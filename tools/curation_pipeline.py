@@ -32,15 +32,22 @@ doc_id joins, finishing with the ``write_training_shards`` sink:
 Nightly shard promotion (one command)::
 
     python tools/curation_pipeline.py --sf ... --out ... \
-        --store /data/corpus_store --stats /data/corpus_stats --promote
+        --store /data/corpus_store --stats /data/corpus_stats \
+        --dedup-index /data/corpus_index --promote
 
-curate → drift-compare the candidate against the last promoted run's HLL
-shard → expectations gate (null/dup keys, empty text — refused before any
-file lands) → MERGE commit + auto-compact + stats shard + training shards.
-A flagged drift (collapsed feed, vanished column) REJECTS the whole run:
-exit 3, ``"promoted": false`` with the flags in the report, and nothing —
-store version, stats shard, shards on disk — changes.  Golden-tested in
-``tests/test_curation_kernels.py::test_curation_pipeline_promote_gate``.
+curate → near-dup probe against the persistent index (read-only) →
+drift-compare the candidate against the last promoted run's HLL shard +
+quantile brackets → expectations gate (null/dup keys, empty text) → ONLY
+THEN the durable writes: index append, OUT_blocks, MERGE commit +
+auto-compact, stats/quantile/frequency shards + heavy-hitter report,
+training shards.  A flagged drift (collapsed feed, vanished column, a
+batch that near-dups away) REJECTS the whole run: exit 3, ``"promoted":
+false`` with the flags in the report, and nothing — store version, stats
+shards, dedup index, blocks, training shards — changes.  The rejected
+batch's signatures in particular never enter the index, so a corrected
+re-run re-signatures those doc_ids normally.  Golden-tested in
+``tests/test_curation_kernels.py::test_curation_pipeline_promote_gate``
+and ``::test_promote_gate_rejects_neardup_batch_end_to_end``.
 
 Prints one JSON line with per-stage surviving-document counts and the
 written shard/sequence totals.
@@ -117,7 +124,18 @@ def main() -> None:
              "drop tonight's docs that near-dup (est jaccard >= 0.5) any "
              "prior run's survivors or a lower-id doc in tonight's batch, "
              "then append the kept docs' signatures — the corpus is never "
-             "re-signatured",
+             "re-signatured.  With --promote the append happens only "
+             "after the drift gate passes",
+    )
+    ap.add_argument(
+        "--dedup-index-cap", type=int, default=10000, metavar="N",
+        help="with --dedup-index: skip index band buckets holding more "
+             "than N docs when probing (default ON at 10000; 0 disables). "
+             "A bucket that hot is boilerplate/stop-text whose members "
+             "exact-dedup already catches; probing it fans the join out "
+             "by its full occupancy per matching new doc.  The number of "
+             "skipped buckets is reported (neardup_hot_buckets_skipped) — "
+             "never silent truncation",
     )
     ap.add_argument(
         "--stats", default=None, metavar="DIR",
@@ -209,17 +227,22 @@ def main() -> None:
     stage = stage.join(keepers, "doc_id", "left_semi")
     counts["dedup_keeper"] = stage.count()
 
+    # durable writes staged behind the promote gate: a rejected run must
+    # leave the dedup index and OUT_blocks exactly as it found them
+    deferred_index_append = None  # (kept_new, shard_id)
+    deferred_blocks = None
+
     if args.dedup_index is not None:
         from vector_graph_rag_spark.streaming.dedup_index import (
-            append_to_index,
+            _ensure_bands_table,
             batch_signatures,
+            list_batch_ids,
             probe_index,
             self_pairs,
         )
 
-        import glob as _glob
-
         thr = 0.5
+        cap = args.dedup_index_cap or None
         sig = batch_signatures(stage).localCheckpoint(eager=True)
         # a doc_id already in the index is a canonical re-run of the same
         # document, not a near-dup candidate: it neither probes nor
@@ -227,16 +250,35 @@ def main() -> None:
         # pass the near-dup gate: drop a new doc that near-dups any
         # indexed doc (the indexed copy wins — first-seen keeps) or a
         # lower-id doc in tonight's batch.
-        idx_sig_glob = os.path.join(args.dedup_index, "batch=*", "sigs")
-        if _glob.glob(os.path.join(args.dedup_index, "batch=*")):
-            idx_ids = spark.read.parquet(idx_sig_glob).select("doc_id").distinct()
+        existing_ids = list_batch_ids(spark, args.dedup_index)
+        if existing_ids:
+            idx_ids = (
+                spark.read.parquet(
+                    os.path.join(args.dedup_index, "batch=*", "sigs")
+                )
+                .select("doc_id")
+                .distinct()
+            )
             new_sig = sig.join(idx_ids, "doc_id", "left_anti").localCheckpoint(
                 eager=True
             )
+            # surface what the cap skips (no silent truncation): hot
+            # buckets are boilerplate fan-out, few by definition, and the
+            # occupancy aggregation rides the band table's bucketing —
+            # no index shuffle
+            if cap:
+                tbl = _ensure_bands_table(spark, args.dedup_index)
+                counts["neardup_hot_buckets_skipped"] = (
+                    spark.table(tbl)
+                    .groupBy("band", "band_key")
+                    .agg(F.count(F.lit(1)).alias("n"))
+                    .filter(F.col("n") > cap)
+                    .count()
+                )
         else:
             new_sig = sig
         idx_dups = (
-            probe_index(spark, args.dedup_index, new_sig)
+            probe_index(spark, args.dedup_index, new_sig, bucket_cap=cap)
             .filter(F.col("est_jaccard") >= thr)
             .select(F.col("new_doc_id").alias("doc_id"))
         )
@@ -250,16 +292,14 @@ def main() -> None:
         counts["neardup_index"] = stage.count()
         # only the kept docs enter the index (canonical corpus);
         # max(existing)+1, never len() (the --stats shard-id collision,
-        # ADVICE r7)
-        existing_ids = [
-            int(p.rsplit("=", 1)[1])
-            for p in _glob.glob(os.path.join(args.dedup_index, "batch=*"))
-        ]
+        # ADVICE r7).  The append itself is DEFERRED until after the
+        # promote gate: a rejected batch's signatures must never become
+        # canonical (a doc_id-level skip on the corrected re-run would
+        # otherwise leave those docs permanently un-signatured).
         shard_id = max(existing_ids) + 1 if existing_ids else 0
         kept_new = new_sig.join(stage.select("doc_id"), "doc_id", "left_semi")
-        append_to_index(kept_new, args.dedup_index, shard_id)
+        deferred_index_append = (kept_new, shard_id)
         counts["neardup_index_shard"] = shard_id
-        counts["neardup_index_appended"] = kept_new.count()
 
     if args.lm_filter:
         from vector_graph_rag_spark.operators.lm_filter import (
@@ -325,15 +365,14 @@ def main() -> None:
             from vector_graph_rag_spark.operators.packing import pack_fixed_blocks
 
             # eod must not collide with bpe_encode_ids' reserved <unk>=V,
-            # or OOV pieces become indistinguishable from doc boundaries
-            blocks = pack_fixed_blocks(
+            # or OOV pieces become indistinguishable from doc boundaries.
+            # The OUT_blocks write is DEFERRED behind the promote gate
+            # (a rejected run leaves no blocks on disk).
+            deferred_blocks = pack_fixed_blocks(
                 bpe_encode_ids(stage, bpe),
                 args.pack_blocks,
                 eod_id=len(bpe["vocab"]) + 1,
             )
-            blocks.write.mode("overwrite").parquet(args.out + "_blocks")
-            counts["blocks_written"] = spark.read.parquet(args.out + "_blocks").count()
-            counts["block_len"] = args.pack_blocks
 
     # --- promote gate: drift check FIRST, before any commit ------------------
     # The nightly promotion order is curate → drift-compare → expectations →
@@ -411,6 +450,50 @@ def main() -> None:
                 )
                 spark.stop()
                 sys.exit(3)
+
+        # expectations gate, still BEFORE any durable write: the store
+        # re-enforces these same constraints on commit, but by then the
+        # index append and OUT_blocks would already have landed — a batch
+        # that fails them must reject as cleanly as a drift flag does
+        from vector_graph_rag_spark.operators import expectations as X
+
+        exp_failed = [
+            r
+            for r in X.validate(
+                stage.select("doc_id", "text", "source"),
+                [
+                    X.not_null("doc_id"),
+                    X.unique("doc_id"),
+                    X.not_null("text"),
+                    X.row_count_between(1),
+                ],
+            )
+            if not r.ok
+        ]
+        if exp_failed:
+            counts["expectations_flags"] = [
+                f"{r.name}: {r.observed}" for r in exp_failed
+            ]
+            print(
+                json.dumps(
+                    {"out": args.out, "promoted": False, "funnel": counts}
+                )
+            )
+            spark.stop()
+            sys.exit(3)
+
+    # --- past the gate: durable writes only from here on ---------------------
+    if deferred_index_append is not None:
+        from vector_graph_rag_spark.streaming.dedup_index import append_to_index
+
+        kept_new, shard_id = deferred_index_append
+        append_to_index(kept_new, args.dedup_index, shard_id)
+        counts["neardup_index_appended"] = kept_new.count()
+
+    if deferred_blocks is not None:
+        deferred_blocks.write.mode("overwrite").parquet(args.out + "_blocks")
+        counts["blocks_written"] = spark.read.parquet(args.out + "_blocks").count()
+        counts["block_len"] = args.pack_blocks
 
     store_version = 0
     if args.store is not None:
@@ -516,6 +599,22 @@ def main() -> None:
             spark, args.stats + "_quantiles", qs=(0.5, 0.99)
         ).collect():
             counts[f"{r['col']}_p{int(r['q'] * 100)}"] = [r["lo"], r["hi"]]
+        # frequency registers + guaranteed heavy-hitter candidates ride a
+        # third sibling shard tree (streaming/freq_sketch.py): the merged
+        # report gives honest [cnt_lower, cm_upper] brackets — which
+        # sources dominate every promoted run, never re-reading a corpus
+        from vector_graph_rag_spark.streaming.freq_sketch import (
+            corpus_heavy_hitters,
+            write_batch_freq,
+        )
+
+        write_batch_freq(stage, args.stats + "_freq", batch_id, ["source"])
+        counts["heavy_hitters_source"] = [
+            [r["value"], int(r["cnt_lower"]), int(r["cm_upper"])]
+            for r in corpus_heavy_hitters(spark, args.stats + "_freq", top=5)
+            .filter(F.col("col") == "source")
+            .collect()
+        ]
         if prior:
             from vector_graph_rag_spark.streaming.corpus_stats import stats_drift
 
