@@ -354,3 +354,29 @@ def test_lookup_on_unkeyed_plain_base_raises(spark, store):
     store.write(spark.createDataFrame([(1, "a")], "doc_id long, text string"))
     with pytest.raises(ValueError, match="keyed store"):
         store.lookup(1)
+
+def test_merge_key_must_match_base_bucket_key(spark, store):
+    """merge() on a bucketed base refuses a key that differs from
+    bucket_key (ADVICE r8): lookup() partition-prunes the base on
+    bucket_key but folds latest-wins on the chain key — a mismatched
+    chain could prune away the very rows the deltas supersede and
+    disagree with read().filter(key == value)."""
+    docs = spark.createDataFrame(
+        [(i, f"u{i}", f"text {i}") for i in range(50)],
+        "doc_id long, uid string, text string",
+    )
+    store.write(docs, bucket_by=("doc_id", 4))
+    with pytest.raises(ValueError, match="bucket_key"):
+        store.merge(
+            spark.createDataFrame(
+                [(99, "u99", "new")], "doc_id long, uid string, text string"
+            ),
+            key="uid",
+        )
+    # the matching key still merges, and lookup folds correctly
+    store.merge(
+        spark.createDataFrame(
+            [(7, "u7", "EDITED")], "doc_id long, uid string, text string"
+        )
+    )
+    assert [r["text"] for r in store.lookup(7).collect()] == ["EDITED"]

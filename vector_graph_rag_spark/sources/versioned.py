@@ -260,9 +260,12 @@ class VersionedCorpus:
         base = self.spark.read.parquet(
             self._base_data_dir(chain[0], base_info)
         )
-        key = base_info.get("bucket_key") or (
+        # the chain's MERGE key is the folding key; merge() guarantees it
+        # matches a bucketed base's bucket_key (mismatch refused), so
+        # bucket_key only ever contributes the partition-prune filter
+        key = (
             m["versions"][str(chain[1])]["key"] if len(chain) > 1 else None
-        )
+        ) or base_info.get("bucket_key")
         if key is None:
             raise ValueError(
                 "lookup needs a keyed store: a bucket_by base or a delta "
@@ -353,6 +356,19 @@ class VersionedCorpus:
         # base scan is paid only by the first merge after each base/compact.
         base_v = self._layer_chain(int(m["latest"]), m)[0]
         base_info = m["versions"][str(base_v)]
+        # A bucketed base's bucket_key must BE the merge key (ADVICE r8):
+        # lookup() folds latest-wins on the chain key but partition-prunes
+        # on bucket_key — if they differed, the pruned base scan could
+        # drop the very rows the chain supersedes and disagree with
+        # read().filter(key == value).
+        base_bucket = base_info.get("bucket_key")
+        if base_bucket is not None and base_bucket != key:
+            raise ValueError(
+                f"merge: key {key!r} differs from the base's bucket_key "
+                f"{base_bucket!r} — lookup() would partition-prune on the "
+                "wrong column. compact() and re-bucket on the new key, or "
+                "merge on the bucket key."
+            )
         if key not in base_info.get("unique_keys", []):
             base_df = self.spark.read.parquet(
                 self._base_data_dir(base_v, base_info)
