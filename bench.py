@@ -80,6 +80,12 @@ HEADLINE = [
     "corpus_stats_registers",
     "fixed_block_packing",
     "expectations_validate",
+    # round-9 additions: the registered round-8 library operators
+    # (queries/pipeline.py §round-9 — HDR quantile registers, Count-Min
+    # frequency registers, the persistent-LSH-index incremental dedup flow)
+    "corpus_quantiles_registers",
+    "cm_frequency_registers",
+    "dedup_index_incremental",
 ]
 
 

@@ -234,10 +234,6 @@ def append_to_index(
     )
 
 
-def _index_glob(state_dir: str, sub: str) -> str:
-    return os.path.join(state_dir, "batch=*", sub)
-
-
 def probe_index(
     spark: SparkSession, state_dir: str, sig: DataFrame,
     bucket_cap: int | None = None,
@@ -258,14 +254,26 @@ def probe_index(
     few by definition, so the anti-join side stays broadcast-small), and
     they also bound the broadcast candidate set at batch bands × cap.
     At 100 TB pass a cap (the nightly CLI defaults one on); the default
-    None preserves the exact one-shot equivalence contract."""
-    if not list_batch_ids(spark, state_dir):
+    None preserves the exact one-shot equivalence contract.
+
+    The index view is PINNED to the batch ids present at call time: the
+    band scan filters ``batch IN (<ids>)`` (static partition pruning) and
+    the signature read lists those batches' dirs explicitly.  A probe is
+    therefore safe to consume LAZILY even after later appends land — the
+    returned plan can never see a batch that didn't exist when the probe
+    was taken, so callers interleaving probe/append (the nightly flow, the
+    registered incremental query) need no eager materialization between
+    steps."""
+    ids = list_batch_ids(spark, state_dir)
+    if not ids:
         return sig.sparkSession.createDataFrame(
             [], "index_doc_id long, new_doc_id long, est_jaccard double"
         )
     tbl = _ensure_bands_table(spark, state_dir)
-    idx_bands = spark.table(tbl)
-    idx_sigs = spark.read.parquet(_index_glob(state_dir, "sigs"))
+    idx_bands = spark.table(tbl).filter(F.col("batch").isin(ids))
+    idx_sigs = spark.read.parquet(
+        *[os.path.join(state_dir, f"batch={i}", "sigs") for i in ids]
+    )
     if bucket_cap is not None:
         # bucketed scan ⇒ this aggregation needs NO Exchange: rows with
         # one band_key already live in one bucket
