@@ -1,0 +1,259 @@
+"""Product quantization (PQ) — ANN vector compression for corpus scale.
+
+Jegou, Douze & Schmid, "Product Quantization for Nearest Neighbor
+Search" (IEEE TPAMI 2011, public).  The reference delegates vector
+indexing to Milvus, whose index zoo includes IVF_PQ (reference
+milvus.py index params); here PQ is expressed as DataFrame
+transformations against a broadcast codebook, composing with the
+IVF layout in ``operators/ivf.py`` exactly like Milvus composes them.
+
+Why this is THE 100 TB ANN path: a 64-dim float32 embedding is 256
+bytes; its PQ code at M=4 subvectors x K=16 codes is 4 small ints —
+a ~64x compression, which is the difference between "the candidate
+scan reads the raw vector corpus" and "the candidate scan reads a
+code table 1/64th the size".  Query-time scoring never touches raw
+vectors: an M x K lookup table of exact integer distances per query
+(the ADC — asymmetric distance computation — table) is broadcast as
+one literal, and each corpus row's score is M array lookups summed,
+row-local in whole-stage codegen.  The only shuffle in a PQ top-k is
+the per-query window over the k-bounded candidate set.
+
+Determinism discipline (FIXTURES.md §3, the SemDeDup k-means recipe
+from queries/curation.py applied per subvector): components quantized
+to round(x*1000) integers, codebooks seeded from the K lowest vec_ids,
+floor-average centroid updates, argmin ties broken toward the lowest
+code id — every distance, codeword, and ADC score is integer-exact in
+both Spark and the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# Geometry mirrors the embeddings table (dim 64) and the k-means query's
+# scale discipline; a deployment tunes M/K at index-build time.
+PQ_DIM = 64
+PQ_M = 4  # subvectors
+PQ_SUB = PQ_DIM // PQ_M  # dims per subvector
+PQ_K = 16  # codes per subvector codebook
+PQ_SCALE = 1000
+
+# Codebook type: per subvector m, a sorted list of (code_id, codeword)
+# where codeword is a PQ_SUB-long list of quantized ints.  A code that
+# loses all members during a Lloyd update simply disappears (same rule
+# as queries/curation._train_centroids).
+Codebooks = list[list[tuple[int, list[int]]]]
+
+
+def quantize_embeddings(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """(id, qv array<long>) — the integer-exact vector surface every PQ
+    step operates on (round(x*1000) after an exact float->double widen)."""
+    return df.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(
+            vec_col, lambda x: F.round(x.cast("double") * PQ_SCALE).cast("long")
+        ).alias("qv"),
+    )
+
+
+def _codebook_literals(codebooks: Codebooks):
+    """One nested array literal per side: CMAT[m] = list of codewords,
+    CIDS[m] = the matching code ids (positions align) — a single literal
+    pair looped by ``transform``, the _km_assign expression-size rule."""
+    cmat = F.array(
+        *[
+            F.array(
+                *[
+                    F.array(*[F.lit(int(v)).cast("long") for v in vec])
+                    for _, vec in book
+                ]
+            )
+            for book in codebooks
+        ]
+    )
+    cids = F.array(
+        *[
+            F.array(*[F.lit(int(cid)).cast("int") for cid, _ in book])
+            for book in codebooks
+        ]
+    )
+    return cmat, cids
+
+
+def encode_pq(q: DataFrame, codebooks: Codebooks) -> DataFrame:
+    """(vec_id, qv, codes array<int>) — codes[m] = argmin-L2^2 code id of
+    subvector m against codebook m, ties to the lowest code id.
+
+    Row-local against the broadcast codebook literal: per subvector the
+    distance vector is computed once and let-bound (``transform(array(d),
+    ...)[0]``, the l2_normalize binding), and the subvector slice is a
+    lambda-bound ``slice(qv, m*SUB+1, SUB)`` — no explode, no shuffle;
+    the whole encoding inlines into one codegen stage.
+    """
+    cmat, cids = _codebook_literals(codebooks)
+    codes = F.transform(
+        F.sequence(F.lit(0), F.lit(PQ_M - 1)),
+        lambda m: F.transform(
+            F.array(
+                F.transform(
+                    F.element_at(cmat, m + 1),
+                    lambda c: F.aggregate(
+                        F.zip_with(
+                            F.slice(F.col("qv"), m * PQ_SUB + 1, PQ_SUB),
+                            c,
+                            lambda a, b: (a - b) * (a - b),
+                        ),
+                        F.lit(0).cast("long"),
+                        lambda acc, x: acc + x,
+                    ),
+                )
+            ),
+            lambda d: F.element_at(
+                F.element_at(cids, m + 1),
+                F.array_position(d, F.array_min(d)).cast("int"),
+            ),
+        )[0],
+    )
+    return q.select("vec_id", "qv", codes.alias("codes"))
+
+
+def train_pq_codebooks(q: DataFrame, updates: int = 1) -> Codebooks:
+    """Per-subvector Lloyd training, all M codebooks in each single pass.
+
+    Seeds: the K lowest vec_ids' subvectors (codebook m's seed c is seed
+    vector c's m-th slice).  Each update encodes the corpus row-locally
+    against the current codebooks (one scan, no shuffle), then floor-
+    averages per (m, code, sub-dim) — a map-side-combined aggregation
+    whose result is the M*K*SUB codebook cell grid, the only driver-side
+    state (1024 ints at the defaults, the k-means centroid contract).
+    """
+    seeds = q.orderBy("vec_id").limit(PQ_K).collect()
+    codebooks: Codebooks = [
+        [
+            (i, list(r["qv"])[m * PQ_SUB : (m + 1) * PQ_SUB])
+            for i, r in enumerate(seeds)
+        ]
+        for m in range(PQ_M)
+    ]
+    if not seeds:
+        return [[] for _ in range(PQ_M)]
+    for _ in range(updates):
+        enc = encode_pq(q, codebooks)
+        cells = (
+            enc.select(F.posexplode("qv").alias("pos", "x"), "codes")
+            .select(
+                (F.col("pos") / PQ_SUB).cast("int").alias("m"),
+                (F.col("pos") % PQ_SUB).alias("spos"),
+                F.element_at("codes", (F.col("pos") / PQ_SUB).cast("int") + 1).alias(
+                    "code"
+                ),
+                "x",
+            )
+            .groupBy("m", "code", "spos")
+            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        new_books: list[dict[int, list[int]]] = [dict() for _ in range(PQ_M)]
+        for r in cells:
+            vec = new_books[int(r["m"])].setdefault(int(r["code"]), [0] * PQ_SUB)
+            # exact floor division == the oracle's floor of an exact double
+            # quotient (integer quotients stay far from the boundary)
+            vec[int(r["spos"])] = int(r["s"]) // int(r["n"])
+        codebooks = [sorted(book.items()) for book in new_books]
+        codebooks = [[(cid, vec) for cid, vec in book] for book in codebooks]
+    return codebooks
+
+
+def adc_tables(query_vectors: list[tuple[int, list[int]]], codebooks: Codebooks):
+    """Per query: T[m][j] = L2^2(query subvector m, codebook m's j-th
+    codeword) — exact integers, computed driver-side from the (bounded)
+    collected codebooks.  Returns [(query_id, table), ...] with table
+    positions aligned to the codebook literal positions."""
+    out = []
+    for qid, qv in query_vectors:
+        tab = []
+        for m, book in enumerate(codebooks):
+            sub = qv[m * PQ_SUB : (m + 1) * PQ_SUB]
+            tab.append(
+                [
+                    sum((a - b) * (a - b) for a, b in zip(sub, vec))
+                    for _, vec in book
+                ]
+            )
+        out.append((qid, tab))
+    return out
+
+
+def adc_topk(
+    enc: DataFrame,
+    query_vectors: list[tuple[int, list[int]]],
+    codebooks: Codebooks,
+    k: int = 10,
+) -> DataFrame:
+    """(query_id, vec_id, adc_dist, rank) — rank 1..k per query by
+    ascending asymmetric distance, ties to the lowest vec_id.
+
+    The scan is ONE pass over the code table: all queries' ADC tables ride
+    a single nested literal, each row computes every query's score as M
+    array lookups (sum via ``aggregate`` over the code array positions),
+    and ``posexplode`` fans out (row x query) AFTER scoring — so the
+    corpus is read once regardless of query-batch size.  The only shuffle
+    is the per-query top-k window, candidate-bounded exactly like
+    operators/topk.cosine_topk.
+    """
+    tabs = adc_tables(query_vectors, codebooks)
+    qids = F.array(*[F.lit(int(qid)).cast("bigint") for qid, _ in tabs])
+    # QTAB[q][m][j]: integer ADC lookup tables for the whole query batch
+    qtab = F.array(
+        *[
+            F.array(
+                *[
+                    F.array(*[F.lit(int(d)).cast("long") for d in row])
+                    for row in tab
+                ]
+            )
+            for _, tab in tabs
+        ]
+    )
+    # positions of each code id within its codebook literal (code ids are
+    # not necessarily dense after an update drops empty codes)
+    id_to_pos = F.array(
+        *[
+            F.array(*[F.lit(int(cid)).cast("int") for cid, _ in book])
+            for book in codebooks
+        ]
+    )
+    scores = F.transform(
+        qtab,
+        lambda t: F.aggregate(
+            F.zip_with(
+                F.col("codes"),
+                F.sequence(F.lit(0), F.lit(PQ_M - 1)),
+                lambda code, m: F.element_at(
+                    F.element_at(t, m + 1),
+                    F.array_position(
+                        F.element_at(id_to_pos, m + 1), code
+                    ).cast("int"),
+                ),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_dist"), F.asc("vec_id")
+    )
+    return (
+        enc.select("vec_id", scores.alias("__s"))
+        .select("vec_id", F.posexplode("__s").alias("__qi", "adc_dist"))
+        .select(
+            F.element_at(qids, F.col("__qi") + 1).alias("query_id"),
+            "vec_id",
+            "adc_dist",
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -814,29 +814,240 @@ def dedup_index_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         parts = []
         for b in range(3):
+            # sig stays eager: three consumers (probe, self-pairs, append)
+            # plus the append's write must land before the NEXT iteration's
+            # probe lists the index.  The probes themselves are lazy —
+            # probe_index pins its index view to the batch ids present at
+            # call time (explicit batch IN (...) pruning + per-batch sig
+            # paths), so later appends cannot leak into an earlier probe
+            # and all six pair subtrees execute in the ONE consuming job.
             sig = batch_signatures(
                 docs.filter(F.col("doc_id") % 3 == b)
             ).localCheckpoint(eager=True)
-            # eager per batch: each probe must see EXACTLY the shards
-            # appended so far (file listings are taken at read time; the
-            # checkpoint pins them before the next append lands)
             parts.append(
-                probe_index(spark, state, sig)
-                .select(
+                probe_index(spark, state, sig).select(
                     F.least("index_doc_id", "new_doc_id").alias("doc_a"),
                     F.greatest("index_doc_id", "new_doc_id").alias("doc_b"),
                     "est_jaccard",
                 )
-                .localCheckpoint(eager=True)
             )
-            parts.append(
-                self_pairs(sig).localCheckpoint(eager=True)
-            )
+            parts.append(self_pairs(sig))
             append_to_index(sig, state, b)
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
-        return out
+        # one eager materialization of the WHOLE union before the temp
+        # state dir is removed (the finally below) — the six subtrees run
+        # as one job against the pinned index views
+        return out.localCheckpoint(eager=True)
     finally:
         drop_index(spark, state)
         shutil.rmtree(state, ignore_errors=True)
+
+
+# --- round-10 staged swaps ----------------------------------------------------
+#
+# The two queries below are STAGED (retired=True): registered with full
+# DuckDB hash oracles so tests/test_oracle_parity.py gates them every
+# session, but not yet on the driver surface.  The round-10 swap flips
+# them active and retires near-siblings, keeping the registry at exactly
+# 100 — the same two-step discipline the r8 staging applied to the three
+# r9 operators.
+
+# --- PQ / ADC approximate top-k (operators/pq.py) -----------------------------
+
+_PQ_DIM = 64
+_PQ_M = 4
+_PQ_SUB = 16
+_PQ_K = 16
+_PQ_NQ = 3
+_PQ_TOPK = 10
+
+# The oracle replays the whole PQ pipeline straight-line: quantize,
+# seed codebooks from the K lowest vec_ids, one floor-average Lloyd
+# update (all M subvector codebooks trained in the same CTEs via the
+# sub/spos position split), re-encode, build each query's ADC lookup
+# table, score every corpus vector as the sum of its M table cells, and
+# take the ascending-distance top-k.  Every value is integer-exact.
+_PQ_SQL = f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+  FROM embeddings WHERE embedding IS NOT NULL
+),
+qd AS (SELECT vec_id, unnest(range(1, {_PQ_DIM + 1})) AS pos, unnest(qv) AS x FROM q),
+sd AS (
+  SELECT vec_id, (pos - 1) // {_PQ_SUB} AS m, (pos - 1) % {_PQ_SUB} AS spos, x
+  FROM qd
+),
+seeds AS (
+  SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS code
+  FROM (SELECT vec_id FROM q ORDER BY vec_id LIMIT {_PQ_K})
+),
+c0 AS (
+  SELECT s.code, d.m, d.spos, d.x AS c
+  FROM seeds s JOIN sd d ON d.vec_id = s.vec_id
+),
+d1 AS (
+  SELECT v.vec_id, v.m, c.code, SUM((v.x - c.c) * (v.x - c.c)) AS dist
+  FROM sd v JOIN c0 c ON v.m = c.m AND v.spos = c.spos
+  GROUP BY 1, 2, 3
+),
+a1 AS (
+  SELECT vec_id, m, code FROM d1
+  QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, code) = 1
+),
+c1 AS (
+  SELECT a.m, a.code, v.spos,
+         CAST(floor(CAST(SUM(v.x) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c
+  FROM a1 a JOIN sd v ON v.vec_id = a.vec_id AND v.m = a.m
+  GROUP BY 1, 2, 3
+),
+d2 AS (
+  SELECT v.vec_id, v.m, c.code, SUM((v.x - c.c) * (v.x - c.c)) AS dist
+  FROM sd v JOIN c1 c ON v.m = c.m AND v.spos = c.spos
+  GROUP BY 1, 2, 3
+),
+enc AS (
+  SELECT vec_id, m, code FROM d2
+  QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, code) = 1
+),
+qsel AS (SELECT vec_id AS query_id FROM q ORDER BY vec_id LIMIT {_PQ_NQ}),
+qtab AS (
+  SELECT s.vec_id AS query_id, c.m, c.code,
+         SUM((s.x - c.c) * (s.x - c.c)) AS dist
+  FROM sd s JOIN qsel ON s.vec_id = qsel.query_id
+  JOIN c1 c ON c.m = s.m AND c.spos = s.spos
+  GROUP BY 1, 2, 3
+),
+score AS (
+  SELECT t.query_id, e.vec_id, CAST(SUM(t.dist) AS BIGINT) AS adc_dist
+  FROM enc e JOIN qtab t ON t.m = e.m AND t.code = e.code
+  GROUP BY 1, 2
+)
+SELECT query_id, vec_id, adc_dist, CAST(rk AS INT) AS rank
+FROM (
+  SELECT query_id, vec_id, adc_dist,
+         row_number() OVER (PARTITION BY query_id ORDER BY adc_dist, vec_id) AS rk
+  FROM score
+)
+WHERE rk <= {_PQ_TOPK}
+"""
+
+
+@register(
+    "ann_pq_adc_topk",
+    oracle=_PQ_SQL,
+    retired=True,  # STAGED for the round-10 swap
+    description=(
+        "product-quantization ANN: per-subvector codebooks (deterministic "
+        "Lloyd, floor-avg, integer-exact), row-local encoding against the "
+        "broadcast codebook literal, and ADC top-k where each corpus row "
+        "costs M table lookups — the 64x-compression scale path for "
+        "billion-vector search (staged r10 swap candidate)"
+    ),
+)
+def ann_pq_adc_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_graph_rag_spark.operators.pq import (
+        adc_topk,
+        encode_pq,
+        quantize_embeddings,
+        train_pq_codebooks,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = quantize_embeddings(emb)
+    books = train_pq_codebooks(q, updates=1)
+    if not any(books):  # empty corpus — nothing to encode or rank
+        return spark.createDataFrame(
+            [], "query_id long, vec_id long, adc_dist long, rank int"
+        )
+    queries = [
+        (int(r["vec_id"]), list(r["qv"]))
+        for r in q.orderBy("vec_id").limit(_PQ_NQ).collect()
+    ]
+    return adc_topk(encode_pq(q, books), queries, books, k=_PQ_TOPK)
+
+
+# --- temperature-scaled source mixing (alpha = 0.5) ---------------------------
+
+_TMIX_KEY = "concat('tmix:', CAST(doc_id AS VARCHAR))"
+
+# Integer-exact alpha=0.5 temperature weights: u_s = floor(sqrt(n_s))
+# (sqrt is IEEE-correctly-rounded, so floor(sqrt(integer)) is the true
+# integer square root for any corpus-sized n), B = min_s(n_s // u_s),
+# quota_s = u_s * B <= n_s — the largest mix the scarcest source supports
+# with per-source takes proportional to n_s^0.5.  No float ever crosses
+# an engine boundary.
+_TMIX_SQL = f"""
+WITH c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+u AS (SELECT source, n, CAST(floor(sqrt(n)) AS BIGINT) AS u FROM c),
+quota AS (
+  SELECT source, u * (SELECT MIN(n // u) FROM u) AS quota FROM u
+),
+ranked AS (
+  SELECT source, doc_id,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY {hash60_sql(_TMIX_KEY)}, doc_id
+         ) AS rk
+  FROM documents
+)
+SELECT r.source, r.doc_id, CAST(r.rk AS INT) AS rk
+FROM ranked r JOIN quota q ON r.source = q.source
+WHERE r.rk <= q.quota
+"""
+
+
+@register(
+    "source_temperature_mix",
+    oracle=_TMIX_SQL,
+    retired=True,  # STAGED for the round-10 swap
+    description=(
+        "alpha=0.5 temperature-scaled source mixing (the pretraining "
+        "domain-mix recipe): per-source quotas proportional to "
+        "floor(sqrt(n_s)), integer-exact, hash-ordered deterministic "
+        "selection (staged r10 swap candidate)"
+    ),
+)
+def source_temperature_mix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Library twin: queries/sampling.rebalance_source_mix covers the
+    fixed-weights variant; this is the data-derived-weights variant every
+    pretraining recipe actually uses (counts -> n^alpha -> quotas).
+
+    Scale: one map-side-combined per-source count (|sources| driver rows
+    drive the quota plan), one broadcast quota join, one window shuffle
+    partitioned by source — identical shape to the stratified sampler.
+    """
+    from vector_graph_rag_spark.functions.hashing import hash60
+
+    d = load_table(spark, sf_dir, "documents")
+    counts = {
+        r["source"]: int(r["n"])
+        for r in d.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    if not counts:
+        return spark.createDataFrame([], "source string, doc_id long, rk int")
+    import math
+
+    u = {s: math.isqrt(n) for s, n in counts.items()}
+    b = min(counts[s] // u[s] for s in counts)
+    quota = {s: u[s] * b for s in counts}
+    quota_df = F.broadcast(
+        spark.createDataFrame(
+            sorted(quota.items()), "source string, quota long"
+        )
+    )
+    from pyspark.sql import Window
+
+    h = hash60(F.concat(F.lit("tmix:"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("source").orderBy(h.asc(), F.col("doc_id").asc())
+    return (
+        d.join(quota_df, "source")
+        .select(
+            "source", "doc_id", F.row_number().over(w).alias("rk"), "quota"
+        )
+        .filter(F.col("rk") <= F.col("quota"))
+        .drop("quota")
+    )
