@@ -56,6 +56,11 @@ QUERIES = [
     # word-type space ~linearly — the worst case for BPE's vocab-bound claim)
     "bpe_train_merges",
     "bloom_membership_profile",
+    # round-10 staged candidates (pre-registration smokes): PQ training +
+    # encoding scans grow linearly, codebook/ADC state stays M*K-bounded;
+    # the mix's quota plan stays |sources|-bounded with one window shuffle
+    "ann_pq_adc_topk",
+    "source_temperature_mix",
 ]
 
 DOC_STRIDE = 1_000_000

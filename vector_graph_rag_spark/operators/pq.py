@@ -31,6 +31,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from vector_graph_rag_spark.functions.literals import int_array_lit
+
 # Geometry mirrors the embeddings table (dim 64) and the k-means query's
 # scale discipline; a deployment tunes M/K at index-build time.
 PQ_DIM = 64
@@ -61,24 +63,16 @@ def quantize_embeddings(
 
 def _codebook_literals(codebooks: Codebooks):
     """One nested array literal per side: CMAT[m] = list of codewords,
-    CIDS[m] = the matching code ids (positions align) — a single literal
-    pair looped by ``transform``, the _km_assign expression-size rule."""
-    cmat = F.array(
-        *[
-            F.array(
-                *[
-                    F.array(*[F.lit(int(v)).cast("long") for v in vec])
-                    for _, vec in book
-                ]
-            )
-            for book in codebooks
-        ]
+    CIDS[m] = the matching code ids (positions align).  Each side is a
+    SINGLE ``lit`` node (not a CreateArray tree of M*K*SUB leaves) — the
+    analyzer/optimizer walk the codebook as one constant, the stricter
+    form of the _km_assign expression-size rule."""
+    cmat = int_array_lit(
+        [[list(vec) for _, vec in book] for book in codebooks],
+        "array<array<array<bigint>>>",
     )
-    cids = F.array(
-        *[
-            F.array(*[F.lit(int(cid)).cast("int") for cid, _ in book])
-            for book in codebooks
-        ]
+    cids = int_array_lit(
+        [[cid for cid, _ in book] for book in codebooks], "array<array<int>>"
     )
     return cmat, cids
 
@@ -142,16 +136,29 @@ def train_pq_codebooks(q: DataFrame, updates: int = 1) -> Codebooks:
         return [[] for _ in range(PQ_M)]
     for _ in range(updates):
         enc = encode_pq(q, codebooks)
-        cells = (
-            enc.select(F.posexplode("qv").alias("pos", "x"), "codes")
-            .select(
-                (F.col("pos") / PQ_SUB).cast("int").alias("m"),
-                (F.col("pos") % PQ_SUB).alias("spos"),
-                F.element_at("codes", (F.col("pos") / PQ_SUB).cast("int") + 1).alias(
-                    "code"
+        # The (m, code, spos, x) cell rows are built INSIDE one row-local
+        # expression that let-binds the codes array (``transform(array(
+        # codes), cs -> ...)[0]``) before the explode: a plain
+        # ``posexplode(qv)`` + ``element_at(codes, ...)`` projection would
+        # be projection-collapsed into the explode's output and re-run the
+        # full M*K argmin encoding once PER EXPLODED DIM (64x per vector).
+        cell_rows = F.transform(
+            F.array(F.col("codes")),
+            lambda cs: F.transform(
+                F.sequence(F.lit(0), F.lit(PQ_DIM - 1)),
+                lambda pos: F.struct(
+                    (pos / PQ_SUB).cast("int").alias("m"),
+                    (pos % PQ_SUB).cast("int").alias("spos"),
+                    F.element_at(cs, (pos / PQ_SUB).cast("int") + 1).alias(
+                        "code"
+                    ),
+                    F.element_at(F.col("qv"), pos + 1).alias("x"),
                 ),
-                "x",
-            )
+            ),
+        )[0]
+        cells = (
+            enc.select(F.explode(cell_rows).alias("c"))
+            .select("c.m", "c.code", "c.spos", "c.x")
             .groupBy("m", "code", "spos")
             .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
             .collect()
@@ -203,46 +210,50 @@ def adc_topk(
     corpus is read once regardless of query-batch size.  The only shuffle
     is the per-query top-k window, candidate-bounded exactly like
     operators/topk.cosine_topk.
+
+    ``enc`` should be a MATERIALIZED code table (a stored parquet index,
+    or at least a checkpointed frame) — the deployment model anyway, since
+    the whole point of PQ is to write the 1/64th-size code table once.
+    Feeding the raw ``encode_pq`` plan in directly also works but plans
+    worse: ``InferFiltersFromGenerate`` infers ``size/isnotnull`` filters
+    from the explode and pushes the full encoding expression into them,
+    tripling the per-row argmin work.
     """
     tabs = adc_tables(query_vectors, codebooks)
-    qids = F.array(*[F.lit(int(qid)).cast("bigint") for qid, _ in tabs])
-    # QTAB[q][m][j]: integer ADC lookup tables for the whole query batch
-    qtab = F.array(
-        *[
-            F.array(
-                *[
-                    F.array(*[F.lit(int(d)).cast("long") for d in row])
-                    for row in tab
-                ]
-            )
-            for _, tab in tabs
-        ]
+    qids = int_array_lit([qid for qid, _ in tabs], "array<bigint>")
+    # QTAB[q][m][j]: integer ADC lookup tables for the whole query batch —
+    # one literal node, like the codebooks
+    qtab = int_array_lit(
+        [tab for _, tab in tabs], "array<array<array<bigint>>>"
     )
     # positions of each code id within its codebook literal (code ids are
     # not necessarily dense after an update drops empty codes)
-    id_to_pos = F.array(
-        *[
-            F.array(*[F.lit(int(cid)).cast("int") for cid, _ in book])
-            for book in codebooks
-        ]
+    id_to_pos = int_array_lit(
+        [[cid for cid, _ in book] for book in codebooks], "array<array<int>>"
     )
+    # codes is let-bound once per row: referencing F.col("codes") directly
+    # inside the per-query lambda would let projection collapse re-inline
+    # the full argmin encoding once per query
     scores = F.transform(
-        qtab,
-        lambda t: F.aggregate(
-            F.zip_with(
-                F.col("codes"),
-                F.sequence(F.lit(0), F.lit(PQ_M - 1)),
-                lambda code, m: F.element_at(
-                    F.element_at(t, m + 1),
-                    F.array_position(
-                        F.element_at(id_to_pos, m + 1), code
-                    ).cast("int"),
+        F.array(F.col("codes")),
+        lambda cs: F.transform(
+            qtab,
+            lambda t: F.aggregate(
+                F.zip_with(
+                    cs,
+                    F.sequence(F.lit(0), F.lit(PQ_M - 1)),
+                    lambda code, m: F.element_at(
+                        F.element_at(t, m + 1),
+                        F.array_position(
+                            F.element_at(id_to_pos, m + 1), code
+                        ).cast("int"),
+                    ),
                 ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
             ),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
         ),
-    )
+    )[0]
     w = Window.partitionBy("query_id").orderBy(
         F.asc("adc_dist"), F.asc("vec_id")
     )

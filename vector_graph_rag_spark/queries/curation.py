@@ -558,8 +558,12 @@ def _km_assign(q: DataFrame, centroids: list[tuple[int, list[int]]]) -> DataFram
     min itself), and collapsed projections would otherwise inline the
     full k×dim distance computation per reference (measured 1.8 -> 1.4s
     warm per assignment pass at sf0.1; results identical)."""
-    cmat = F.array(
-        *[F.array(*[F.lit(int(v)).cast("long") for v in c]) for _, c in centroids]
+    # one JVM-parsed literal (functions/literals.py): building k*dim F.lit
+    # columns over py4j costs ~1s of driver time PER assignment pass
+    from vector_graph_rag_spark.functions.literals import int_array_lit
+
+    cmat = int_array_lit(
+        [list(c) for _, c in centroids], "array<array<bigint>>"
     )
     dists = F.transform(
         cmat,
@@ -569,7 +573,7 @@ def _km_assign(q: DataFrame, centroids: list[tuple[int, list[int]]]) -> DataFram
             lambda acc, x: acc + x,
         ),
     )
-    ids = F.array(*[F.lit(int(cid)).cast("bigint") for cid, _ in centroids])
+    ids = int_array_lit([cid for cid, _ in centroids], "array<bigint>")
     picked = F.transform(
         F.array(dists),
         lambda d: F.struct(
@@ -654,7 +658,16 @@ def _train_centroids(
 
 
 def _kmeans_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Fixture-parallelism aid: one small single-row-group parquet file = a
+    # one-task scan, which serializes the (interpreted higher-order-
+    # function) assignment math.  Conditional on the scan actually being
+    # under-parallel, so a multi-file corpus (and the 10x/100x smoke
+    # datasets, whose flat-shuffle rows SCALE.md pins) never pays a
+    # corpus-sized relayout.
     q = _quantized_vectors(spark, sf_dir)
+    par = spark.sparkContext.defaultParallelism
+    if q.rdd.getNumPartitions() < max(2, par // 2):
+        q = q.repartition(par)
     centroids = _train_centroids(q, _KM_K, _KM_DIM, updates=1)
     if not centroids:  # empty corpus — no seeds, nothing to assign
         return spark.createDataFrame([], "vec_id long, cluster long, dist long")

