@@ -26,3 +26,26 @@ def int_array_lit(nested, dtype: str) -> Column:
     ``array<array<bigint>>`` — the cast pins element types so downstream
     arithmetic never mixes int/bigint between engines."""
     return F.expr(f"CAST({_render(nested)} AS {dtype})")
+
+
+def double_array_lit(vals) -> Column:
+    """An array<double> literal as one JVM-parsed expression; values ride
+    ``repr`` strings (shortest round-trip) cast to DOUBLE (correctly
+    rounded), so the bits are preserved exactly."""
+    body = ",".join(f"CAST('{v!r}' AS DOUBLE)" for v in vals)
+    return F.expr(f"array({body})")
+
+
+def int_double_map_lit(d: dict, key_type: str = "int") -> Column:
+    """A map<int, double> literal as one JVM-parsed ``map_from_arrays``
+    expression (``F.create_map(*[F.lit…])`` is 2 py4j calls per entry —
+    ~1s of driver time per 512-weight classifier map, per use).  Double
+    values ride ``repr`` strings cast to DOUBLE: Python's repr is the
+    shortest round-trip form and Java's parse is correctly rounded, so
+    the bits are preserved exactly."""
+    keys = ",".join(str(int(k)) for k in d)
+    vals = ",".join(f"CAST('{v!r}' AS DOUBLE)" for v in d.values())
+    return F.expr(
+        f"map_from_arrays(CAST(array({keys}) AS array<{key_type}>),"
+        f" array({vals}))"
+    )

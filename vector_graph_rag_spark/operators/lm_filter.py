@@ -479,9 +479,13 @@ def _sum_maybe_quantized(term, quantized: bool):
 
 def _weight_map(w: dict[int, float]) -> Column:
     """The weight vector as a broadcast-literal MAP expression (n_buckets
-    entries — classifier weights are driver state by design)."""
-    items = list(w.items()) or [(0, 0.0)]
-    return F.create_map(*[F.lit(v) for kv in items for v in kv])
+    entries — classifier weights are driver state by design).  Built as
+    ONE JVM-parsed literal: per-entry ``F.lit`` construction cost ~1s of
+    py4j driver time per 512-bucket map, per iteration (functions/
+    literals.py)."""
+    from vector_graph_rag_spark.functions.literals import int_double_map_lit
+
+    return int_double_map_lit(w or {0: 0.0})
 
 
 def _rowlocal_margin(fs_col: str, wmap: Column, quantized: bool) -> Column:
@@ -608,8 +612,14 @@ def train_quality_classifier(
     w: dict[int, float] = {}
     bias = 0.0
     for _ in range(iters):
-        wmap = _weight_map(w)
-        m = _rowlocal_margin("fs", wmap, quantized)
+        # first iteration: every weight is 0, so the margin fold is a
+        # per-feature map-lookup chain of exact zeros — skip it (the
+        # quantized fold's 0-decimal -> double cast is exactly 0.0, so
+        # the shortcut is bit-identical)
+        if not w:
+            m = F.lit(0.0)
+        else:
+            m = _rowlocal_margin("fs", _weight_map(w), quantized)
         resid = doc_feats.select(
             "fs",
             (

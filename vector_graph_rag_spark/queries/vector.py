@@ -170,10 +170,14 @@ def _bucket_sql(vec_expr: str) -> str:
 
 
 def _bucket_col(vec_col):
+    from vector_graph_rag_spark.functions.literals import double_array_lit
+
     vec = vec_col.cast("array<double>")
     total = F.lit(0)
     for i, p in enumerate(_PLANES):
-        plane = F.array(*[F.lit(x) for x in p])
+        # one JVM-parsed literal per plane (per-element F.lit costs ~2ms of
+        # py4j driver time each — 512 of them per plan build here)
+        plane = double_array_lit(p)
         d = F.aggregate(
             F.zip_with(vec, plane, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
         )
@@ -248,10 +252,12 @@ def _band_bucket_sql(vec_expr: str, band: int) -> str:
 
 
 def _band_bucket_col(vec_col, band: int):
+    from vector_graph_rag_spark.functions.literals import double_array_lit
+
     vec = vec_col.cast("array<double>")
     total = F.lit(0)
     for r in range(ND_ROWS):
-        plane = F.array(*[F.lit(x) for x in _plane(band * ND_ROWS + r)])
+        plane = double_array_lit(_plane(band * ND_ROWS + r))
         d = F.aggregate(
             F.zip_with(vec, plane, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
         )
