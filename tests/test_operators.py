@@ -430,3 +430,32 @@ def test_ppr_to_convergence_reaches_fixed_point(spark):
     nxt = as_map(_ppr_round_step(flagged, edges, outdeg, converged, ns, is_seed), 12)
     cur = as_map(converged, 12)
     assert max(abs(nxt[i] - cur[i]) for i in cur) < 1e-8
+
+
+def test_assign_cells_zero_vector_and_empty_centroids(spark):
+    """Row-local assign_cells edge parity with the old window semantics:
+    a zero-norm vector's scores are all NaN (0.0/0.0) -> it lands in the
+    LOWEST centroid id; empty centroids assign nothing."""
+    from pyspark.sql import functions as F
+
+    from vector_graph_rag_spark.operators.ivf import assign_cells
+
+    corpus = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [0.0, 0.0]),  # zero norm -> NaN cosine against every centroid
+            (3, [0.0, 1.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    cent = spark.createDataFrame(
+        [(10, [1.0, 0.0]), (20, [0.0, 1.0])],
+        "centroid_id long, cvec array<double>",
+    )
+    got = {
+        r["vec_id"]: r["cell_id"] for r in assign_cells(corpus, cent).collect()
+    }
+    assert got == {1: 10, 2: 10, 3: 20}
+
+    empty = cent.limit(0)
+    assert assign_cells(corpus, empty).count() == 0

@@ -35,6 +35,7 @@ ALLOWED_DRIVER_MATERIALIZATION = {
     ("graph/expand.py", "expand_subgraph", "collect"): "opt-in history mode only; per-hop NEW-id lists, frontier-sized (eviction-bounded)",
     ("operators/bloom.py", "build_bloom", "collect"): "packed bitset words: n_bits/64 longs (128 KiB at default), never items",
     ("operators/bpe.py", "train_bpe", "collect"): "argmax pair (limit(1)) per merge + final vocab list (vocab-sized)",
+    ("operators/ivf.py", "assign_cells", "collect"): "the bounded centroid table (nlist rows by module contract)",
     ("operators/ivf.py", "ivf_search", "collect"): "|queries| x nprobe probe-cell ids",
     ("operators/lm_filter.py", "binary_auc_with_counts", "collect"): "distinct-score histogram, bounded by round_to quantization",
     ("operators/lm_filter.py", "dsir_importance_weights", "collect"): "2 scalar totals",

@@ -61,6 +61,7 @@ QUERIES = [
     # the mix's quota plan stays |sources|-bounded with one window shuffle
     "ann_pq_adc_topk",
     "source_temperature_mix",
+    "ann_ivf_index_search",
 ]
 
 DOC_STRIDE = 1_000_000

@@ -17,15 +17,24 @@ from pyspark.sql import functions as F
 def _render(v) -> str:
     if isinstance(v, (list, tuple)):
         return "array(" + ",".join(_render(x) for x in v) + ")"
+    if isinstance(v, float):
+        # repr is the shortest round-trip form; the DOUBLE cast parse is
+        # correctly rounded, so the bits are preserved exactly
+        return f"CAST('{v!r}' AS DOUBLE)"
     return str(int(v))
 
 
-def int_array_lit(nested, dtype: str) -> Column:
-    """An integer array literal of any nesting depth as a single
-    JVM-parsed expression.  ``dtype`` is the full SQL type, e.g.
+def num_array_lit(nested, dtype: str) -> Column:
+    """A numeric array literal of any nesting depth as a single JVM-parsed
+    expression.  Ints render as plain literals, floats as exact
+    repr→DOUBLE casts.  ``dtype`` is the full SQL type, e.g.
     ``array<array<bigint>>`` — the cast pins element types so downstream
-    arithmetic never mixes int/bigint between engines."""
+    arithmetic never mixes widths between engines."""
     return F.expr(f"CAST({_render(nested)} AS {dtype})")
+
+
+# integer-only call sites predate the float support; same construction
+int_array_lit = num_array_lit
 
 
 def double_array_lit(vals) -> Column:

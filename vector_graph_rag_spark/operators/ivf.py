@@ -32,17 +32,49 @@ def assign_cells(
 ) -> DataFrame:
     """corpus + argmax-cosine centroid → corpus with a ``cell_id`` column.
 
-    Broadcast nested-loop over the (bounded) centroid table; ties break to
-    the lowest centroid id for determinism.
-    """
-    w = Window.partitionBy(corpus_id).orderBy(F.desc("__cs"), F.asc(centroid_id))
-    return (
-        corpus.crossJoin(F.broadcast(centroids))
-        .withColumn("__cs", F.round(cosine(corpus_vec, centroid_vec), 6))
-        .withColumn("__rk", F.row_number().over(w))
-        .filter(F.col("__rk") == 1)
-        .select(*corpus.columns, F.col(centroid_id).alias("cell_id"))
+    ROW-LOCAL argmax against the (bounded, collected — the module
+    docstring's contract) centroid table as one JVM-parsed literal: the
+    per-vector score array is computed once, let-bound, and its first
+    maximum picks the lowest centroid id — the same order the previous
+    ``crossJoin + row_number`` formulation produced, WITHOUT shuffling a
+    corpus×nlist frame through a window (measured: the whole index build's
+    shuffle was this window; now the build shuffles nothing and
+    ``partitionBy(cell_id)`` splits files task-locally).  Sort order (incl.
+    NaN-greatest and all-null → lowest id) matches Spark's column ordering,
+    so results are row-identical."""
+    rows = sorted(
+        centroids.select(centroid_id, centroid_vec).collect(),
+        key=lambda r: r[centroid_id],
     )
+    if not rows:
+        return corpus.limit(0).withColumn("cell_id", F.lit(None).cast("bigint"))
+    from vector_graph_rag_spark.functions.literals import num_array_lit
+
+    cmat = num_array_lit(
+        [[float(x) for x in r[centroid_vec]] for r in rows],
+        "array<array<double>>",
+    )
+    ids = num_array_lit([int(r[centroid_id]) for r in rows], "array<bigint>")
+    # NaN scores (zero-norm vectors: 0.0/0.0) map to +Inf for the argmax
+    # only: the old window sorted NaN greatest (Spark ordering), but
+    # array_position's EQUALITY never matches NaN — +Inf keeps the same
+    # "NaN wins, ties to the lowest id" outcome without the 0-index crash.
+    scores = F.transform(
+        cmat,
+        lambda c: F.transform(
+            F.array(F.round(cosine(F.col(corpus_vec), c), 6)),
+            lambda x: F.when(F.isnan(x), F.lit(float("inf"))).otherwise(x),
+        )[0],
+    )
+    picked = F.transform(
+        F.array(scores),
+        lambda s: F.when(
+            F.array_max(s).isNull(), F.element_at(ids, 1)
+        ).otherwise(
+            F.element_at(ids, F.array_position(s, F.array_max(s)).cast("int"))
+        ),
+    )[0]
+    return corpus.select(*corpus.columns, picked.alias("cell_id"))
 
 
 def write_ivf_index(

@@ -1069,3 +1069,54 @@ def source_temperature_mix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= F.col("quota"))
         .drop("quota")
     )
+
+
+# --- persistent IVF index: stored-layout search == logical IVF ---------------
+
+
+def _ivf_oracle() -> str:
+    # The stored index is a pure materialization of the logical cell
+    # assignment (partitionBy(cell_id) of the assign CTE), so searching it
+    # must return EXACTLY the in-query ann_ivf_topk result — the oracle is
+    # that query's SQL verbatim (the lm_counts/dedup_index pattern: the
+    # hash gate pins stored == logical).
+    from vector_graph_rag_spark.queries.extended import _IVF_SQL
+
+    return _IVF_SQL
+
+
+@register(
+    "ann_ivf_index_search",
+    oracle=_ivf_oracle(),
+    retired=True,  # STAGED for the round-10 swap
+    description=(
+        "persistent IVF index: write the corpus partitionBy(cell_id), then "
+        "search via partition-pruned probe-cell scans — the oracle is the "
+        "in-query ann_ivf_topk SQL verbatim, pinning stored-index search == "
+        "logical IVF (staged r10 swap candidate)"
+    ),
+)
+def ann_ivf_index_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The at-scale half of the IVF story: `ann_ivf_topk` recomputes cell
+    assignment per query batch; here assignment is PAID ONCE into a
+    partitionBy(cell_id) parquet layout (operators/ivf.py), and each probe
+    reads only the probed cells' files via partition pruning — query cost
+    O(corpus/nlist * nprobe), never O(corpus).  Same centroids, queries,
+    k, and nprobe as the in-query variant."""
+    from vector_graph_rag_spark.operators.ivf import ivf_search, write_ivf_index
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cvec")
+    )
+    queries = emb.filter(
+        (F.col("vec_id") >= 100) & (F.col("vec_id") < 105)
+    ).select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))
+    index = tempfile.mkdtemp(prefix="vgr_ivfindex_")
+    try:
+        write_ivf_index(emb.select("vec_id", "embedding"), cent, index)
+        return ivf_search(
+            spark, index, queries, cent, k=10, nprobe=2
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(index, ignore_errors=True)
