@@ -47,6 +47,7 @@ ALLOWED_DRIVER_MATERIALIZATION = {
     ("operators/packing.py", "pack_fixed_blocks", "collect"): "one total per partition (O(partitions) prefix-sum bases)",
     ("operators/pq.py", "train_pq_codebooks", "collect"): "K seed vectors + M*K*SUB codebook cells per Lloyd update (1024 ints at defaults)",
     ("queries/pipeline.py", "ann_pq_adc_topk_q", "collect"): "the fixed 3-vector query batch",
+    ("queries/pipeline.py", "ann_ivfpq_topk_q", "collect"): "the fixed 5-vector query batch",
     ("queries/pipeline.py", "source_temperature_mix_q", "collect"): "per-source counts (|sources| rows)",
     ("operators/topk.py", "cosine_topk_matmul", "collect"): "the broadcast query-vector block (|queries| x dim)",
     ("queries/curation.py", "_train_centroids", "collect"): "k centroids per k-means iteration",

@@ -62,6 +62,7 @@ QUERIES = [
     "ann_pq_adc_topk",
     "source_temperature_mix",
     "ann_ivf_index_search",
+    "ann_ivfpq_topk",
 ]
 
 DOC_STRIDE = 1_000_000

@@ -194,6 +194,45 @@ def adc_tables(query_vectors: list[tuple[int, list[int]]], codebooks: Codebooks)
     return out
 
 
+def adc_score(
+    query_vectors: list[tuple[int, list[int]]],
+    codebooks: Codebooks,
+    query_id_col: str = "query_id",
+    codes_col: str = "codes",
+):
+    """ADC distance as a Column over rows carrying (query_id, codes) —
+    the per-candidate scoring form used when a candidate generator (IVF
+    probe pruning, an LSH bucket join) has already paired queries with
+    code-table rows.  Same integer tables as :func:`adc_topk`; the row's
+    query_id picks its table via one array_position against the query-id
+    literal."""
+    tabs = adc_tables(query_vectors, codebooks)
+    qids = int_array_lit([qid for qid, _ in tabs], "array<bigint>")
+    qtab = int_array_lit(
+        [tab for _, tab in tabs], "array<array<array<bigint>>>"
+    )
+    id_to_pos = int_array_lit(
+        [[cid for cid, _ in book] for book in codebooks], "array<array<int>>"
+    )
+    t = F.element_at(
+        qtab, F.array_position(qids, F.col(query_id_col)).cast("int")
+    )
+    return F.aggregate(
+        F.zip_with(
+            F.col(codes_col),
+            F.sequence(F.lit(0), F.lit(PQ_M - 1)),
+            lambda code, m: F.element_at(
+                F.element_at(t, m + 1),
+                F.array_position(
+                    F.element_at(id_to_pos, m + 1), code
+                ).cast("int"),
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
 def adc_topk(
     enc: DataFrame,
     query_vectors: list[tuple[int, list[int]]],

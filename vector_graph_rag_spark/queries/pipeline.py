@@ -869,8 +869,8 @@ _PQ_TOPK = 10
 # sub/spos position split), re-encode, build each query's ADC lookup
 # table, score every corpus vector as the sum of its M table cells, and
 # take the ascending-distance top-k.  Every value is integer-exact.
-_PQ_SQL = f"""
-WITH q AS (
+# The q..enc prefix is shared verbatim with the IVF-PQ composition below.
+_PQ_CTES = f"""q AS (
   SELECT vec_id,
          list_transform(embedding,
                         x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
@@ -912,7 +912,10 @@ d2 AS (
 enc AS (
   SELECT vec_id, m, code FROM d2
   QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, code) = 1
-),
+)"""
+
+_PQ_SQL = f"""
+WITH {_PQ_CTES},
 qsel AS (SELECT vec_id AS query_id FROM q ORDER BY vec_id LIMIT {_PQ_NQ}),
 qtab AS (
   SELECT s.vec_id AS query_id, c.m, c.code,
@@ -1120,3 +1123,150 @@ def ann_ivf_index_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(index, ignore_errors=True)
+
+
+# --- IVF-PQ composition: probe-pruned candidates, ADC-scored ------------------
+
+
+def _ivfpq_sql() -> str:
+    # The Milvus IVF_PQ index shape end-to-end: the IVF coarse quantizer
+    # prunes candidates to nprobe cells, PQ codes score them — composed
+    # from the SAME CTE prefixes both component oracles use (_PQ_CTES for
+    # train/encode, the ann_ivf_topk assign/probe shape for pruning), so
+    # every constant and tie-break is pinned by the already-gated parts.
+    from vector_graph_rag_spark.queries.vector import _cos_sql
+
+    return f"""
+WITH {_PQ_CTES},
+cent AS (SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cvec
+         FROM embeddings WHERE vec_id < 8),
+vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+assign AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT v.vec_id, c.centroid_id,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY round({_cos_sql('v.v', 'c.cvec')}, 6) DESC,
+                                       c.centroid_id ASC) AS rk
+    FROM vecs v CROSS JOIN cent c
+  ) WHERE rk = 1
+),
+qsel AS (SELECT vec_id AS query_id, v AS qvec FROM vecs
+         WHERE vec_id >= 100 AND vec_id < 105),
+probes AS (
+  SELECT query_id, centroid_id FROM (
+    SELECT q.query_id, c.centroid_id,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY round({_cos_sql('q.qvec', 'c.cvec')}, 6) DESC,
+                                       c.centroid_id ASC) AS rk
+    FROM qsel q CROSS JOIN cent c
+  ) WHERE rk <= 2
+),
+cand AS (
+  SELECT p.query_id, a.vec_id
+  FROM probes p JOIN assign a ON a.centroid_id = p.centroid_id
+),
+qtab AS (
+  SELECT s.vec_id AS query_id, c.m, c.code,
+         SUM((s.x - c.c) * (s.x - c.c)) AS dist
+  FROM sd s JOIN qsel ON s.vec_id = qsel.query_id
+  JOIN c1 c ON c.m = s.m AND c.spos = s.spos
+  GROUP BY 1, 2, 3
+),
+score AS (
+  SELECT t.query_id, e.vec_id, CAST(SUM(t.dist) AS BIGINT) AS adc_dist
+  FROM cand cd
+  JOIN enc e ON e.vec_id = cd.vec_id
+  JOIN qtab t ON t.query_id = cd.query_id AND t.m = e.m AND t.code = e.code
+  GROUP BY 1, 2
+)
+SELECT query_id, vec_id, adc_dist, CAST(rk AS INT) AS rank
+FROM (
+  SELECT query_id, vec_id, adc_dist,
+         row_number() OVER (PARTITION BY query_id ORDER BY adc_dist, vec_id) AS rk
+  FROM score
+)
+WHERE rk <= {_PQ_TOPK}
+"""
+
+
+@register(
+    "ann_ivfpq_topk",
+    oracle=_ivfpq_sql(),
+    retired=True,  # STAGED for the round-10 swap
+    description=(
+        "IVF-PQ composition (the Milvus billion-scale index shape): "
+        "coarse-quantizer cells prune candidates to nprobe=2 cells per "
+        "query, PQ codes ADC-score only the survivors — candidate "
+        "generation never scans the corpus, scoring never reads raw "
+        "vectors (staged r10 swap candidate)"
+    ),
+)
+def ann_ivfpq_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At 100 TB the two halves compose storage-side: the code table is
+    written partitionBy(cell_id) (operators/ivf.py layout holding
+    operators/pq.py codes), so a query reads nprobe cells' CODE files —
+    1/64th the bytes of nprobe cells' raw vectors, with partition pruning
+    on top.  Here both halves run in-query against the same fixture
+    constants as their component queries (`ann_ivf_topk`'s centroids,
+    queries and nprobe; `ann_pq_adc_topk`'s codebooks and k)."""
+    from vector_graph_rag_spark.operators.ivf import assign_cells
+    from vector_graph_rag_spark.operators.pq import (
+        adc_score,
+        encode_pq,
+        quantize_embeddings,
+        train_pq_codebooks,
+    )
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = quantize_embeddings(emb)
+    par = spark.sparkContext.defaultParallelism
+    if q.rdd.getNumPartitions() < max(2, par // 2):
+        q = q.repartition(par)
+    books = train_pq_codebooks(q, updates=1)
+    if not any(books):
+        return spark.createDataFrame(
+            [], "query_id long, vec_id long, adc_dist long, rank int"
+        )
+    enc = encode_pq(q, books).select("vec_id", "codes").localCheckpoint(
+        eager=True
+    )
+    cent = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cvec")
+    )
+    assign = assign_cells(emb.select("vec_id", "embedding"), cent)
+    queries = emb.filter(
+        (F.col("vec_id") >= 100) & (F.col("vec_id") < 105)
+    ).select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))
+    # probe selection: the ivf_search shape (queries x broadcast centroids)
+    from vector_graph_rag_spark.functions.vector import cosine
+
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.desc("__cs"), F.asc("centroid_id")
+    )
+    pairs = (
+        queries.crossJoin(F.broadcast(cent))
+        .withColumn("__cs", F.round(cosine("qvec", "cvec"), 6))
+        .withColumn("__rk", F.row_number().over(w_probe))
+        .filter(F.col("__rk") <= 2)
+        .select("query_id", F.col("centroid_id").alias("cell_id"))
+    )
+    qvecs = [
+        (int(r["vec_id"]), list(r["qv"]))
+        for r in q.filter(
+            (F.col("vec_id") >= 100) & (F.col("vec_id") < 105)
+        ).collect()
+    ]
+    cand = assign.select("vec_id", F.col("cell_id")).join(
+        F.broadcast(pairs), "cell_id"
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_dist"), F.asc("vec_id")
+    )
+    return (
+        cand.join(enc, "vec_id")
+        .withColumn("adc_dist", adc_score(qvecs, books))
+        .withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= _PQ_TOPK)
+        .select("query_id", "vec_id", "adc_dist", "rank")
+    )
