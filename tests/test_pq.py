@@ -199,3 +199,42 @@ def test_pq_plan_is_python_free_and_row_local(spark):
     plan = encode_pq(q, books)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "Exchange" not in plan  # encoding is row-local: scan -> project
+
+
+def test_ivfpq_stored_index_matches_inquery_and_prunes(spark, tmp_path):
+    """The stored IVF-PQ layout (codes partitionBy(cell_id)) searched via
+    partition-pruned scans returns EXACTLY the in-query ann_ivfpq_topk
+    rows, and the scan carries a cell_id partition filter."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_SMOKE
+    from vector_graph_rag_spark.operators.pq import (
+        ivfpq_search,
+        train_pq_codebooks,
+        write_ivfpq_index,
+    )
+    from vector_graph_rag_spark.queries import load_all
+    from vector_graph_rag_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    q = quantize_embeddings(emb)
+    books = train_pq_codebooks(q, updates=1)
+    cent = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cvec")
+    )
+    path = str(tmp_path / "ivfpq_index")
+    write_ivfpq_index(emb.select("vec_id", "embedding"), cent, books, path)
+
+    queries = emb.filter(
+        (F.col("vec_id") >= 100) & (F.col("vec_id") < 105)
+    ).select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))
+    result = ivfpq_search(spark, path, queries, cent, books, k=10, nprobe=2)
+
+    reg = load_all(include_retired=True)
+    expected = sorted(map(tuple, reg["ann_ivfpq_topk"].fn(spark, SF_SMOKE).collect()))
+    assert sorted(map(tuple, result.collect())) == expected
+
+    plan = result._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"PartitionFilters: \[[^\]]*cell_id[^\]]*IN", plan), plan[:800]

@@ -46,6 +46,7 @@ ALLOWED_DRIVER_MATERIALIZATION = {
     ("operators/lm_filter.py", "train_quality_classifier", "collect"): "n_buckets gradient rows per iteration (fixed feature space)",
     ("operators/packing.py", "pack_fixed_blocks", "collect"): "one total per partition (O(partitions) prefix-sum bases)",
     ("operators/pq.py", "train_pq_codebooks", "collect"): "K seed vectors + M*K*SUB codebook cells per Lloyd update (1024 ints at defaults)",
+    ("operators/pq.py", "ivfpq_search", "collect"): "|queries| x nprobe probe-cell ids + the bounded quantized query batch",
     ("queries/pipeline.py", "ann_pq_adc_topk_q", "collect"): "the fixed 3-vector query batch",
     ("queries/pipeline.py", "ann_ivfpq_topk_q", "collect"): "the fixed 5-vector query batch",
     ("queries/pipeline.py", "source_temperature_mix_q", "collect"): "per-source counts (|sources| rows)",

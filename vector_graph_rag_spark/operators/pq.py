@@ -307,3 +307,90 @@ def adc_topk(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+# --- stored IVF-PQ index (codes partitioned by coarse cell) -------------------
+
+
+def write_ivfpq_index(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    codebooks: Codebooks,
+    path: str,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+) -> None:
+    """Materialize the IVF-PQ index: PQ CODES (not vectors) written
+    ``partitionBy(cell_id)``.  This is the layout that makes billion-scale
+    ANN cheap — a probe reads nprobe cells' code files, which are ~1/64th
+    the bytes of the raw vectors AND partition-pruned, so the scan cost is
+    O(corpus/nlist · nprobe / 64) of the brute-force read."""
+    from vector_graph_rag_spark.operators.ivf import assign_cells
+
+    q = quantize_embeddings(corpus, id_col=corpus_id, vec_col=corpus_vec)
+    enc = encode_pq(q, codebooks).select("vec_id", "codes")
+    assigned = assign_cells(
+        corpus.select(corpus_id, corpus_vec),
+        centroids,
+        corpus_id=corpus_id,
+        corpus_vec=corpus_vec,
+    ).select(F.col(corpus_id).alias("vec_id"), "cell_id")
+    (
+        assigned.join(enc, "vec_id")
+        .write.mode("overwrite")
+        .partitionBy("cell_id")
+        .parquet(path)
+    )
+
+
+def ivfpq_search(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    centroids: DataFrame,
+    codebooks: Codebooks,
+    k: int = 10,
+    nprobe: int = 2,
+    query_id: str = "query_id",
+    query_vec: str = "qvec",
+) -> DataFrame:
+    """(query_id, vec_id, adc_dist, rank) over ONLY the probed cells' code
+    files.  Probe cells collect to a literal IN-list (|queries| x nprobe,
+    bounded) so the index scan carries PartitionFilters; scoring is the
+    row-local :func:`adc_score` against the query batch's integer tables —
+    raw vectors are never read at query time."""
+    from pyspark.sql import Window
+
+    from vector_graph_rag_spark.functions.vector import cosine
+
+    w_probe = Window.partitionBy(query_id).orderBy(
+        F.desc("__cs"), F.asc("centroid_id")
+    )
+    probes = (
+        queries.crossJoin(F.broadcast(centroids))
+        .withColumn("__cs", F.round(cosine(query_vec, "cvec"), 6))
+        .withColumn("__rk", F.row_number().over(w_probe))
+        .filter(F.col("__rk") <= nprobe)
+        .select(query_id, "centroid_id")
+    )
+    probe_rows = probes.collect()  # bounded: |queries| x nprobe
+    cells = sorted({r["centroid_id"] for r in probe_rows})
+    qv = quantize_embeddings(queries, id_col=query_id, vec_col=query_vec)
+    qvecs = [(int(r["vec_id"]), list(r["qv"])) for r in qv.collect()]
+    index = spark.read.parquet(index_path).filter(F.col("cell_id").isin(cells))
+    pairs = spark.createDataFrame(
+        [(r[query_id], r["centroid_id"]) for r in probe_rows],
+        f"{query_id} bigint, cell_id bigint",
+    )
+    w_rank = Window.partitionBy(query_id).orderBy(
+        F.asc("adc_dist"), F.asc("vec_id")
+    )
+    return (
+        index.join(F.broadcast(pairs), "cell_id")
+        .withColumn(
+            "adc_dist", adc_score(qvecs, codebooks, query_id_col=query_id)
+        )
+        .withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= k)
+        .select(query_id, "vec_id", "adc_dist", "rank")
+    )
