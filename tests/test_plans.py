@@ -76,6 +76,13 @@ AUDITED = [
     "dsir_select",
     "remove_shared_spans",
     "snapshot_diff",
+    # round-10 staged candidates (the PQ/mix/IVF-index ones are eager —
+    # codebook training / count collects / index write — but their final
+    # returned frames still audit cleanly for banned nodes)
+    "ann_pq_adc_topk",
+    "source_temperature_mix",
+    "ann_ivf_index_search",
+    "ann_ivfpq_topk",
 ]
 
 
