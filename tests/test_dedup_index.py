@@ -270,3 +270,27 @@ def test_incremental_equivalence_fuzz(spark):
             shutil.rmtree(state, ignore_errors=True)
 
     check()
+
+
+def test_self_pairs_bucket_cap_bounds_hot_fanout(spark):
+    """The within-batch half of the nightly flow gets the same skew guard
+    as the probe: a boilerplate band key held by many of tonight's docs
+    would pair quadratically in its occupancy; the cap drops it while
+    normal pairs keep matching, and a generous cap changes nothing."""
+    from vector_graph_rag_spark.streaming.dedup_index import self_pairs
+
+    boiler = [(i, "the same boilerplate text repeated here every time") for i in range(60)]
+    normal = [(200, "a unique document about spark and parquet layout"),
+              (201, "a unique document about spark and parquet layout")]
+    sig = batch_signatures(
+        spark.createDataFrame(boiler + normal, "doc_id long, text string")
+    )
+    uncapped = self_pairs(sig)
+    assert uncapped.filter(F.col("doc_a") < 100).count() == 60 * 59 // 2
+    capped = self_pairs(sig, bucket_cap=50)
+    assert capped.filter(F.col("doc_a") < 100).count() == 0
+    kept = capped.collect()
+    assert [(r["doc_a"], r["doc_b"], r["est_jaccard"]) for r in kept] == [(200, 201, 1.0)]
+    # a cap above every occupancy is a no-op
+    generous = self_pairs(sig, bucket_cap=10_000)
+    assert sorted(map(tuple, generous.collect())) == sorted(map(tuple, uncapped.collect()))

@@ -283,7 +283,7 @@ def main() -> None:
             .select(F.col("new_doc_id").alias("doc_id"))
         )
         self_dups = (
-            self_pairs(new_sig)
+            self_pairs(new_sig, bucket_cap=cap)
             .filter(F.col("est_jaccard") >= thr)
             .select(F.col("doc_b").alias("doc_id"))
         )

@@ -311,10 +311,25 @@ def probe_index(
     )
 
 
-def self_pairs(sig: DataFrame) -> DataFrame:
+def self_pairs(sig: DataFrame, bucket_cap: int | None = None) -> DataFrame:
     """(doc_a, doc_b, est_jaccard), doc_a < doc_b — banded collisions
-    WITHIN one batch (the nightly batch is its own dedup universe too)."""
+    WITHIN one batch (the nightly batch is its own dedup universe too).
+
+    ``bucket_cap``: the same LSH skew guard as :func:`probe_index` — a
+    boilerplate band key held by more than ``cap`` of tonight's docs would
+    fan the self-join out quadratically in its occupancy; capped buckets
+    drop from pairing (their members exact-dedup catches first).  The
+    nightly CLI passes its ``--dedup-index-cap`` here too; the default
+    None preserves the exact one-shot equivalence contract."""
     bands = _bands_of(sig)
+    if bucket_cap is not None:
+        hot = (
+            bands.groupBy("band", "band_key")
+            .agg(F.count(F.lit(1)).alias("__bn"))
+            .filter(F.col("__bn") > bucket_cap)
+            .select("band", "band_key")
+        )
+        bands = bands.join(F.broadcast(hot), ["band", "band_key"], "left_anti")
     x = bands.select(F.col("doc_id").alias("doc_a"), "band", "band_key")
     y = bands.select(F.col("doc_id").alias("doc_b"), "band", "band_key")
     cand = (
