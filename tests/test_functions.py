@@ -173,3 +173,51 @@ def test_embed_with_backend_applies_instruction_and_truncation(spark):
     # Sanity on the expected strings themselves.
     assert apply_instruction(["q1"], "query", "Find it", "bge") == ["Find it: q1"]
     assert truncate_tokens(f"Find it: {long}", 5).split() == ["Find", "it:", "w0", "w1", "w2"]
+
+
+def test_literal_helpers_roundtrip_doubles_bit_exactly(spark):
+    """functions/literals.py claims repr->DOUBLE-cast literals preserve
+    bits exactly (shortest round-trip repr + correctly rounded parse).
+    Pin it on seeded random doubles plus the edge forms Spark's string
+    cast must handle (negative zero, subnormal, inf, nan, int-valued)."""
+    import math
+    import random
+    import struct
+
+    from vector_graph_rag_spark.functions.literals import (
+        int_double_map_lit,
+        num_array_lit,
+    )
+
+    rng = random.Random(42)
+    vals = [
+        0.0, -0.0, 5e-324, -5e-324, float("inf"), float("-inf"), 1.0, -1e308,
+        0.1, 1 / 3,
+    ] + [struct.unpack("<d", struct.pack("<q", rng.getrandbits(63)))[0]
+         for _ in range(200)]
+    vals = [v for v in vals if not math.isnan(v)]  # nan != nan; checked apart
+    got = (
+        spark.range(1)
+        .select(num_array_lit(vals, "array<double>").alias("a"))
+        .collect()[0]["a"]
+    )
+    assert len(got) == len(vals)
+    for g, v in zip(got, vals):
+        assert struct.pack("<d", g) == struct.pack("<d", v), (g, v)
+    # nan round-trips to nan (bit pattern may canonicalize; nan-ness is the contract)
+    nan_back = (
+        spark.range(1)
+        .select(num_array_lit([float("nan")], "array<double>").alias("a"))
+        .collect()[0]["a"][0]
+    )
+    assert math.isnan(nan_back)
+    # the weight-map form: same doubles keyed by int, one JVM literal
+    d = {i: v for i, v in enumerate(vals[:50])}
+    m = (
+        spark.range(1)
+        .select(int_double_map_lit(d).alias("m"))
+        .collect()[0]["m"]
+    )
+    assert {k: struct.pack("<d", x) for k, x in m.items()} == {
+        k: struct.pack("<d", x) for k, x in d.items()
+    }
