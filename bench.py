@@ -19,6 +19,13 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # Headline set: the flagship graph pipeline + heaviest operators of each
 # family (join/agg, window, vector top-k, LSH dedup, text, streaming).
 HEADLINE = [
+    # dedup_index_incremental runs FIRST (r9 verdict, What's wrong #2): its
+    # honest cost is three durable bucketed index writes + a corpus
+    # signature pass, and measured r9 cross-round drift (driver 12.0s vs
+    # 7.4s isolated warm-min) tracked accumulated session pressure, not the
+    # query — running it before 50 other queries' checkpoint blocks pile up
+    # measures the query, and the per-query warm-min stays comparable.
+    "dedup_index_incremental",
     "pricing_summary",
     "shipping_priority",
     "local_supplier_volume",
@@ -85,7 +92,13 @@ HEADLINE = [
     # frequency registers, the persistent-LSH-index incremental dedup flow)
     "corpus_quantiles_registers",
     "cm_frequency_registers",
-    "dedup_index_incremental",
+    # round-10 additions: the activated r9-staged operators
+    # (queries/pipeline.py §round-10 — PQ/ADC compressed top-k, the stored
+    # partition-pruned IVF index, the IVF-PQ composition, temperature mix)
+    "ann_pq_adc_topk",
+    "ann_ivf_index_search",
+    "ann_ivfpq_topk",
+    "source_temperature_mix",
 ]
 
 

@@ -855,3 +855,38 @@ def test_curation_pipeline_dedup_index_incremental(spark, tmp_path, monkeypatch,
     assert len(glob.glob(os.path.join(index, "batch=*"))) == 2
     # cross-run near-dup DETECTION (new ids, old content) is pinned at the
     # library level: tests/test_dedup_index.py equivalence contract
+
+
+def test_source_temperature_mix_ignores_null_sources(spark, tmp_path):
+    """ADVICE r9: NULL sources must be excluded BEFORE counting — a None
+    key broke sorted(quota.items()), and the null group's count shrank
+    every real source's quota via the min() that sets B even though its
+    rows can never survive the equi-join back.  Spark and the oracle
+    carry the IS NOT NULL in lockstep, so the hash gate still holds on a
+    corpus containing null sources."""
+    import os
+
+    from tests.conftest import SF_SMOKE
+    from vector_graph_rag_spark.sources.tables import TESTDATA_TABLES
+    from vector_graph_rag_spark.testing import compare_query
+
+    sf = str(tmp_path / "sf_nullsrc")
+    os.makedirs(sf)
+    for t in TESTDATA_TABLES:
+        src = os.path.join(SF_SMOKE, f"{t}.parquet")
+        if t != "documents" and os.path.exists(src):
+            os.symlink(src, os.path.join(sf, f"{t}.parquet"))
+    # Single-FILE parquet (DuckDB's read_parquet views take file paths):
+    # null out a deterministic slice of sources via pyarrow.
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(os.path.join(SF_SMOKE, "documents.parquet"))
+    nullify = pc.equal(pc.bit_wise_and(tbl["doc_id"], 7), 0)
+    source = pc.if_else(nullify, pa.nulls(len(tbl), tbl["source"].type), tbl["source"])
+    tbl = tbl.set_column(tbl.schema.get_field_index("source"), "source", source)
+    assert source.null_count > 0
+    pq.write_table(tbl, os.path.join(sf, "documents.parquet"))
+    res = compare_query(spark, "source_temperature_mix", sf)
+    assert res["status"] == "ok", res

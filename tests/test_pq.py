@@ -238,3 +238,67 @@ def test_ivfpq_stored_index_matches_inquery_and_prunes(spark, tmp_path):
 
     plan = result._jdf.queryExecution().executedPlan().toString()
     assert re.search(r"PartitionFilters: \[[^\]]*cell_id[^\]]*IN", plan), plan[:800]
+
+
+def test_ivfpq_search_skips_null_embedding_query(spark, tmp_path):
+    """ADVICE r9: a query row with a NULL embedding must be SKIPPED, not
+    fail the whole search job — probes derive from the same null-filtered
+    query set adc_score sees, so array_position can never return 0."""
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_SMOKE
+    from vector_graph_rag_spark.operators.pq import (
+        ivfpq_search,
+        train_pq_codebooks,
+        write_ivfpq_index,
+    )
+    from vector_graph_rag_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    q = quantize_embeddings(emb)
+    books = train_pq_codebooks(q, updates=1)
+    cent = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cvec")
+    )
+    path = str(tmp_path / "ivfpq_index")
+    write_ivfpq_index(emb.select("vec_id", "embedding"), cent, books, path)
+
+    good = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 105)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    bad = spark.createDataFrame(
+        [(999999,)], "query_id long"
+    ).withColumn("qvec", F.lit(None).cast(good.schema["qvec"].dataType))
+    mixed = ivfpq_search(spark, path, good.unionByName(bad), cent, books, k=10, nprobe=2)
+    clean = ivfpq_search(spark, path, good, cent, books, k=10, nprobe=2)
+    rows = sorted(map(tuple, mixed.collect()))
+    assert rows == sorted(map(tuple, clean.collect()))
+    assert not any(r[0] == 999999 for r in rows)
+
+
+def test_ivf_search_skips_null_embedding_query(spark, tmp_path):
+    """Same contract for the raw-vector IVF index: a vectorless query is
+    skipped instead of surfacing arbitrary rows with NULL scores."""
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_SMOKE
+    from vector_graph_rag_spark.operators.ivf import ivf_search, write_ivf_index
+    from vector_graph_rag_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    cent = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cvec")
+    )
+    path = str(tmp_path / "ivf_index")
+    write_ivf_index(emb.select("vec_id", "embedding"), cent, path)
+    good = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 105)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    bad = spark.createDataFrame([(999999,)], "query_id long").withColumn(
+        "qvec", F.lit(None).cast(good.schema["qvec"].dataType)
+    )
+    mixed = ivf_search(spark, path, good.unionByName(bad), cent, k=10, nprobe=2)
+    clean = ivf_search(spark, path, good, cent, k=10, nprobe=2)
+    rows = sorted(map(tuple, mixed.collect()))
+    assert rows == sorted(map(tuple, clean.collect()))
+    assert not any(r[0] == 999999 for r in rows)

@@ -59,6 +59,11 @@ def assign_cells(
     # only: the old window sorted NaN greatest (Spark ordering), but
     # array_position's EQUALITY never matches NaN — +Inf keeps the same
     # "NaN wins, ties to the lowest id" outcome without the 0-index crash.
+    # Known conflation (ADVICE r9): a NaN score now TIES a genuine +Inf
+    # score (lowest id wins) instead of beating it as the old window (and
+    # DuckDB, where NaN sorts above Infinity) would.  Unreachable with
+    # cosine's bounded output; a non-cosine scorer plugged in here must
+    # break the tie explicitly if NaN-beats-Inf semantics matter.
     scores = F.transform(
         cmat,
         lambda c: F.transform(
@@ -109,6 +114,10 @@ def ivf_search(
     partition filter (`PartitionFilters: [cell_id IN (...)]`) and never
     touches unprobed cells.
     """
+    # A NULL-vector query would still earn nprobe probe rows (row_number
+    # orders null cosines) and then surface arbitrary rows with NULL
+    # scores — skip it instead, matching ivfpq_search's contract.
+    queries = queries.filter(F.col(query_vec).isNotNull())
     w_probe = Window.partitionBy(query_id).orderBy(
         F.desc("__cs"), F.asc("centroid_id")
     )

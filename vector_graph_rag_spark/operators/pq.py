@@ -366,8 +366,16 @@ def ivfpq_search(
     w_probe = Window.partitionBy(query_id).orderBy(
         F.desc("__cs"), F.asc("centroid_id")
     )
+    # Probes MUST be derived from the same query set adc_score will see:
+    # quantize_embeddings drops NULL-embedding queries, but a NULL row in
+    # the raw frame would still earn nprobe probe rows (row_number orders
+    # null cosines), and adc_score's array_position(qids, query_id) = 0
+    # would then raise ELEMENT_AT_BY_INDEX_ZERO at execution — one bad
+    # query failing the whole search job (ADVICE r9).  Filter here so a
+    # vectorless query is skipped, not fatal.
     probes = (
-        queries.crossJoin(F.broadcast(centroids))
+        queries.filter(F.col(query_vec).isNotNull())
+        .crossJoin(F.broadcast(centroids))
         .withColumn("__cs", F.round(cosine(query_vec, "cvec"), 6))
         .withColumn("__rk", F.row_number().over(w_probe))
         .filter(F.col("__rk") <= nprobe)

@@ -58,6 +58,7 @@ QUALIFY rank <= 10
 @register(
     "ann_ivf_topk",
     oracle=_IVF_SQL,
+    retired=True,  # r10 swap: ann_ivf_index_search's oracle is THIS query's SQL verbatim — the stored partition-pruned index strictly covers the logical IVF; r8-green
     description="IVF-style ANN: coarse-cell assignment + nprobe=2 probe (milvus IVF index stand-in)",
 )
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -172,6 +172,7 @@ QUALIFY rank <= 20
 @register(
     "quantized_cosine_topk",
     oracle=_SQ8_SQL,
+    retired=True,  # r10 swap: compressed-domain top-k driver-gated via ann_pq_adc_topk (PQ codebooks strictly richer than SQ8 scalar bins); r8-green
     description="int8 scalar-quantized top-k (Milvus SQ8 analogue): integer dot products, bit-exact",
 )
 def quantized_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

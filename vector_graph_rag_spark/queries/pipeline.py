@@ -942,13 +942,13 @@ WHERE rk <= {_PQ_TOPK}
 @register(
     "ann_pq_adc_topk",
     oracle=_PQ_SQL,
-    retired=True,  # STAGED for the round-10 swap
+    # ACTIVE since the r10 swap (staged retired=True through r9)
     description=(
         "product-quantization ANN: per-subvector codebooks (deterministic "
         "Lloyd, floor-avg, integer-exact), row-local encoding against the "
         "broadcast codebook literal, and ADC top-k where each corpus row "
         "costs M table lookups — the 64x-compression scale path for "
-        "billion-vector search (staged r10 swap candidate)"
+        "billion-vector search"
     ),
 )
 def ann_pq_adc_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1002,7 +1002,8 @@ _TMIX_KEY = "concat('tmix:', CAST(doc_id AS VARCHAR))"
 # with per-source takes proportional to n_s^0.5.  No float ever crosses
 # an engine boundary.
 _TMIX_SQL = f"""
-WITH c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+WITH c AS (SELECT source, COUNT(*) AS n FROM documents
+           WHERE source IS NOT NULL GROUP BY source),
 u AS (SELECT source, n, CAST(floor(sqrt(n)) AS BIGINT) AS u FROM c),
 quota AS (
   SELECT source, u * (SELECT MIN(n // u) FROM u) AS quota FROM u
@@ -1024,12 +1025,12 @@ WHERE r.rk <= q.quota
 @register(
     "source_temperature_mix",
     oracle=_TMIX_SQL,
-    retired=True,  # STAGED for the round-10 swap
+    # ACTIVE since the r10 swap (staged retired=True through r9)
     description=(
         "alpha=0.5 temperature-scaled source mixing (the pretraining "
         "domain-mix recipe): per-source quotas proportional to "
         "floor(sqrt(n_s)), integer-exact, hash-ordered deterministic "
-        "selection (staged r10 swap candidate)"
+        "selection"
     ),
 )
 def source_temperature_mix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1044,6 +1045,12 @@ def source_temperature_mix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vector_graph_rag_spark.functions.hashing import hash60
 
     d = load_table(spark, sf_dir, "documents")
+    # NULL sources are excluded BEFORE counting (ADVICE r9): a None key
+    # would break the sorted() quota frame AND, worse, participate in the
+    # min() that sets B even though its rows can never survive the
+    # inner equi-join back — silently shrinking every real source's quota.
+    # The oracle's counts CTE carries the same IS NOT NULL in lockstep.
+    d = d.filter(F.col("source").isNotNull())
     counts = {
         r["source"]: int(r["n"])
         for r in d.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
@@ -1091,12 +1098,12 @@ def _ivf_oracle() -> str:
 @register(
     "ann_ivf_index_search",
     oracle=_ivf_oracle(),
-    retired=True,  # STAGED for the round-10 swap
+    # ACTIVE since the r10 swap (staged retired=True through r9)
     description=(
         "persistent IVF index: write the corpus partitionBy(cell_id), then "
         "search via partition-pruned probe-cell scans — the oracle is the "
         "in-query ann_ivf_topk SQL verbatim, pinning stored-index search == "
-        "logical IVF (staged r10 swap candidate)"
+        "logical IVF"
     ),
 )
 def ann_ivf_index_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1192,13 +1199,13 @@ WHERE rk <= {_PQ_TOPK}
 @register(
     "ann_ivfpq_topk",
     oracle=_ivfpq_sql(),
-    retired=True,  # STAGED for the round-10 swap
+    # ACTIVE since the r10 swap (staged retired=True through r9)
     description=(
         "IVF-PQ composition (the Milvus billion-scale index shape): "
         "coarse-quantizer cells prune candidates to nprobe=2 cells per "
         "query, PQ codes ADC-score only the survivors — candidate "
         "generation never scans the corpus, scoring never reads raw "
-        "vectors (staged r10 swap candidate)"
+        "vectors"
     ),
 )
 def ann_ivfpq_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:

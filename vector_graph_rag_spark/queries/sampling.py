@@ -89,6 +89,7 @@ FROM ranked WHERE rk <= 5
 @register(
     "stratified_sample_per_source",
     oracle=_STRAT_SQL,
+    retired=True,  # r10 swap: per-source hash-ordered quota selection driver-gated via source_temperature_mix (data-derived n^0.5 quotas strictly generalize fixed n-per-stratum); r8-green
     description="deterministic exactly-5-per-source sample via hash-ordered window (distributed reservoir-sample stand-in)",
 )
 def stratified_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:

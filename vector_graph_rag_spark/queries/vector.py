@@ -199,7 +199,12 @@ SELECT query_id, vec_id, score, rank FROM (
 """
 
 
-@register("ann_lsh_topk", oracle=_ANN_SQL, description="sign-LSH bucketed ANN top-k (scale path for milvus AUTOINDEX)")
+@register(
+    "ann_lsh_topk",
+    oracle=_ANN_SQL,
+    retired=True,  # r10 swap: bucketed-candidate ANN driver-gated via ann_ivfpq_topk (cell-pruned candidates + ADC, the richer composition); sign-bucket arithmetic stays gated via minhash/simhash local parity; r8-green
+    description="sign-LSH bucketed ANN top-k (scale path for milvus AUTOINDEX)",
+)
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     c = emb.select("vec_id", F.col("embedding").alias("v")).withColumn(

@@ -259,11 +259,16 @@ def probe_index(
     The index view is PINNED to the batch ids present at call time: the
     band scan filters ``batch IN (<ids>)`` (static partition pruning) and
     the signature read lists those batches' dirs explicitly.  A probe is
-    therefore safe to consume LAZILY even after later appends land — the
-    returned plan can never see a batch that didn't exist when the probe
-    was taken, so callers interleaving probe/append (the nightly flow, the
-    registered incremental query) need no eager materialization between
-    steps."""
+    therefore safe to consume LAZILY after later appends of NEW batch ids
+    — the returned plan can never see a batch that didn't exist when the
+    probe was taken, so callers interleaving probe/append (the nightly
+    flow, the registered incremental query) need no eager materialization
+    between steps.  The guarantee does NOT extend to REPLAYING a batch id
+    the probe already saw: ``append_to_index`` on an existing id deletes
+    and rewrites that batch's band partition and sigs files (the
+    idempotence contract), so an outstanding lazy probe pinned to the old
+    files would hit missing-file failures or stale data — materialize
+    outstanding probes before replaying a batch id (ADVICE r9)."""
     ids = list_batch_ids(spark, state_dir)
     if not ids:
         return sig.sparkSession.createDataFrame(
