@@ -139,6 +139,16 @@ def main() -> None:
     # one-time r8 re-baseline comparison recorded in SCALE.md.
     ITERATIONS = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "2"))
     ACTION = os.environ.get("SPARK_GRAFT_BENCH_ACTION", "noop")
+    # Durable-write-heavy queries warm over MORE than two iterations: the
+    # full dedup-index flow pays a corpus signature pass + three bucketed
+    # index writes, and its isolated 4-iteration runs keep descending
+    # ([19.5, 12.2, 10.2, 8.5] r10; [12.4, 8.4, 8.2, 7.4] r9 — page cache
+    # + codegen warm across runs), so a 2-iteration min lands in the
+    # still-warming band and drifts round-over-round for reasons that are
+    # not the query (r9 verdict, What's wrong #2).  Give such queries the
+    # same 4-iteration protocol SCALE.md pins with; the reported number
+    # stays a min, just over enough runs to reach steady state.
+    EXTRA_ITERS = {"dedup_index_incremental": max(ITERATIONS, 4)}
     from pyspark.sql import Observation
     from pyspark.sql import functions as F
 
@@ -163,7 +173,7 @@ def main() -> None:
     for name in HEADLINE:
         q = registry[name]
         runs = []
-        for _ in range(ITERATIONS):
+        for _ in range(EXTRA_ITERS.get(name, ITERATIONS)):
             t0 = time.perf_counter()
             if ACTION == "count":
                 n = q.fn(spark, SF_DIR).count()
