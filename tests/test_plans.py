@@ -83,6 +83,12 @@ AUDITED = [
     "source_temperature_mix",
     "ann_ivf_index_search",
     "ann_ivfpq_topk",
+    # round-11 staged candidates (queries/search_api.py — all four fully
+    # declarative: no collects, no driver loops)
+    "range_search_radius",
+    "grouping_search_topk",
+    "sparse_dot_topk",
+    "mmr_diversity_rerank",
 ]
 
 

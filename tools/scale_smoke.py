@@ -63,6 +63,14 @@ QUERIES = [
     "source_temperature_mix",
     "ann_ivf_index_search",
     "ann_ivfpq_topk",
+    # round-11 staged candidates (pre-registration smokes): range/grouping
+    # scale with the scored frame (broadcast join, no shuffle / map-side
+    # combine); sparse rides the inverted term index; MMR is row-local per
+    # query over k-bounded candidate arrays
+    "range_search_radius",
+    "grouping_search_topk",
+    "sparse_dot_topk",
+    "mmr_diversity_rerank",
 ]
 
 DOC_STRIDE = 1_000_000

@@ -89,10 +89,23 @@ def write_ivf_index(
     corpus_id: str = "vec_id",
     corpus_vec: str = "embedding",
 ) -> None:
-    """Materialize the corpus partitioned by cell id (the IVF index)."""
-    assign_cells(
+    """Materialize the corpus partitioned by cell id (the IVF index).
+
+    Salted repartition before partitionBy (same rationale as
+    pq.write_ivfpq_index): bounds files-per-cell at the salt modulus
+    instead of (upstream tasks x cells), keeping probe-time file listing
+    O(cells) — a hot cell still splits across 4 writers."""
+    assigned = assign_cells(
         corpus, centroids, corpus_id=corpus_id, corpus_vec=corpus_vec
-    ).write.mode("overwrite").partitionBy("cell_id").parquet(path)
+    )
+    (
+        assigned.repartition(
+            F.col("cell_id"), F.pmod(F.hash(corpus_id), F.lit(4))
+        )
+        .write.mode("overwrite")
+        .partitionBy("cell_id")
+        .parquet(path)
+    )
 
 
 def ivf_search(

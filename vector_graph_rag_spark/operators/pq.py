@@ -335,8 +335,15 @@ def write_ivfpq_index(
         corpus_id=corpus_id,
         corpus_vec=corpus_vec,
     ).select(F.col(corpus_id).alias("vec_id"), "cell_id")
+    # Salted repartition BEFORE partitionBy: a task-local write fans out to
+    # (upstream tasks x cells) files — at 1000 executors x 10k cells that's
+    # a file-count explosion whose listing cost lands on every probe.
+    # Hashing (cell_id, salt) bounds files-per-cell at the salt modulus
+    # (skew-safe: a hot cell still splits across 4 writers) for one shuffle
+    # of the CODE table — 1/64th-scale bytes, the cheap side.
     (
         assigned.join(enc, "vec_id")
+        .repartition(F.col("cell_id"), F.pmod(F.hash("vec_id"), F.lit(4)))
         .write.mode("overwrite")
         .partitionBy("cell_id")
         .parquet(path)

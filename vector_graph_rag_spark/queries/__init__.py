@@ -87,6 +87,7 @@ def load_all(include_retired: bool = False) -> dict[str, DeclaredQuery]:
         curation,
         lmfilter,
         pipeline,
+        search_api,
     )
 
     if include_retired:

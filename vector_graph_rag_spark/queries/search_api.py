@@ -1,0 +1,470 @@
+"""Milvus search-API parity family (staged r11 swap candidates).
+
+The reference's store delegates every retrieval to ONE Milvus call shape —
+plain IP top-k (`storage/milvus.py:346-427`).  The Milvus API the
+reference builds on offers richer search modes a user migrating from that
+ecosystem reaches for on day one; this module re-expresses each as
+declarative DataFrame plans with full DuckDB oracles:
+
+- ``range_search_radius``  — Milvus *range search*: every neighbor whose
+  score lands in (radius, range_filter], no k.
+- ``grouping_search_topk`` — Milvus *grouping search* (``group_by_field``):
+  top-k GROUPS per query, one best hit per group.
+- ``sparse_dot_topk``      — Milvus *SPARSE_FLOAT_VECTOR* search: inverted
+  term-index dot products (the BM25/SPLADE serving shape), all-integer.
+- ``mmr_diversity_rerank`` — maximal-marginal-relevance rerank over each
+  query's top-k candidates (Carbonell & Goldstein 1998), the diversity
+  pass RAG stacks bolt onto plain top-k; row-local per query.
+
+Determinism: every score that crosses the engine boundary is either a
+6-decimal-rounded double (the knn convention) or an exact integer (the
+PQ convention); ties always break to the lowest id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from vector_graph_rag_spark.functions.text import tokens
+from vector_graph_rag_spark.functions.vector import cosine
+from vector_graph_rag_spark.queries import register
+from vector_graph_rag_spark.queries.vector import _cos_sql
+from vector_graph_rag_spark.sources.tables import load_table
+
+# --- range search (Milvus range search: radius < score <= range_filter) ------
+
+_RANGE_RADIUS = 0.35
+_RANGE_FILTER = 0.9
+
+_RANGE_SQL = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id, embedding::DOUBLE[] AS cvec FROM embeddings),
+scored AS (
+  SELECT q.query_id, c.vec_id, round({_cos_sql('c.cvec', 'q.qvec')}, 6) AS score
+  FROM c CROSS JOIN q
+)
+SELECT query_id, vec_id, score FROM scored
+WHERE score > {_RANGE_RADIUS} AND score <= {_RANGE_FILTER}
+"""
+
+
+@register(
+    "range_search_radius",
+    oracle=_RANGE_SQL,
+    retired=True,  # STAGED for the round-11 swap
+    description=(
+        "Milvus range-search analogue: all neighbors with radius < score "
+        "<= range_filter (two-sided band, no k) — the dedup/recall shape "
+        "where the caller wants EVERY sufficiently-close neighbor"
+    ),
+)
+def range_search_radius_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both bounds ride the same rounded score the ranking queries use, so
+    the band is boundary-exact across engines.  Scale: the filter is a
+    plain predicate over the scored frame — at 100 TB the candidate side
+    comes from the stored IVF cells (operators/ivf.py) instead of the full
+    corpus, and this band filter applies unchanged after probe scoring;
+    unlike top-k there is no window, so the plan is scan + broadcast join
+    + filter (no shuffle at all)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    c = emb.select("vec_id", F.col("embedding").alias("cvec"))
+    score = F.round(cosine("cvec", "qvec"), 6)
+    return (
+        c.crossJoin(F.broadcast(q))
+        .withColumn("score", score)
+        .filter(
+            (F.col("score") > F.lit(_RANGE_RADIUS))
+            & (F.col("score") <= F.lit(_RANGE_FILTER))
+        )
+        .select("query_id", "vec_id", "score")
+    )
+
+
+# --- grouping search (Milvus group_by_field, group_size=1) -------------------
+
+_GROUP_TOPK = 3
+
+_GROUPING_SQL = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id, label, embedding::DOUBLE[] AS cvec FROM embeddings WHERE label IS NOT NULL),
+scored AS (
+  SELECT q.query_id, c.vec_id, c.label, round({_cos_sql('c.cvec', 'q.qvec')}, 6) AS score
+  FROM c CROSS JOIN q
+),
+best_per_group AS (
+  SELECT query_id, label, vec_id, score FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id, label ORDER BY score DESC, vec_id ASC
+    ) AS rk FROM scored
+  ) WHERE rk = 1
+)
+SELECT query_id, label, vec_id, score, CAST(grk AS INT) AS group_rank FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY score DESC, label ASC
+  ) AS grk FROM best_per_group
+) WHERE grk <= {_GROUP_TOPK}
+"""
+
+
+@register(
+    "grouping_search_topk",
+    oracle=_GROUPING_SQL,
+    retired=True,  # STAGED for the round-11 swap
+    description=(
+        "Milvus grouping-search analogue (group_by_field=label, "
+        "group_size=1): top-3 GROUPS per query, one best hit per group — "
+        "the 'diverse sources' retrieval mode (e.g. one chunk per parent "
+        "document)"
+    ),
+)
+def grouping_search_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-sized reduction (best hit per (query, group)) is a
+    map-side-combined groupBy + max_by — NOT a window, which would shuffle
+    every scored row to sort it; partial aggregation collapses each task's
+    rows to |queries| x |labels seen| before the one (query_id, label)
+    exchange.  The only window then ranks the group-reduced frame
+    (|queries| x |labels| rows, trivially small at any corpus size).  The
+    max_by key packs (score, -vec_id) into one struct so the tie-break is
+    the usual lowest-id rule."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    c = emb.filter(F.col("label").isNotNull()).select(
+        "vec_id", "label", F.col("embedding").alias("cvec")
+    )
+    best = (
+        c.crossJoin(F.broadcast(q))
+        .withColumn("score", F.round(cosine("cvec", "qvec"), 6))
+        .groupBy("query_id", "label")
+        .agg(
+            F.max(
+                F.struct(F.col("score"), (-F.col("vec_id")).alias("negid"))
+            ).alias("b")
+        )
+        .select(
+            "query_id",
+            "label",
+            (-F.col("b.negid")).alias("vec_id"),
+            F.col("b.score").alias("score"),
+        )
+    )
+    w_query = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("label")
+    )
+    return best.withColumn(
+        "group_rank", F.row_number().over(w_query).cast("int")
+    ).filter(F.col("group_rank") <= _GROUP_TOPK)
+
+
+# --- sparse-vector search (Milvus SPARSE_FLOAT_VECTOR / BM25 serving) --------
+
+_SPARSE_NQ = 3
+_SPARSE_TOPK = 10
+
+# Sparse vectors are per-doc term frequencies over the corpus tokenizer
+# (functions/text.tokens — whitespace split, empties removed); scores are
+# integer dot products over the shared-term inverted index, so every value
+# crossing the engine boundary is exact.
+_SPARSE_SQL = f"""
+WITH tf AS (
+  SELECT doc_id, t.term, COUNT(*) AS w
+  FROM documents,
+       unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS t(term)
+  GROUP BY doc_id, t.term
+),
+qtf AS (SELECT doc_id AS query_id, term, w AS qw FROM tf WHERE doc_id < {_SPARSE_NQ}),
+scored AS (
+  SELECT q.query_id, d.doc_id, CAST(SUM(q.qw * d.w) AS BIGINT) AS score
+  FROM qtf q JOIN tf d ON d.term = q.term
+  GROUP BY q.query_id, d.doc_id
+)
+SELECT query_id, doc_id, score, CAST(rk AS INT) AS rank FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY score DESC, doc_id ASC
+  ) AS rk FROM scored
+) WHERE rk <= {_SPARSE_TOPK}
+"""
+
+
+@register(
+    "sparse_dot_topk",
+    oracle=_SPARSE_SQL,
+    retired=True,  # STAGED for the round-11 swap
+    description=(
+        "Milvus SPARSE_FLOAT_VECTOR analogue: per-doc term-frequency "
+        "sparse vectors, integer dot products over the shared-term "
+        "inverted index, top-10 per query — the BM25/SPLADE serving shape "
+        "(scores all-integer, never a dense vector materialized)"
+    ),
+)
+def sparse_dot_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB shape is the INVERTED INDEX, not dense vectors: the tf
+    table is term-partitioned, the query side is broadcast (|queries| x
+    |query terms| rows), the dot product is one map-side-combined
+    groupBy(query, doc) over posting-list matches, and only the k-bounded
+    window shuffles on query_id.  A dense formulation would materialize a
+    |vocab|-wide vector per document — this never does."""
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(tokens("text")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    qtf = (
+        tf.filter(F.col("doc_id") < _SPARSE_NQ)
+        .select(F.col("doc_id").alias("query_id"), "term", F.col("w").alias("qw"))
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    return (
+        tf.join(F.broadcast(qtf), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum(F.col("qw") * F.col("w")).alias("score"))
+        .withColumn("rank", F.row_number().over(w_rank).cast("int"))
+        .filter(F.col("rank") <= _SPARSE_TOPK)
+        .select("query_id", "doc_id", "score", "rank")
+    )
+
+
+# --- MMR diversity rerank (Carbonell & Goldstein 1998) ------------------------
+
+_MMR_NQ = 3
+_MMR_CAND = 20
+_MMR_K = 5
+
+# Integer surface: vectors quantized round(x*1000) (the PQ convention),
+# relevance = integer dot(query, cand), pairwise sim = integer dot(cand,
+# cand).  With lambda = 0.5 the greedy argmax of lambda*rel - (1-lambda)*
+# max_sim is the argmax of (rel - max_sim) — pure integer arithmetic, ties
+# to the lowest vec_id.  Step 1 has no selected set: max_sim = 0.
+_MMR_SQL = f"""
+WITH qv AS (
+  SELECT vec_id, list_transform(embedding::DOUBLE[], x -> CAST(round(x * 1000) AS BIGINT)) AS v
+  FROM embeddings WHERE embedding IS NOT NULL
+),
+dims AS (SELECT vec_id, generate_subscripts(v, 1) AS pos, unnest(v) AS x FROM qv),
+rel AS (
+  -- self excluded: MMR reranks RETRIEVED docs for a query, and a selected
+  -- self makes every step-2 score degenerate (rel_i - dot(v_i, q) = 0)
+  SELECT a.vec_id AS query_id, b.vec_id, CAST(SUM(a.x * b.x) AS BIGINT) AS rel
+  FROM dims a JOIN dims b ON a.pos = b.pos
+  WHERE a.vec_id < {_MMR_NQ} AND b.vec_id <> a.vec_id
+  GROUP BY 1, 2
+),
+cand AS (
+  SELECT query_id, vec_id, rel FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, vec_id ASC) AS rk
+    FROM rel
+  ) WHERE rk <= {_MMR_CAND}
+),
+sim AS (
+  SELECT c1.query_id, c1.vec_id AS a, c2.vec_id AS b, CAST(SUM(da.x * db.x) AS BIGINT) AS sim
+  FROM cand c1
+  JOIN cand c2 ON c2.query_id = c1.query_id
+  JOIN dims da ON da.vec_id = c1.vec_id
+  JOIN dims db ON db.vec_id = c2.vec_id AND db.pos = da.pos
+  GROUP BY 1, 2, 3
+),
+sel1 AS (
+  SELECT query_id, vec_id, rel, rel AS m FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, vec_id ASC) AS rk
+    FROM cand
+  ) WHERE rk = 1
+),
+mm2 AS (
+  SELECT c.query_id, c.vec_id, c.rel, c.rel - MAX(s.sim) AS m
+  FROM cand c
+  JOIN sim s ON s.query_id = c.query_id AND s.a = c.vec_id
+  JOIN sel1 p ON p.query_id = c.query_id AND s.b = p.vec_id
+  WHERE NOT EXISTS (SELECT 1 FROM sel1 p2 WHERE p2.query_id = c.query_id AND p2.vec_id = c.vec_id)
+  GROUP BY 1, 2, 3
+),
+sel2 AS (
+  SELECT query_id, vec_id, rel, m FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY m DESC, vec_id ASC) AS rk
+    FROM mm2
+  ) WHERE rk = 1
+),
+sels2 AS (SELECT query_id, vec_id FROM sel1 UNION ALL SELECT query_id, vec_id FROM sel2),
+mm3 AS (
+  SELECT c.query_id, c.vec_id, c.rel, c.rel - MAX(s.sim) AS m
+  FROM cand c
+  JOIN sim s ON s.query_id = c.query_id AND s.a = c.vec_id
+  JOIN sels2 p ON p.query_id = c.query_id AND s.b = p.vec_id
+  WHERE NOT EXISTS (SELECT 1 FROM sels2 p2 WHERE p2.query_id = c.query_id AND p2.vec_id = c.vec_id)
+  GROUP BY 1, 2, 3
+),
+sel3 AS (
+  SELECT query_id, vec_id, rel, m FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY m DESC, vec_id ASC) AS rk
+    FROM mm3
+  ) WHERE rk = 1
+),
+sels3 AS (SELECT query_id, vec_id FROM sels2 UNION ALL SELECT query_id, vec_id FROM sel3),
+mm4 AS (
+  SELECT c.query_id, c.vec_id, c.rel, c.rel - MAX(s.sim) AS m
+  FROM cand c
+  JOIN sim s ON s.query_id = c.query_id AND s.a = c.vec_id
+  JOIN sels3 p ON p.query_id = c.query_id AND s.b = p.vec_id
+  WHERE NOT EXISTS (SELECT 1 FROM sels3 p2 WHERE p2.query_id = c.query_id AND p2.vec_id = c.vec_id)
+  GROUP BY 1, 2, 3
+),
+sel4 AS (
+  SELECT query_id, vec_id, rel, m FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY m DESC, vec_id ASC) AS rk
+    FROM mm4
+  ) WHERE rk = 1
+),
+sels4 AS (SELECT query_id, vec_id FROM sels3 UNION ALL SELECT query_id, vec_id FROM sel4),
+mm5 AS (
+  SELECT c.query_id, c.vec_id, c.rel, c.rel - MAX(s.sim) AS m
+  FROM cand c
+  JOIN sim s ON s.query_id = c.query_id AND s.a = c.vec_id
+  JOIN sels4 p ON p.query_id = c.query_id AND s.b = p.vec_id
+  WHERE NOT EXISTS (SELECT 1 FROM sels4 p2 WHERE p2.query_id = c.query_id AND p2.vec_id = c.vec_id)
+  GROUP BY 1, 2, 3
+),
+sel5 AS (
+  SELECT query_id, vec_id, rel, m FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY m DESC, vec_id ASC) AS rk
+    FROM mm5
+  ) WHERE rk = 1
+)
+SELECT query_id, CAST(sel_rank AS INT) AS sel_rank, vec_id, rel, m AS mmr_score FROM (
+  SELECT query_id, 1 AS sel_rank, vec_id, rel, m FROM sel1
+  UNION ALL SELECT query_id, 2, vec_id, rel, m FROM sel2
+  UNION ALL SELECT query_id, 3, vec_id, rel, m FROM sel3
+  UNION ALL SELECT query_id, 4, vec_id, rel, m FROM sel4
+  UNION ALL SELECT query_id, 5, vec_id, rel, m FROM sel5
+)
+"""
+
+
+def _int_dot(a, b):
+    """Integer dot product of two array<bigint> columns — zip_with + fold,
+    whole-stage-codegen JVM arithmetic."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+@register(
+    "mmr_diversity_rerank",
+    oracle=_MMR_SQL,
+    retired=True,  # STAGED for the round-11 swap
+    description=(
+        "maximal-marginal-relevance rerank (Carbonell & Goldstein 1998, "
+        "lambda=0.5) over each query's top-20 IP candidates: greedy k=5 "
+        "selection maximizing rel - max-sim-to-selected, all-integer, "
+        "row-local per query — the diversity pass RAG stacks bolt onto "
+        "plain top-k"
+    ),
+)
+def mmr_diversity_rerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """100 TB shape: MMR is data-parallel ACROSS queries and row-local
+    WITHIN one — each query's candidate set is k-bounded by construction
+    (top-20 from the ANN/top-k stage), so the greedy quadratic lives in
+    ONE row's higher-order-function fold (selected-set state carried
+    through F.aggregate, sims computed on demand via zip_with dot
+    products), never a shuffle.  The only exchanges are the candidate
+    top-k window and the per-query groupBy — both k-bounded."""
+    from vector_graph_rag_spark.operators.pq import quantize_embeddings
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = quantize_embeddings(emb)  # (vec_id, qv array<bigint>), nulls dropped
+    queries = qv.filter(F.col("vec_id") < _MMR_NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("qv").alias("query_qv")
+    )
+    w_cand = Window.partitionBy("query_id").orderBy(F.desc("rel"), F.asc("vec_id"))
+    cand = (
+        qv.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("query_id"))  # self excluded (see oracle note)
+        .withColumn("rel", _int_dot(F.col("qv"), F.col("query_qv")))
+        .withColumn("rk", F.row_number().over(w_cand))
+        .filter(F.col("rk") <= _MMR_CAND)
+        .select("query_id", "vec_id", "rel", "qv")
+    )
+    per_q = cand.groupBy("query_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("vec_id", "rel", "qv"))
+        ).alias("cands")
+    )
+
+    empty_sel = F.expr(
+        "CAST(array() AS array<struct<vec_id:bigint,rel:bigint,m:bigint,"
+        "qv:array<bigint>>>)"
+    )
+
+    def _step(sel, _i):
+        cands = F.col("cands")
+        sel_ids = F.transform(sel, lambda s: s["vec_id"])
+        rem = F.filter(
+            cands, lambda c: ~F.array_contains(sel_ids, c["vec_id"])
+        )
+        scored = F.transform(
+            rem,
+            lambda c: F.struct(
+                (
+                    c["rel"]
+                    - F.coalesce(
+                        F.array_max(
+                            F.transform(
+                                sel, lambda s: _int_dot(c["qv"], s["qv"])
+                            )
+                        ),
+                        F.lit(0).cast("long"),
+                    )
+                ).alias("m"),
+                (-c["vec_id"]).alias("negid"),
+                c["vec_id"].alias("vec_id"),
+                c["rel"].alias("rel"),
+                c["qv"].alias("qv"),
+            ),
+        )
+        best_key = F.array_max(
+            F.transform(scored, lambda s: F.struct(s["m"], s["negid"]))
+        )
+        best = F.element_at(
+            F.filter(
+                scored,
+                lambda s: (s["m"] == best_key["m"])
+                & (s["negid"] == best_key["negid"]),
+            ),
+            1,
+        )
+        appended = F.concat(
+            sel,
+            F.array(
+                F.struct(
+                    best["vec_id"].alias("vec_id"),
+                    best["rel"].alias("rel"),
+                    best["m"].alias("m"),
+                    best["qv"].alias("qv"),
+                )
+            ),
+        )
+        return F.when(F.size(rem) > 0, appended).otherwise(sel)
+
+    selected = F.aggregate(
+        F.sequence(F.lit(1), F.lit(_MMR_K)), empty_sel, _step
+    )
+    return (
+        per_q.select(
+            "query_id", F.posexplode(selected).alias("pos", "s")
+        )
+        .select(
+            "query_id",
+            (F.col("pos") + 1).cast("int").alias("sel_rank"),
+            F.col("s.vec_id").alias("vec_id"),
+            F.col("s.rel").alias("rel"),
+            F.col("s.m").alias("mmr_score"),
+        )
+    )
