@@ -34,6 +34,9 @@ REPARTITION_CHECKED = [
     "bpe_train_merges",         # argmax tie-breaks across 8 merge iterations
     "bloom_membership_profile",  # bit array + probe determinism
     "versioned_merge_diff",     # MoR latest-wins fold through parquet round-trip
+    # round-11 staged search-API family
+    "grouping_search_topk",     # max(struct) tie-break under partial aggregation
+    "mmr_diversity_rerank",     # greedy fold over collect_list candidate arrays
 ]
 
 
