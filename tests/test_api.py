@@ -177,3 +177,86 @@ def test_upload_route(client):
         "documents"
     ]
     assert len(passages) == 1 and "ant bites bee" in passages[0]["text"]
+
+
+@pytest.fixture()
+def search_graph(client):
+    """Search tests run after test_delete_graph has dropped g1 — give them
+    their own graph, built once per module."""
+    names = [g["name"] for g in client.get("/graphs").get_json()["graphs"]]
+    if "gsearch" not in names:
+        r = client.post(
+            "/add_documents", json={"graph_name": "gsearch", "documents": DOCS}
+        )
+        assert r.status_code == 200
+    return "gsearch"
+
+
+def test_search_topk_mode(client, search_graph):
+    """POST /search mode=topk: a query equal to an indexed passage's text
+    must rank that passage first with score 1.0 (same deterministic
+    embedding on both sides)."""
+    r = client.post(
+        "/search",
+        json={
+            "graph_name": "gsearch",
+            "queries": ["alpha owns beta beta feeds gamma gamma likes delta"],
+            "mode": "topk",
+            "top_k": 2,
+        },
+    )
+    assert r.status_code == 200
+    body = r.get_json()
+    assert body["mode"] == "topk"
+    hits = body["hits"]
+    assert hits[0]["passage_id"] == "d1" and hits[0]["rank"] == 1
+    assert abs(hits[0]["score"] - 1.0) < 1e-9
+    assert len(hits) == 2 and hits[1]["rank"] == 2
+
+
+def test_search_range_mode_band_is_exclusive_inclusive(client, search_graph):
+    """mode=range: radius is exclusive, range_filter inclusive — querying a
+    passage's own text with range_filter just under 1.0 must exclude the
+    exact self-match but keep weaker neighbors above the radius."""
+    q = "alpha owns beta beta feeds gamma gamma likes delta"
+    full = client.post(
+        "/search",
+        json={"graph_name": "gsearch", "queries": [q], "mode": "range",
+              "radius": -1.0, "range_filter": 1.0},
+    ).get_json()["hits"]
+    assert any(h["passage_id"] == "d1" and abs(h["score"] - 1.0) < 1e-9 for h in full)
+    banded = client.post(
+        "/search",
+        json={"graph_name": "gsearch", "queries": [q], "mode": "range",
+              "radius": -1.0, "range_filter": 0.999999},
+    ).get_json()["hits"]
+    assert all(h["passage_id"] != "d1" for h in banded)
+    assert len(banded) == len(full) - 1
+
+
+def test_search_grouping_mode_one_passage_per_entity(client, search_graph):
+    r = client.post(
+        "/search",
+        json={"graph_name": "gsearch",
+              "queries": ["beta rules epsilon epsilon sees zeta zeta meets eta"],
+              "mode": "grouping", "top_k": 50},
+    )
+    hits = r.get_json()["hits"]
+    assert hits, "expected grouped hits"
+    # one hit per entity, ranks contiguous from 1
+    entities = [h["entity_id"] for h in hits]
+    assert len(entities) == len(set(entities))
+    assert [h["rank"] for h in hits] == list(range(1, len(hits) + 1))
+    # the self-match passage d2 must be the best hit for its entities
+    d2_entities = [h for h in hits if h["passage_id"] == "d2"]
+    assert d2_entities and all(abs(h["score"] - 1.0) < 1e-9 for h in d2_entities)
+
+
+def test_search_error_paths(client, search_graph):
+    assert client.post("/search", json={"graph_name": "gsearch", "queries": []}).status_code == 400
+    assert client.post(
+        "/search", json={"graph_name": "gsearch", "queries": ["x"], "mode": "bogus"}
+    ).status_code == 400
+    assert client.post(
+        "/search", json={"graph_name": "nope", "queries": ["x"]}
+    ).status_code == 404

@@ -376,6 +376,112 @@ def create_app(
             ]
         return jsonify(payload)
 
+    # --- vector search over passages (Milvus client-surface parity) --------
+
+    @app.post("/search")
+    def search():
+        """Embedding search over a graph's passages in the three Milvus
+        search modes the engine implements as queries (queries/search_api.py):
+        ``topk`` (plain top-k, milvus.py:346-373), ``range`` (radius <
+        score <= range_filter, no k), and ``grouping`` (group_by=entity:
+        top-k ENTITIES per query, one best passage per entity —
+        group_size=1).  Query texts ride the same deterministic embedding
+        the indexing side uses."""
+        from pyspark.sql import Window
+
+        from vector_graph_rag_spark.functions.embedding import mock_embedding
+        from vector_graph_rag_spark.functions.vector import cosine
+        from pyspark.sql import functions as F
+
+        body = request.get_json(force=True)
+        name = body.get("graph_name", "default")
+        if not _exists(name):
+            return _not_found(name)
+        qtexts = body.get("queries") or []
+        if not qtexts:
+            return jsonify({"error": "queries required"}), 400
+        mode = body.get("mode", "topk")
+        if mode not in ("topk", "range", "grouping"):
+            return jsonify({"error": f"unknown mode '{mode}'"}), 400
+        g = catalog.read_graph(spark, name)
+        qdf = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(qtexts)], "query_idx int, qtext string"
+        ).select("query_idx", mock_embedding("qtext").alias("qvec"))
+        scored = (
+            g.passages.select(
+                "id", "entity_ids", mock_embedding("text").alias("pvec")
+            )
+            .crossJoin(F.broadcast(qdf))
+            .withColumn("score", F.round(cosine("pvec", "qvec"), 6))
+        )
+        if mode == "range":
+            radius = float(body.get("radius", 0.0))
+            range_filter = float(body.get("range_filter", 1.0))
+            rows = (
+                scored.filter(
+                    (F.col("score") > radius) & (F.col("score") <= range_filter)
+                )
+                .select("query_idx", "id", "score")
+                .orderBy("query_idx", F.desc("score"), F.asc("id"))
+                .collect()
+            )
+            hits = [
+                {"query": int(r["query_idx"]), "passage_id": r["id"], "score": r["score"]}
+                for r in rows
+            ]
+        elif mode == "grouping":
+            k = int(body.get("top_k", config.final_top_k))
+            w_g = Window.partitionBy("query_idx", "entity_id").orderBy(
+                F.desc("score"), F.asc("id")
+            )
+            w_q = Window.partitionBy("query_idx").orderBy(
+                F.desc("score"), F.asc("entity_id")
+            )
+            rows = (
+                scored.select(
+                    "query_idx", "id", "score",
+                    F.explode("entity_ids").alias("entity_id"),
+                )
+                .withColumn("rk", F.row_number().over(w_g))
+                .filter(F.col("rk") == 1)
+                .withColumn("group_rank", F.row_number().over(w_q))
+                .filter(F.col("group_rank") <= k)
+                .orderBy("query_idx", "group_rank")
+                .collect()
+            )
+            hits = [
+                {
+                    "query": int(r["query_idx"]),
+                    "entity_id": r["entity_id"],
+                    "passage_id": r["id"],
+                    "score": r["score"],
+                    "rank": int(r["group_rank"]),
+                }
+                for r in rows
+            ]
+        else:  # topk
+            k = int(body.get("top_k", config.final_top_k))
+            w = Window.partitionBy("query_idx").orderBy(
+                F.desc("score"), F.asc("id")
+            )
+            rows = (
+                scored.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= k)
+                .select("query_idx", "id", "score", "rank")
+                .orderBy("query_idx", "rank")
+                .collect()
+            )
+            hits = [
+                {
+                    "query": int(r["query_idx"]),
+                    "passage_id": r["id"],
+                    "score": r["score"],
+                    "rank": int(r["rank"]),
+                }
+                for r in rows
+            ]
+        return jsonify({"mode": mode, "hits": hits})
+
     return app
 
 
