@@ -89,6 +89,9 @@ AUDITED = [
     "grouping_search_topk",
     "sparse_dot_topk",
     "mmr_diversity_rerank",
+    # incremental IVF-PQ index (eager: temp-dir shard writes; the returned
+    # search frame still audits for banned nodes)
+    "ann_index_incremental",
 ]
 
 

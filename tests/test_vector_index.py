@@ -1,0 +1,116 @@
+"""Incremental IVF-PQ vector index (streaming/vector_index.py) — the
+invariants the module docstring promises: incremental == one-shot, replay
+idempotence, partition pruning across batches, empty-index contract."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+from vector_graph_rag_spark.operators.pq import (
+    ivfpq_search,
+    quantize_embeddings,
+    train_pq_codebooks,
+    write_ivfpq_index,
+)
+from vector_graph_rag_spark.sources.tables import load_table
+from vector_graph_rag_spark.streaming.vector_index import (
+    append_to_index,
+    list_batch_ids,
+    search_index,
+)
+
+
+def _fixture(spark):
+    emb = load_table(spark, SF_SMOKE, "embeddings").select("vec_id", "embedding")
+    books = train_pq_codebooks(quantize_embeddings(emb), updates=1)
+    cent = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cvec")
+    )
+    queries = emb.filter(
+        (F.col("vec_id") >= 100) & (F.col("vec_id") < 105)
+    ).select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))
+    return emb, books, cent, queries
+
+
+def test_incremental_equals_oneshot_across_shardings(spark, tmp_path):
+    """Any sharding of the corpus into batches searches identically to the
+    one-shot write_ivfpq_index — the defining contract."""
+    emb, books, cent, queries = _fixture(spark)
+    oneshot = str(tmp_path / "oneshot")
+    write_ivfpq_index(emb, cent, books, oneshot)
+    expected = sorted(
+        map(tuple, ivfpq_search(spark, oneshot, queries, cent, books).collect())
+    )
+
+    for shards, sub in ((2, "inc2"), (3, "inc3")):
+        inc = str(tmp_path / sub)
+        for b in range(shards):
+            append_to_index(
+                emb.filter(F.col("vec_id") % shards == b), cent, books, inc, b
+            )
+        assert list_batch_ids(spark, inc) == list(range(shards))
+        got = sorted(
+            map(tuple, search_index(spark, inc, queries, cent, books).collect())
+        )
+        assert got == expected, f"sharding {shards} diverged"
+
+
+def test_replay_overwrites_batch_shard(spark, tmp_path):
+    """Re-appending an existing batch id replaces that shard: appending
+    batch 0 with WRONG rows then replaying it with the right ones must
+    search identically to a clean build."""
+    emb, books, cent, queries = _fixture(spark)
+    inc = str(tmp_path / "inc")
+    half_a = emb.filter(F.col("vec_id") % 2 == 0)
+    half_b = emb.filter(F.col("vec_id") % 2 == 1)
+    # wrong first delivery of batch 0 (half_b's rows), then the fix
+    append_to_index(half_b, cent, books, inc, 0)
+    append_to_index(half_a, cent, books, inc, 0)  # replay overwrites
+    append_to_index(half_b, cent, books, inc, 1)
+    assert list_batch_ids(spark, inc) == [0, 1]
+    got = sorted(
+        map(tuple, search_index(spark, inc, queries, cent, books).collect())
+    )
+    oneshot = str(tmp_path / "oneshot")
+    write_ivfpq_index(emb, cent, books, oneshot)
+    expected = sorted(
+        map(tuple, ivfpq_search(spark, oneshot, queries, cent, books).collect())
+    )
+    assert got == expected
+    # no duplicate vec_ids leaked from the stale shard
+    all_ids = [r["vec_id"] for r in spark.read.option("basePath", inc).parquet(
+        os.path.join(inc, "batch=0"), os.path.join(inc, "batch=1")
+    ).select("vec_id").collect()]
+    assert len(all_ids) == len(set(all_ids))
+
+
+def test_search_plan_prunes_cells_across_batches(spark, tmp_path):
+    import re
+
+    emb, books, cent, queries = _fixture(spark)
+    inc = str(tmp_path / "inc")
+    append_to_index(emb.filter(F.col("vec_id") % 2 == 0), cent, books, inc, 0)
+    append_to_index(emb.filter(F.col("vec_id") % 2 == 1), cent, books, inc, 1)
+    res = search_index(spark, inc, queries, cent, books)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"PartitionFilters: \[[^\]]*cell_id[^\]]*IN", plan), plan[:800]
+
+
+def test_empty_index_and_null_query(spark, tmp_path):
+    emb, books, cent, queries = _fixture(spark)
+    inc = str(tmp_path / "never_written")
+    assert list_batch_ids(spark, inc) == []
+    assert search_index(spark, inc, queries, cent, books).count() == 0
+    # NULL-embedding query skipped, not fatal (the ivfpq_search contract)
+    inc2 = str(tmp_path / "inc2")
+    append_to_index(emb, cent, books, inc2, 0)
+    bad = spark.createDataFrame([(999999,)], "query_id long").withColumn(
+        "qvec", F.lit(None).cast(queries.schema["qvec"].dataType)
+    )
+    mixed = search_index(
+        spark, inc2, queries.unionByName(bad), cent, books
+    ).collect()
+    assert not any(r["query_id"] == 999999 for r in mixed)

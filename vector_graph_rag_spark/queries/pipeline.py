@@ -1277,3 +1277,65 @@ def ann_ivfpq_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _PQ_TOPK)
         .select("query_id", "vec_id", "adc_dist", "rank")
     )
+
+
+# --- incremental IVF-PQ index: sharded appends == one-shot composition -------
+
+
+@register(
+    "ann_index_incremental",
+    oracle=_ivfpq_sql(),
+    retired=True,  # STAGED for the round-11/12 swap
+    description=(
+        "persistent incremental IVF-PQ index (streaming/vector_index.py): "
+        "the corpus appended in 3 nightly shards (assign + PQ-encode paid "
+        "once per batch, overwrite-idempotent), searched across all shards "
+        "via basePath partition pruning — the oracle is ann_ivfpq_topk's "
+        "SQL VERBATIM, pinning incremental == one-shot == logical "
+        "composition (the dedup_index_incremental pattern)"
+    ),
+)
+def ann_index_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nightly-ANN at 100 TB: encoding is paid once per batch against
+    FROZEN quantizers (sample-train, encode-all), the index accumulates as
+    batch=<id>/cell_id=<c> shards, and a probe reads only the probed
+    cells' code files across every batch — search cost independent of how
+    many appends built the index (tests/test_vector_index.py pins the
+    sharding-equivalence, replay, and pruning contracts)."""
+    from vector_graph_rag_spark.operators.pq import (
+        quantize_embeddings,
+        train_pq_codebooks,
+    )
+    from vector_graph_rag_spark.streaming.vector_index import (
+        append_to_index,
+        search_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = quantize_embeddings(emb)
+    par = spark.sparkContext.defaultParallelism
+    if q.rdd.getNumPartitions() < max(2, par // 2):
+        emb = emb.repartition(par)
+        q = q.repartition(par)
+    books = train_pq_codebooks(q, updates=1)
+    if not any(books):
+        return spark.createDataFrame(
+            [], "query_id long, vec_id long, adc_dist long, rank int"
+        )
+    cent = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cvec")
+    )
+    queries = emb.filter(
+        (F.col("vec_id") >= 100) & (F.col("vec_id") < 105)
+    ).select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))
+    index = tempfile.mkdtemp(prefix="vgr_annindex_")
+    try:
+        for b in range(3):
+            append_to_index(
+                emb.filter(F.col("vec_id") % 3 == b), cent, books, index, b
+            )
+        return search_index(
+            spark, index, queries, cent, books, k=_PQ_TOPK, nprobe=2
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(index, ignore_errors=True)

@@ -1,0 +1,172 @@
+"""Persistent incremental IVF-PQ vector index — the nightly ANN path that
+never re-encodes the corpus.
+
+``operators/pq.write_ivfpq_index`` materializes the whole corpus's codes
+in one shot; at 100 TB the corpus arrives nightly, and re-encoding (or
+rewriting) the accumulated index per batch is the cost this module
+removes.  Each batch's vectors are assigned + PQ-encoded ONCE and land in
+an overwrite-idempotent shard tree (the ``streaming/lm_counts`` /
+``streaming/dedup_index`` contract — a replayed batch id overwrites its
+own shard, so delivery is exactly-once under a streaming checkpoint):
+
+    index_dir/batch=<id>/cell_id=<c>/part-*.parquet   (vec_id, codes)
+
+Both levels are Hive partition columns, so a probe reads
+``basePath=index_dir`` with a ``cell_id IN (probed)`` filter and Spark
+prunes to the probed cells' files across ALL batches — probe cost stays
+O(cells probed), independent of how many nightly appends built the index.
+
+Invariants (test-pinned):
+- **incremental == one-shot**: searching an index built by any sharding
+  of the corpus into batches returns EXACTLY the rows of
+  ``pq.ivfpq_search`` over ``pq.write_ivfpq_index`` of the full corpus —
+  assignment and encoding are row-local against the same frozen
+  centroids/codebooks, so shard boundaries cannot change any code.
+- **replay idempotence**: re-appending an existing batch id first deletes
+  that batch's partition dir (a metadata-only overwrite would resurface
+  stale files and double-count), then rewrites it byte-compatibly.
+- **frozen quantizers**: centroids and codebooks are TRAINING artifacts
+  (sample-train, encode-all — the PQ deployment recipe); append never
+  retrains, so old shards never go stale.  Re-training is a new index.
+
+The laziness caveat of ``dedup_index.probe_index`` applies here too: a
+search plan is pinned to the files the scan discovered, so materialize
+outstanding searches before REPLAYING a batch id (appends of NEW ids are
+safe — partition discovery happens at read time).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vector_graph_rag_spark.operators.pq import (
+    Codebooks,
+    adc_score,
+    encode_pq,
+    quantize_embeddings,
+)
+
+
+def _fs(spark: SparkSession, path: str):
+    jvm = spark.sparkContext._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    return hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration()), hpath
+
+
+def list_batch_ids(spark: SparkSession, index_dir: str) -> list[int]:
+    """Batch ids present in the index (Hadoop FS — object-store-safe, the
+    dedup_index ADVICE-r9 rule: a bad path fails loudly, never 'empty')."""
+    fs, root = _fs(spark, index_dir)
+    if not fs.exists(root):
+        return []
+    ids = []
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith("batch="):
+            ids.append(int(name.split("=", 1)[1]))
+    return sorted(ids)
+
+
+def append_to_index(
+    batch: DataFrame,
+    centroids: DataFrame,
+    codebooks: Codebooks,
+    index_dir: str,
+    batch_id: int,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+) -> None:
+    """Assign + encode ONE batch against the frozen quantizers and write
+    its shard.  Row-local work only (JVM-parsed centroid/codebook
+    literals); the single shuffle is the salted cell repartition bounding
+    files-per-cell (same rationale as ``pq.write_ivfpq_index``)."""
+    from vector_graph_rag_spark.operators.ivf import assign_cells
+
+    spark = batch.sparkSession
+    fs, _ = _fs(spark, index_dir)
+    batch_dir = os.path.join(index_dir, f"batch={batch_id}")
+    _, bpath = _fs(spark, batch_dir)
+    if fs.exists(bpath):  # replay: physically drop the stale shard first
+        fs.delete(bpath, True)
+
+    q = quantize_embeddings(batch, id_col=corpus_id, vec_col=corpus_vec)
+    enc = encode_pq(q, codebooks).select("vec_id", "codes")
+    assigned = assign_cells(
+        batch.select(corpus_id, corpus_vec),
+        centroids,
+        corpus_id=corpus_id,
+        corpus_vec=corpus_vec,
+    ).select(F.col(corpus_id).alias("vec_id"), "cell_id")
+    (
+        assigned.join(enc, "vec_id")
+        .repartition(F.col("cell_id"), F.pmod(F.hash("vec_id"), F.lit(4)))
+        .write.mode("overwrite")
+        .partitionBy("cell_id")
+        .parquet(batch_dir)
+    )
+
+
+def search_index(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame,
+    centroids: DataFrame,
+    codebooks: Codebooks,
+    k: int = 10,
+    nprobe: int = 2,
+    query_id: str = "query_id",
+    query_vec: str = "qvec",
+) -> DataFrame:
+    """(query_id, vec_id, adc_dist, rank) over ONLY the probed cells' code
+    files, across every appended batch.  Identical contract (and result
+    rows) to ``pq.ivfpq_search`` over a one-shot index; the scan reads
+    ``basePath=index_dir`` so batch and cell_id are both partition
+    columns and the ``cell_id IN`` filter prunes inside every batch."""
+    from pyspark.sql import Window
+
+    from vector_graph_rag_spark.functions.vector import cosine
+
+    ids = list_batch_ids(spark, index_dir)
+    if not ids:
+        return spark.createDataFrame(
+            [], f"{query_id} long, vec_id long, adc_dist long, rank int"
+        )
+    queries = queries.filter(F.col(query_vec).isNotNull())
+    w_probe = Window.partitionBy(query_id).orderBy(
+        F.desc("__cs"), F.asc("centroid_id")
+    )
+    probes = (
+        queries.crossJoin(F.broadcast(centroids))
+        .withColumn("__cs", F.round(cosine(query_vec, "cvec"), 6))
+        .withColumn("__rk", F.row_number().over(w_probe))
+        .filter(F.col("__rk") <= nprobe)
+        .select(query_id, "centroid_id")
+    )
+    probe_rows = probes.collect()  # bounded: |queries| x nprobe
+    cells = sorted({r["centroid_id"] for r in probe_rows})
+    qv = quantize_embeddings(queries, id_col=query_id, vec_col=query_vec)
+    qvecs = [(int(r["vec_id"]), list(r["qv"])) for r in qv.collect()]
+    index = (
+        spark.read.option("basePath", index_dir)
+        .parquet(*[os.path.join(index_dir, f"batch={i}") for i in ids])
+        .filter(F.col("cell_id").isin(cells))
+    )
+    pairs = spark.createDataFrame(
+        [(r[query_id], r["centroid_id"]) for r in probe_rows],
+        f"{query_id} bigint, cell_id bigint",
+    )
+    w_rank = Window.partitionBy(query_id).orderBy(
+        F.asc("adc_dist"), F.asc("vec_id")
+    )
+    return (
+        index.join(F.broadcast(pairs), "cell_id")
+        .withColumn(
+            "adc_dist", adc_score(qvecs, codebooks, query_id_col=query_id)
+        )
+        .withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= k)
+        .select(query_id, "vec_id", "adc_dist", "rank")
+    )
