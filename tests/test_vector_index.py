@@ -114,3 +114,42 @@ def test_empty_index_and_null_query(spark, tmp_path):
         spark, inc2, queries.unionByName(bad), cent, books
     ).collect()
     assert not any(r["query_id"] == 999999 for r in mixed)
+
+
+def test_stream_built_index_equals_batch_built(spark, tmp_path):
+    """streaming/index.py pattern for vectors: a file-source stream driving
+    append_to_index per micro-batch builds an index that searches
+    identically to the one-shot batch build."""
+    from vector_graph_rag_spark.streaming.vector_index import stream_index_vectors
+
+    emb, books, cent, queries = _fixture(spark)
+    vdir = str(tmp_path / "vec_files")
+    # two separate files -> two micro-batches at maxFilesPerTrigger=1
+    emb.filter(F.col("vec_id") % 2 == 0).coalesce(1).write.parquet(
+        os.path.join(vdir, "f0")
+    )
+    emb.filter(F.col("vec_id") % 2 == 1).coalesce(1).write.parquet(
+        os.path.join(vdir, "f1")
+    )
+    import glob
+    import shutil
+
+    flat = str(tmp_path / "vec_flat")
+    os.makedirs(flat)
+    for i, f in enumerate(
+        sorted(glob.glob(os.path.join(vdir, "*", "*.parquet")))
+    ):
+        shutil.copy(f, os.path.join(flat, f"part-{i}.parquet"))
+
+    inc = str(tmp_path / "streamed")
+    n = stream_index_vectors(spark, flat, cent, books, inc)
+    assert n >= 1 and list_batch_ids(spark, inc) != []
+    got = sorted(
+        map(tuple, search_index(spark, inc, queries, cent, books).collect())
+    )
+    oneshot = str(tmp_path / "oneshot")
+    write_ivfpq_index(emb, cent, books, oneshot)
+    expected = sorted(
+        map(tuple, ivfpq_search(spark, oneshot, queries, cent, books).collect())
+    )
+    assert got == expected

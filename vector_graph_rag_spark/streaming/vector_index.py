@@ -170,3 +170,56 @@ def search_index(
         .filter(F.col("rank") <= k)
         .select(query_id, "vec_id", "adc_dist", "rank")
     )
+
+
+def stream_index_vectors(
+    spark: SparkSession,
+    vectors_dir: str,
+    centroids: DataFrame,
+    codebooks: Codebooks,
+    index_dir: str,
+    max_files_per_trigger: int = 1,
+    schema: str = "vec_id long, embedding array<float>",
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+) -> int:
+    """Stream parquet vector files from ``vectors_dir`` into the IVF-PQ
+    index, one ``append_to_index`` shard per micro-batch (the
+    ``streaming/index.py`` pattern).  Structured Streaming's batch ids are
+    monotonically unique under a checkpoint and replays re-deliver the
+    SAME id, which lands exactly on the shard tree's overwrite-idempotence
+    contract — at-least-once delivery is safe.  Returns the number of
+    micro-batches processed.  Bounded run (``availableNow``) for tests /
+    backfills; a live pipeline drops the trigger and keeps the
+    checkpointLocation."""
+    n_batches = [0]
+
+    def _append(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        append_to_index(
+            batch_df,
+            centroids,
+            codebooks,
+            index_dir,
+            int(batch_id),
+            corpus_id=corpus_id,
+            corpus_vec=corpus_vec,
+        )
+        n_batches[0] += 1
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(vectors_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(_append)
+        .trigger(availableNow=True)
+        .option(
+            "checkpointLocation", os.path.join(index_dir, "_stream_checkpoint")
+        )
+        .start()
+    )
+    q.awaitTermination()
+    return n_batches[0]
