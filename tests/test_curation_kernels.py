@@ -699,13 +699,15 @@ def test_promote_gate_rejects_neardup_batch_end_to_end(
     store_dir = str(tmp_path / "store")
     stats_dir = str(tmp_path / "stats")
     index_dir = str(tmp_path / "index")
+    vindex_dir = str(tmp_path / "vindex")
 
     def run(sf, out):
         monkeypatch.setattr(
             sys, "argv",
             ["curation_pipeline.py", "--sf", sf, "--out", out,
              "--store", store_dir, "--stats", stats_dir,
-             "--dedup-index", index_dir, "--promote"],
+             "--dedup-index", index_dir, "--vector-index", vindex_dir,
+             "--promote"],
         )
         mod.main()
         return json.loads(capsys.readouterr().out.strip().splitlines()[-1])
@@ -713,6 +715,11 @@ def test_promote_gate_rejects_neardup_batch_end_to_end(
     r1 = run("/root/testdata/sf0.001", out1)
     assert r1["promoted"] is True
     assert r1["funnel"]["neardup_index_appended"] > 0
+    # r10: the IVF-PQ vector index rode the same gate — survivors appended,
+    # quantizers frozen on this first run
+    assert r1["funnel"]["vector_index_appended"] > 0
+    assert os.path.isdir(os.path.join(vindex_dir, "batch=0"))
+    assert os.path.exists(os.path.join(vindex_dir, "quantizers", "codebooks.json"))
     shards_r1 = sorted(glob.glob(os.path.join(stats_dir, "batch=*")))
     index_r1 = sorted(glob.glob(os.path.join(index_dir, "batch=*")))
     bands_r1 = sorted(
@@ -750,6 +757,10 @@ def test_promote_gate_rejects_neardup_batch_end_to_end(
     assert sorted(
         glob.glob(os.path.join(index_dir, "bands", "**", "*.parquet"), recursive=True)
     ) == bands_r1
+    # the vector index is part of "nothing lands": no new batch shard
+    assert sorted(glob.glob(os.path.join(vindex_dir, "batch=*"))) == [
+        os.path.join(vindex_dir, "batch=0")
+    ]
     assert not os.path.exists(out2)
 
 

@@ -138,6 +138,17 @@ def main() -> None:
              "never silent truncation",
     )
     ap.add_argument(
+        "--vector-index", default=None, metavar="DIR",
+        help="persistent IVF-PQ ANN index (streaming/vector_index.py): "
+             "embed tonight's survivors and append their PQ codes as a "
+             "new batch shard — quantizers (coarse centroids + codebooks) "
+             "are trained on the FIRST run and frozen under DIR/quantizers "
+             "(sample-train, encode-all), so later appends never go "
+             "stale; already-indexed doc_ids are skipped (idempotent "
+             "re-runs).  With --promote the append (and the first run's "
+             "quantizer persist) happen only after the drift gate passes",
+    )
+    ap.add_argument(
         "--stats", default=None, metavar="DIR",
         help="write an HLL register shard for the curated corpus under "
              "DIR and report the merged distinct estimates across all "
@@ -374,6 +385,66 @@ def main() -> None:
                 eod_id=len(bpe["vocab"]) + 1,
             )
 
+    deferred_vector_append = None
+    if args.vector_index is not None:
+        from vector_graph_rag_spark.functions.embedding import mock_embedding
+        from vector_graph_rag_spark.operators.pq import (
+            quantize_embeddings,
+            train_pq_codebooks,
+        )
+        from vector_graph_rag_spark.streaming import vector_index as VI
+
+        from vector_graph_rag_spark.operators.pq import PQ_DIM
+
+        # dim must match the PQ geometry (PQ_DIM = M x SUB); the default
+        # 8-dim mock would put encode_pq's subvector slices out of bounds
+        vbatch = stage.select(
+            F.col("doc_id").alias("vec_id"),
+            mock_embedding("text", dim=PQ_DIM).alias("embedding"),
+        )
+        v_ids = VI.list_batch_ids(spark, args.vector_index)
+        if v_ids:
+            # a doc_id already indexed is a canonical re-run, not new data:
+            # skip it (idempotent nightly re-runs; column-pruned vec_id read)
+            seen = (
+                spark.read.option("basePath", args.vector_index)
+                .parquet(
+                    *[
+                        os.path.join(args.vector_index, f"batch={i}")
+                        for i in v_ids
+                    ]
+                )
+                .select("vec_id")
+                .distinct()
+            )
+            vbatch = vbatch.join(seen, "vec_id", "left_anti")
+        vbatch = vbatch.localCheckpoint(eager=True)
+        qdir = os.path.join(args.vector_index, "quantizers")
+        new_quantizers = False
+        if os.path.isdir(qdir):  # frozen artifacts from the first run
+            v_cent = spark.read.parquet(os.path.join(qdir, "centroids.parquet"))
+            with open(os.path.join(qdir, "codebooks.json")) as f:
+                v_books = [
+                    [(int(c), [int(x) for x in vec]) for c, vec in book]
+                    for book in json.load(f)
+                ]
+        else:
+            v_cent = (
+                vbatch.orderBy("vec_id")
+                .limit(8)
+                .select(
+                    F.col("vec_id").alias("centroid_id"),
+                    F.col("embedding").alias("cvec"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            v_books = train_pq_codebooks(quantize_embeddings(vbatch), updates=1)
+            new_quantizers = True
+        v_shard = max(v_ids) + 1 if v_ids else 0
+        counts["vector_index_shard"] = v_shard
+        counts["vector_index_new"] = vbatch.count()
+        deferred_vector_append = (vbatch, v_cent, v_books, v_shard, new_quantizers)
+
     # --- promote gate: drift check FIRST, before any commit ------------------
     # The nightly promotion order is curate → drift-compare → expectations →
     # commit: a broken feed (ingest collapse, vanished column) must be caught
@@ -489,6 +560,32 @@ def main() -> None:
         kept_new, shard_id = deferred_index_append
         append_to_index(kept_new, args.dedup_index, shard_id)
         counts["neardup_index_appended"] = kept_new.count()
+
+    if deferred_vector_append is not None:
+        from vector_graph_rag_spark.streaming.vector_index import (
+            append_to_index as _vector_append,
+        )
+
+        vbatch, v_cent, v_books, v_shard, new_quantizers = deferred_vector_append
+        # an empty batch (everything filtered / already indexed) or an
+        # empty corpus (no trainable codebooks) appends nothing — and a
+        # first run that trained on nothing must NOT freeze empty
+        # quantizers, so a later real first-run can train properly
+        if counts.get("vector_index_new", 0) > 0 and any(v_books):
+            if new_quantizers:
+                qdir = os.path.join(args.vector_index, "quantizers")
+                v_cent.coalesce(1).write.mode("overwrite").parquet(
+                    os.path.join(qdir, "centroids.parquet")
+                )
+                tmp = os.path.join(qdir, ".codebooks.json.tmp")
+                with open(tmp, "w") as f:
+                    json.dump(
+                        [[[c, list(vec)] for c, vec in book] for book in v_books],
+                        f,
+                    )
+                os.replace(tmp, os.path.join(qdir, "codebooks.json"))
+            _vector_append(vbatch, v_cent, v_books, args.vector_index, v_shard)
+            counts["vector_index_appended"] = counts["vector_index_new"]
 
     if deferred_blocks is not None:
         deferred_blocks.write.mode("overwrite").parquet(args.out + "_blocks")
