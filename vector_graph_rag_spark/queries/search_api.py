@@ -90,7 +90,8 @@ _GROUP_TOPK = 3
 
 _GROUPING_SQL = f"""
 WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id < 5),
-c AS (SELECT vec_id, label, embedding::DOUBLE[] AS cvec FROM embeddings WHERE label IS NOT NULL),
+c AS (SELECT vec_id, label, embedding::DOUBLE[] AS cvec FROM embeddings
+      WHERE label IS NOT NULL AND embedding IS NOT NULL),
 scored AS (
   SELECT q.query_id, c.vec_id, c.label, round({_cos_sql('c.cvec', 'q.qvec')}, 6) AS score
   FROM c CROSS JOIN q
@@ -134,9 +135,14 @@ def grouping_search_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
     )
-    c = emb.filter(F.col("label").isNotNull()).select(
-        "vec_id", "label", F.col("embedding").alias("cvec")
-    )
+    # NULL embeddings excluded in lockstep with the oracle: a null-score
+    # struct could otherwise win max() only in an all-null group, where
+    # Spark's null-field struct ordering and DuckDB's window NULLS-LAST
+    # agree today — but the agreement is incidental, so neither engine
+    # sees such rows at all.
+    c = emb.filter(
+        F.col("label").isNotNull() & F.col("embedding").isNotNull()
+    ).select("vec_id", "label", F.col("embedding").alias("cvec"))
     best = (
         c.crossJoin(F.broadcast(q))
         .withColumn("score", F.round(cosine("cvec", "qvec"), 6))
