@@ -901,3 +901,55 @@ def test_source_temperature_mix_ignores_null_sources(spark, tmp_path):
     pq.write_table(tbl, os.path.join(sf, "documents.parquet"))
     res = compare_query(spark, "source_temperature_mix", sf)
     assert res["status"] == "ok", res
+
+
+def test_lpa_communities_match_twin_and_split_bridged_cliques(spark):
+    """label_propagation_communities vs a pure-Python synchronous twin on a
+    hand graph where LPA must diverge from connected components: two
+    4-cliques joined by ONE bridge edge are a single CC but two LPA
+    communities (each clique's majority vote drowns the bridge)."""
+    from vector_graph_rag_spark.operators.graph_algos import (
+        label_propagation_communities,
+        min_label_propagation,
+        undirect,
+    )
+
+    clique_a = [(a, b) for a in "0123" for b in "0123" if a < b]
+    clique_b = [(a, b) for a in "5678" for b in "5678" if a < b]
+    edges = clique_a + clique_b + [("3", "5")]  # the bridge
+    nodes = spark.createDataFrame([(n,) for n in "01235678"], "id string")
+    edf = undirect(spark.createDataFrame(edges, "a string, b string"))
+
+    def twin(rounds):
+        nbrs = {}
+        for a, b in edges:
+            nbrs.setdefault(a, []).append(b)
+            nbrs.setdefault(b, []).append(a)
+        lab = {n: n for n in "01235678"}
+        for _ in range(rounds):
+            new = {}
+            for n in lab:
+                votes = {}
+                for m in nbrs.get(n, []):
+                    votes[lab[m]] = votes.get(lab[m], 0) + 1
+                if votes:
+                    best = max(votes.values())
+                    new[n] = min(l for l, c in votes.items() if c == best)
+                else:
+                    new[n] = lab[n]
+            lab = new
+        return lab
+
+    got = {
+        r["id"]: r["comm"]
+        for r in label_propagation_communities(nodes, edf, rounds=3).collect()
+    }
+    assert got == twin(3)
+    # the divergence this operator exists for: one CC, two LPA communities
+    cc = {
+        r["comp"]
+        for r in min_label_propagation(nodes, edf, rounds=4).collect()
+    }
+    assert len(cc) == 1
+    assert len(set(got.values())) == 2
+    assert {got[n] for n in "0123"} != {got[n] for n in "5678"}

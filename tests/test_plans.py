@@ -92,6 +92,8 @@ AUDITED = [
     # incremental IVF-PQ index (eager: temp-dir shard writes; the returned
     # search frame still audits for banned nodes)
     "ann_index_incremental",
+    # round-12 staged: window-free LPA aggregation rounds
+    "entity_lpa_communities_k3",
 ]
 
 

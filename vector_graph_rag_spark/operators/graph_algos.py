@@ -112,3 +112,44 @@ def triangle_count(edges: DataFrame) -> DataFrame:
         .join(e3, ["a", "c"])
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
+
+
+def label_propagation_communities(
+    nodes: DataFrame, edges: DataFrame, rounds: int
+) -> DataFrame:
+    """nodes(id) + undirected self-loop-free edges(a,b) → (id, comm) after
+    ``rounds`` SYNCHRONOUS label-propagation steps (Raghavan et al. 2007,
+    the community primitive GraphRAG-style pipelines summarize over).
+
+    Each round every node adopts the most frequent label among its
+    neighbors' CURRENT labels (ties to the lowest label; isolated nodes
+    keep their own) — unlike min-label CC this converges to density-based
+    communities, not connectivity classes.  Fixed synchronous rounds keep
+    it deterministic and oracle-checkable; production loops to fixpoint
+    with per-round checkpoints.
+
+    Scale shape: per round one map-side-combined groupBy((node, label))
+    count, one max-per-node aggregation, one tie-breaking min — all plain
+    aggregations (window-free), each shuffle keyed on node id.
+    """
+    labels = nodes.select("id", F.col("id").alias("comm"))
+    for _ in range(rounds):
+        cnt = (
+            edges.join(
+                labels.select(F.col("id").alias("b"), F.col("comm").alias("lab")),
+                "b",
+            )
+            .groupBy(F.col("a").alias("id"), "lab")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        mx = cnt.groupBy("id").agg(F.max("n").alias("mx"))
+        pick = (
+            cnt.join(mx, "id")
+            .filter(F.col("n") == F.col("mx"))
+            .groupBy("id")
+            .agg(F.min("lab").alias("new_lab"))
+        )
+        labels = labels.join(pick, "id", "left").select(
+            "id", F.coalesce("new_lab", "comm").alias("comm")
+        )
+    return labels

@@ -837,3 +837,77 @@ def graph_rag_ppr_retrieve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.withColumn("rank", F.row_number().over(w)).select(
         "passage_id", "ppr_score", "n_entities", "rank"
     )
+
+
+# --- label-propagation communities (staged r12) -------------------------------
+
+_LPA_ROUND = """
+c{i} AS (
+  SELECT e.a AS id, l.comm AS lab, COUNT(*) AS n
+  FROM edges e JOIN l{i} l ON l.id = e.b
+  GROUP BY 1, 2
+),
+m{i} AS (SELECT id, MAX(n) AS mx FROM c{i} GROUP BY id),
+p{i} AS (
+  SELECT c.id, MIN(c.lab) AS lab
+  FROM c{i} c JOIN m{i} m ON m.id = c.id AND c.n = m.mx
+  GROUP BY c.id
+),
+l{j} AS (
+  SELECT l.id, COALESCE(p.lab, l.comm) AS comm
+  FROM l{i} l LEFT JOIN p{i} p ON p.id = l.id
+)"""
+
+_LPA_SQL = (
+    f"""
+WITH {TRIPS_CTE},
+nodes AS (
+  SELECT DISTINCT id FROM (
+        SELECT subj_entity_id AS id FROM trips
+    UNION ALL
+        SELECT obj_entity_id FROM trips
+  )
+),
+edges AS (
+  -- symmetric closure, SELF-LOOPS DROPPED: unlike min-label CC a self
+  -- loop votes for the node's own label and would bias the frequency
+  SELECT DISTINCT a, b FROM (
+        SELECT subj_entity_id AS a, obj_entity_id AS b FROM trips
+    UNION ALL
+        SELECT obj_entity_id, subj_entity_id FROM trips
+  ) WHERE a <> b
+),
+l0 AS (SELECT id, id AS comm FROM nodes),"""
+    + ",".join(_LPA_ROUND.format(i=i, j=i + 1) for i in range(3))
+    + """
+SELECT id, comm FROM l3
+"""
+)
+
+
+@register(
+    "entity_lpa_communities_k3",
+    oracle=_LPA_SQL,
+    retired=True,  # STAGED for the round-12 swap
+    description=(
+        "label-propagation communities (Raghavan et al. 2007), 3 "
+        "synchronous rounds: each entity adopts its neighbors' most "
+        "frequent label, ties to the lowest — the density-based community "
+        "primitive GraphRAG-style pipelines summarize over (vs min-label "
+        "CC's connectivity classes); window-free aggregation rounds"
+    ),
+)
+def entity_lpa_communities_k3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_graph_rag_spark.operators.graph_algos import (
+        label_propagation_communities,
+        undirect,
+    )
+    from vector_graph_rag_spark.queries.graphrag import _graph
+
+    g = _graph(spark, sf_dir)
+    directed = g.relations.select(
+        F.col("src_entity_id").alias("a"), F.col("dst_entity_id").alias("b")
+    )
+    return label_propagation_communities(
+        g.entities.select("id"), undirect(directed), rounds=3
+    )
