@@ -94,6 +94,9 @@ AUDITED = [
     "ann_index_incremental",
     # round-12 staged: window-free LPA aggregation rounds
     "entity_lpa_communities_k3",
+    # round-12 staged: stored inverted term index (eager temp write; the
+    # returned search frame still audits)
+    "sparse_index_search",
 ]
 
 

@@ -474,3 +474,84 @@ def mmr_diversity_rerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s.m").alias("mmr_score"),
         )
     )
+
+
+# --- stored inverted term index: persistent half of the sparse story ---------
+
+
+def write_term_index(docs: DataFrame, path: str, text_col: str = "text") -> None:
+    """Materialize the inverted term index: (doc_id, term, w) term
+    frequencies over the corpus tokenizer, laid out term-major
+    (repartitioned by term so each posting list is co-located — the join
+    key of every future probe).  This is the pay-once cost the in-query
+    `sparse_dot_topk` re-pays per run: at 100 TB the corpus is tokenized
+    ONCE and every retrieval joins the stored posting lists."""
+    tf = (
+        docs.select("doc_id", F.explode(tokens(text_col)).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    tf.repartition(F.col("term")).write.mode("overwrite").parquet(path)
+
+
+def sparse_index_search(
+    spark: SparkSession,
+    index_path: str,
+    queries: DataFrame,
+    k: int = 10,
+    query_id: str = "query_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(query_id, doc_id, score, rank) — integer term-frequency dot
+    products of the query texts against the STORED posting lists.  The
+    query side is tokenized at search time (bounded: |queries| x |query
+    terms| rows, broadcast); the index scan reads only the `term, doc_id,
+    w` columns and the dot product is one map-side-combined
+    groupBy(query, doc)."""
+    qtf = (
+        queries.select(query_id, F.explode(tokens(text_col)).alias("term"))
+        .groupBy(query_id, "term")
+        .agg(F.count(F.lit(1)).alias("qw"))
+    )
+    index = spark.read.parquet(index_path)
+    w_rank = Window.partitionBy(query_id).orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    return (
+        index.join(F.broadcast(qtf), "term")
+        .groupBy(query_id, "doc_id")
+        .agg(F.sum(F.col("qw") * F.col("w")).alias("score"))
+        .withColumn("rank", F.row_number().over(w_rank).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(query_id, "doc_id", "score", "rank")
+    )
+
+
+@register(
+    "sparse_index_search",
+    oracle=_SPARSE_SQL,
+    retired=True,  # STAGED for the round-11/12 swap
+    description=(
+        "persistent inverted term index: the corpus tokenized ONCE into a "
+        "term-major posting-list layout, searched by joining query "
+        "postings against the stored index — the oracle is "
+        "sparse_dot_topk's SQL verbatim, pinning stored == logical (the "
+        "ann_ivf_index_search pattern)"
+    ),
+)
+def sparse_index_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    d = load_table(spark, sf_dir, "documents")
+    queries = d.filter(F.col("doc_id") < _SPARSE_NQ).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    index = tempfile.mkdtemp(prefix="vgr_terms_")
+    try:
+        write_term_index(d, index)
+        return sparse_index_search(
+            spark, index, queries, k=_SPARSE_TOPK
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(index, ignore_errors=True)
