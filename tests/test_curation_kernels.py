@@ -953,3 +953,44 @@ def test_lpa_communities_match_twin_and_split_bridged_cliques(spark):
     assert len(cc) == 1
     assert len(set(got.values())) == 2
     assert {got[n] for n in "0123"} != {got[n] for n in "5678"}
+
+
+def test_vector_index_recovers_from_half_written_quantizers(
+    spark, tmp_path, monkeypatch, capsys
+):
+    """Crash-window regression: a first run that died AFTER writing
+    centroids.parquet but BEFORE codebooks.json must not wedge later runs —
+    freeze detection keys on codebooks.json (the last-written, atomic
+    artifact), so the next run retrains and overwrites the partial dir."""
+    import importlib.util
+    import json
+    import os
+    import sys
+
+    from pyspark.sql import SparkSession
+
+    spec = importlib.util.spec_from_file_location(
+        "curation_pipeline",
+        os.path.join(os.path.dirname(__file__), "..", "tools", "curation_pipeline.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    monkeypatch.setattr(SparkSession, "stop", lambda self: None)
+
+    vindex = str(tmp_path / "vindex")
+    qdir = os.path.join(vindex, "quantizers")
+    # simulate the crash window: centroids landed, codebooks.json did not
+    spark.createDataFrame(
+        [(0, [0.0] * 64)], "centroid_id long, cvec array<double>"
+    ).write.parquet(os.path.join(qdir, "centroids.parquet"))
+    assert not os.path.exists(os.path.join(qdir, "codebooks.json"))
+
+    monkeypatch.setattr(
+        sys, "argv",
+        ["curation_pipeline.py", "--sf", "/root/testdata/sf0.001",
+         "--out", str(tmp_path / "out"), "--vector-index", vindex],
+    )
+    mod.main()
+    r = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert r["funnel"]["vector_index_appended"] > 0
+    assert os.path.exists(os.path.join(qdir, "codebooks.json"))

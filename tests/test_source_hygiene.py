@@ -56,7 +56,7 @@ ALLOWED_DRIVER_MATERIALIZATION = {
     ("sources/versioned.py", "merge", "collect"): "duplicate-source-key guard, limit(1)",
     ("streaming/lm_counts.py", "lm_from_counts", "collect"): "2 scalar totals",
     ("streaming/vector_index.py", "search_index", "collect"): "|queries| x nprobe probe-cell ids + the bounded quantized query batch (the ivfpq_search contract)",
-    ("api/app.py", "search", "collect"): "HTTP response rows: k-bounded (topk/grouping windows) or band-bounded (range) hits serialized to JSON — the API serving boundary",
+    ("api/app.py", "search", "collect"): "HTTP response rows: k-bounded (topk/grouping) or limit-capped (range, default 1000) hits serialized to JSON — the API serving boundary",
     ("streaming/corpus_stats.py", "corpus_quantiles", "collect"): "merged bucket table, <= 2048 rows per column by construction",
     ("streaming/freq_sketch.py", "cm_estimate", "collect"): "merged CM counter table, <= d*w rows per column by construction",
     ("streaming/freq_sketch.py", "corpus_heavy_hitters", "collect"): "union of shard candidate sets, <= m values per shard per column",

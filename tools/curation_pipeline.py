@@ -421,7 +421,13 @@ def main() -> None:
         vbatch = vbatch.localCheckpoint(eager=True)
         qdir = os.path.join(args.vector_index, "quantizers")
         new_quantizers = False
-        if os.path.isdir(qdir):  # frozen artifacts from the first run
+        # Freeze detection keys on codebooks.json — the LAST artifact the
+        # post-gate persist writes (os.replace-atomic).  Keying on the dir
+        # would wedge every later run if a crash landed centroids but not
+        # codebooks: the frozen branch would then die on the missing json
+        # forever.  A half-written qdir (no codebooks.json) is simply
+        # retrained and overwritten.
+        if os.path.exists(os.path.join(qdir, "codebooks.json")):
             v_cent = spark.read.parquet(os.path.join(qdir, "centroids.parquet"))
             with open(os.path.join(qdir, "codebooks.json")) as f:
                 v_books = [

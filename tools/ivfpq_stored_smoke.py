@@ -67,10 +67,19 @@ def build_scaled(spark, out_path: str, copies: int):
     dim = 64
     parts = [emb]
     for i in range(1, copies):
+        # (7*i) % dim cycles with period dim (gcd(7,64)=1), so copies
+        # i >= dim would be exact directional DUPLICATES of copies i-dim —
+        # their centroids would tie bit-exactly with the older copy's and
+        # assign_cells' lowest-id tie-break would pile both copies into one
+        # cell (2x occupancy, 1 empty cell), distorting the flat-probe
+        # measurement.  Negating the second rotation cycle keeps all
+        # 2*dim=128 transforms direction-distinct (covers copies <= 128).
         r = (7 * i) % dim
         rotated = F.concat(
             F.slice("embedding", r + 1, dim - r), F.slice("embedding", 1, r)
         )
+        if (i // dim) % 2 == 1:
+            rotated = F.transform(rotated, lambda x: -x)
         parts.append(
             emb.select(
                 (F.col("vec_id") + F.lit(i * DOC_STRIDE)).alias("vec_id"),

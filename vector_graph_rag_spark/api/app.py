@@ -417,12 +417,18 @@ def create_app(
         if mode == "range":
             radius = float(body.get("radius", 0.0))
             range_filter = float(body.get("range_filter", 1.0))
+            # Milvus range search still honors a limit — a caller-supplied
+            # band can cover the whole corpus (radius=-1), and the driver
+            # must never collect an unbounded |passages| x |queries| result
+            # into one JSON response.  Best hits first, like Milvus.
+            limit = int(body.get("limit", 1000))
             rows = (
                 scored.filter(
                     (F.col("score") > radius) & (F.col("score") <= range_filter)
                 )
                 .select("query_idx", "id", "score")
                 .orderBy("query_idx", F.desc("score"), F.asc("id"))
+                .limit(limit)
                 .collect()
             )
             hits = [
@@ -430,21 +436,27 @@ def create_app(
                 for r in rows
             ]
         elif mode == "grouping":
-            k = int(body.get("top_k", config.final_top_k))
-            w_g = Window.partitionBy("query_idx", "entity_id").orderBy(
-                F.desc("score"), F.asc("id")
+            from vector_graph_rag_spark.queries.search_api import (
+                best_hit_per_group,
             )
+
+            k = int(body.get("top_k", config.final_top_k))
             w_q = Window.partitionBy("query_idx").orderBy(
                 F.desc("score"), F.asc("entity_id")
             )
-            rows = (
+            # one kernel with the registered grouping_search_topk query:
+            # map-side-combined min(struct(-score, id)), never a
+            # corpus-wide window; only the group-reduced frame is ranked
+            best = best_hit_per_group(
                 scored.select(
                     "query_idx", "id", "score",
                     F.explode("entity_ids").alias("entity_id"),
-                )
-                .withColumn("rk", F.row_number().over(w_g))
-                .filter(F.col("rk") == 1)
-                .withColumn("group_rank", F.row_number().over(w_q))
+                ),
+                ["query_idx", "entity_id"],
+                id_col="id",
+            )
+            rows = (
+                best.withColumn("group_rank", F.row_number().over(w_q))
                 .filter(F.col("group_rank") <= k)
                 .orderBy("query_idx", "group_rank")
                 .collect()

@@ -38,8 +38,10 @@ def assign_cells(
     maximum picks the lowest centroid id — the same order the previous
     ``crossJoin + row_number`` formulation produced, WITHOUT shuffling a
     corpus×nlist frame through a window (measured: the whole index build's
-    shuffle was this window; now the build shuffles nothing and
-    ``partitionBy(cell_id)`` splits files task-locally).  Sort order (incl.
+    shuffle was this window; assignment itself now shuffles nothing —
+    the index WRITERS add back one salted repartition(cell_id) of the
+    assigned rows to bound files-per-cell, a corpus-sized but
+    nlist-factor-free shuffle; see write_ivf_index).  Sort order (incl.
     NaN-greatest and all-null → lowest id) matches Spark's column ordering,
     so results are row-identical."""
     rows = sorted(

@@ -88,6 +88,24 @@ def range_search_radius_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _GROUP_TOPK = 3
 
+
+def best_hit_per_group(scored: DataFrame, group_cols: list, id_col: str,
+                       score_col: str = "score") -> DataFrame:
+    """One best row per group: max score, ties to the LOWEST id — as a
+    map-side-combined ``groupBy().agg(min(struct(-score, id)))``, never a
+    corpus-wide window.  The min-struct form (negated score, then id)
+    orders correctly for BOTH numeric and string ids, so the registered
+    grouping query (bigint vec_id) and the API route (string passage ids)
+    share this one kernel."""
+    b = F.min(
+        F.struct((-F.col(score_col)).alias("nscore"), F.col(id_col).alias("i"))
+    )
+    return scored.groupBy(*group_cols).agg(b.alias("b")).select(
+        *group_cols,
+        F.col("b.i").alias(id_col),
+        (-F.col("b.nscore")).alias(score_col),
+    )
+
 _GROUPING_SQL = f"""
 WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id < 5),
 c AS (SELECT vec_id, label, embedding::DOUBLE[] AS cvec FROM embeddings
@@ -129,8 +147,8 @@ def grouping_search_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows to |queries| x |labels seen| before the one (query_id, label)
     exchange.  The only window then ranks the group-reduced frame
     (|queries| x |labels| rows, trivially small at any corpus size).  The
-    max_by key packs (score, -vec_id) into one struct so the tie-break is
-    the usual lowest-id rule."""
+    shared :func:`best_hit_per_group` kernel packs (-score, vec_id) into a
+    min-struct so the tie-break is the usual lowest-id rule."""
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
@@ -143,22 +161,13 @@ def grouping_search_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = emb.filter(
         F.col("label").isNotNull() & F.col("embedding").isNotNull()
     ).select("vec_id", "label", F.col("embedding").alias("cvec"))
-    best = (
-        c.crossJoin(F.broadcast(q))
-        .withColumn("score", F.round(cosine("cvec", "qvec"), 6))
-        .groupBy("query_id", "label")
-        .agg(
-            F.max(
-                F.struct(F.col("score"), (-F.col("vec_id")).alias("negid"))
-            ).alias("b")
-        )
-        .select(
-            "query_id",
-            "label",
-            (-F.col("b.negid")).alias("vec_id"),
-            F.col("b.score").alias("score"),
-        )
-    )
+    best = best_hit_per_group(
+        c.crossJoin(F.broadcast(q)).withColumn(
+            "score", F.round(cosine("cvec", "qvec"), 6)
+        ),
+        ["query_id", "label"],
+        id_col="vec_id",
+    ).select("query_id", "label", "vec_id", "score")
     w_query = Window.partitionBy("query_id").orderBy(
         F.desc("score"), F.asc("label")
     )
