@@ -35,8 +35,10 @@ REPARTITION_CHECKED = [
     "bloom_membership_profile",  # bit array + probe determinism
     "versioned_merge_diff",     # MoR latest-wins fold through parquet round-trip
     # round-11 staged search-API family
-    "grouping_search_topk",     # max(struct) tie-break under partial aggregation
+    "grouping_search_topk",     # min(struct) tie-break under partial aggregation
     "mmr_diversity_rerank",     # greedy fold over collect_list candidate arrays
+    # round-12 staged
+    "hybrid_weighted_topk",     # min-max normalization + weighted double blend
 ]
 
 

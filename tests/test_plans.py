@@ -97,6 +97,8 @@ AUDITED = [
     # round-12 staged: stored inverted term index (eager temp write; the
     # returned search frame still audits)
     "sparse_index_search",
+    # round-12 staged: weighted-score hybrid fusion (k-bounded windows)
+    "hybrid_weighted_topk",
 ]
 
 

@@ -1,6 +1,6 @@
-"""Hybrid retrieval (RRF fusion), quantized vector search, ANN quality eval.
+"""Hybrid retrieval (RRF + weighted fusion), quantized vector search, ANN quality eval.
 
-Three operators a vector-database user expects beyond the reference's plain
+Operators a vector-database user expects beyond the reference's plain
 cosine top-k (milvus.py:346-427):
 
 - ``hybrid_rrf_topk`` — reciprocal-rank fusion of the BM25 lexical ranking
@@ -335,4 +335,160 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(F.coalesce("hit", F.lit(0))) / F.lit(5.0), 6
             ).alias("recall_at_5"),
         )
+    )
+
+
+# --- weighted-score fusion (Milvus WeightedRanker analogue, staged r12) -------
+
+_W_VEC = 0.7
+_W_LEX = 0.3
+
+# Per-(query, modality) min-max normalization over each top-20 candidate
+# list (a degenerate list where max == min normalizes to 1.0), weighted
+# blend 0.7*vec + 0.3*lex with a missing modality contributing 0.  Both
+# normalized scores and the blend are rounded to 6 decimals before ranking
+# so the order is bit-identical across engines.
+_WEIGHTED_SQL = f"""
+WITH {bm25_scores_ctes(query_values_sql(_LEX_FIXTURE))},
+lex_top AS (
+  SELECT query_id, doc_id, score FROM (
+    SELECT query_id, doc_id, score,
+           row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+    FROM scored
+  ) WHERE rank <= 20
+),
+lex_n AS (
+  SELECT query_id, doc_id,
+         CASE WHEN mx = mn THEN 1.0 ELSE round((score - mn) / (mx - mn), 6) END AS ln
+  FROM (
+    SELECT *, MAX(score) OVER (PARTITION BY query_id) AS mx,
+              MIN(score) OVER (PARTITION BY query_id) AS mn
+    FROM lex_top
+  )
+),
+qv(query_id, qvec_id) AS (VALUES {_QVEC_VALUES}),
+c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT qv.query_id, c.v AS qvec FROM qv JOIN c ON c.vec_id = qv.qvec_id),
+vec_top AS (
+  SELECT query_id, doc_id, score FROM (
+    SELECT q.query_id, c.vec_id AS doc_id,
+           round({_cos_sql('c.v', 'q.qvec')}, 6) AS score,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY round({_cos_sql('c.v', 'q.qvec')}, 6) DESC,
+                                       c.vec_id ASC) AS rank
+    FROM c CROSS JOIN q
+  ) WHERE rank <= 20
+),
+vec_n AS (
+  SELECT query_id, doc_id,
+         CASE WHEN mx = mn THEN 1.0 ELSE round((score - mn) / (mx - mn), 6) END AS vn
+  FROM (
+    SELECT *, MAX(score) OVER (PARTITION BY query_id) AS mx,
+              MIN(score) OVER (PARTITION BY query_id) AS mn
+    FROM vec_top
+  )
+),
+blended AS (
+  SELECT COALESCE(l.query_id, v.query_id) AS query_id,
+         COALESCE(l.doc_id, v.doc_id) AS doc_id,
+         round({_W_VEC} * COALESCE(v.vn, 0.0) + {_W_LEX} * COALESCE(l.ln, 0.0), 6) AS wscore,
+         CAST((l.doc_id IS NOT NULL) AS INT) + CAST((v.doc_id IS NOT NULL) AS INT) AS n_lists
+  FROM lex_n l FULL OUTER JOIN vec_n v
+    ON v.query_id = l.query_id AND v.doc_id = l.doc_id
+)
+SELECT query_id, doc_id, wscore, CAST(n_lists AS INT) AS n_lists,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY wscore DESC, doc_id ASC) AS INT) AS rank
+FROM blended
+QUALIFY rank <= 10
+"""
+
+
+def _minmax_norm(df: DataFrame, out_col: str) -> DataFrame:
+    """Per-query min-max normalization of ``score`` over a k-bounded
+    candidate list (the window frame is the top-20 list, never the
+    corpus); max == min normalizes to 1.0."""
+    w = Window.partitionBy("query_id")
+    mx, mn = F.max("score").over(w), F.min("score").over(w)
+    return df.select(
+        "query_id",
+        "doc_id",
+        F.when(mx == mn, F.lit(1.0))
+        .otherwise(F.round((F.col("score") - mn) / (mx - mn), 6))
+        .alias(out_col),
+    )
+
+
+@register(
+    "hybrid_weighted_topk",
+    oracle=_WEIGHTED_SQL,
+    retired=True,  # STAGED for the round-12 swap
+    description=(
+        "hybrid retrieval: weighted-score fusion (Milvus WeightedRanker "
+        "analogue, 0.7*vec + 0.3*lex) — per-modality min-max normalization "
+        "over each top-20 list, missing modality contributes 0; the "
+        "score-blend sibling of the rank-based hybrid_rrf_topk"
+    ),
+)
+def hybrid_weighted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same plan shape as hybrid_rrf_topk (broadcast fixture queries,
+    per-query k-bounded windows); the only new seam is the FULL OUTER join
+    of the two 20-row-per-query normalized lists — k-bounded on both
+    sides, so every post-scoring operator touches at most 40 rows per
+    query at any corpus size."""
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+
+    lex_top = (
+        bm25_scores(spark, sf_dir, _LEX_FIXTURE)
+        .withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= 20)
+        .select("query_id", "doc_id", "score")
+    )
+    lex_n = _minmax_norm(lex_top, "ln")
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    c = emb.select("vec_id", F.col("embedding").alias("v"))
+    qv = spark.createDataFrame(
+        [(qid, vid) for qid, _, vid in _HYBRID_QUERIES],
+        "query_id string, qvec_id long",
+    )
+    q = F.broadcast(
+        qv.join(c, c.vec_id == qv.qvec_id).select(
+            "query_id", F.col("v").alias("qvec")
+        )
+    )
+    vec_top = (
+        c.crossJoin(q)
+        .withColumn("score", F.round(cosine("v", "qvec"), 6))
+        .select("query_id", F.col("vec_id").alias("doc_id"), "score")
+        .withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= 20)
+        .select("query_id", "doc_id", "score")
+    )
+    vec_n = _minmax_norm(vec_top, "vn")
+
+    blended = (
+        lex_n.join(vec_n, ["query_id", "doc_id"], "full_outer")
+        .select(
+            "query_id",
+            "doc_id",
+            F.round(
+                F.lit(_W_VEC) * F.coalesce("vn", F.lit(0.0))
+                + F.lit(_W_LEX) * F.coalesce("ln", F.lit(0.0)),
+                6,
+            ).alias("wscore"),
+            (
+                F.col("ln").isNotNull().cast("int")
+                + F.col("vn").isNotNull().cast("int")
+            ).alias("n_lists"),
+        )
+    )
+    w_final = Window.partitionBy("query_id").orderBy(
+        F.desc("wscore"), F.asc("doc_id")
+    )
+    return (
+        blended.withColumn("rank", F.row_number().over(w_final).cast("int"))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "doc_id", "wscore", "n_lists", "rank")
     )
