@@ -155,3 +155,37 @@ def test_post_swap_union_covers_new_registry():
     assert win == set(new_queries) | set(old_active[50:])
     r5_green = set(old_active[:50])
     assert r5_green | win == set(names)
+
+
+def test_rotation_check_tool_verifies_the_r11_plan():
+    """tools/rotation_check.py mechanizes the swap-half rule: the r11
+    advisory plan (COVERAGE.md §Round-11 swap plan) must verify under
+    --assume-next-green (retirees stale AT SWAP TIME), and the same plan
+    simulated against raw committed history must be flagged (retirees are
+    fresh TODAY) — the exact timing trap the flag exists for."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "rotation_check",
+        os.path.join(os.path.dirname(__file__), "..", "tools", "rotation_check.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    retire = [
+        "filtered_vector_search",
+        "hamming_binary_topk",
+        "embedding_neardup_pairs",
+        "eviction_topk_branch",
+    ]
+    activate = [
+        "grouping_search_topk",
+        "sparse_dot_topk",
+        "range_search_radius",
+        "mmr_diversity_rerank",
+    ]
+    planned = mod.simulate(retire, activate, assume_next_green=True)
+    assert planned["union_ok"] and not planned["problems"], planned
+    assert planned["new_in_window"] == sorted(activate)
+    premature = mod.simulate(retire, activate, assume_next_green=False)
+    assert premature["problems"] and not premature["union_ok"]
