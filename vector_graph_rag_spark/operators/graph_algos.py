@@ -125,8 +125,12 @@ def label_propagation_communities(
     neighbors' CURRENT labels (ties to the lowest label; isolated nodes
     keep their own) — unlike min-label CC this converges to density-based
     communities, not connectivity classes.  Fixed synchronous rounds keep
-    it deterministic and oracle-checkable; production loops to fixpoint
-    with per-round checkpoints.
+    it deterministic and oracle-checkable — deliberately NOT to-fixpoint:
+    synchronous LPA can 2-cycle forever on bipartite structures (every
+    node adopting the other side's label each round), so a production
+    convergence loop needs asynchronous/semi-synchronous coloring or
+    damping (Raghavan §4); the fixed-round form sidesteps nontermination
+    and is what the declared query pins.
 
     Scale shape: per round one map-side-combined groupBy((node, label))
     count, one max-per-node aggregation, one tie-breaking min — all plain
