@@ -54,6 +54,8 @@ def simulate(
     active = set(load_all())
     declared = set(load_all(include_retired=True))
     hist = green_history()
+    if not hist:
+        return {"problems": ["no committed CORRECTNESS_r*.json history — nothing to simulate against"]}
     latest = max(hist.values())
     if assume_next_green:
         # advance one round: the current window (pre-swap) greens in latest+1
@@ -64,6 +66,11 @@ def simulate(
     fresh = {n for n in active if hist.get(n) == latest}
 
     problems = []
+    if len(set(retire)) != len(retire):
+        problems.append("duplicate names in --retire")
+    if len(set(activate)) != len(activate):
+        problems.append("duplicate names in --activate")
+    retire, activate = sorted(set(retire)), sorted(set(activate))
     for r in retire:
         if r not in active:
             problems.append(f"retiree {r!r} is not an active query")
@@ -118,20 +125,21 @@ def main() -> None:
     fresh = sorted(n for n in active if hist.get(n) == latest)
     stale = sorted(n for n in active if n in hist and hist[n] < latest)
     never = sorted(n for n in active if n not in hist)
-    staged = sorted(
-        n for n in declared if n not in active and "STAGED" in
-        (getattr(sys.modules.get("vector_graph_rag_spark.queries"), "RETIRED", {})
-         .get(n, declared[n]).description or "")
+    # staged vs permanently retired: a retiree was rotated OUT and has
+    # committed green history; a staged candidate was registered
+    # retired=True BEFORE ever facing the driver, so it has none.
+    staged = sorted(n for n in declared if n not in active and n not in hist)
+    retired_for_good = sorted(
+        n for n in declared if n not in active and n in hist
     )
-    # staged = declared-but-retired entries whose registration marks them
-    # staged; fall back to listing all retired names if none marked
     report = {
         "latest_green_round": latest,
         "fresh_half": len(fresh),
         "stale_half": len(stale),
         "never_green": never,
         "retirement_eligible (stale half)": stale,
-        "staged_candidates": staged or sorted(set(declared) - active),
+        "staged_candidates": staged,
+        "retired (NOT activation candidates)": retired_for_good,
     }
     if args.retire or args.activate:
         report["simulation"] = simulate(

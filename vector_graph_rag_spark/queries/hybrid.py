@@ -94,12 +94,15 @@ QUALIFY rank <= 10
 """
 
 
-def _rank_topk(df: DataFrame, k: int, order_col: str) -> DataFrame:
+def _rank_topk(
+    df: DataFrame, k: int, order_col: str, keep_score: bool = False
+) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(F.desc(order_col), F.asc("doc_id"))
+    keep = [order_col] if keep_score else ["rank"]
     return (
         df.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", "doc_id", "rank")
+        .select("query_id", "doc_id", *keep)
     )
 
 
@@ -435,15 +438,8 @@ def hybrid_weighted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the two 20-row-per-query normalized lists — k-bounded on both
     sides, so every post-scoring operator touches at most 40 rows per
     query at any corpus size."""
-    w_rank = Window.partitionBy("query_id").orderBy(
-        F.desc("score"), F.asc("doc_id")
-    )
-
-    lex_top = (
-        bm25_scores(spark, sf_dir, _LEX_FIXTURE)
-        .withColumn("rank", F.row_number().over(w_rank))
-        .filter(F.col("rank") <= 20)
-        .select("query_id", "doc_id", "score")
+    lex_top = _rank_topk(
+        bm25_scores(spark, sf_dir, _LEX_FIXTURE), 20, "score", keep_score=True
     )
     lex_n = _minmax_norm(lex_top, "ln")
 
@@ -458,13 +454,13 @@ def hybrid_weighted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id", F.col("v").alias("qvec")
         )
     )
-    vec_top = (
+    vec_top = _rank_topk(
         c.crossJoin(q)
         .withColumn("score", F.round(cosine("v", "qvec"), 6))
-        .select("query_id", F.col("vec_id").alias("doc_id"), "score")
-        .withColumn("rank", F.row_number().over(w_rank))
-        .filter(F.col("rank") <= 20)
-        .select("query_id", "doc_id", "score")
+        .select("query_id", F.col("vec_id").alias("doc_id"), "score"),
+        20,
+        "score",
+        keep_score=True,
     )
     vec_n = _minmax_norm(vec_top, "vn")
 
