@@ -99,6 +99,13 @@ HEADLINE = [
     "ann_ivf_index_search",
     "ann_ivfpq_topk",
     "source_temperature_mix",
+    # round-11 additions: the activated r10-staged Milvus search-API family
+    # (queries/search_api.py — range search, grouping search, sparse-vector
+    # dot top-k, MMR diversity rerank)
+    "range_search_radius",
+    "grouping_search_topk",
+    "sparse_dot_topk",
+    "mmr_diversity_rerank",
 ]
 
 

@@ -252,6 +252,51 @@ def test_search_grouping_mode_one_passage_per_entity(client, search_graph):
     assert d2_entities and all(abs(h["score"] - 1.0) < 1e-9 for h in d2_entities)
 
 
+def test_search_range_mode_limit_caps_per_query(client, search_graph):
+    """mode=range with a whole-corpus band (radius=-1) must return exactly
+    ``limit`` BEST-first rows PER QUERY (r10 verdict item 6 + ADVICE item 1:
+    a global limit ordered by query_idx first let an early query's weakest
+    in-band hits crowd later queries out entirely; Milvus applies the limit
+    per query)."""
+    q1 = "alpha owns beta beta feeds gamma gamma likes delta"
+    q2 = "beta rules epsilon epsilon sees zeta zeta meets eta"
+    hits = client.post(
+        "/search",
+        json={"graph_name": "gsearch", "queries": [q1, q2], "mode": "range",
+              "radius": -1.0, "range_filter": 1.0, "limit": 2},
+    ).get_json()["hits"]
+    by_query: dict[int, list] = {}
+    for h in hits:
+        by_query.setdefault(h["query"], []).append(h)
+    # both queries survive the cap, each with exactly `limit` rows
+    assert set(by_query) == {0, 1}
+    assert all(len(v) == 2 for v in by_query.values())
+    # best-first within each query: scores non-increasing, and each
+    # query's own self-match passage leads its slice
+    for v in by_query.values():
+        assert v[0]["score"] >= v[1]["score"]
+    assert by_query[0][0]["passage_id"] == "d1"
+    assert abs(by_query[0][0]["score"] - 1.0) < 1e-9
+    assert abs(by_query[1][0]["score"] - 1.0) < 1e-9
+
+
+def test_search_numeric_params_malformed_is_400(client, search_graph):
+    """Malformed numeric params are caller errors → 400, never a 500
+    (r10 ADVICE item 3)."""
+    for payload in (
+        {"mode": "topk", "top_k": "abc"},
+        {"mode": "range", "radius": "wide"},
+        {"mode": "range", "range_filter": None, "radius": 0.5},
+        {"mode": "range", "limit": "all"},
+    ):
+        r = client.post(
+            "/search",
+            json={"graph_name": "gsearch", "queries": ["x"], **payload},
+        )
+        assert r.status_code == 400, payload
+        assert "error" in r.get_json()
+
+
 def test_search_error_paths(client, search_graph):
     assert client.post("/search", json={"graph_name": "gsearch", "queries": []}).status_code == 400
     assert client.post(

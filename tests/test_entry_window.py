@@ -157,12 +157,7 @@ def test_post_swap_union_covers_new_registry():
     assert r5_green | win == set(names)
 
 
-def test_rotation_check_tool_verifies_the_r11_plan():
-    """tools/rotation_check.py mechanizes the swap-half rule: the r11
-    advisory plan (COVERAGE.md §Round-11 swap plan) must verify under
-    --assume-next-green (retirees stale AT SWAP TIME), and the same plan
-    simulated against raw committed history must be flagged (retirees are
-    fresh TODAY) — the exact timing trap the flag exists for."""
+def _load_rotation_check():
     import importlib.util
     import os
 
@@ -172,20 +167,79 @@ def test_rotation_check_tool_verifies_the_r11_plan():
     )
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
-    retire = [
-        "filtered_vector_search",
-        "hamming_binary_topk",
-        "embedding_neardup_pairs",
-        "eviction_topk_branch",
-    ]
-    activate = [
-        "grouping_search_topk",
-        "sparse_dot_topk",
-        "range_search_radius",
-        "mmr_diversity_rerank",
-    ]
-    planned = mod.simulate(retire, activate, assume_next_green=True)
+    return mod
+
+
+def test_rotation_check_tool_swap_half_rule_synthetic():
+    """tools/rotation_check.py mechanizes the swap-half rule, pinned on a
+    SYNTHETIC history fixture (the r10-era version of this test asserted a
+    concrete plan against LIVE committed history with a frozen
+    assume_next_green flag, which broke the moment the driver dropped the
+    next CORRECTNESS file — r10 verdict, What's wrong #1).
+
+    Fixture: 100 actives, 50 green in round 10 (fresh), 50 in round 9
+    (stale); 4 staged.  A plan retiring from the stale half verifies; the
+    same plan retiring from the fresh half is flagged and breaks the union."""
+    mod = _load_rotation_check()
+    fresh = [f"f{i:02d}" for i in range(50)]
+    stale = [f"s{i:02d}" for i in range(50)]
+    staged = [f"new{i}" for i in range(4)]
+    active = set(fresh + stale)
+    declared = active | set(staged)
+    hist = {n: 10 for n in fresh} | {n: 9 for n in stale}
+
+    good = mod.simulate(
+        stale[:4], staged, hist=hist, active=active, declared=declared
+    )
+    assert good["union_ok"] and not good["problems"], good
+    assert good["new_in_window"] == sorted(staged)
+
+    bad = mod.simulate(
+        fresh[:4], staged, hist=hist, active=active, declared=declared
+    )
+    assert bad["problems"] and not bad["union_ok"]
+    # the flagged problem names the half rule explicitly
+    assert any("FRESH" in p for p in bad["problems"])
+
+
+def test_rotation_check_assume_next_green_timing_trap():
+    """The --assume-next-green flag models planning round N+2 while round
+    N+1 is still running: queries fresh TODAY become stale AT SWAP TIME.
+    Same synthetic fixture, shifted one round back: the correct swap-time
+    retirees live in what raw history calls the fresh half, so the plan
+    verifies ONLY under the flag.  Also pins stability under 'the driver
+    drops the next CORRECTNESS file': adding that round to history and
+    dropping the flag must yield the identical verdict."""
+    mod = _load_rotation_check()
+    fresh = [f"f{i:02d}" for i in range(50)]
+    stale = [f"s{i:02d}" for i in range(50)]
+    staged = [f"new{i}" for i in range(4)]
+    active = set(fresh + stale)
+    declared = active | set(staged)
+    # history ends at round 9: the round-10 window (= the stale half) has
+    # not landed yet; we are planning the round-11 swap.
+    hist = {n: 9 for n in fresh} | {n: 8 for n in stale}
+    retire = fresh[:4]  # fresh in raw history, stale at r11 swap time
+
+    planned = mod.simulate(
+        retire, staged, assume_next_green=True,
+        hist=hist, active=active, declared=declared,
+    )
     assert planned["union_ok"] and not planned["problems"], planned
-    assert planned["new_in_window"] == sorted(activate)
-    premature = mod.simulate(retire, activate, assume_next_green=False)
+    assert planned["new_in_window"] == sorted(staged)
+
+    premature = mod.simulate(
+        retire, staged, assume_next_green=False,
+        hist=hist, active=active, declared=declared,
+    )
     assert premature["problems"] and not premature["union_ok"]
+
+    # driver drops round 10's CORRECTNESS: raw history now matches what the
+    # flag simulated, so the un-flagged verdict flips to match `planned`.
+    landed_hist = {n: 9 for n in fresh} | {n: 10 for n in stale}
+    landed = mod.simulate(
+        retire, staged, assume_next_green=False,
+        hist=landed_hist, active=active, declared=declared,
+    )
+    assert landed["union_ok"] and not landed["problems"]
+    assert landed["new_in_window"] == planned["new_in_window"]

@@ -302,3 +302,41 @@ def test_ivf_search_skips_null_embedding_query(spark, tmp_path):
     rows = sorted(map(tuple, mixed.collect()))
     assert rows == sorted(map(tuple, clean.collect()))
     assert not any(r[0] == 999999 for r in rows)
+
+
+def test_pq_books_cache_fingerprint_invalidates_on_rewrite(tmp_path):
+    """The shared-codebook cache keys on (abspath, mtime_ns, size) of the
+    embeddings parquet, not the path alone — rewriting a previously-seen
+    directory within one process must produce a DIFFERENT key so the three
+    PQ-family queries retrain instead of silently serving books trained on
+    the old data (r10 ADVICE item 4).  Stat-only, no Spark needed."""
+    import os
+
+    from vector_graph_rag_spark.queries.pipeline import _embeddings_fingerprint
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    f = sf / "embeddings.parquet"
+    f.write_bytes(b"v1-bytes")
+    k1 = _embeddings_fingerprint(str(sf))
+    assert k1 == _embeddings_fingerprint(str(sf))  # stable for unchanged bytes
+
+    f.write_bytes(b"v2-bytes-longer")  # size change
+    k2 = _embeddings_fingerprint(str(sf))
+    assert k2 != k1
+
+    os.utime(f, ns=(1, 1))  # same bytes, mtime change (e.g. overwrite-in-place)
+    assert _embeddings_fingerprint(str(sf)) != k2
+
+    # directory-shaped table: adding a part file changes the key
+    d = tmp_path / "sfdir"
+    d.mkdir()
+    part_dir = d / "embeddings.parquet"
+    part_dir.mkdir()
+    (part_dir / "part-0.parquet").write_bytes(b"p0")
+    k3 = _embeddings_fingerprint(str(d))
+    (part_dir / "part-1.parquet").write_bytes(b"p1")
+    assert _embeddings_fingerprint(str(d)) != k3
+
+    # missing table never raises — distinct sentinel key per path
+    assert _embeddings_fingerprint(str(tmp_path / "nope"))[1] is None

@@ -46,14 +46,29 @@ def green_history() -> dict[str, int]:
 
 
 def simulate(
-    retire: list[str], activate: list[str], assume_next_green: bool = False
+    retire: list[str],
+    activate: list[str],
+    assume_next_green: bool = False,
+    *,
+    hist: dict[str, int] | None = None,
+    active: set[str] | None = None,
+    declared: set[str] | None = None,
 ) -> dict:
+    """Simulate a swap.  By default runs against the LIVE registry and the
+    committed CORRECTNESS history; tests inject synthetic ``hist`` /
+    ``active`` / ``declared`` so assertions never go stale when the driver
+    drops a new round's history file."""
     import __spark_entry__ as entry
-    from vector_graph_rag_spark.queries import load_all
 
-    active = set(load_all())
-    declared = set(load_all(include_retired=True))
-    hist = green_history()
+    if active is None or declared is None:
+        from vector_graph_rag_spark.queries import load_all
+
+        if active is None:
+            active = set(load_all())
+        if declared is None:
+            declared = set(load_all(include_retired=True))
+    active, declared = set(active), set(declared)
+    hist = dict(green_history() if hist is None else hist)
     if not hist:
         return {"problems": ["no committed CORRECTNESS_r*.json history — nothing to simulate against"]}
     latest = max(hist.values())

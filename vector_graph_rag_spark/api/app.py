@@ -403,32 +403,53 @@ def create_app(
         mode = body.get("mode", "topk")
         if mode not in ("topk", "range", "grouping"):
             return jsonify({"error": f"unknown mode '{mode}'"}), 400
+        # Numeric params validate up front: malformed JSON values (e.g.
+        # top_k='abc') are a caller error → 400, consistent with the
+        # mode/queries validation paths, never a 500.
+        try:
+            k = int(body.get("top_k", config.final_top_k))
+            limit = int(body.get("limit", 1000))
+            radius = float(body.get("radius", 0.0))
+            range_filter = float(body.get("range_filter", 1.0))
+        except (TypeError, ValueError):
+            return (
+                jsonify({"error": "top_k/limit must be integers, radius/range_filter numbers"}),
+                400,
+            )
         g = catalog.read_graph(spark, name)
         qdf = spark.createDataFrame(
             [(i, t) for i, t in enumerate(qtexts)], "query_idx int, qtext string"
         ).select("query_idx", mock_embedding("qtext").alias("qvec"))
         scored = (
-            g.passages.select(
-                "id", "entity_ids", mock_embedding("text").alias("pvec")
-            )
+            # NULL-text exclusion in lockstep with the registered
+            # grouping_search_topk: a NULL text embeds to a NULL score,
+            # which would win grouping mode's min(struct(-score, id))
+            # reduce and pays the crossJoin for nothing in topk mode.
+            g.passages.filter(F.col("text").isNotNull())
+            .select("id", "entity_ids", mock_embedding("text").alias("pvec"))
             .crossJoin(F.broadcast(qdf))
             .withColumn("score", F.round(cosine("pvec", "qvec"), 6))
         )
         if mode == "range":
-            radius = float(body.get("radius", 0.0))
-            range_filter = float(body.get("range_filter", 1.0))
-            # Milvus range search still honors a limit — a caller-supplied
-            # band can cover the whole corpus (radius=-1), and the driver
-            # must never collect an unbounded |passages| x |queries| result
-            # into one JSON response.  Best hits first, like Milvus.
-            limit = int(body.get("limit", 1000))
+            # Milvus range search still honors a limit, applied PER QUERY —
+            # a caller-supplied band can cover the whole corpus (radius=-1),
+            # and the driver must never collect an unbounded
+            # |passages| x |queries| result into one JSON response.  The
+            # row_number window bounds the collect at |queries| x limit and
+            # keeps each query's own best in-band hits (a single global
+            # LIMIT ordered by query_idx would let an early query's weakest
+            # hits crowd later queries out entirely).
+            w_r = Window.partitionBy("query_idx").orderBy(
+                F.desc("score"), F.asc("id")
+            )
             rows = (
                 scored.filter(
                     (F.col("score") > radius) & (F.col("score") <= range_filter)
                 )
+                .withColumn("rank", F.row_number().over(w_r))
+                .filter(F.col("rank") <= limit)
                 .select("query_idx", "id", "score")
                 .orderBy("query_idx", F.desc("score"), F.asc("id"))
-                .limit(limit)
                 .collect()
             )
             hits = [
@@ -440,7 +461,6 @@ def create_app(
                 best_hit_per_group,
             )
 
-            k = int(body.get("top_k", config.final_top_k))
             w_q = Window.partitionBy("query_idx").orderBy(
                 F.desc("score"), F.asc("entity_id")
             )
@@ -472,7 +492,6 @@ def create_app(
                 for r in rows
             ]
         else:  # topk
-            k = int(body.get("top_k", config.final_top_k))
             w = Window.partitionBy("query_idx").orderBy(
                 F.desc("score"), F.asc("id")
             )

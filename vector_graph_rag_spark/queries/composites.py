@@ -172,6 +172,7 @@ QUALIFY evict_order <= 50
 @register(
     "eviction_topk_branch",
     oracle=_EVICT_TOPK_SQL,
+    retired=True,  # r11 swap: filtered top-k selection driver-gated via mmr_diversity_rerank (diversity-aware selection, strictly richer); eviction branch semantics stay gated via eviction_sorted_ids; r9-green
     description="eviction branch: vector top-k within candidate id-set (retriever.py:267-285)",
 )
 def eviction_topk_branch(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -239,6 +239,7 @@ QUALIFY rank <= 20
 @register(
     "hamming_binary_topk",
     oracle=_HAMMING_SQL,
+    retired=True,  # r11 swap: alternate vector-TYPE ranking driver-gated via sparse_dot_topk (sparse term vectors; binary-domain compressed ranking moved to PQ codes in r10); sign-bucket arithmetic stays locally gated via minhash/simhash parity; r9-green
     description="sign-quantized binary vectors ranked by Hamming distance (Milvus BINARY_VECTOR analogue, integer-exact)",
 )
 def hamming_binary_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

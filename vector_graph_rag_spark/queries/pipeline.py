@@ -946,14 +946,37 @@ WHERE rk <= {_PQ_TOPK}
 # query-many treatment the knowledge graph gets (queries/graphrag._graph):
 # inputs are read-only and the Lloyd recipe is deterministic (seeded from
 # the K lowest vec_ids, integer floor-avg updates), so the cache can never
-# go stale.  Each query still pays its own quantize/encode/assign scans.
-_PQ_BOOKS_CACHE: dict[str, list] = {}
+# go stale for unchanged bytes.  The key carries a cheap mtime+size
+# fingerprint of the embeddings parquet on top of the abspath, so a tool or
+# test that REWRITES a previously-seen directory within one Python process
+# retrains instead of silently serving books trained on the old data
+# (r10 ADVICE item 4).  Each query still pays its own quantize/encode scans.
+_PQ_BOOKS_CACHE: dict[tuple, list] = {}
+
+
+def _embeddings_fingerprint(sf_dir: str) -> tuple:
+    """(abspath, mtime_ns, size) of the embeddings parquet — one level of
+    directory listing for directory-shaped tables; stat-only, never reads
+    data bytes."""
+    import os
+
+    path = os.path.join(os.path.abspath(sf_dir), "embeddings.parquet")
+    try:
+        if os.path.isdir(path):
+            parts = tuple(
+                (entry, s.st_mtime_ns, s.st_size)
+                for entry in sorted(os.listdir(path))
+                for s in (os.stat(os.path.join(path, entry)),)
+            )
+            return (path, parts)
+        st = os.stat(path)
+        return (path, st.st_mtime_ns, st.st_size)
+    except OSError:
+        return (path, None)
 
 
 def _pq_quantized_and_books(spark: SparkSession, sf_dir: str):
     """(quantized corpus frame, trained codebooks) for a testdata SF."""
-    import os
-
     from vector_graph_rag_spark.operators.pq import (
         quantize_embeddings,
         train_pq_codebooks,
@@ -972,7 +995,7 @@ def _pq_quantized_and_books(spark: SparkSession, sf_dir: str):
     par = spark.sparkContext.defaultParallelism
     if q.rdd.getNumPartitions() < max(2, par // 2):
         q = q.repartition(par)
-    key = os.path.abspath(sf_dir)
+    key = _embeddings_fingerprint(sf_dir)
     if key not in _PQ_BOOKS_CACHE:
         _PQ_BOOKS_CACHE[key] = train_pq_codebooks(q, updates=1)
     return q, _PQ_BOOKS_CACHE[key]

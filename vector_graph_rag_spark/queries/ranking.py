@@ -92,6 +92,43 @@ def bm25_scores(
     tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
     dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
     df = toks.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    return _bm25_from_stats(spark, tf, dl, df, fixture)
+
+
+def bm25_scores_from_index(
+    spark: SparkSession, index_path: str, fixture: list[tuple[str, list[str]]]
+) -> DataFrame:
+    """BM25 per-(query, doc) scores derived ENTIRELY from a stored term
+    index (``search_api.write_term_index`` layout: doc_id, term, w) — the
+    corpus is never re-tokenized.  tf is the stored weight, dl = SUM(w) per
+    doc, df = posting-list length per term ((doc_id, term) is unique in the
+    index, so COUNT(*) == COUNT(DISTINCT doc_id)).  At 100 TB the
+    explode + three token-table aggregations that dominate
+    :func:`bm25_scores` (SCALE.md: the whole 1.9x 10x growth of
+    ``hybrid_weighted_topk``) are paid ONCE at index-build time and shared
+    with ``sparse_index_search`` and every hybrid-fusion leg over the same
+    corpus; a ranking query reads only the (doc_id, term, w) columns of the
+    posting table.  Equality with the tokenizing path is pinned by
+    ``tests/test_search_api.py::test_bm25_from_index_matches_tokenizing_path``."""
+    idx = spark.read.parquet(index_path)
+    tf = idx.select("doc_id", F.col("term").alias("tok"), F.col("w").alias("tf"))
+    dl = idx.groupBy("doc_id").agg(F.sum("w").alias("dl"))
+    df = idx.groupBy(F.col("term").alias("tok")).agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    return _bm25_from_stats(spark, tf, dl, df, fixture)
+
+
+def _bm25_from_stats(
+    spark: SparkSession,
+    tf: DataFrame,
+    dl: DataFrame,
+    df: DataFrame,
+    fixture: list[tuple[str, list[str]]],
+) -> DataFrame:
+    """Scoring tail shared by the tokenizing and stored-index stat builders:
+    tf (doc_id, tok, tf), dl (doc_id, dl), df (tok, df) → per-(query, doc)
+    BM25 scores."""
     corpus = dl.agg(
         F.count(F.lit(1)).alias("n_docs"),
         (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),

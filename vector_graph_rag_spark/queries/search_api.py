@@ -52,7 +52,7 @@ WHERE score > {_RANGE_RADIUS} AND score <= {_RANGE_FILTER}
 @register(
     "range_search_radius",
     oracle=_RANGE_SQL,
-    retired=True,  # STAGED for the round-11 swap
+    # ACTIVE since the r11 swap (staged retired=True through r10)
     description=(
         "Milvus range-search analogue: all neighbors with radius < score "
         "<= range_filter (two-sided band, no k) — the dedup/recall shape "
@@ -132,7 +132,7 @@ SELECT query_id, label, vec_id, score, CAST(grk AS INT) AS group_rank FROM (
 @register(
     "grouping_search_topk",
     oracle=_GROUPING_SQL,
-    retired=True,  # STAGED for the round-11 swap
+    # ACTIVE since the r11 swap (staged retired=True through r10)
     description=(
         "Milvus grouping-search analogue (group_by_field=label, "
         "group_size=1): top-3 GROUPS per query, one best hit per group — "
@@ -209,7 +209,7 @@ SELECT query_id, doc_id, score, CAST(rk AS INT) AS rank FROM (
 @register(
     "sparse_dot_topk",
     oracle=_SPARSE_SQL,
-    retired=True,  # STAGED for the round-11 swap
+    # ACTIVE since the r11 swap (staged retired=True through r10)
     description=(
         "Milvus SPARSE_FLOAT_VECTOR analogue: per-doc term-frequency "
         "sparse vectors, integer dot products over the shared-term "
@@ -374,7 +374,7 @@ def _int_dot(a, b):
 @register(
     "mmr_diversity_rerank",
     oracle=_MMR_SQL,
-    retired=True,  # STAGED for the round-11 swap
+    # ACTIVE since the r11 swap (staged retired=True through r10)
     description=(
         "maximal-marginal-relevance rerank (Carbonell & Goldstein 1998, "
         "lambda=0.5) over each query's top-20 IP candidates: greedy k=5 "

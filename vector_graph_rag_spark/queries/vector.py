@@ -120,7 +120,12 @@ SELECT vec_id, score, rank FROM (
 """
 
 
-@register("filtered_vector_search", oracle=_FILTERED_SQL, description="top-k within candidate set (retriever.py:267-285)")
+@register(
+    "filtered_vector_search",
+    oracle=_FILTERED_SQL,
+    retired=True,  # r11 swap: constrained-candidate vector search driver-gated via grouping_search_topk (label-keyed group selection strictly covers the label-IN candidate filter); scoring kernel stays gated via knn_cosine_topk; r9-green
+    description="top-k within candidate set (retriever.py:267-285)",
+)
 def filtered_vector_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
@@ -296,6 +301,7 @@ WHERE round({_cos_sql('a.v', 'b.v')}, 6) > {_ND_THRESHOLD}
 @register(
     "embedding_neardup_pairs",
     oracle=_NEARDUP_SQL,
+    retired=True,  # r11 swap: cosine-threshold pair finding driver-gated via range_search_radius (corpus-vs-queries range search IS the threshold-band shape); LSH-bucketed pair generation stays gated via the dedup family; r9-green
     description="cosine near-dup pairs via banded sign-LSH candidates + capped buckets + exact verify on survivors",
 )
 def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
