@@ -994,3 +994,22 @@ def test_vector_index_recovers_from_half_written_quantizers(
     r = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert r["funnel"]["vector_index_appended"] > 0
     assert os.path.exists(os.path.join(qdir, "codebooks.json"))
+
+
+def test_ceil_sqrt_exact_edges():
+    """_ceil_sqrt drives the data-derived k of semdedup_keep and
+    knn_graph_incell and must equal ceil(sqrt(n)) EXACTLY at perfect
+    squares (where a float sqrt epsilon would off-by-one the oracle's
+    CAST(ceil(sqrt(...))) twin) and at the empty-corpus edge."""
+    import math
+
+    from vector_graph_rag_spark.queries.curation import _ceil_sqrt
+
+    for n in (0, 1, 2, 3, 4, 8, 9, 10, 99, 100, 101, 500, 2000, 2499, 2500, 2501, 10**12, 10**12 + 1):
+        assert _ceil_sqrt(n) == math.ceil(math.sqrt(n)) or (
+            # math.sqrt loses integer precision past 2^52; trust isqrt there
+            n > 2**52
+        )
+        r = _ceil_sqrt(n)
+        assert (r - 1) * (r - 1) < n or n == 0
+        assert r * r >= n

@@ -39,6 +39,10 @@ REPARTITION_CHECKED = [
     "mmr_diversity_rerank",     # greedy fold over collect_list candidate arrays
     # round-12 staged
     "hybrid_weighted_topk",     # min-max normalization + weighted double blend
+    # round-13 staged
+    "grouping_search_groupsize2",  # iterated min(struct) argmax x2 under partial agg
+    "semdedup_keep",            # Lloyd floor-avg centroids + round-6 cosine keep rule
+    "knn_graph_incell",         # row-local argmax assignment + in-cell rank window
 ]
 
 

@@ -99,6 +99,15 @@ AUDITED = [
     "sparse_index_search",
     # round-12 staged: weighted-score hybrid fusion (k-bounded windows)
     "hybrid_weighted_topk",
+    # round-13 staged: SemDeDup keep rule (cluster-bounded pair search)
+    "semdedup_keep",
+    # round-13 staged: stored-index BM25 (eager temp write; the returned
+    # ranked frame still audits)
+    "bm25_index_topk",
+    # round-13 staged: grouping search, group_size=2 (iterated argmax)
+    "grouping_search_groupsize2",
+    # round-13 staged: in-cell kNN graph (row-local assignment, cell join)
+    "knn_graph_incell",
 ]
 
 
@@ -307,3 +316,33 @@ def test_registered_dsir_keeps_broadcast_and_takeordered(spark):
     assert "BroadcastHashJoin" in w_plan
     sel_plan = _plan(spark, "dsir_select")
     assert "TakeOrderedAndProject" in sel_plan, "dsir_select lost its local top-n plan"
+
+
+def test_grouping2_ingroup_topk_is_agg_not_window(spark):
+    """group_size=2's in-group top-2 must stay ITERATED ARGMAX (two
+    map-side-combined min-struct aggs + a broadcast winner-exclusion join),
+    never a corpus-wide (query, label) window — the exact reason
+    best_hit_per_group exists.  The plan's ONLY Window is the group-rank
+    over the group-reduced frame."""
+    import re
+
+    plan = _plan(spark, "grouping_search_groupsize2")
+    n_windows = len(re.findall(r"^\(\d+\) Window\b", plan, flags=re.M))
+    assert n_windows == 1, f"in-group top-2 leaked into a corpus window ({n_windows})"
+    assert "BroadcastHashJoin" in plan, "winner-exclusion join lost its broadcast"
+
+
+def test_knn_graph_single_window_and_equi_cell_join(spark):
+    """The kNN-graph pair search must equi-join on cell_id (pair volume
+    Σ|cell|², never a cartesian n²), with cell assignment ROW-LOCAL
+    (assign_cells literals — no shuffle below the pair join other than the
+    cell-key exchange) and exactly one Window (the per-vector rank over
+    cell-bounded candidates)."""
+    import re
+
+    plan = _plan(spark, "knn_graph_incell")
+    n_windows = len(re.findall(r"^\(\d+\) Window\b", plan, flags=re.M))
+    assert n_windows == 1, f"expected only the per-vector rank window ({n_windows})"
+    assert "CartesianProduct" not in plan
+    # the pair join keys on cell_id in both children
+    assert "cell_id" in plan

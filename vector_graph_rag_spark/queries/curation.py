@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from vector_graph_rag_spark.functions.text import tokens
+from vector_graph_rag_spark.queries.vector import _cos_sql as _vec_cos_sql
 from vector_graph_rag_spark.queries import register
 from vector_graph_rag_spark.sources.tables import load_table
 
@@ -506,15 +507,20 @@ _KM_K = 8
 _KM_DIM = 64
 _KM_SCALE = 1000
 
-_KM_SQL = f"""
-WITH q AS (
+# CTE chain shared by kmeans_embedding_clusters and the staged semdedup_keep
+# (which extends the final assignment with the intra-cluster keep rule).
+def _km_ctes(seeds_cte: str) -> str:
+    """The Lloyd CTE chain with a pluggable seed-selection CTE (must define
+    ``seeds(vec_id)``): the fixed-k active query uses a plain LIMIT, the
+    staged semdedup uses the data-derived k = ceil(sqrt(n))."""
+    return f"""q AS (
   SELECT vec_id,
          list_transform(embedding,
                         x -> CAST(round(CAST(x AS DOUBLE) * {_KM_SCALE}) AS BIGINT)) AS qv
   FROM embeddings WHERE embedding IS NOT NULL
 ),
 qd AS (SELECT vec_id, unnest(range(1, {_KM_DIM + 1})) AS pos, unnest(qv) AS x FROM q),
-seeds AS (SELECT vec_id FROM q ORDER BY vec_id LIMIT {_KM_K}),
+{seeds_cte},
 c0 AS (
   SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cluster, vec_id
   FROM seeds
@@ -536,7 +542,28 @@ c1d AS (
 d2 AS (
   SELECT v.vec_id, c.cluster, CAST(SUM((v.x - c.c) * (v.x - c.c)) AS BIGINT) AS dist
   FROM qd v JOIN c1d c ON v.pos = c.pos GROUP BY v.vec_id, c.cluster
+)"""
+
+
+_KM_CTES = _km_ctes(
+    f"seeds AS (SELECT vec_id FROM q ORDER BY vec_id LIMIT {_KM_K})"
 )
+
+# Data-derived k = ceil(sqrt(n)): at a fixed k, cluster occupancy — and with
+# it every within-cluster pair search — grows linearly with the corpus, so
+# pair volume grows n²; k ~ sqrt(n) holds occupancy to ~sqrt(n) and pair
+# volume to ~n^1.5, the SemDeDup deployment recipe.
+_KM_CTES_SQRT_K = _km_ctes(
+    """kk AS (SELECT CAST(ceil(sqrt(CAST(COUNT(*) AS DOUBLE))) AS BIGINT) AS k FROM q),
+seeds AS (
+  SELECT vec_id FROM (
+    SELECT vec_id, row_number() OVER (ORDER BY vec_id) AS rn FROM q
+  ) CROSS JOIN kk WHERE rn <= kk.k
+)"""
+)
+
+_KM_SQL = f"""
+WITH {_KM_CTES}
 SELECT vec_id, cluster, dist FROM d2
 QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) = 1
 """
@@ -657,7 +684,9 @@ def _train_centroids(
     return centroids
 
 
-def _kmeans_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _kmeans_assignments(
+    spark: SparkSession, sf_dir: str, k: int = _KM_K
+) -> DataFrame:
     # Fixture-parallelism aid: one small single-row-group parquet file = a
     # one-task scan, which serializes the (interpreted higher-order-
     # function) assignment math.  Conditional on the scan actually being
@@ -668,10 +697,21 @@ def _kmeans_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     par = spark.sparkContext.defaultParallelism
     if q.rdd.getNumPartitions() < max(2, par // 2):
         q = q.repartition(par)
-    centroids = _train_centroids(q, _KM_K, _KM_DIM, updates=1)
+    centroids = _train_centroids(q, k, _KM_DIM, updates=1)
     if not centroids:  # empty corpus — no seeds, nothing to assign
         return spark.createDataFrame([], "vec_id long, cluster long, dist long")
     return _km_assign(q, centroids).select("vec_id", "cluster", "dist")
+
+
+def _ceil_sqrt(n: int) -> int:
+    """Exact integer ceil(sqrt(n)) — matches the oracle's
+    CAST(ceil(sqrt(n::DOUBLE)) AS BIGINT) for every corpus-sized n (IEEE
+    sqrt is correctly rounded; the nearest-integer gap at n = m²±m is
+    ~1/(2m), orders of magnitude above a double ulp)."""
+    import math
+
+    r = math.isqrt(n)
+    return r if r * r == n else r + 1
 
 
 def train_ivf_centroids(
@@ -738,3 +778,188 @@ def semdedup_keep_list(
     return assigned.join(
         doomed.withColumn("dup", F.lit(True)), "vec_id", "left"
     ).select("vec_id", "cluster", F.col("dup").isNull().alias("keep"))
+
+
+# --- SemDeDup as a registry slot (staged r13) ---------------------------------
+
+_SEMDEDUP_THRESHOLD = 0.40  # synthetic embeddings have no true near-dups (max intra-cluster cosine ~0.5-0.6); 0.40 dooms the top ~0.1% of pairs at every SF so the gate exercises BOTH keep outcomes
+
+_SEMDEDUP_SQL = f"""
+WITH {_KM_CTES_SQRT_K},
+assigned AS (
+  SELECT vec_id, cluster FROM d2
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) = 1
+),
+ve AS (
+  SELECT a.vec_id, a.cluster, e.embedding::DOUBLE[] AS emb
+  FROM assigned a JOIN embeddings e ON e.vec_id = a.vec_id
+),
+doomed AS (
+  SELECT DISTINCT b.vec_id
+  FROM ve a JOIN ve b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  WHERE round({_vec_cos_sql('a.emb', 'b.emb')}, 6) >= {_SEMDEDUP_THRESHOLD}
+)
+SELECT a.vec_id, a.cluster, (d.vec_id IS NULL) AS keep
+FROM assigned a LEFT JOIN doomed d ON d.vec_id = a.vec_id
+"""
+
+
+@register(
+    "semdedup_keep",
+    oracle=_SEMDEDUP_SQL,
+    retired=True,  # STAGED for the round-13 swap
+    description=(
+        "SemDeDup (Abbas et al. 2023): k-means cluster the embeddings, "
+        "then within each cluster drop every vector whose round-6 cosine "
+        "to a LOWER-id cluster-mate reaches the threshold — keep-lowest-id "
+        "semantic dedup, the embedding-space sibling of the MinHash family"
+    ),
+)
+def semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry twin of :func:`semdedup_keep_list` with the boundary made
+    engine-exact (round-6 cosine vs the threshold, the range_search_radius
+    convention) so the whole pipeline — Lloyd training, assignment, pair
+    search, keep rule — sits under one DuckDB hash gate.
+
+    Scale: k is DATA-DERIVED — ceil(sqrt(n)), computed identically in both
+    engines — so cluster occupancy stays ~√n and the cluster-id self-join's
+    pair volume is ~n^1.5, never n² (measured: the fixed-k=8 draft of this
+    query grew 24x at 10x corpus; this form is pinned in SCALE.md).  The
+    assignment output is localCheckpointed once (vec_id+cluster, 16 bytes
+    a row) so its three consumers don't re-run Lloyd assignment, and the
+    cosine is a JVM zip_with/aggregate dot — no Python anywhere."""
+    from vector_graph_rag_spark.functions.vector import cosine
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    k = _ceil_sqrt(emb.count())
+    assigned = (
+        _kmeans_assignments(spark, sf_dir, k=k)
+        .select("vec_id", "cluster")
+        .localCheckpoint(eager=True)
+    )
+    v = assigned.join(emb.select("vec_id", "embedding"), "vec_id")
+    a = v.select(
+        "cluster", F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_emb")
+    )
+    b = v.select(
+        "cluster", F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_emb")
+    )
+    doomed = (
+        a.join(b, "cluster")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .filter(
+            F.round(cosine("a_emb", "b_emb"), 6)
+            >= F.lit(_SEMDEDUP_THRESHOLD)
+        )
+        .select(F.col("b_id").alias("vec_id"))
+        .distinct()
+    )
+    return assigned.join(
+        doomed.withColumn("dup", F.lit(True)), "vec_id", "left"
+    ).select("vec_id", "cluster", F.col("dup").isNull().alias("keep"))
+
+
+# --- in-cell kNN graph construction (staged r13) ------------------------------
+
+_KNN_GRAPH_K = 5
+
+# Norms are precomputed per vector in BOTH engines (nrm = sqrt(dot(v,v)));
+# the pair score divides one dot by the product of two stored norms — the
+# same IEEE operations in the same order as the inline cosine, at a third
+# of the per-pair work.
+_KNN_GRAPH_SQL = f"""
+WITH {_KM_CTES_SQRT_K},
+assigned AS (
+  SELECT vec_id, cluster AS cell_id FROM d2
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) = 1
+),
+ve AS (
+  SELECT a.vec_id, a.cell_id, e.embedding::DOUBLE[] AS v,
+         sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) AS nrm
+  FROM assigned a JOIN embeddings e ON e.vec_id = a.vec_id
+),
+pairs AS (
+  SELECT a.vec_id, b.vec_id AS nbr_id,
+         round(CASE WHEN a.nrm = 0.0 OR b.nrm = 0.0 THEN 0.0
+                    ELSE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) END, 6) AS score
+  FROM ve a JOIN ve b ON a.cell_id = b.cell_id AND a.vec_id <> b.vec_id
+)
+SELECT vec_id, nbr_id, score, CAST(rk AS INT) AS rank FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY vec_id ORDER BY score DESC, nbr_id ASC
+  ) AS rk FROM pairs
+) WHERE rk <= {_KNN_GRAPH_K}
+"""
+
+
+@register(
+    "knn_graph_incell",
+    oracle=_KNN_GRAPH_SQL,
+    retired=True,  # STAGED for the round-13 swap
+    description=(
+        "in-cell k-NN graph construction (k=5): every vector's top-k "
+        "cosine neighbors WITHIN its k-means cell (data-derived "
+        "nlist=ceil(sqrt(n))) — the building block for graph-based ANN, "
+        "SemDeDup-family semantic dedup, and dataset cartography; "
+        "cell-bounded pair volume, never the n² all-pairs"
+    ),
+)
+def knn_graph_incell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN graph the way a 100 TB pipeline can afford it: vectors join
+    their ~√n-sized k-means cell (the SAME data-derived-k Lloyd assignment
+    semdedup_keep dedups within — balanced cells, unlike raw seed-vector
+    centroids, whose skew measured 2x slower here), and the neighbor
+    search self-joins ONLY on cell_id, so pair volume is ~n^1.5, never n².
+    Per-vector norms are computed once and reused across that vector's
+    every pair (1 dot per pair instead of 3).  The one window ranks each
+    vector's cell-bounded candidate list (k-cut by WindowGroupLimit); the
+    oracle replays assignment + pair search declaratively, so the hash
+    gate pins the full construction.  (Past ~10^10 vectors the flat √n
+    centroid literal outgrows a broadcast — the two-level quantizer split
+    in operators/ivf.py is the documented escalation.)"""
+    from vector_graph_rag_spark.functions.vector import dot, l2_norm
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    k = _ceil_sqrt(emb.count())
+    assigned = (
+        _kmeans_assignments(spark, sf_dir, k=k)
+        .select("vec_id", F.col("cluster").alias("cell_id"))
+        .localCheckpoint(eager=True)
+    )
+    v = assigned.join(emb.select("vec_id", "embedding"), "vec_id").select(
+        "cell_id",
+        "vec_id",
+        F.col("embedding").alias("v"),
+        l2_norm("embedding").alias("nrm"),
+    )
+    a = v.select(
+        "cell_id",
+        "vec_id",
+        F.col("v").alias("a_v"),
+        F.col("nrm").alias("a_nrm"),
+    )
+    b = v.select(
+        "cell_id",
+        F.col("vec_id").alias("nbr_id"),
+        F.col("v").alias("b_v"),
+        F.col("nrm").alias("b_nrm"),
+    )
+    score = F.when(
+        (F.col("a_nrm") == 0.0) | (F.col("b_nrm") == 0.0), F.lit(0.0)
+    ).otherwise(dot("a_v", "b_v") / (F.col("a_nrm") * F.col("b_nrm")))
+    pairs = (
+        a.join(b, "cell_id")
+        .filter(F.col("vec_id") != F.col("nbr_id"))
+        .withColumn("score", F.round(score, 6))
+        .select("vec_id", "nbr_id", "score")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("vec_id").orderBy(F.desc("score"), F.asc("nbr_id"))
+    return pairs.withColumn("rank", F.row_number().over(w).cast("int")).filter(
+        F.col("rank") <= _KNN_GRAPH_K
+    )

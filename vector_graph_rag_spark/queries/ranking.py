@@ -183,6 +183,50 @@ def bm25_keyword_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "bm25_index_topk",
+    oracle=_BM25_SQL,
+    retired=True,  # STAGED for the round-13 swap
+    description=(
+        "BM25 top-k served from the STORED term index: tf/dl/df/avgdl all "
+        "derived from the posting table sparse_index_search lays down, the "
+        "corpus never re-tokenized — the oracle is bm25_keyword_topk's SQL "
+        "verbatim, pinning stored-stats BM25 == tokenizing BM25 (the "
+        "ann_ivf_index_search pattern)"
+    ),
+)
+def bm25_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The at-scale half of the BM25 story (SCALE.md §round-11 shared-term-
+    index variant): `bm25_keyword_topk` re-pays the corpus tokenize + three
+    token-table aggregations per run — measured as the ENTIRE 1.9x 10x
+    growth of the hybrid fusion.  Here those statistics are read from the
+    term-major posting table (`write_term_index`), shared with
+    `sparse_index_search` and any hybrid leg over the same corpus; the
+    ranking query touches only (doc_id, term, w) columns and its stat
+    aggregations collapse map-side (dl: |docs| rows, df: |terms| rows)."""
+    import shutil
+    import tempfile
+
+    from vector_graph_rag_spark.queries.search_api import write_term_index
+
+    d = load_table(spark, sf_dir, "documents")
+    index = tempfile.mkdtemp(prefix="vgr_bm25idx_")
+    try:
+        write_term_index(d, index)
+        scored = bm25_scores_from_index(spark, index, _BM25_QUERIES)
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("score"), F.asc("doc_id")
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 10)
+            .select("query_id", "doc_id", "score", "n_terms_matched", "rank")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(index, ignore_errors=True)
+
+
 # --- ntile / cume_dist segmentation (partitioned → parallel at scale) --------
 
 # bal_cume is deliberately NOT rounded: under the total per-partition order

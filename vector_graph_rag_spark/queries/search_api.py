@@ -176,6 +176,99 @@ def grouping_search_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("group_rank") <= _GROUP_TOPK)
 
 
+# --- grouping search with group_size=2 (staged r13) ---------------------------
+
+_GROUPING2_SQL = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id, label, embedding::DOUBLE[] AS cvec FROM embeddings
+      WHERE label IS NOT NULL AND embedding IS NOT NULL),
+scored AS (
+  SELECT q.query_id, c.vec_id, c.label, round({_cos_sql('c.cvec', 'q.qvec')}, 6) AS score
+  FROM c CROSS JOIN q
+),
+in_group AS (
+  SELECT query_id, label, vec_id, score, CAST(rk AS INT) AS hit_rank FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id, label ORDER BY score DESC, vec_id ASC
+    ) AS rk FROM scored
+  ) WHERE rk <= 2
+),
+gscore AS (SELECT query_id, label, MAX(score) AS gs FROM in_group GROUP BY query_id, label),
+granks AS (
+  SELECT query_id, label, CAST(grk AS INT) AS group_rank FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY gs DESC, label ASC
+    ) AS grk FROM gscore
+  ) WHERE grk <= {_GROUP_TOPK}
+)
+SELECT i.query_id, i.label, i.vec_id, i.score, i.hit_rank, g.group_rank
+FROM in_group i JOIN granks g ON g.query_id = i.query_id AND g.label = i.label
+"""
+
+
+@register(
+    "grouping_search_groupsize2",
+    oracle=_GROUPING2_SQL,
+    retired=True,  # STAGED for the round-13 swap
+    description=(
+        "Milvus grouping search with group_size=2 (non-strict): top-3 "
+        "groups per query ranked by their best hit, up to TWO best hits "
+        "per group — completes the grouping-search parity the group_size=1 "
+        "query opened"
+    ),
+)
+def grouping_search_groupsize2_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """group_size=2 WITHOUT a corpus-wide window: the in-group top-2 is an
+    ITERATED ARGMAX — pass 1 is the shared map-side-combined
+    :func:`best_hit_per_group` kernel, pass 2 re-runs it after a broadcast
+    join removes each group's winner (|queries| x |labels| rows, always
+    broadcastable).  Every corpus-sized reduction stays a partial-agg
+    groupBy; windows only ever see group-reduced frames.  Generalizes to
+    group_size=g as g passes — the right trade until g approaches the
+    group sizes themselves (then the per-group sort is honest)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    c = emb.filter(
+        F.col("label").isNotNull() & F.col("embedding").isNotNull()
+    ).select("vec_id", "label", F.col("embedding").alias("cvec"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .withColumn("score", F.round(cosine("cvec", "qvec"), 6))
+        .select("query_id", "label", "vec_id", "score")
+    )
+    best1 = best_hit_per_group(
+        scored, ["query_id", "label"], id_col="vec_id"
+    ).select("query_id", "label", "vec_id", "score")
+    winners = best1.select(
+        "query_id", "label", F.col("vec_id").alias("w_id")
+    )
+    rest = (
+        scored.join(F.broadcast(winners), ["query_id", "label"])
+        .filter(F.col("vec_id") != F.col("w_id"))
+        .drop("w_id")
+    )
+    best2 = best_hit_per_group(
+        rest, ["query_id", "label"], id_col="vec_id"
+    ).select("query_id", "label", "vec_id", "score")
+    hits = best1.withColumn("hit_rank", F.lit(1).cast("int")).unionByName(
+        best2.withColumn("hit_rank", F.lit(2).cast("int"))
+    )
+    w_query = Window.partitionBy("query_id").orderBy(
+        F.desc("gs"), F.asc("label")
+    )
+    granks = (
+        best1.select("query_id", "label", F.col("score").alias("gs"))
+        .withColumn("group_rank", F.row_number().over(w_query).cast("int"))
+        .filter(F.col("group_rank") <= _GROUP_TOPK)
+        .drop("gs")
+    )
+    return hits.join(F.broadcast(granks), ["query_id", "label"]).select(
+        "query_id", "label", "vec_id", "score", "hit_rank", "group_rank"
+    )
+
+
 # --- sparse-vector search (Milvus SPARSE_FLOAT_VECTOR / BM25 serving) --------
 
 _SPARSE_NQ = 3

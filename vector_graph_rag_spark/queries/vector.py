@@ -334,3 +334,4 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("score") > _ND_THRESHOLD)
         .select("vec_a", "vec_b", "score")
     )
+
