@@ -297,6 +297,40 @@ def test_search_numeric_params_malformed_is_400(client, search_graph):
         assert "error" in r.get_json()
 
 
+def test_search_mmr_mode_skips_exact_duplicate(client):
+    """mode=mmr: with two IDENTICAL passages indexed, plain topk returns
+    both back-to-back, but MMR's second pick must be a DIFFERENT text —
+    after selecting one twin, the other's marginal score collapses to
+    rel - sim(self-dup) = 0 (the registered mmr_diversity_rerank kernel,
+    shared via mmr_greedy_select)."""
+    dup = "kappa binds lambda lambda lifts mu mu guards nu"
+    # query is a NEAR-duplicate of the twins, not exact: with q == twin
+    # text every marginal degenerates to rel - sim == 0 (q and the
+    # selected twin are the same vector), which is a tie, not a ranking.
+    query = "kappa binds lambda lambda lifts mu mu guards xi"
+    docs = [
+        {"doc_id": "m1", "text": dup, "source": "web"},
+        {"doc_id": "m2", "text": dup, "source": "web"},
+        {"doc_id": "m3", "text": "xi warms omicron omicron shades pi pi cools rho", "source": "web"},
+    ]
+    assert client.post(
+        "/add_documents", json={"graph_name": "gmmr", "documents": docs}
+    ).status_code == 200
+    top = client.post(
+        "/search",
+        json={"graph_name": "gmmr", "queries": [query], "mode": "topk", "top_k": 2},
+    ).get_json()["hits"]
+    assert {h["passage_id"] for h in top} == {"m1", "m2"}  # duplicates dominate
+    mmr = client.post(
+        "/search",
+        json={"graph_name": "gmmr", "queries": [query], "mode": "mmr", "top_k": 2},
+    ).get_json()["hits"]
+    assert [h["rank"] for h in mmr] == [1, 2]
+    assert mmr[0]["passage_id"] == "m1"  # best rel, lowest id
+    assert mmr[1]["passage_id"] == "m3"  # twin m2 displaced by diversity
+    assert mmr[1]["mmr_score"] < mmr[0]["mmr_score"]
+
+
 def test_search_error_paths(client, search_graph):
     assert client.post("/search", json={"graph_name": "gsearch", "queries": []}).status_code == 400
     assert client.post(

@@ -360,3 +360,42 @@ def test_sparse_term_retrieval_on_real_corpus(spark):
     # content-terms probe: the top passage is about Curie/polonium
     top_doc = docs[content[0]["doc_id"]]["text"].lower()
     assert "curie" in top_doc or "polonium" in top_doc
+
+
+def test_semdedup_drops_duplicated_real_passage(spark):
+    """SemDeDup (queries/curation.semdedup_keep_list) over the reference's
+    REAL 20 passages with one passage injected TWICE under a higher id:
+    the mock-embedding twins land in the same k-means cluster with cosine
+    1.0, so the keep-lowest-id rule must drop exactly the re-injected copy
+    and keep every original."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from vector_graph_rag_spark.functions.embedding import mock_embedding
+    from vector_graph_rag_spark.queries.curation import semdedup_keep_list
+
+    docs = _load_documents()
+    rows = [(i, d["text"]) for i, d in enumerate(docs)]
+    rows.append((100, docs[4]["text"]))  # exact semantic duplicate of id 4
+    # dim=64 to match the embeddings-table geometry the kmeans kernel
+    # assumes (_KM_DIM); the default dim-8 mock vectors would zip against
+    # 64-wide centroids
+    emb = spark.createDataFrame(rows, "vec_id long, text string").select(
+        "vec_id", mock_embedding("text", dim=64).alias("embedding")
+    )
+    # semdedup_keep_list reads the embeddings table from a dir — stage one
+    tmp = tempfile.mkdtemp(prefix="vgr_golden_semdedup_")
+    try:
+        emb.write.mode("overwrite").parquet(os.path.join(tmp, "embeddings.parquet"))
+        keep = {
+            r["vec_id"]: r["keep"]
+            for r in semdedup_keep_list(spark, tmp, threshold=0.999999).collect()
+        }
+        assert len(keep) == 21
+        assert keep[100] is False, "the injected duplicate must be dropped"
+        assert all(keep[i] for i in range(20)), "every original passage kept"
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

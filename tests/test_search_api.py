@@ -3,8 +3,8 @@ parquet fixtures can't express: MMR greedy selection vs a pure-Python twin
 (ties, fewer-than-k candidates, diversity-beats-relevance), range-band
 boundary exactness, and grouping-search tie-breaks.
 
-The four staged queries are additionally hash-gated against their DuckDB
-oracles by tests/test_oracle_parity.py every session.
+The four queries (ACTIVE since the r11 swap) are additionally hash-gated
+against their DuckDB oracles by tests/test_oracle_parity.py every session.
 """
 
 from __future__ import annotations

@@ -380,13 +380,15 @@ def create_app(
 
     @app.post("/search")
     def search():
-        """Embedding search over a graph's passages in the three Milvus
+        """Embedding search over a graph's passages in the four Milvus
         search modes the engine implements as queries (queries/search_api.py):
         ``topk`` (plain top-k, milvus.py:346-373), ``range`` (radius <
-        score <= range_filter, no k), and ``grouping`` (group_by=entity:
+        score <= range_filter, no k), ``grouping`` (group_by=entity:
         top-k ENTITIES per query, one best passage per entity —
-        group_size=1).  Query texts ride the same deterministic embedding
-        the indexing side uses."""
+        group_size=1), and ``mmr`` (diversity-aware top-k: greedy
+        maximal-marginal-relevance over each query's top-20 candidates,
+        the registered mmr_diversity_rerank kernel).  Query texts ride
+        the same deterministic embedding the indexing side uses."""
         from pyspark.sql import Window
 
         from vector_graph_rag_spark.functions.embedding import mock_embedding
@@ -401,7 +403,7 @@ def create_app(
         if not qtexts:
             return jsonify({"error": "queries required"}), 400
         mode = body.get("mode", "topk")
-        if mode not in ("topk", "range", "grouping"):
+        if mode not in ("topk", "range", "grouping", "mmr"):
             return jsonify({"error": f"unknown mode '{mode}'"}), 400
         # Numeric params validate up front: malformed JSON values (e.g.
         # top_k='abc') are a caller error → 400, consistent with the
@@ -488,6 +490,62 @@ def create_app(
                     "passage_id": r["id"],
                     "score": r["score"],
                     "rank": int(r["group_rank"]),
+                }
+                for r in rows
+            ]
+        elif mode == "mmr":
+            # Diversity-aware top-k: top-20 cosine candidates per query,
+            # then the SAME greedy integer-MMR kernel the registered
+            # mmr_diversity_rerank gates (search_api.mmr_greedy_select).
+            # String passage ids ride through the fold as their candidate
+            # rank (bigint; the rank already encodes the best-score-then-
+            # lowest-id tie order) and join back after selection; the
+            # collect is bounded at |queries| x k.
+            from vector_graph_rag_spark.operators.pq import PQ_SCALE
+            from vector_graph_rag_spark.queries.search_api import (
+                _int_dot,
+                mmr_greedy_select,
+            )
+
+            def qz(c):
+                return F.transform(
+                    c, lambda x: F.round(x.cast("double") * PQ_SCALE).cast("long")
+                )
+
+            w_c = Window.partitionBy("query_idx").orderBy(
+                F.desc("score"), F.asc("id")
+            )
+            cand = (
+                scored.withColumn("cand_idx", F.row_number().over(w_c))
+                .filter(F.col("cand_idx") <= 20)
+                .select(
+                    F.col("query_idx").alias("query_id"),
+                    "id",
+                    F.col("cand_idx").cast("bigint").alias("vec_id"),
+                    qz(F.col("pvec")).alias("qv"),
+                    qz(F.col("qvec")).alias("qqv"),
+                )
+                .withColumn("rel", _int_dot(F.col("qv"), F.col("qqv")))
+                # two consumers (selection + id join-back) of a
+                # |queries|x20 frame — pin it once
+                .localCheckpoint(eager=True)
+            )
+            sel = mmr_greedy_select(
+                cand.select("query_id", "vec_id", "rel", "qv"), k
+            )
+            back = cand.select("query_id", "vec_id", "id")
+            rows = (
+                sel.join(back, ["query_id", "vec_id"])
+                .orderBy("query_id", "sel_rank")
+                .collect()
+            )
+            hits = [
+                {
+                    "query": int(r["query_id"]),
+                    "passage_id": r["id"],
+                    "rel": int(r["rel"]),
+                    "mmr_score": int(r["mmr_score"]),
+                    "rank": int(r["sel_rank"]),
                 }
                 for r in rows
             ]

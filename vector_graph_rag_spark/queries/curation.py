@@ -660,6 +660,12 @@ def _train_centroids(
     vec_ids, then ``updates`` rounds of assign + floor-avg centroid
     update.  Returns [(cluster_id, quantized_vector), ...] sorted by id."""
     seeds = q.orderBy("vec_id").limit(k).collect()
+    # dim derives from the data (the param is only the empty-corpus
+    # fallback): a mismatched geometry would otherwise zip nulls through
+    # every distance and silently garble the assignment (found by the
+    # golden-corpus dim-8 mock-embedding fixture).
+    if seeds:
+        dim = len(seeds[0]["qv"])
     centroids = [(i, list(r["qv"])) for i, r in enumerate(seeds)]
     if not centroids:  # empty corpus — no seeds, no training
         return []

@@ -500,7 +500,20 @@ def mmr_diversity_rerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= _MMR_CAND)
         .select("query_id", "vec_id", "rel", "qv")
     )
-    per_q = cand.groupBy("query_id").agg(
+    return mmr_greedy_select(cand, _MMR_K)
+
+
+def mmr_greedy_select(
+    cand: DataFrame, k: int, query_id: str = "query_id"
+) -> DataFrame:
+    """Greedy MMR (lambda=0.5 integer form) over each query's candidate
+    rows — the kernel shared by the registered ``mmr_diversity_rerank``
+    and the API's ``/search`` mmr mode.  ``cand`` columns: ``query_id``,
+    ``vec_id`` (bigint, the tie-break), ``rel`` (bigint relevance),
+    ``qv`` (array<bigint> quantized vector).  Returns
+    (query_id, sel_rank, vec_id, rel, mmr_score); row-local per query —
+    the only exchange is the per-query groupBy of k-bounded rows."""
+    per_q = cand.groupBy(query_id).agg(
         F.array_sort(
             F.collect_list(F.struct("vec_id", "rel", "qv"))
         ).alias("cands")
@@ -562,14 +575,14 @@ def mmr_diversity_rerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         return F.when(F.size(rem) > 0, appended).otherwise(sel)
 
     selected = F.aggregate(
-        F.sequence(F.lit(1), F.lit(_MMR_K)), empty_sel, _step
+        F.sequence(F.lit(1), F.lit(k)), empty_sel, _step
     )
     return (
         per_q.select(
-            "query_id", F.posexplode(selected).alias("pos", "s")
+            query_id, F.posexplode(selected).alias("pos", "s")
         )
         .select(
-            "query_id",
+            query_id,
             (F.col("pos") + 1).cast("int").alias("sel_rank"),
             F.col("s.vec_id").alias("vec_id"),
             F.col("s.rel").alias("rel"),
