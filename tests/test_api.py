@@ -331,6 +331,30 @@ def test_search_mmr_mode_skips_exact_duplicate(client):
     assert mmr[1]["mmr_score"] < mmr[0]["mmr_score"]
 
 
+def test_search_topk_offset_pagination(client, search_graph):
+    """mode=topk with Milvus-style offset: page 2 (offset=1, top_k=2) is
+    exactly ranks 2-3 of the unpaged list, ranks kept absolute so pages
+    compose; negative offset is a 400."""
+    q = "alpha owns beta beta feeds gamma gamma likes delta"
+    full = client.post(
+        "/search",
+        json={"graph_name": "gsearch", "queries": [q], "mode": "topk", "top_k": 3},
+    ).get_json()["hits"]
+    page2 = client.post(
+        "/search",
+        json={"graph_name": "gsearch", "queries": [q], "mode": "topk",
+              "top_k": 2, "offset": 1},
+    ).get_json()["hits"]
+    assert [h["rank"] for h in page2] == [2, 3]
+    assert [(h["passage_id"], h["score"]) for h in page2] == [
+        (h["passage_id"], h["score"]) for h in full[1:3]
+    ]
+    assert client.post(
+        "/search",
+        json={"graph_name": "gsearch", "queries": [q], "offset": -1},
+    ).status_code == 400
+
+
 def test_search_error_paths(client, search_graph):
     assert client.post("/search", json={"graph_name": "gsearch", "queries": []}).status_code == 400
     assert client.post(

@@ -47,9 +47,14 @@ REPARTITION_CHECKED = [
 
 
 def _run(spark, name: str, shuffle_partitions: int):
-    from vector_graph_rag_spark.queries import load_all
+    from vector_graph_rag_spark.queries import curation, load_all, pipeline
     from vector_graph_rag_spark.testing import normalize_frame
 
+    # Build-once artifact caches (PQ codebooks, sqrt(n)-means centroids)
+    # would otherwise carry the lo-parallelism training into the hi run,
+    # silently weakening this test to assignment-only invariance.
+    curation._KM_CENTROID_CACHE.clear()
+    pipeline._PQ_BOOKS_CACHE.clear()
     old = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
     try:

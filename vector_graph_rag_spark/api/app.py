@@ -411,13 +411,16 @@ def create_app(
         try:
             k = int(body.get("top_k", config.final_top_k))
             limit = int(body.get("limit", 1000))
+            offset = int(body.get("offset", 0))
             radius = float(body.get("radius", 0.0))
             range_filter = float(body.get("range_filter", 1.0))
         except (TypeError, ValueError):
             return (
-                jsonify({"error": "top_k/limit must be integers, radius/range_filter numbers"}),
+                jsonify({"error": "top_k/limit/offset must be integers, radius/range_filter numbers"}),
                 400,
             )
+        if offset < 0:
+            return jsonify({"error": "offset must be >= 0"}), 400
         g = catalog.read_graph(spark, name)
         qdf = spark.createDataFrame(
             [(i, t) for i, t in enumerate(qtexts)], "query_idx int, qtext string"
@@ -550,12 +553,17 @@ def create_app(
                 for r in rows
             ]
         else:  # topk
+            # Milvus-style pagination: `offset` skips that many best hits
+            # per query, then `top_k` are returned (rank stays absolute so
+            # pages compose).  Collect bounded at |queries| x top_k.
             w = Window.partitionBy("query_idx").orderBy(
                 F.desc("score"), F.asc("id")
             )
             rows = (
                 scored.withColumn("rank", F.row_number().over(w))
-                .filter(F.col("rank") <= k)
+                .filter(
+                    (F.col("rank") > offset) & (F.col("rank") <= offset + k)
+                )
                 .select("query_idx", "id", "score", "rank")
                 .orderBy("query_idx", "rank")
                 .collect()

@@ -690,6 +690,16 @@ def _train_centroids(
     return centroids
 
 
+# Trained centroids are a deterministic artifact of (embedding bytes, k) —
+# the same build-once treatment as _PQ_BOOKS_CACHE (queries/pipeline.py):
+# semdedup_keep and knn_graph_incell train the SAME sqrt(n)-means over the
+# same table, so the second query (and every bench iteration) reuses the
+# driver-side centroid list instead of re-running the Lloyd passes.  Keyed
+# on the stat-only embeddings fingerprint, so an in-process rewrite of the
+# directory retrains (the r10 ADVICE rule applied from day one here).
+_KM_CENTROID_CACHE: dict[tuple, list] = {}
+
+
 def _kmeans_assignments(
     spark: SparkSession, sf_dir: str, k: int = _KM_K
 ) -> DataFrame:
@@ -699,11 +709,16 @@ def _kmeans_assignments(
     # under-parallel, so a multi-file corpus (and the 10x/100x smoke
     # datasets, whose flat-shuffle rows SCALE.md pins) never pays a
     # corpus-sized relayout.
+    from vector_graph_rag_spark.queries.pipeline import _embeddings_fingerprint
+
     q = _quantized_vectors(spark, sf_dir)
     par = spark.sparkContext.defaultParallelism
     if q.rdd.getNumPartitions() < max(2, par // 2):
         q = q.repartition(par)
-    centroids = _train_centroids(q, k, _KM_DIM, updates=1)
+    key = (_embeddings_fingerprint(sf_dir), k)
+    if key not in _KM_CENTROID_CACHE:
+        _KM_CENTROID_CACHE[key] = _train_centroids(q, k, _KM_DIM, updates=1)
+    centroids = _KM_CENTROID_CACHE[key]
     if not centroids:  # empty corpus — no seeds, nothing to assign
         return spark.createDataFrame([], "vec_id long, cluster long, dist long")
     return _km_assign(q, centroids).select("vec_id", "cluster", "dist")
