@@ -1320,7 +1320,7 @@ def ann_ivfpq_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ann_index_incremental",
     oracle=_ivfpq_sql(),
-    retired=True,  # STAGED for the round-11/12 swap
+    retired=True,  # STAGED for the round-12 swap (COVERAGE.md §Round-12 swap plan)
     description=(
         "persistent incremental IVF-PQ index (streaming/vector_index.py): "
         "the corpus appended in 3 nightly shards (assign + PQ-encode paid "

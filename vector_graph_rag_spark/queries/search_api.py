@@ -1,4 +1,4 @@
-"""Milvus search-API parity family (staged r11 swap candidates).
+"""Milvus search-API parity family (ACTIVE since the r11 swap).
 
 The reference's store delegates every retrieval to ONE Milvus call shape —
 plain IP top-k (`storage/milvus.py:346-427`).  The Milvus API the
@@ -649,7 +649,7 @@ def sparse_index_search(
 @register(
     "sparse_index_search",
     oracle=_SPARSE_SQL,
-    retired=True,  # STAGED for the round-11/12 swap
+    retired=True,  # STAGED for the round-12 swap (COVERAGE.md §Round-12 swap plan)
     description=(
         "persistent inverted term index: the corpus tokenized ONCE into a "
         "term-major posting-list layout, searched by joining query "
