@@ -43,6 +43,9 @@ REPARTITION_CHECKED = [
     "grouping_search_groupsize2",  # iterated min(struct) argmax x2 under partial agg
     "semdedup_keep",            # Lloyd floor-avg centroids + round-6 cosine keep rule
     "knn_graph_incell",         # row-local argmax assignment + in-cell rank window
+    # round-14 staged
+    "ann_ivf_trained_topk",     # trained-centroid assignment + round-6 probe/score
+    "knn_graph_mutual",         # symmetry semi-join over the ranked edge list
 ]
 
 

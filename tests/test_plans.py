@@ -108,6 +108,13 @@ AUDITED = [
     "grouping_search_groupsize2",
     # round-13 staged: in-cell kNN graph (row-local assignment, cell join)
     "knn_graph_incell",
+    # round-14 staged: incremental posting shards (eager temp writes; the
+    # returned search frame still audits), trained-quantizer IVF,
+    # mutual-kNN symmetrization, exact skew profile
+    "term_index_incremental",
+    "ann_ivf_trained_topk",
+    "knn_graph_mutual",
+    "key_skew_profile",
 ]
 
 
@@ -346,3 +353,15 @@ def test_knn_graph_single_window_and_equi_cell_join(spark):
     assert "CartesianProduct" not in plan
     # the pair join keys on cell_id in both children
     assert "cell_id" in plan
+
+
+def test_key_skew_profile_no_global_sort_of_keys(spark):
+    """The skew profile's top-20 must be TakeOrderedAndProject over the
+    per-key counts (per-partition local top-N), never a global window sort
+    of the |keys|-sized frame — at 100 TB |keys| is billions and a global
+    sort here would cost more than the shuffle it is diagnosing."""
+    plan = _plan(spark, "key_skew_profile")
+    assert "TakeOrderedAndProject" in plan
+    # the one Window ranks the 20 survivors, above the TakeOrdered
+    assert plan.index("Window") < plan.index("TakeOrderedAndProject")
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row totals broadcast

@@ -911,3 +911,70 @@ def entity_lpa_communities_k3(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_propagation_communities(
         g.entities.select("id"), undirect(directed), rounds=3
     )
+
+
+# --- exact key-skew profile (staged r14) ---------------------------------------
+
+_SKEW_TOPN = 20
+
+# NULL keys excluded in lockstep (the ADVICE-r9 source_temperature rule):
+# a NULL user_id group would hit the engines' opposite NULL sort defaults
+# (Spark ASC=NULLS FIRST, DuckDB ASC=NULLS LAST) at any tie, and a NULL
+# shuffle key is its own pathology the profile shouldn't fold into rank 1.
+_SKEW_SQL = f"""
+WITH per_key AS (SELECT user_id, COUNT(*) AS n_events FROM events
+                 WHERE user_id IS NOT NULL GROUP BY user_id),
+tot AS (SELECT CAST(SUM(n_events) AS BIGINT) AS total,
+               CAST(COUNT(*) AS BIGINT) AS n_keys FROM per_key)
+SELECT user_id, n_events,
+       round(n_events * 1.0 / total, 6) AS share,
+       round(n_events * 1.0 * n_keys / total, 6) AS skew_ratio,
+       rank
+FROM (
+  SELECT p.user_id, p.n_events, t.total, t.n_keys,
+         CAST(row_number() OVER (ORDER BY p.n_events DESC, p.user_id ASC) AS INT) AS rank
+  FROM per_key p CROSS JOIN tot t
+) WHERE rank <= {_SKEW_TOPN}
+"""
+
+
+@register(
+    "key_skew_profile",
+    oracle=_SKEW_SQL,
+    retired=True,  # STAGED for the round-14 swap
+    description=(
+        "exact heavy-hitter skew profile over the events shuffle key: "
+        "top-20 keys with event count, corpus share, and skew ratio "
+        "(count / mean-count — the number that decides salting); the "
+        "exact twin of the cm_frequency_registers sketch"
+    ),
+)
+def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pre-flight a 100 TB shuffle plan runs before picking a salting
+    factor: skew_ratio > ~5-10 on the top key means the groupBy(user_id)
+    family (sessionization, stateful streaming) needs salting or AQE skew
+    handling on THIS data.  Plan: one map-side-combined per-key count, a
+    1-row broadcast of (total, n_keys), and a TakeOrderedAndProject top-20
+    — the per-key frame is never globally sorted, so the profile costs one
+    aggregation even when |keys| is billions."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    per_key = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    tot = per_key.agg(
+        F.sum("n_events").cast("bigint").alias("total"),
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+    )
+    top = per_key.orderBy(F.desc("n_events"), F.asc("user_id")).limit(_SKEW_TOPN)
+    w = Window.orderBy(F.desc("n_events"), F.asc("user_id"))
+    return (
+        top.crossJoin(F.broadcast(tot))
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .select(
+            "user_id",
+            "n_events",
+            F.round(F.col("n_events") * F.lit(1.0) / F.col("total"), 6).alias("share"),
+            F.round(
+                F.col("n_events") * F.lit(1.0) * F.col("n_keys") / F.col("total"), 6
+            ).alias("skew_ratio"),
+            "rank",
+        )
+    )

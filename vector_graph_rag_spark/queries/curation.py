@@ -715,7 +715,7 @@ def _kmeans_assignments(
     par = spark.sparkContext.defaultParallelism
     if q.rdd.getNumPartitions() < max(2, par // 2):
         q = q.repartition(par)
-    key = (_embeddings_fingerprint(sf_dir), k)
+    key = (_embeddings_fingerprint(sf_dir), k, 1)  # (data, k, updates)
     if key not in _KM_CENTROID_CACHE:
         _KM_CENTROID_CACHE[key] = _train_centroids(q, k, _KM_DIM, updates=1)
     centroids = _KM_CENTROID_CACHE[key]
@@ -747,8 +747,13 @@ def train_ivf_centroids(
     the partitionBy(cell_id) index layout, so this is the difference
     between even partition pruning and a hot-cell scan.
     """
+    from vector_graph_rag_spark.queries.pipeline import _embeddings_fingerprint
+
     q = _quantized_vectors(spark, sf_dir)
-    cents = _train_centroids(q, nlist, _KM_DIM, updates=updates)
+    key = (_embeddings_fingerprint(sf_dir), nlist, updates)
+    if key not in _KM_CENTROID_CACHE:
+        _KM_CENTROID_CACHE[key] = _train_centroids(q, nlist, _KM_DIM, updates=updates)
+    cents = _KM_CENTROID_CACHE[key]
     rows = [(cid, [v / _KM_SCALE for v in vec]) for cid, vec in cents]
     return spark.createDataFrame(rows, "centroid_id int, cvec array<double>")
 
@@ -889,9 +894,9 @@ _KNN_GRAPH_K = 5
 # Norms are precomputed per vector in BOTH engines (nrm = sqrt(dot(v,v)));
 # the pair score divides one dot by the product of two stored norms — the
 # same IEEE operations in the same order as the inline cosine, at a third
-# of the per-pair work.
-_KNN_GRAPH_SQL = f"""
-WITH {_KM_CTES_SQRT_K},
+# of the per-pair work.  The CTE chain is shared with the staged
+# knn_graph_mutual, which adds a symmetry self-join on the ranked edges.
+_KNN_GRAPH_CTES = f"""{_KM_CTES_SQRT_K},
 assigned AS (
   SELECT vec_id, cluster AS cell_id FROM d2
   QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) = 1
@@ -906,12 +911,18 @@ pairs AS (
          round(CASE WHEN a.nrm = 0.0 OR b.nrm = 0.0 THEN 0.0
                     ELSE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) END, 6) AS score
   FROM ve a JOIN ve b ON a.cell_id = b.cell_id AND a.vec_id <> b.vec_id
-)
-SELECT vec_id, nbr_id, score, CAST(rk AS INT) AS rank FROM (
-  SELECT *, row_number() OVER (
-    PARTITION BY vec_id ORDER BY score DESC, nbr_id ASC
-  ) AS rk FROM pairs
-) WHERE rk <= {_KNN_GRAPH_K}
+),
+knn AS (
+  SELECT vec_id, nbr_id, score, CAST(rk AS INT) AS rank FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY vec_id ORDER BY score DESC, nbr_id ASC
+    ) AS rk FROM pairs
+  ) WHERE rk <= {_KNN_GRAPH_K}
+)"""
+
+_KNN_GRAPH_SQL = f"""
+WITH {_KNN_GRAPH_CTES}
+SELECT vec_id, nbr_id, score, rank FROM knn
 """
 
 
@@ -983,4 +994,51 @@ def knn_graph_incell(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("vec_id").orderBy(F.desc("score"), F.asc("nbr_id"))
     return pairs.withColumn("rank", F.row_number().over(w).cast("int")).filter(
         F.col("rank") <= _KNN_GRAPH_K
+    )
+
+
+# --- mutual-kNN graph (staged r14) --------------------------------------------
+
+_KNN_MUTUAL_SQL = f"""
+WITH {_KNN_GRAPH_CTES}
+SELECT a.vec_id AS vec_a, a.nbr_id AS vec_b, a.score
+FROM knn a JOIN knn b ON b.vec_id = a.nbr_id AND b.nbr_id = a.vec_id
+WHERE a.vec_id < a.nbr_id
+"""
+
+
+@register(
+    "knn_graph_mutual",
+    oracle=_KNN_MUTUAL_SQL,
+    retired=True,  # STAGED for the round-14 swap
+    description=(
+        "mutual-kNN graph: undirected edges (a, b) where EACH is in the "
+        "other's in-cell top-5 — the symmetrized graph density-based "
+        "clustering and outlier detection consume (a one-directional "
+        "edge to an outlier never survives the mutuality test)"
+    ),
+)
+def knn_graph_mutual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetrization over the ranked edge list, not the corpus: the kNN
+    frame is n x k rows, localCheckpointed once, and the mutuality test is
+    an equi-self-join on the (nbr_id, vec_id) reversal — every input here
+    is k-bounded per vector, so the whole operator is O(n·k) regardless of
+    cell sizes.  Training/assignment rides the shared sqrt(n)-means
+    centroid cache with knn_graph_incell / semdedup_keep.  The score
+    column is kept from the a-side edge; the b-side score is the SAME
+    cosine by symmetry (pinned by the oracle, which makes no such
+    shortcut)."""
+    knn = knn_graph_incell(spark, sf_dir).localCheckpoint(eager=True)
+    a = knn.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("nbr_id").alias("vec_b"),
+        "score",
+    )
+    b = knn.select(
+        F.col("nbr_id").alias("vec_a"), F.col("vec_id").alias("vec_b")
+    )
+    return (
+        a.join(b, ["vec_a", "vec_b"], "left_semi")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", "score")
     )

@@ -1176,6 +1176,124 @@ def ann_ivf_index_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(index, ignore_errors=True)
 
 
+# --- IVF with a TRAINED coarse quantizer (staged r14) -------------------------
+
+
+def _ivf_trained_sql() -> str:
+    # Centroids come from the SAME integer-exact Lloyd CTE chain the
+    # kmeans/semdedup oracles pin (curation._KM_CTES, k=8, one update),
+    # reassembled to double vectors (c / 1000.0 — the exact division the
+    # Spark side performs on the same integers); the probe/assign/score
+    # tail is the ann_ivf_topk shape verbatim.
+    from vector_graph_rag_spark.queries.curation import _KM_CTES
+    from vector_graph_rag_spark.queries.vector import _cos_sql
+
+    return f"""
+WITH {_KM_CTES},
+cent AS (
+  SELECT cluster AS centroid_id, list(c / 1000.0 ORDER BY pos) AS cvec
+  FROM c1d GROUP BY cluster
+),
+vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+assign AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT v.vec_id, c.centroid_id,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY round({_cos_sql('v.v', 'c.cvec')}, 6) DESC,
+                                       c.centroid_id ASC) AS rk
+    FROM vecs v CROSS JOIN cent c
+  ) WHERE rk = 1
+),
+qsel AS (SELECT vec_id AS query_id, v AS qvec FROM vecs WHERE vec_id >= 100 AND vec_id < 105),
+probes AS (
+  SELECT query_id, centroid_id FROM (
+    SELECT qsel.query_id, c.centroid_id,
+           row_number() OVER (PARTITION BY qsel.query_id
+                              ORDER BY round({_cos_sql('qsel.qvec', 'c.cvec')}, 6) DESC,
+                                       c.centroid_id ASC) AS rk
+    FROM qsel CROSS JOIN cent c
+  ) WHERE rk <= 2
+),
+cand AS (SELECT p.query_id, a.vec_id FROM probes p JOIN assign a ON a.centroid_id = p.centroid_id),
+scored AS (
+  SELECT cand.query_id, cand.vec_id, round({_cos_sql('v.v', 'q.qvec')}, 6) AS score
+  FROM cand JOIN vecs v ON v.vec_id = cand.vec_id
+  JOIN qsel q ON q.query_id = cand.query_id
+)
+SELECT query_id, vec_id, score,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS INT) AS rank
+FROM scored
+QUALIFY rank <= 10
+"""
+
+
+@register(
+    "ann_ivf_trained_topk",
+    oracle=_ivf_trained_sql(),
+    retired=True,  # STAGED for the round-14 swap
+    description=(
+        "IVF ANN with a TRAINED coarse quantizer: Lloyd-trained centroids "
+        "(the kmeans oracle chain) replace the first-8-vectors seeds of "
+        "ann_ivf_topk — the production IVF, where trained cell balance IS "
+        "partition balance for the stored partitionBy(cell_id) layout"
+    ),
+)
+def ann_ivf_trained_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same probe/assign/score dataflow as `ann_ivf_topk` (broadcast
+    centroids, argmax assignment, nprobe=2, exact scoring of survivors)
+    with the quantizer TRAINED instead of seeded: raw seed centroids skew
+    cells (measured 2x on the kNN-graph staging — SCALE.md §Round-13),
+    and at 100 TB skewed cells are skewed partitions in the stored index.
+    Training is the cached sqrt-means artifact path
+    (curation.train_ivf_centroids → _KM_CENTROID_CACHE), paid once per
+    corpus across the whole kmeans/semdedup/knn-graph/IVF family."""
+    from vector_graph_rag_spark.queries.curation import train_ivf_centroids
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select("vec_id", F.col("embedding").alias("v"))
+    cent = train_ivf_centroids(spark, sf_dir, nlist=8, updates=1)
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.desc("cscore"), F.asc("centroid_id")
+    )
+    from vector_graph_rag_spark.functions.vector import cosine
+
+    assign = (
+        vecs.crossJoin(F.broadcast(cent))
+        .withColumn("cscore", F.round(cosine("v", "cvec"), 6))
+        .withColumn("rk", F.row_number().over(w_assign))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "centroid_id")
+    )
+    q = vecs.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 105)).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qvec")
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.desc("cscore"), F.asc("centroid_id")
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cent))
+        .withColumn("cscore", F.round(cosine("qvec", "cvec"), 6))
+        .withColumn("rk", F.row_number().over(w_probe))
+        .filter(F.col("rk") <= 2)
+        .select("query_id", "centroid_id")
+    )
+    cand = probes.join(assign, "centroid_id").select("query_id", "vec_id")
+    scored = (
+        cand.join(vecs, "vec_id")
+        .join(F.broadcast(q), "query_id")
+        .withColumn("score", F.round(cosine("v", "qvec"), 6))
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "vec_id", "score", "rank")
+    )
+
+
 # --- IVF-PQ composition: probe-pruned candidates, ADC-scored ------------------
 
 

@@ -674,3 +674,51 @@ def sparse_index_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(index, ignore_errors=True)
+
+
+@register(
+    "term_index_incremental",
+    oracle=_SPARSE_SQL,
+    retired=True,  # STAGED for the round-14 swap
+    description=(
+        "incremental inverted term index: three nightly document batches "
+        "appended as overwrite-idempotent posting shards (one replayed to "
+        "exercise exactly-once), then searched — the oracle is "
+        "sparse_dot_topk's SQL verbatim, pinning incremental == one-shot "
+        "== logical (the ann_index_incremental discipline for the "
+        "lexical side)"
+    ),
+)
+def term_index_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The maintenance half of the stored-term-index story
+    (streaming/term_index.py): `sparse_index_search` re-tokenizes the full
+    corpus into its temp index per run; here the corpus arrives as three
+    doc_id%3 batches, each tokenized once into its own shard (append cost
+    bounded by BATCH tokens, never the accumulated corpus), batch 1
+    replayed to pin overwrite idempotence.  Search merges posting lists
+    across shards through the same commutative (query, doc) aggregation,
+    so incremental == one-shot byte-for-byte — the hash gate holds the
+    whole claim."""
+    import shutil
+    import tempfile
+
+    from vector_graph_rag_spark.streaming.term_index import (
+        append_term_batch,
+        search_term_index,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    queries = d.filter(F.col("doc_id") < _SPARSE_NQ).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    index = tempfile.mkdtemp(prefix="vgr_terms_inc_")
+    try:
+        for b in (0, 1, 2, 1):  # 3 nightly appends + one exactly-once replay
+            append_term_batch(
+                d.filter(F.col("doc_id") % 3 == b), index, batch_id=b
+            )
+        return search_term_index(
+            spark, index, queries, k=_SPARSE_TOPK
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(index, ignore_errors=True)

@@ -1,0 +1,128 @@
+"""Persistent incremental inverted term index — the nightly lexical path
+that never re-tokenizes the corpus.
+
+``queries/search_api.write_term_index`` materializes the whole corpus's
+posting table in one shot; at 100 TB documents arrive nightly, and
+re-tokenizing (or rewriting) the accumulated postings per batch is the
+cost this module removes.  Each batch's documents are tokenized ONCE and
+their (doc_id, term, w) rows land in an overwrite-idempotent shard tree
+(the ``streaming/vector_index`` / ``streaming/dedup_index`` contract — a
+replayed batch id overwrites its own shard, so delivery is exactly-once
+under a streaming checkpoint):
+
+    index_dir/batch=<id>/part-*.parquet   (doc_id, term, w)
+
+Invariants (test-pinned + oracle-gated by the staged
+``term_index_incremental`` query, whose oracle is ``sparse_dot_topk``'s
+SQL verbatim):
+
+- **incremental == one-shot**: the posting table is a disjoint union over
+  doc ids — tokenization is row-local, a document's tf rows live wholly
+  inside its batch's shard, and every downstream consumer
+  (``sparse_index_search``'s term join + (query, doc) aggregation,
+  ``bm25_scores_from_index``'s dl/df/avgdl derivations) is a commutative
+  aggregation over posting rows, so ANY sharding of the corpus into
+  batches yields byte-identical search results.
+- **replay idempotence**: re-appending an existing batch id first deletes
+  that batch's shard dir (a metadata-only overwrite would resurface stale
+  files and double-count a document's terms), then rewrites it.
+- **append-only doc ids**: batches carry NEW documents.  A revised
+  document is a delete + re-append of its batch (or a new index) — the
+  same contract as the LSH band table.
+
+The laziness caveat of ``dedup_index.probe_index`` applies: a search plan
+is pinned to the files its scan discovered, so materialize outstanding
+searches before REPLAYING a batch id (appends of new ids are safe —
+partition discovery happens at read time).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vector_graph_rag_spark.functions.text import tokens
+
+
+def _fs(spark: SparkSession, path: str):
+    jvm = spark.sparkContext._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    return hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration()), hpath
+
+
+def list_batch_ids(spark: SparkSession, index_dir: str) -> list[int]:
+    """Batch ids present in the index (Hadoop FS — object-store-safe: a
+    bad path fails loudly, never 'empty')."""
+    fs, root = _fs(spark, index_dir)
+    if not fs.exists(root):
+        return []
+    ids = []
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith("batch="):
+            ids.append(int(name.split("=", 1)[1]))
+    return sorted(ids)
+
+
+def append_term_batch(
+    docs: DataFrame,
+    index_dir: str,
+    batch_id: int,
+    text_col: str = "text",
+) -> None:
+    """Tokenize ONE batch and write its posting shard.  The only shuffle
+    is the batch-local tf aggregation + the term-major repartition that
+    co-locates each term's batch postings (bounded by BATCH tokens, never
+    the accumulated corpus — the whole point)."""
+    spark = docs.sparkSession
+    fs, _ = _fs(spark, index_dir)
+    batch_dir = os.path.join(index_dir, f"batch={batch_id}")
+    _, bpath = _fs(spark, batch_dir)
+    if fs.exists(bpath):  # replay: physically drop the stale shard first
+        fs.delete(bpath, True)
+    tf = (
+        docs.select("doc_id", F.explode(tokens(text_col)).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    tf.repartition(F.col("term")).write.mode("overwrite").parquet(batch_dir)
+
+
+def read_term_index(spark: SparkSession, index_dir: str) -> DataFrame:
+    """The logical posting table across all batches — (doc_id, term, w)
+    plus the ``batch`` partition column (dropped: consumers aggregate over
+    postings and must see the one-shot schema)."""
+    return spark.read.parquet(index_dir).select("doc_id", "term", "w")
+
+
+def search_term_index(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame,
+    k: int = 10,
+    query_id: str = "query_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(query_id, doc_id, score, rank) over the incremental index — the
+    same broadcast-postings join + map-side-combined (query, doc) dot
+    product as ``sparse_index_search``; a term's posting list may span
+    batch shards, and the aggregation merges them exactly."""
+    from pyspark.sql import Window
+
+    qtf = (
+        queries.select(query_id, F.explode(tokens(text_col)).alias("term"))
+        .groupBy(query_id, "term")
+        .agg(F.count(F.lit(1)).alias("qw"))
+    )
+    w_rank = Window.partitionBy(query_id).orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        read_term_index(spark, index_dir)
+        .join(F.broadcast(qtf), "term")
+        .groupBy(query_id, "doc_id")
+        .agg(F.sum(F.col("qw") * F.col("w")).alias("score"))
+        .withColumn("rank", F.row_number().over(w_rank).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(query_id, "doc_id", "score", "rank")
+    )
