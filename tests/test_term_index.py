@@ -1,0 +1,107 @@
+"""Incremental inverted term index (streaming/term_index.py) — the shard
+contract the oracle gate can't see: sharding-invariance across DIFFERENT
+batch splits, and replay with CHANGED content (the registered
+term_index_incremental replays identical bytes; overwrite semantics only
+show when the replayed batch differs)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_incremental_equals_one_shot_under_any_sharding(spark, tmp_path):
+    """Search over an index built as 2 batches and as 4 batches must equal
+    the one-shot write_term_index search exactly — posting rows are
+    disjoint by doc, every consumer aggregates commutatively."""
+    from vector_graph_rag_spark.queries.search_api import (
+        sparse_index_search,
+        write_term_index,
+    )
+    from vector_graph_rag_spark.sources.tables import load_table
+    from vector_graph_rag_spark.streaming.term_index import (
+        append_term_batch,
+        search_term_index,
+    )
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    queries = d.filter(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    oneshot = str(tmp_path / "oneshot")
+    write_term_index(d, oneshot)
+    want = _rows(sparse_index_search(spark, oneshot, queries, k=10))
+    assert want, "expected non-empty search results"
+
+    for label, mod in (("two", 2), ("four", 4)):
+        inc = str(tmp_path / f"inc_{label}")
+        for b in range(mod):
+            append_term_batch(d.filter(F.col("doc_id") % mod == b), inc, batch_id=b)
+        got = _rows(search_term_index(spark, inc, queries, k=10))
+        assert got == want, f"{mod}-batch sharding diverged from one-shot"
+
+
+def test_replay_with_changed_content_overwrites_not_doubles(spark, tmp_path):
+    """Replaying a batch id with DIFFERENT documents must physically drop
+    the stale shard: the index afterwards equals a fresh build from the
+    new content — a metadata-only overwrite would double-count the old
+    postings."""
+    from vector_graph_rag_spark.streaming.term_index import (
+        append_term_batch,
+        list_batch_ids,
+        read_term_index,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "alpha alpha beta"), (2, "gamma")], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(3, "delta delta delta")], "doc_id long, text string"
+    )
+    keep = spark.createDataFrame([(9, "omega")], "doc_id long, text string")
+    idx = str(tmp_path / "idx")
+    append_term_batch(keep, idx, batch_id=0)
+    append_term_batch(old, idx, batch_id=1)
+    append_term_batch(new, idx, batch_id=1)  # replay with different docs
+
+    fresh = str(tmp_path / "fresh")
+    append_term_batch(keep, fresh, batch_id=0)
+    append_term_batch(new, fresh, batch_id=1)
+
+    assert list_batch_ids(spark, idx) == [0, 1]
+    assert _rows(read_term_index(spark, idx)) == _rows(read_term_index(spark, fresh))
+    # the stale batch's postings are fully gone
+    terms = {r["term"] for r in read_term_index(spark, idx).collect()}
+    assert terms == {"delta", "omega"}
+
+
+def test_bm25_from_incremental_index_matches_tokenizing(spark, tmp_path):
+    """bm25_scores_from_index consumes the incremental shard tree as-is
+    (partition-discovered batch column dropped by the posting projection):
+    scores equal the tokenizing bm25_scores over the same corpus."""
+    from vector_graph_rag_spark.queries.ranking import (
+        _BM25_QUERIES,
+        bm25_scores,
+        bm25_scores_from_index,
+    )
+    from vector_graph_rag_spark.sources.tables import load_table
+    from vector_graph_rag_spark.streaming.term_index import append_term_batch
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    idx = str(tmp_path / "idx")
+    for b in range(3):
+        append_term_batch(d.filter(F.col("doc_id") % 3 == b), idx, batch_id=b)
+    want = _rows(bm25_scores(spark, SF_SMOKE, _BM25_QUERIES))
+    got = _rows(bm25_scores_from_index(spark, idx, _BM25_QUERIES))
+    assert got == want and want
+
+
+def test_list_batch_ids_missing_dir_is_empty(spark, tmp_path):
+    from vector_graph_rag_spark.streaming.term_index import list_batch_ids
+
+    assert list_batch_ids(spark, str(tmp_path / "nope")) == []
