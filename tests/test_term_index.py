@@ -105,3 +105,50 @@ def test_list_batch_ids_missing_dir_is_empty(spark, tmp_path):
     from vector_graph_rag_spark.streaming.term_index import list_batch_ids
 
     assert list_batch_ids(spark, str(tmp_path / "nope")) == []
+
+
+def test_stream_built_term_index_equals_batch_built(spark, tmp_path):
+    """A file-source stream driving append_term_batch per micro-batch
+    builds a posting index that searches identically to the one-shot
+    write_term_index build (stream == incremental == batch)."""
+    import os
+
+    from vector_graph_rag_spark.queries.search_api import (
+        sparse_index_search,
+        write_term_index,
+    )
+    from vector_graph_rag_spark.sources.tables import load_table
+    from vector_graph_rag_spark.streaming.term_index import (
+        list_batch_ids,
+        search_term_index,
+        stream_index_documents,
+    )
+
+    import glob
+    import shutil
+
+    d = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    staged = str(tmp_path / "doc_staged")
+    # two files -> two micro-batches at maxFilesPerTrigger=1; the file
+    # stream wants part files directly under its path, so flatten
+    d.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(
+        os.path.join(staged, "f0")
+    )
+    d.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.parquet(
+        os.path.join(staged, "f1")
+    )
+    flat = str(tmp_path / "doc_files")
+    os.makedirs(flat)
+    for i, f in enumerate(sorted(glob.glob(os.path.join(staged, "*", "*.parquet")))):
+        shutil.copy(f, os.path.join(flat, f"part-{i}.parquet"))
+    inc = str(tmp_path / "streamed")
+    n = stream_index_documents(spark, flat, inc)
+    assert n >= 1 and list_batch_ids(spark, inc) != []
+
+    queries = d.filter(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    got = _rows(search_term_index(spark, inc, queries, k=10))
+    oneshot = str(tmp_path / "oneshot")
+    write_term_index(d, oneshot)
+    assert got == _rows(sparse_index_search(spark, oneshot, queries, k=10))

@@ -126,3 +126,45 @@ def search_term_index(
         .filter(F.col("rank") <= k)
         .select(query_id, "doc_id", "score", "rank")
     )
+
+
+def stream_index_documents(
+    spark: SparkSession,
+    docs_dir: str,
+    index_dir: str,
+    max_files_per_trigger: int = 1,
+    schema: str = "doc_id long, text string",
+    text_col: str = "text",
+) -> int:
+    """Stream parquet document files from ``docs_dir`` into the posting
+    index, one ``append_term_batch`` shard per micro-batch (the
+    ``streaming/vector_index`` pattern).  Structured Streaming's batch ids
+    are monotonically unique under a checkpoint and replays re-deliver the
+    SAME id, which lands exactly on the shard tree's overwrite-idempotence
+    contract — at-least-once delivery is safe.  Returns the number of
+    micro-batches processed.  Bounded run (``availableNow``) for tests /
+    backfills; a live pipeline drops the trigger and keeps the
+    checkpointLocation."""
+    n_batches = [0]
+
+    def _append(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        append_term_batch(batch_df, index_dir, int(batch_id), text_col=text_col)
+        n_batches[0] += 1
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(docs_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(_append)
+        .trigger(availableNow=True)
+        .option(
+            "checkpointLocation", os.path.join(index_dir, "_stream_checkpoint")
+        )
+        .start()
+    )
+    q.awaitTermination()
+    return n_batches[0]
