@@ -215,3 +215,42 @@ def test_bm25_from_index_matches_tokenizing_path(spark, tmp_path):
     )
     assert from_tok == from_idx
     assert from_tok, "expected non-empty BM25 scores"
+
+
+def test_mmr_kernel_randomized_multiquery_matches_twin(spark):
+    """Seeded random sweep DIRECTLY against the extracted kernel
+    (mmr_greedy_select — the function the API route shares): 8 queries
+    with 1-12 integer candidates each, varied dims of relevance and
+    similarity, all folded in ONE Spark job and compared per-query to the
+    pure-Python twin.  Covers shapes the hand-built cases don't (negative
+    rels, repeated vectors under distinct ids, k > candidates)."""
+    import random
+
+    from vector_graph_rag_spark.queries.search_api import mmr_greedy_select
+
+    rng = random.Random(20260815)
+    rows, twins = [], {}
+    for qid in range(8):
+        qv = [rng.randint(-5, 5) for _ in range(4)]
+        nc = rng.randint(1, 12)
+        vids = rng.sample(range(100), nc)
+        cands = []
+        for vid in vids:
+            v = [rng.randint(-5, 5) for _ in range(4)]
+            cands.append((vid, v))
+            rows.append((qid, vid, _dot(qv, v), v))
+        twins[qid] = _twin_mmr(qv, cands, 5)
+    cand_df = spark.createDataFrame(
+        rows, "query_id long, vec_id long, rel long, qv array<long>"
+    )
+    got = {
+        (r["query_id"], r["sel_rank"]): (r["vec_id"], r["rel"], r["mmr_score"])
+        for r in mmr_greedy_select(cand_df, 5).collect()
+    }
+    want = {
+        (qid, rank): (vid, rel, m)
+        for qid, twin in twins.items()
+        for rank, vid, rel, m in twin
+    }
+    assert got == want
+    assert len({qid for qid, _ in got}) == 8  # every query produced output
