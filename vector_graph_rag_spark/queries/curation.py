@@ -817,13 +817,16 @@ assigned AS (
   QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) = 1
 ),
 ve AS (
-  SELECT a.vec_id, a.cluster, e.embedding::DOUBLE[] AS emb
+  SELECT a.vec_id, a.cluster, e.embedding::DOUBLE[] AS emb,
+         sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) AS nrm
   FROM assigned a JOIN embeddings e ON e.vec_id = a.vec_id
 ),
 doomed AS (
   SELECT DISTINCT b.vec_id
   FROM ve a JOIN ve b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
-  WHERE round({_vec_cos_sql('a.emb', 'b.emb')}, 6) >= {_SEMDEDUP_THRESHOLD}
+  WHERE round(CASE WHEN a.nrm = 0.0 OR b.nrm = 0.0 THEN 0.0
+                   ELSE list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) END, 6)
+        >= {_SEMDEDUP_THRESHOLD}
 )
 SELECT a.vec_id, a.cluster, (d.vec_id IS NULL) AS keep
 FROM assigned a LEFT JOIN doomed d ON d.vec_id = a.vec_id
@@ -865,20 +868,35 @@ def semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "cluster")
         .localCheckpoint(eager=True)
     )
-    v = assigned.join(emb.select("vec_id", "embedding"), "vec_id")
+    # Norms precomputed per vector (the knn_graph_incell trick, same IEEE
+    # ops as the inline cosine): each pair costs ONE dot instead of three.
+    from vector_graph_rag_spark.functions.vector import dot, l2_norm
+
+    v = assigned.join(emb.select("vec_id", "embedding"), "vec_id").select(
+        "cluster",
+        "vec_id",
+        F.col("embedding").alias("emb"),
+        l2_norm("embedding").alias("nrm"),
+    )
     a = v.select(
-        "cluster", F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_emb")
+        "cluster",
+        F.col("vec_id").alias("a_id"),
+        F.col("emb").alias("a_emb"),
+        F.col("nrm").alias("a_nrm"),
     )
     b = v.select(
-        "cluster", F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_emb")
+        "cluster",
+        F.col("vec_id").alias("b_id"),
+        F.col("emb").alias("b_emb"),
+        F.col("nrm").alias("b_nrm"),
     )
+    pair_cos = F.when(
+        (F.col("a_nrm") == 0.0) | (F.col("b_nrm") == 0.0), F.lit(0.0)
+    ).otherwise(dot("a_emb", "b_emb") / (F.col("a_nrm") * F.col("b_nrm")))
     doomed = (
         a.join(b, "cluster")
         .filter(F.col("a_id") < F.col("b_id"))
-        .filter(
-            F.round(cosine("a_emb", "b_emb"), 6)
-            >= F.lit(_SEMDEDUP_THRESHOLD)
-        )
+        .filter(F.round(pair_cos, 6) >= F.lit(_SEMDEDUP_THRESHOLD))
         .select(F.col("b_id").alias("vec_id"))
         .distinct()
     )
