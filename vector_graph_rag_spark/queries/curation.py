@@ -857,8 +857,6 @@ def semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignment output is localCheckpointed once (vec_id+cluster, 16 bytes
     a row) so its three consumers don't re-run Lloyd assignment, and the
     cosine is a JVM zip_with/aggregate dot — no Python anywhere."""
-    from vector_graph_rag_spark.functions.vector import cosine
-
     emb = load_table(spark, sf_dir, "embeddings").filter(
         F.col("embedding").isNotNull()
     )
