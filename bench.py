@@ -106,6 +106,14 @@ HEADLINE = [
     "grouping_search_topk",
     "sparse_dot_topk",
     "mmr_diversity_rerank",
+    # round-12 additions: the activated r11-staged quartet (incremental
+    # IVF-PQ index, stored inverted term index, multi-label LPA
+    # communities, weighted-score hybrid fusion); retirees stay benched
+    # from the retired registry for cross-round comparability.
+    "ann_index_incremental",
+    "sparse_index_search",
+    "entity_lpa_communities_k3",
+    "hybrid_weighted_topk",
 ]
 
 

@@ -888,7 +888,7 @@ SELECT id, comm FROM l3
 @register(
     "entity_lpa_communities_k3",
     oracle=_LPA_SQL,
-    retired=True,  # STAGED for the round-12 swap
+    # ACTIVE since the r12 swap (staged retired=True through r11)
     description=(
         "label-propagation communities (Raghavan et al. 2007), 3 "
         "synchronous rounds: each entity adopts its neighbors' most "

@@ -524,6 +524,7 @@ def _neardup_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     "neardup_clusters",
     oracle=_NEARDUP_CLUSTERS_SQL,
     description="dedup pipeline: LSH pairs -> est_jaccard>=0.5 -> 3-round CC -> canonical=min doc_id per cluster",
+    retired=True,  # r12 swap: multi-label LPA (entity_lpa_communities_k3) generalizes the capped-round min-label propagation inside this CC clustering; LSH pair generation stays driver-gated via minhash_lsh_pairs + dedup_incremental; r10-green
 )
 def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vector_graph_rag_spark.operators.graph_algos import (

@@ -128,6 +128,7 @@ QUALIFY rk <= 3
     "tfdf_top_terms",
     oracle=_TFDF_SQL,
     description="per-doc top-3 terms by tf/df weight (text analysis; log-free for cross-engine determinism)",
+    retired=True,  # r12 swap: the stored posting table behind sparse_index_search materializes the same tokenizer's tf/df statistics (exact, queryable); top-terms ranking stays locally gated; r10-green
 )
 def tfdf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")

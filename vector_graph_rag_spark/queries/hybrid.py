@@ -425,7 +425,7 @@ def _minmax_norm(df: DataFrame, out_col: str) -> DataFrame:
 @register(
     "hybrid_weighted_topk",
     oracle=_WEIGHTED_SQL,
-    retired=True,  # STAGED for the round-12 swap
+    # ACTIVE since the r12 swap (staged retired=True through r11)
     description=(
         "hybrid retrieval: weighted-score fusion (Milvus WeightedRanker "
         "analogue, 0.7*vec + 0.3*lex) — per-modality min-max normalization "

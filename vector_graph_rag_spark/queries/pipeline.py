@@ -963,10 +963,16 @@ def _embeddings_fingerprint(sf_dir: str) -> tuple:
     path = os.path.join(os.path.abspath(sf_dir), "embeddings.parquet")
     try:
         if os.path.isdir(path):
+            # Recursive: a partitioned layout nests data files below the
+            # first level, and an in-place rewrite down there must change
+            # the key (top-level dir mtimes need not move).
             parts = tuple(
-                (entry, s.st_mtime_ns, s.st_size)
-                for entry in sorted(os.listdir(path))
-                for s in (os.stat(os.path.join(path, entry)),)
+                sorted(
+                    (os.path.relpath(os.path.join(root, f), path), s.st_mtime_ns, s.st_size)
+                    for root, _dirs, files in os.walk(path)
+                    for f in files
+                    for s in (os.stat(os.path.join(root, f)),)
+                )
             )
             return (path, parts)
         st = os.stat(path)
@@ -1361,7 +1367,11 @@ WHERE rk <= {_PQ_TOPK}
 @register(
     "ann_ivfpq_topk",
     oracle=_ivfpq_sql(),
-    # ACTIVE since the r10 swap (staged retired=True through r9)
+    # ACTIVE r10-r11; r12 swap: ann_index_incremental's oracle is THIS
+    # query's SQL verbatim — the hash gate pins incremental-stored ==
+    # logical IVF-PQ, so the survivor strictly covers this query (the
+    # r10 ann_ivf_topk -> ann_ivf_index_search precedent); r10-green
+    retired=True,
     description=(
         "IVF-PQ composition (the Milvus billion-scale index shape): "
         "coarse-quantizer cells prune candidates to nprobe=2 cells per "
@@ -1438,7 +1448,7 @@ def ann_ivfpq_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ann_index_incremental",
     oracle=_ivfpq_sql(),
-    retired=True,  # STAGED for the round-12 swap (COVERAGE.md §Round-12 swap plan)
+    # ACTIVE since the r12 swap (staged retired=True through r11)
     description=(
         "persistent incremental IVF-PQ index (streaming/vector_index.py): "
         "the corpus appended in 3 nightly shards (assign + PQ-encode paid "

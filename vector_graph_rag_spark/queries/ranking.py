@@ -172,6 +172,7 @@ QUALIFY rank <= 10
     "bm25_keyword_topk",
     oracle=_BM25_SQL,
     description="BM25 lexical top-k retrieval (k1=1.2, b=0.75, rational idf) — hybrid-retrieval twin of knn_cosine_topk",
+    retired=True,  # r12 swap: hybrid_weighted_topk COMPUTES the BM25 leg inside its own oracle, so the BM25 kernel stays driver-gated through the survivor; fusion arithmetic strictly richer than a single ranker; r10-green
 )
 def bm25_keyword_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = bm25_scores(spark, sf_dir, _BM25_QUERIES)

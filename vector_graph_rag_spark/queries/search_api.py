@@ -649,7 +649,7 @@ def sparse_index_search(
 @register(
     "sparse_index_search",
     oracle=_SPARSE_SQL,
-    retired=True,  # STAGED for the round-12 swap (COVERAGE.md §Round-12 swap plan)
+    # ACTIVE since the r12 swap (staged retired=True through r11)
     description=(
         "persistent inverted term index: the corpus tokenized ONCE into a "
         "term-major posting-list layout, searched by joining query "
