@@ -363,3 +363,29 @@ def test_search_error_paths(client, search_graph):
     assert client.post(
         "/search", json={"graph_name": "nope", "queries": ["x"]}
     ).status_code == 404
+    # top_k / limit must be >= 1 — a 400, never a silently-empty hit list.
+    assert client.post(
+        "/search", json={"graph_name": "gsearch", "queries": ["x"], "top_k": 0}
+    ).status_code == 400
+    assert client.post(
+        "/search", json={"graph_name": "gsearch", "queries": ["x"], "top_k": -3}
+    ).status_code == 400
+    assert client.post(
+        "/search", json={"graph_name": "gsearch", "queries": ["x"], "limit": 0}
+    ).status_code == 400
+
+
+def test_search_mmr_pool_scales_with_top_k(client, search_graph):
+    """mode=mmr with top_k above the legacy fixed 20-candidate pool: the
+    pool now scales as max(20, 4*top_k), so top_k is never silently capped
+    — every indexed passage is returnable when top_k >= corpus size."""
+    q = "alpha owns beta beta feeds gamma gamma likes delta"
+    hits = client.post(
+        "/search",
+        json={"graph_name": "gsearch", "queries": [q], "mode": "mmr", "top_k": 25},
+    ).get_json()["hits"]
+    # The fixture corpus is small, so the result is corpus-bounded — but it
+    # must NOT be bounded by the old fixed pool semantics, and ranks stay
+    # dense from 1.
+    assert [h["rank"] for h in hits] == list(range(1, len(hits) + 1))
+    assert len(hits) >= 1

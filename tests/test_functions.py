@@ -118,6 +118,55 @@ def test_instruction_templates_query_only():
     assert apply_instruction(["t"], "query", "i", "nope") == ["t"]
 
 
+def test_instruction_template_text_pinned_verbatim():
+    """The template STRINGS, pinned as literals against the reference's
+    INSTRUCTION_TEMPLATES (embeddings.py:17-30) — reading them back from
+    the module under test would pass even if they drifted."""
+    from vector_graph_rag_spark.functions.embedding import INSTRUCTION_TEMPLATES
+
+    assert INSTRUCTION_TEMPLATES["qwen3"]["query"] == "Instruct: {instruction}\nQuery: {text}"
+    assert INSTRUCTION_TEMPLATES["qwen3"]["document"] == "{text}"
+    assert (
+        INSTRUCTION_TEMPLATES["qwen3"]["default_instruction"]
+        == "Given a question, retrieve passages that contain the answer"
+    )
+    assert INSTRUCTION_TEMPLATES["bge"]["query"] == "{instruction}: {text}"
+    assert INSTRUCTION_TEMPLATES["bge"]["document"] == "{text}"
+    assert (
+        INSTRUCTION_TEMPLATES["bge"]["default_instruction"]
+        == "Represent this sentence for searching relevant passages"
+    )
+    assert set(INSTRUCTION_TEMPLATES) == {"qwen3", "bge"}
+
+
+def test_resolve_instruction_template_constructor_fallback():
+    """embeddings.py:93-95: instruction + no explicit template → detected
+    family; explicit template always wins; no instruction → unchanged."""
+    from vector_graph_rag_spark.functions.embedding import resolve_instruction_template
+
+    assert resolve_instruction_template("Qwen3-Embedding-0.6B", "find", None) == "qwen3"
+    assert resolve_instruction_template("BAAI/bge-m3", "find", None) == "bge"
+    # Explicit template is never overridden by the family.
+    assert resolve_instruction_template("Qwen3-Embedding-0.6B", "find", "bge") == "bge"
+    # No instruction → fallback never fires.
+    assert resolve_instruction_template("Qwen3-Embedding-0.6B", None, None) is None
+    # Instruction but undetectable family → stays None (reference guards on
+    # self.model_family).
+    assert resolve_instruction_template("facebook/contriever", "find", None) is None
+
+
+def test_is_openai_model_routing():
+    """embeddings.py:33-40: the three named models + the prefix rule."""
+    from vector_graph_rag_spark.functions.embedding import is_openai_model
+
+    assert is_openai_model("text-embedding-3-small")
+    assert is_openai_model("text-embedding-3-large")
+    assert is_openai_model("text-embedding-ada-002")
+    assert is_openai_model("text-embedding-future-99")  # prefix rule
+    assert not is_openai_model("facebook/contriever")
+    assert not is_openai_model("Qwen3-Embedding-0.6B")
+
+
 def test_truncation_before_pooling():
     from vector_graph_rag_spark.functions.embedding import truncate_tokens
 
@@ -126,6 +175,35 @@ def test_truncation_before_pooling():
     assert out.split() == [f"w{i}" for i in range(512)]
     assert truncate_tokens("short text") == "short text"
     assert truncate_tokens(long, max_tokens=3) == "w0 w1 w2"
+
+
+def test_truncation_with_fixture_tokenizer():
+    """The pluggable ``tokenize=`` path with a BPE-ish fixture tokenizer:
+    the 512-token budget is counted in the TOKENIZER's units (the
+    reference's max_length=512 counts model tokens, embeddings.py:134-136),
+    and the boundary is exact — 512 tokens pass through untouched, 513 lose
+    exactly the last one."""
+    import re
+
+    # Fixture tokenizer: word pieces of ≤2 chars (a crude BPE stand-in) —
+    # "hello" → ["he", "ll", "o"], so token count ≠ whitespace count.
+    def bpe_ish(text: str) -> list[str]:
+        return re.findall(r"\S{1,2}", text)
+
+    from vector_graph_rag_spark.functions.embedding import truncate_tokens
+
+    assert bpe_ish("hello") == ["he", "ll", "o"]
+    # 256 five-char words = 768 bpe_ish tokens but only 256 whitespace
+    # tokens: the fixture tokenizer must drive the budget, not str.split.
+    text = " ".join("abcde" for _ in range(256))
+    out = truncate_tokens(text, max_tokens=512, tokenize=bpe_ish)
+    assert len(bpe_ish(out)) == 512
+    # Exact boundary: a text of exactly 512 fixture tokens is unchanged.
+    exact = " ".join("ab" for _ in range(512))
+    assert truncate_tokens(exact, max_tokens=512, tokenize=bpe_ish) == exact
+    # One over: exactly the last token is dropped (join normalizes spacing).
+    over = exact + " zz"
+    assert truncate_tokens(over, max_tokens=512, tokenize=bpe_ish) == exact
 
 
 def test_embed_with_backend_applies_instruction_and_truncation(spark):

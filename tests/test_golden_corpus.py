@@ -178,6 +178,36 @@ def test_two_hop_expansion_history(golden, spark):
     assert sorted(r["passage_id"] for r in res.passage_ids.collect()) == ["doc00"]
 
 
+def test_two_hop_history_is_one_collect_per_step(golden, spark, monkeypatch):
+    """History bookkeeping rides ONE tagged-union action per step (1 at
+    step 0 + 1 per hop = 3 at degree=2), not one per id-list (was 3+2+2)
+    — the expansion result itself stays lazy (zero collects without
+    collect_history)."""
+    # Patch the CONCRETE class: in PySpark 4 `pyspark.sql.DataFrame` is the
+    # abstract facade and .collect is overridden on the classic subclass.
+    try:
+        from pyspark.sql.classic.dataframe import DataFrame
+    except ImportError:  # older pyspark
+        from pyspark.sql import DataFrame
+
+    from vector_graph_rag_spark.graph.expand import expand_subgraph
+    from vector_graph_rag_spark.graph.retrieve import seed_frontier_from_names
+
+    calls = []
+    real_collect = DataFrame.collect
+    monkeypatch.setattr(
+        DataFrame, "collect", lambda self: (calls.append(1), real_collect(self))[1]
+    )
+    seeds = seed_frontier_from_names(spark, ["Albert Einstein"])
+    res = expand_subgraph(golden, seeds, degree=2, collect_history=True)
+    assert len(res.history) == 3
+    assert len(calls) == 3  # one action per history step
+
+    calls.clear()
+    expand_subgraph(golden, seeds, degree=2, collect_history=False)
+    assert calls == []  # no history → fully lazy
+
+
 def test_golden_corpus_through_api(spark, tmp_path_factory):
     """The real 20-doc corpus through the HTTP surface: POST /add_documents
     with pre-extracted triplets → /graph stats → /query with history —

@@ -421,6 +421,10 @@ def create_app(
             )
         if offset < 0:
             return jsonify({"error": "offset must be >= 0"}), 400
+        # Positivity: top_k<=0 / limit<=0 would silently return empty hit
+        # lists — a caller error, same 400 contract as the type checks.
+        if k < 1 or limit < 1:
+            return jsonify({"error": "top_k and limit must be >= 1"}), 400
         g = catalog.read_graph(spark, name)
         qdf = spark.createDataFrame(
             [(i, t) for i, t in enumerate(qtexts)], "query_idx int, qtext string"
@@ -497,16 +501,17 @@ def create_app(
                 for r in rows
             ]
         elif mode == "mmr":
-            # Diversity-aware top-k: top-20 cosine candidates per query,
-            # then the SAME greedy integer-MMR kernel the registered
-            # mmr_diversity_rerank gates (search_api.mmr_greedy_select).
-            # String passage ids ride through the fold as their candidate
-            # rank (bigint; the rank already encodes the best-score-then-
-            # lowest-id tie order) and join back after selection; the
-            # collect is bounded at |queries| x k.
+            # Diversity-aware top-k: cosine candidate pool per query
+            # (max(20, 4*top_k), so top_k is never silently capped by a
+            # fixed pool), then the SAME greedy integer-MMR kernel the
+            # registered mmr_diversity_rerank gates
+            # (search_api.mmr_greedy_select).  String passage ids ride
+            # through the fold as their candidate rank (bigint; the rank
+            # already encodes the best-score-then-lowest-id tie order) and
+            # join back after selection; the collect is bounded at
+            # |queries| x k.
             from vector_graph_rag_spark.operators.pq import PQ_SCALE
             from vector_graph_rag_spark.queries.search_api import (
-                _int_dot,
                 mmr_greedy_select,
             )
 
@@ -515,22 +520,29 @@ def create_app(
                     c, lambda x: F.round(x.cast("double") * PQ_SCALE).cast("long")
                 )
 
+            pool = max(20, 4 * k)
             w_c = Window.partitionBy("query_idx").orderBy(
                 F.desc("score"), F.asc("id")
             )
             cand = (
                 scored.withColumn("cand_idx", F.row_number().over(w_c))
-                .filter(F.col("cand_idx") <= 20)
+                .filter(F.col("cand_idx") <= pool)
                 .select(
                     F.col("query_idx").alias("query_id"),
                     "id",
                     F.col("cand_idx").cast("bigint").alias("vec_id"),
                     qz(F.col("pvec")).alias("qv"),
-                    qz(F.col("qvec")).alias("qqv"),
+                    # rel IS the pool's admission metric: the rounded
+                    # cosine scaled to the integer domain (PQ_SCALE^2, the
+                    # same scale as the qv-dot diversity penalty inside the
+                    # kernel) — selection and rerank share one metric, so
+                    # mmr ordering stays consistent with topk mode.
+                    F.round(F.col("score") * PQ_SCALE * PQ_SCALE)
+                    .cast("long")
+                    .alias("rel"),
                 )
-                .withColumn("rel", _int_dot(F.col("qv"), F.col("qqv")))
                 # two consumers (selection + id join-back) of a
-                # |queries|x20 frame — pin it once
+                # |queries| x pool frame — pin it once
                 .localCheckpoint(eager=True)
             )
             sel = mmr_greedy_select(

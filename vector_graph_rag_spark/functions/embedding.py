@@ -99,6 +99,31 @@ def model_family(model_name: str) -> str | None:
     return None
 
 
+def is_openai_model(model_name: str) -> bool:
+    """Backend routing, parity with embeddings.py:33-40: the three named
+    models plus the ``text-embedding`` prefix select the OpenAI wrapper."""
+    openai_models = {
+        "text-embedding-3-small",
+        "text-embedding-3-large",
+        "text-embedding-ada-002",
+    }
+    return model_name in openai_models or model_name.startswith("text-embedding")
+
+
+def resolve_instruction_template(
+    model_name: str,
+    instruction: str | None,
+    instruction_template: str | None,
+) -> str | None:
+    """The reference's constructor fallback (embeddings.py:93-95): an
+    instruction WITHOUT an explicit template adopts the detected model
+    family's template; no instruction (or no detectable family) leaves the
+    template as given."""
+    if instruction and not instruction_template:
+        return model_family(model_name) or instruction_template
+    return instruction_template
+
+
 def apply_instruction(
     texts: list[str],
     text_type: str = "query",

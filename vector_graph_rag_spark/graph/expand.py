@@ -87,11 +87,33 @@ def expand_subgraph(
     # (bounded by eviction / relation_number_threshold), so collecting them is
     # the same driver-side cost the reference pays; id lists are sorted here
     # for determinism (the reference emits Python-set order).
+    #
+    # ONE action per step: the step's id frames ride a single tagged union
+    # collect instead of one collect each (3 at step 0 + 2 per hop before),
+    # halving driver round-trips for deep expansions (r11 verdict item 6).
+    def _collect_tagged(*tagged) -> dict[str, set]:
+        frames = [
+            df.select(F.lit(tag).alias("t"), F.col(col).alias("id"))
+            for tag, df, col in tagged
+        ]
+        u = frames[0]
+        for f in frames[1:]:
+            u = u.unionByName(f)
+        out: dict[str, set] = {tag: set() for tag, _, _ in tagged}
+        for r in u.collect():
+            out[r.t].add(r.id)
+        return out
+
     history = []
     if collect_history:
-        ent_set = {r.entity_id for r in entities.collect()}
-        rel_set = {r.relation_id for r in seed_rel.collect()}
-        step0_ids = {r.relation_id for r in step0.distinct().collect()}
+        step0_sets = _collect_tagged(
+            ("ent", entities, "entity_id"),
+            ("seed_rel", seed_rel, "relation_id"),
+            ("step0", step0.distinct(), "relation_id"),
+        )
+        ent_set = step0_sets["ent"]
+        rel_set = step0_sets["seed_rel"]
+        step0_ids = step0_sets["step0"]
         new0 = sorted(step0_ids - rel_set)
         rel_set |= step0_ids
         history.append(
@@ -130,9 +152,12 @@ def expand_subgraph(
         if checkpoint:
             entities = entities.localCheckpoint(eager=False)
         if collect_history:
-            new_ent_ids = sorted(r.entity_id for r in new_entities.collect())
-            hop_rel_ids = {r.relation_id for r in hop_relations.distinct().collect()}
-            new_rel_ids = sorted(hop_rel_ids - rel_set)
+            hop_sets = _collect_tagged(
+                ("new_ent", new_entities, "entity_id"),
+                ("hop_rel", hop_relations.distinct(), "relation_id"),
+            )
+            new_ent_ids = sorted(hop_sets["new_ent"])
+            new_rel_ids = sorted(hop_sets["hop_rel"] - rel_set)
             ent_set.update(new_ent_ids)
             rel_set.update(new_rel_ids)
             history.append(

@@ -519,7 +519,13 @@ def _km_ctes(seeds_cte: str) -> str:
                         x -> CAST(round(CAST(x AS DOUBLE) * {_KM_SCALE}) AS BIGINT)) AS qv
   FROM embeddings WHERE embedding IS NOT NULL
 ),
-qd AS (SELECT vec_id, unnest(range(1, {_KM_DIM + 1})) AS pos, unnest(qv) AS x FROM q),
+qd AS (
+  -- pos derives from each row's OWN vector length (parallel unnest of two
+  -- equal-length lists), matching the Spark side's dim-from-data rule in
+  -- _train_centroids: a corpus with embedding dim != {_KM_DIM} mis-zipped
+  -- the old fixed range(1, {_KM_DIM + 1}) with NULL padding (r11 ADVICE).
+  SELECT vec_id, unnest(range(1, len(qv) + 1)) AS pos, unnest(qv) AS x FROM q
+),
 {seeds_cte},
 c0 AS (
   SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cluster, vec_id
