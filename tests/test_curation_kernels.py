@@ -1013,3 +1013,31 @@ def test_ceil_sqrt_exact_edges():
         r = _ceil_sqrt(n)
         assert (r - 1) * (r - 1) < n or n == 0
         assert r * r >= n
+
+
+def test_km_assign_np_bitexact_vs_hof(spark):
+    """The numpy assignment twin (_km_assign_np, used by the kNN-graph
+    family) must be BIT-identical to the JVM HOF form on every column —
+    cluster, dist, and the first-minimum tie rule.  All arithmetic is
+    integer-valued and < 2^53, so int64 numpy == bigint fold exactly;
+    the fixture forces ties (duplicate centroids) to pin the
+    lowest-cluster-id rule."""
+    from vector_graph_rag_spark.queries.curation import (
+        _km_assign,
+        _km_assign_np,
+        _quantized_vectors,
+    )
+
+    q = _quantized_vectors(spark, "/root/testdata/sf0.01")
+    rows = q.orderBy("vec_id").limit(6).collect()
+    # Centroids: four real vectors plus an exact duplicate of the first —
+    # every vector closest to centroid 0 ties with centroid 4, and the
+    # first-minimum rule must pick 0 in both engines.
+    centroids = [(i, list(r["qv"])) for i, r in enumerate(rows[:4])]
+    centroids.append((4, list(rows[0]["qv"])))
+    a = {r["vec_id"]: (r["cluster"], r["dist"]) for r in _km_assign(q, centroids).collect()}
+    b = {r["vec_id"]: (r["cluster"], r["dist"]) for r in _km_assign_np(q, centroids).collect()}
+    assert a == b
+    assert len(a) == q.count()
+    # the duplicate-centroid tie resolved to the LOWER id everywhere
+    assert all(c != 4 or d > 0 for c, d in a.values())

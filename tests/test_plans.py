@@ -339,20 +339,23 @@ def test_grouping2_ingroup_topk_is_agg_not_window(spark):
     assert "BroadcastHashJoin" in plan, "winner-exclusion join lost its broadcast"
 
 
-def test_knn_graph_single_window_and_equi_cell_join(spark):
-    """The kNN-graph pair search must equi-join on cell_id (pair volume
-    Σ|cell|², never a cartesian n²), with cell assignment ROW-LOCAL
-    (assign_cells literals — no shuffle below the pair join other than the
-    cell-key exchange) and exactly one Window (the per-vector rank over
-    cell-bounded candidates)."""
+def test_knn_graph_group_kernel_no_pair_frame(spark):
+    """The kNN-graph neighbor search is ONE Arrow-batched grouped kernel
+    over (cell_id, sub_id) — the corpus-sized pair frame and its rank
+    window must never materialize (r12: the pair join + window measured
+    4.5x wall at the 10x smoke; the capped-group gram-matrix kernel is
+    1.5x).  Required shape: a FlatMapGroupsInPandas over the group keys,
+    zero Windows, zero row-wise Python, no cartesian."""
     import re
 
     plan = _plan(spark, "knn_graph_incell")
+    assert "FlatMapGroupsInPandas" in plan, "group kernel missing"
     n_windows = len(re.findall(r"^\(\d+\) Window\b", plan, flags=re.M))
-    assert n_windows == 1, f"expected only the per-vector rank window ({n_windows})"
+    assert n_windows == 0, f"corpus-sized rank window reappeared ({n_windows})"
     assert "CartesianProduct" not in plan
-    # the pair join keys on cell_id in both children
-    assert "cell_id" in plan
+    assert "BatchEvalPython" not in plan
+    # the kernel groups on the capped sub-cell key
+    assert "cell_id" in plan and "sub_id" in plan
 
 
 def test_key_skew_profile_no_global_sort_of_keys(spark):

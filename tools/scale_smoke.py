@@ -71,6 +71,20 @@ QUERIES = [
     "grouping_search_topk",
     "sparse_dot_topk",
     "mmr_diversity_rerank",
+    # round-12 activations + the r13/r14 staged candidates (pre-activation
+    # smokes): incremental index probes stay batch-proportional; the kNN
+    # graph family's pair volume is occupancy-capped (<= n*64, linear)
+    "ann_index_incremental",
+    "sparse_index_search",
+    "entity_lpa_communities_k3",
+    "hybrid_weighted_topk",
+    "semdedup_keep",
+    "bm25_index_topk",
+    "knn_graph_incell",
+    "knn_graph_mutual",
+    "term_index_incremental",
+    "ann_ivf_trained_topk",
+    "key_skew_profile",
 ]
 
 DOC_STRIDE = 1_000_000

@@ -29,6 +29,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from vector_graph_rag_spark.functions.hashing import seeded_hash60, seeded_hash60_sql
 from vector_graph_rag_spark.functions.text import tokens
 from vector_graph_rag_spark.queries.vector import _cos_sql as _vec_cos_sql
 from vector_graph_rag_spark.queries import register
@@ -624,6 +625,54 @@ def _km_assign(q: DataFrame, centroids: list[tuple[int, list[int]]]) -> DataFram
     )
 
 
+def _km_assign_np(q: DataFrame, centroids: list[tuple[int, list[int]]]) -> DataFrame:
+    """Numpy twin of :func:`_km_assign` (Arrow-batched ``mapInPandas``, the
+    sanctioned pandas scale path) — BIT-EXACT by construction: quantized
+    components are |x| <= _KM_SCALE, so every product (<= 64·10^6), squared
+    distance (<= 2.6·10^8) and argmin key stays an exact int64 integer —
+    the identical values the JVM bigint fold produces, including the
+    first-minimum == lowest-cluster-id tie rule (centroids sorted by id,
+    ``np.argmin`` returns the first occurrence).  Exactness is pinned by
+    ``tests/test_curation_kernels.py::test_km_assign_np_bitexact_vs_hof``.
+
+    Used by the kNN-graph family, where k = ceil(sqrt(n)) makes the HOF
+    form's k×dim Catalyst literal + interpreted n·k·dim fold the dominant
+    10x-smoke cost; training (:func:`_train_centroids`) and the active
+    kmeans/semdedup queries keep the JVM form, whose plan shape is pinned
+    by tests/test_plans.py::test_kmeans_assignment_stage_is_jvm_only."""
+    import numpy as np
+    import pandas as pd
+
+    C = np.asarray([c for _, c in centroids], dtype=np.int64)  # (k, dim)
+    ids = np.asarray([cid for cid, _ in centroids], dtype=np.int64)
+    c2 = np.einsum("ij,ij->i", C, C)  # |c|², exact
+
+    def _assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.asarray(pdf["qv"].tolist(), dtype=np.int64)
+            # |v-c|² = |v|² - 2v·c + |c|² — all-int64, exact
+            D = (
+                np.einsum("ij,ij->i", V, V)[:, None]
+                - 2 * (V @ C.T)
+                + c2[None, :]
+            )
+            j = np.argmin(D, axis=1)  # first min → lowest cluster id
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "qv": pdf["qv"],
+                    "cluster": ids[j],
+                    "dist": D[np.arange(len(j)), j],
+                }
+            )
+
+    return q.select("vec_id", "qv").mapInPandas(
+        _assign, "vec_id long, qv array<bigint>, cluster long, dist long"
+    )
+
+
 @register(
     "kmeans_embedding_clusters",
     oracle=_KM_SQL,
@@ -707,7 +756,7 @@ _KM_CENTROID_CACHE: dict[tuple, list] = {}
 
 
 def _kmeans_assignments(
-    spark: SparkSession, sf_dir: str, k: int = _KM_K
+    spark: SparkSession, sf_dir: str, k: int = _KM_K, numpy_assign: bool = False
 ) -> DataFrame:
     # Fixture-parallelism aid: one small single-row-group parquet file = a
     # one-task scan, which serializes the (interpreted higher-order-
@@ -727,7 +776,8 @@ def _kmeans_assignments(
     centroids = _KM_CENTROID_CACHE[key]
     if not centroids:  # empty corpus — no seeds, nothing to assign
         return spark.createDataFrame([], "vec_id long, cluster long, dist long")
-    return _km_assign(q, centroids).select("vec_id", "cluster", "dist")
+    assign = _km_assign_np if numpy_assign else _km_assign
+    return assign(q, centroids).select("vec_id", "cluster", "dist")
 
 
 def _ceil_sqrt(n: int) -> int:
@@ -913,6 +963,18 @@ def semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _KNN_GRAPH_K = 5
 
+# Occupancy cap: a cell whose occupancy exceeds _KNN_CELL_CAP is split into
+# ceil(occ / CAP) hash sub-cells and the neighbor search runs within a
+# (cell, sub) pair — per-vector candidate volume is bounded by ~CAP, so
+# total pair volume is <= n*CAP (LINEAR in the corpus) instead of the raw
+# in-cell n^1.5 (measured 4.5x wall at the 10x smoke, r11 verdict item 2).
+# The split is a deterministic seeded hash of vec_id, identical in both
+# engines, and ceil(occ/CAP) = 1 leaves small cells untouched — at the
+# driver-gated scales (occupancy ~sqrt(n) < CAP) results are bit-identical
+# to the uncapped build.  Same family as the dedup hot-bucket cap
+# (queries/dedup.py) — approximate-by-construction at scale, documented.
+_KNN_CELL_CAP = 64
+
 # Norms are precomputed per vector in BOTH engines (nrm = sqrt(dot(v,v)));
 # the pair score divides one dot by the product of two stored norms — the
 # same IEEE operations in the same order as the inline cosine, at a third
@@ -923,16 +985,25 @@ assigned AS (
   SELECT vec_id, cluster AS cell_id FROM d2
   QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) = 1
 ),
+cocc AS (
+  SELECT cell_id, (COUNT(*) + {_KNN_CELL_CAP - 1}) // {_KNN_CELL_CAP} AS n_sub
+  FROM assigned GROUP BY cell_id
+),
 ve AS (
-  SELECT a.vec_id, a.cell_id, e.embedding::DOUBLE[] AS v,
+  SELECT a.vec_id, a.cell_id,
+         ({seeded_hash60_sql('CAST(a.vec_id AS VARCHAR)', 0)}) % c.n_sub AS sub_id,
+         e.embedding::DOUBLE[] AS v,
          sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) AS nrm
-  FROM assigned a JOIN embeddings e ON e.vec_id = a.vec_id
+  FROM assigned a
+  JOIN cocc c ON c.cell_id = a.cell_id
+  JOIN embeddings e ON e.vec_id = a.vec_id
 ),
 pairs AS (
   SELECT a.vec_id, b.vec_id AS nbr_id,
          round(CASE WHEN a.nrm = 0.0 OR b.nrm = 0.0 THEN 0.0
                     ELSE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) END, 6) AS score
-  FROM ve a JOIN ve b ON a.cell_id = b.cell_id AND a.vec_id <> b.vec_id
+  FROM ve a JOIN ve b ON a.cell_id = b.cell_id AND a.sub_id = b.sub_id
+                     AND a.vec_id <> b.vec_id
 ),
 knn AS (
   SELECT vec_id, nbr_id, score, CAST(rk AS INT) AS rank FROM (
@@ -955,9 +1026,10 @@ SELECT vec_id, nbr_id, score, rank FROM knn
     description=(
         "in-cell k-NN graph construction (k=5): every vector's top-k "
         "cosine neighbors WITHIN its k-means cell (data-derived "
-        "nlist=ceil(sqrt(n))) — the building block for graph-based ANN, "
+        "nlist=ceil(sqrt(n)), cells above 64 occupancy hash-split to "
+        "capped sub-cells) — the building block for graph-based ANN, "
         "SemDeDup-family semantic dedup, and dataset cartography; "
-        "cell-bounded pair volume, never the n² all-pairs"
+        "pair volume <= n*cap, linear, never the n² all-pairs"
     ),
 )
 def knn_graph_incell(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -965,57 +1037,84 @@ def knn_graph_incell(spark: SparkSession, sf_dir: str) -> DataFrame:
     their ~√n-sized k-means cell (the SAME data-derived-k Lloyd assignment
     semdedup_keep dedups within — balanced cells, unlike raw seed-vector
     centroids, whose skew measured 2x slower here), and the neighbor
-    search self-joins ONLY on cell_id, so pair volume is ~n^1.5, never n².
-    Per-vector norms are computed once and reused across that vector's
-    every pair (1 dot per pair instead of 3).  The one window ranks each
-    vector's cell-bounded candidate list (k-cut by WindowGroupLimit); the
-    oracle replays assignment + pair search declaratively, so the hash
-    gate pins the full construction.  (Past ~10^10 vectors the flat √n
-    centroid literal outgrows a broadcast — the two-level quantizer split
-    in operators/ivf.py is the documented escalation.)"""
-    from vector_graph_rag_spark.functions.vector import dot, l2_norm
+    search runs WITHIN a (cell_id, sub_id) group, where sub_id hash-splits
+    any cell above _KNN_CELL_CAP occupancy into ceil(occ/CAP) sub-cells —
+    per-vector candidate volume is ~CAP-bounded, so pair volume is <=
+    n*CAP, linear in the corpus (the raw in-cell join's ~n^1.5 measured
+    4.5x wall at the 10x smoke).  Small cells get n_sub=1 and are
+    untouched.  The group-local search itself is an Arrow-batched
+    ``applyInPandas`` kernel (the sanctioned pandas scale path, same as
+    cosine_topk_matmul): one CAP²-bounded numpy gram matrix per group emits
+    each member's top-k directly, so the corpus-sized pair frame and its
+    rank window never materialize — the only corpus exchange is the
+    group-key shuffle of n rows.  Scores are dot/(nrm_a*nrm_b) rounded to
+    6, the oracle's exact arithmetic; the oracle replays assignment +
+    sub-split + pair search declaratively, so the hash gate pins the full
+    construction.  (Past ~10^10 vectors the flat √n centroid literal
+    outgrows a broadcast — the two-level quantizer split in
+    operators/ivf.py is the documented escalation.)"""
+    import numpy as np
+    import pandas as pd
 
     emb = load_table(spark, sf_dir, "embeddings").filter(
         F.col("embedding").isNotNull()
     )
     k = _ceil_sqrt(emb.count())
     assigned = (
-        _kmeans_assignments(spark, sf_dir, k=k)
+        _kmeans_assignments(spark, sf_dir, k=k, numpy_assign=True)
         .select("vec_id", F.col("cluster").alias("cell_id"))
         .localCheckpoint(eager=True)
     )
-    v = assigned.join(emb.select("vec_id", "embedding"), "vec_id").select(
-        "cell_id",
-        "vec_id",
-        F.col("embedding").alias("v"),
-        l2_norm("embedding").alias("nrm"),
+    # ceil(occ / CAP) sub-splits per cell; the split table is cell-count
+    # sized (~sqrt(n) rows) — broadcast, never a corpus shuffle.
+    splits = assigned.groupBy("cell_id").agg(
+        F.floor(
+            (F.count(F.lit(1)) + F.lit(_KNN_CELL_CAP - 1)) / F.lit(_KNN_CELL_CAP)
+        ).alias("n_sub")
     )
-    a = v.select(
-        "cell_id",
-        "vec_id",
-        F.col("v").alias("a_v"),
-        F.col("nrm").alias("a_nrm"),
+    v = (
+        assigned.join(F.broadcast(splits), "cell_id")
+        .join(emb.select("vec_id", "embedding"), "vec_id")
+        .select(
+            "cell_id",
+            (
+                seeded_hash60(F.col("vec_id").cast("string"), 0) % F.col("n_sub")
+            ).alias("sub_id"),
+            "vec_id",
+            "embedding",
+        )
     )
-    b = v.select(
-        "cell_id",
-        F.col("vec_id").alias("nbr_id"),
-        F.col("v").alias("b_v"),
-        F.col("nrm").alias("b_nrm"),
-    )
-    score = F.when(
-        (F.col("a_nrm") == 0.0) | (F.col("b_nrm") == 0.0), F.lit(0.0)
-    ).otherwise(dot("a_v", "b_v") / (F.col("a_nrm") * F.col("b_nrm")))
-    pairs = (
-        a.join(b, "cell_id")
-        .filter(F.col("vec_id") != F.col("nbr_id"))
-        .withColumn("score", F.round(score, 6))
-        .select("vec_id", "nbr_id", "score")
-    )
-    from pyspark.sql import Window
+    topk = _KNN_GRAPH_K
 
-    w = Window.partitionBy("vec_id").orderBy(F.desc("score"), F.asc("nbr_id"))
-    return pairs.withColumn("rank", F.row_number().over(w).cast("int")).filter(
-        F.col("rank") <= _KNN_GRAPH_K
+    def _group_knn(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = len(pdf)
+        if m < 2:
+            return pd.DataFrame(
+                {"vec_id": [], "nbr_id": [], "score": [], "rank": []}
+            ).astype({"vec_id": "int64", "nbr_id": "int64", "score": "float64", "rank": "int32"})
+        ids = pdf["vec_id"].to_numpy()
+        V = np.asarray(pdf["embedding"].tolist(), dtype=np.float64)
+        nrm = np.sqrt(np.einsum("ij,ij->i", V, V))
+        denom = np.outer(nrm, nrm)
+        S = np.divide(V @ V.T, denom, out=np.zeros((m, m)), where=denom != 0)
+        S = np.round(S, 6)
+        out_v, out_n, out_s, out_r = [], [], [], []
+        for i in range(m):
+            s = S[i].copy()
+            s[i] = -np.inf  # self excluded
+            order = np.lexsort((ids, -s))
+            order = order[order != i][: min(topk, m - 1)]
+            kk = len(order)
+            out_v.extend([ids[i]] * kk)
+            out_n.extend(ids[order])
+            out_s.extend(s[order])
+            out_r.extend(range(1, kk + 1))
+        return pd.DataFrame(
+            {"vec_id": out_v, "nbr_id": out_n, "score": out_s, "rank": out_r}
+        ).astype({"vec_id": "int64", "nbr_id": "int64", "score": "float64", "rank": "int32"})
+
+    return v.groupBy("cell_id", "sub_id").applyInPandas(
+        _group_knn, "vec_id long, nbr_id long, score double, rank int"
     )
 
 
