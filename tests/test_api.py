@@ -119,6 +119,23 @@ def test_document_crud_roundtrip(client):
     ).get_json()["documents"]
     assert [d["doc_id"] for d in page] == ["d2", "d3"]
 
+    # Keyset cursor (the scale path): same page via after=d1, next_cursor
+    # composes to the rest of the listing, exhaustion yields null.
+    r = client.get(
+        "/documents", query_string={"graph_name": "g1", "limit": 2, "after": "d1"}
+    ).get_json()
+    assert [d["doc_id"] for d in r["documents"]] == ["d2", "d3"]
+    assert r["next_cursor"] == "d3"
+    r2 = client.get(
+        "/documents",
+        query_string={"graph_name": "g1", "limit": 2, "after": r["next_cursor"]},
+    ).get_json()
+    assert r2["documents"] == [] or len(r2["documents"]) < 2
+    assert r2["next_cursor"] is None
+    assert client.get(
+        "/documents", query_string={"graph_name": "g1", "limit": 0}
+    ).status_code == 400
+
     client.put(
         "/documents/d2",
         json={"graph_name": "g1", "text": "theta greets iota iota joins kappa kappa exits theta"},

@@ -46,6 +46,10 @@ REPARTITION_CHECKED = [
     # round-14 staged
     "ann_ivf_trained_topk",     # trained-centroid assignment + round-6 probe/score
     "knn_graph_mutual",         # symmetry semi-join over the ranked edge list
+    # round-15 staged
+    "ann_index_streamed",       # streamed shard appends + ADC rank (batch-id order)
+    "neardup_cc_incremental",   # batch-contracted CC merges (label fold order)
+    "documents_keyset_page",    # chained TakeOrdered cursors under repartitioning
 ]
 
 

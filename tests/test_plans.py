@@ -115,6 +115,13 @@ AUDITED = [
     "ann_ivf_trained_topk",
     "knn_graph_mutual",
     "key_skew_profile",
+    # round-15 staged: streamed IVF-PQ ingestion (eager stream writes; the
+    # returned probe frame still audits), incremental CC merges, keyset
+    # pagination (chained TakeOrdered), frame-sample explode
+    "ann_index_streamed",
+    "neardup_cc_incremental",
+    "documents_keyset_page",
+    "multimodal_frame_sample",
 ]
 
 

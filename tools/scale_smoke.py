@@ -85,6 +85,14 @@ QUERIES = [
     "term_index_incremental",
     "ann_ivf_trained_topk",
     "key_skew_profile",
+    # round-15 staged candidates (pre-registration smokes): streamed index
+    # appends are batch-bounded; incremental CC contracts to label graphs;
+    # keyset pages are O(page) TakeOrdered; frame sampling is a capped
+    # row-local explode
+    "ann_index_streamed",
+    "neardup_cc_incremental",
+    "documents_keyset_page",
+    "multimodal_frame_sample",
 ]
 
 DOC_STRIDE = 1_000_000

@@ -230,13 +230,44 @@ def create_app(
     @app.get("/documents")
     def list_documents():
         name = request.args.get("graph_name", "default")
-        limit = int(request.args.get("limit", 10))
-        offset = int(request.args.get("offset", 0))
+        try:
+            limit = int(request.args.get("limit", 10))
+        except ValueError:
+            return jsonify({"error": "limit must be an integer"}), 400
+        if limit < 1:
+            return jsonify({"error": "limit must be >= 1"}), 400
         if not _exists(name):
             return _not_found(name)
         g = catalog.read_graph(spark, name)
-        # Bounded page: order by id, skip offset.  At scale a keyset cursor
-        # (WHERE id > last_seen) replaces the offset scan.
+        after = request.args.get("after")
+        if after is not None:
+            # Keyset cursor (the scale path, same kernel as the registered
+            # documents_keyset_page): WHERE id > cursor ORDER BY id LIMIT n
+            # reads O(page), never O(offset + page); next_cursor is the
+            # page's last id, null when the listing is exhausted.
+            rows = (
+                g.passages.filter(F.col("id") > after)
+                .select("id", "text")
+                .orderBy("id")
+                .limit(limit)
+                .collect()
+            )
+            return jsonify(
+                {
+                    "documents": [
+                        {"doc_id": r["id"], "text": r["text"]} for r in rows
+                    ],
+                    "next_cursor": rows[-1]["id"] if len(rows) == limit else None,
+                }
+            )
+        try:
+            offset = int(request.args.get("offset", 0))
+        except ValueError:
+            return jsonify({"error": "offset must be an integer"}), 400
+        if offset < 0:
+            return jsonify({"error": "offset must be >= 0"}), 400
+        # Legacy offset page: order by id, skip offset — O(offset + limit);
+        # kept for parity, the `after` cursor above is the scale path.
         rows = (
             g.passages.select("id", "text")
             .orderBy("id")

@@ -265,6 +265,91 @@ def multimodal_binary_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- multimodal frame sampling (staged r15) ----------------------------------
+
+# Deterministic media metadata synthesized from doc_id (the container has no
+# codecs, so duration/fps are typed-metadata stand-ins — the decode kernel
+# itself stays the pluggable operators/multimodal.py contract): 10-299 s
+# clips at 24/25/30 fps, uniformly strided down to <= 16 sampled frames.
+_FRAME_TARGET = 16
+
+_FRAME_SQL = f"""
+WITH media AS (
+  SELECT doc_id,
+         (doc_id % 290) + 10 AS duration_s,
+         ([24, 25, 30])[CAST(doc_id % 3 AS INT) + 1] AS fps
+  FROM documents
+),
+meta AS (
+  SELECT doc_id, fps, duration_s * fps AS n_frames,
+         GREATEST(1, (duration_s * fps) // {_FRAME_TARGET}) AS stride
+  FROM media
+)
+SELECT doc_id, fps, n_frames,
+       unnest((range(0, n_frames, stride))[1:{_FRAME_TARGET}]) AS frame_idx,
+       (unnest((range(0, n_frames, stride))[1:{_FRAME_TARGET}]) * 1000) // fps AS ts_ms
+FROM meta
+"""
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle=_FRAME_SQL,
+    retired=True,  # STAGED for the round-15 swap
+    description=(
+        "video frame-sampling plan (uniform stride to <= 16 frames per "
+        "clip): duration/fps metadata -> exploded (frame_idx, ts_ms) "
+        "schedule — the row-explosion half of the multimodal decode "
+        "contract, pure JVM sequence arithmetic; the pixel decode stays "
+        "the pluggable mapInPandas kernel (operators/multimodal.py)"
+    ),
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At 100 TB the frame schedule decides the shuffle: sampling is a
+    row-local explode (no exchange), each emitted row carries (doc_id,
+    frame_idx, ts_ms) so the downstream decode kernel can seek — a clip
+    never ships to more than the partitions its sampled frames land in,
+    and the <= 16-frame cap bounds the explosion factor regardless of
+    clip length."""
+    d = load_table(spark, sf_dir, "documents")
+    meta = d.select(
+        "doc_id",
+        F.element_at(
+            F.array(F.lit(24), F.lit(25), F.lit(30)),
+            (F.col("doc_id") % 3).cast("int") + 1,
+        ).alias("fps"),
+        ((F.col("doc_id") % 290) + 10).alias("duration_s"),
+    ).select(
+        "doc_id",
+        "fps",
+        (F.col("duration_s") * F.col("fps")).alias("n_frames"),
+        F.greatest(
+            F.lit(1).cast("long"),
+            F.expr(f"(duration_s * fps) DIV {_FRAME_TARGET}"),
+        ).alias("stride"),
+    )
+    return meta.select(
+        "doc_id",
+        "fps",
+        "n_frames",
+        F.explode(
+            F.slice(
+                F.sequence(
+                    F.lit(0).cast("long"), F.col("n_frames") - 1, F.col("stride")
+                ),
+                1,
+                _FRAME_TARGET,
+            )
+        ).alias("frame_idx"),
+    ).select(
+        "doc_id",
+        "fps",
+        "n_frames",
+        "frame_idx",
+        F.expr("(frame_idx * 1000) DIV fps").alias("ts_ms"),
+    )
+
+
 # --- file-type router (#7: loaders/__init__.py:52-143) ----------------------
 
 _EXTS = ["pdf", "docx", "doc", "txt", "md", "html", "htm", "csv", "bin"]

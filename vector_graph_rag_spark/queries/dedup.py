@@ -576,6 +576,113 @@ def neardup_clusters_converged(
     )
 
 
+# --- incremental near-dup components (staged r15) ----------------------------
+
+# To-convergence oracle: the per-node min label is the MIN over each node's
+# transitive closure (WITH RECURSIVE reach) — exact components at ANY
+# diameter, where the retired neardup_clusters capped at 3 rounds.  The
+# closure CTE is |component|²-sized, fine for near-dup components (tiny by
+# construction: the LSH threshold keeps them duplicate-cluster sized) —
+# an oracle-side cost only; the Spark side iterates to the fixpoint.
+_NEARDUP_CC_INC_SQL = (
+    f"""
+WITH RECURSIVE {_SHINGLES_CTE},
+{_minhash_wide_sql()},
+bands AS ({_LSH_BANDS}),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM bands x JOIN bands y ON x.band = y.band AND x.band_key = y.band_key
+  WHERE x.doc_id < y.doc_id
+),
+pairs AS (
+  SELECT c.doc_a, c.doc_b
+  FROM cand c JOIN sig a ON a.doc_id = c.doc_a JOIN sig b ON b.doc_id = c.doc_b
+  WHERE ({_EST_EQ}) >= {_NEARDUP_THRESHOLD_EQ}
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(src, dst) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst
+),
+lbl AS (SELECT src, MIN(dst) AS m FROM reach GROUP BY src)
+SELECT d.doc_id,
+       LEAST(d.doc_id, COALESCE(l.m, d.doc_id)) AS cluster,
+       CAST(CASE WHEN LEAST(d.doc_id, COALESCE(l.m, d.doc_id)) = d.doc_id
+                 THEN 1 ELSE 0 END AS INT) AS is_canonical
+FROM documents d LEFT JOIN lbl l ON l.src = d.doc_id
+"""
+)
+
+
+@register(
+    "neardup_cc_incremental",
+    oracle=_NEARDUP_CC_INC_SQL,
+    retired=True,  # STAGED for the round-15 swap
+    description=(
+        "incremental near-dup components: standing min-doc-id labels "
+        "merged with each nightly LSH edge batch by contracting components "
+        "to their labels and running exact (to-convergence) CC on the "
+        "label graph — incremental == one-shot by the partition-of-union "
+        "property; the oracle is the one-shot TO-CONVERGENCE components "
+        "via a recursive transitive-closure CTE (the retired "
+        "neardup_clusters capped at 3 rounds)"
+    ),
+)
+def neardup_cc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental component maintenance the way a 100 TB dedup pipeline
+    runs it: the standing label table is doc-count sized, each nightly
+    batch contracts its edges through the CURRENT labels (an edge between
+    two already-merged components collapses to one label-graph edge), and
+    the convergence loop runs on the CONTRACTED graph — label-count nodes,
+    batch-pair edges — never on the corpus graph.  Exactness: connected
+    components of a union of edge sets equal components of (components of
+    the prefix, contracted, plus the new edges) — so three batch merges
+    reproduce the one-shot result bit-for-bit, which is precisely what the
+    hash gate checks against the closure oracle."""
+    from vector_graph_rag_spark.operators.graph_algos import (
+        components_to_convergence,
+        undirect,
+    )
+
+    pairs = _neardup_edges(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select(F.col("doc_id").alias("id"))
+    labels = docs.select("id", F.col("id").alias("comp")).localCheckpoint(eager=True)
+    for b in range(3):
+        eb = pairs.filter(F.col("doc_a") % 3 == b).select(
+            F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+        )
+        ce = (
+            eb.join(
+                labels.select(F.col("id").alias("a"), F.col("comp").alias("ca")), "a"
+            )
+            .join(
+                labels.select(F.col("id").alias("b"), F.col("comp").alias("cb")), "b"
+            )
+            .select(F.col("ca").alias("a"), F.col("cb").alias("b"))
+            .filter(F.col("a") != F.col("b"))
+        )
+        lbl_nodes = labels.select(F.col("comp").alias("id")).distinct()
+        sub, _rounds = components_to_convergence(lbl_nodes, undirect(ce))
+        labels = (
+            labels.join(
+                sub.select(F.col("id").alias("comp"), F.col("comp").alias("newc")),
+                "comp",
+            )
+            .select("id", F.col("newc").alias("comp"))
+            .localCheckpoint(eager=True)
+        )
+    return labels.select(
+        F.col("id").alias("doc_id"),
+        F.col("comp").alias("cluster"),
+        (F.col("id") == F.col("comp")).cast("int").alias("is_canonical"),
+    )
+
+
 # --- LSH with hot-bucket cap (skew guard) -----------------------------------
 #
 # At 100 TB, stop-shingle band keys produce mega-buckets whose within-

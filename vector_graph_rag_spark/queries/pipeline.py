@@ -1496,3 +1496,77 @@ def ann_index_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(index, ignore_errors=True)
+
+
+# --- streamed IVF-PQ ingestion: Structured Streaming == one-shot (staged r15)
+
+
+@register(
+    "ann_index_streamed",
+    oracle=_ivfpq_sql(),
+    retired=True,  # STAGED for the round-15 swap
+    description=(
+        "Structured-Streaming vector ingestion (the Milvus growing-segment "
+        "story): the corpus replayed as a parquet file stream through "
+        "foreachBatch appends into the persistent IVF-PQ index "
+        "(streaming/vector_index.py stream_index_vectors), probed with the "
+        "same partition-pruned search — the oracle is the one-shot IVF-PQ "
+        "SQL verbatim, pinning streamed == incremental == one-shot == "
+        "logical"
+    ),
+)
+def ann_index_streamed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming half of the incremental-index story: where
+    ``ann_index_incremental`` drives append_to_index from a batch loop,
+    this replays the SAME corpus as a file stream (availableNow, one
+    micro-batch per staged file) so the foreachBatch path — checkpointed
+    batch ids landing on the shard tree's overwrite-idempotence — is what
+    the hash gate pins.  At 100 TB this is the live-ingest deployment
+    shape: vectors land as files, micro-batches encode against frozen
+    quantizers, search cost stays independent of how many micro-batches
+    built the index."""
+    import glob as _glob
+    import os as _os
+
+    from vector_graph_rag_spark.streaming.vector_index import (
+        search_index,
+        stream_index_vectors,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    par = spark.sparkContext.defaultParallelism
+    if emb.rdd.getNumPartitions() < max(2, par // 2):
+        emb = emb.repartition(par)
+    _q, books = _pq_quantized_and_books(spark, sf_dir)
+    if not any(books):
+        return spark.createDataFrame(
+            [], "query_id long, vec_id long, adc_dist long, rank int"
+        )
+    cent = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cvec")
+    )
+    queries = emb.filter(
+        (F.col("vec_id") >= 100) & (F.col("vec_id") < 105)
+    ).select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))
+    root = tempfile.mkdtemp(prefix="vgr_annstream_")
+    try:
+        # Stage the corpus as three single-file shards directly under one
+        # dir (the file stream lists part files, not directories).
+        staged = _os.path.join(root, "staged")
+        flat = _os.path.join(root, "in")
+        _os.makedirs(flat)
+        for b in range(3):
+            emb.filter(F.col("vec_id") % 3 == b).coalesce(1).write.parquet(
+                _os.path.join(staged, f"f{b}")
+            )
+        for i, f in enumerate(
+            sorted(_glob.glob(_os.path.join(staged, "*", "*.parquet")))
+        ):
+            shutil.copy(f, _os.path.join(flat, f"part-{i}.parquet"))
+        index = _os.path.join(root, "index")
+        stream_index_vectors(spark, flat, cent, books, index)
+        return search_index(
+            spark, index, queries, cent, books, k=_PQ_TOPK, nprobe=2
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -485,3 +485,73 @@ def nation_balance_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
         F.coalesce("supp_bal", F.lit(0.0)).alias("supp_bal"),
     )
+
+
+# --- keyset-cursor pagination (staged r15) -----------------------------------
+
+_KEYSET_PAGE_SIZE = 20
+_KEYSET_START = 5  # first cursor: strictly after doc_id 5
+
+_KEYSET_SQL = f"""
+WITH p1 AS (
+  SELECT doc_id, source, n_chars FROM documents
+  WHERE doc_id > {_KEYSET_START} ORDER BY doc_id LIMIT {_KEYSET_PAGE_SIZE}
+),
+p2 AS (
+  SELECT doc_id, source, n_chars FROM documents
+  WHERE doc_id > (SELECT MAX(doc_id) FROM p1) ORDER BY doc_id LIMIT {_KEYSET_PAGE_SIZE}
+),
+p3 AS (
+  SELECT doc_id, source, n_chars FROM documents
+  WHERE doc_id > (SELECT MAX(doc_id) FROM p2) ORDER BY doc_id LIMIT {_KEYSET_PAGE_SIZE}
+)
+SELECT 1 AS page, * FROM p1
+UNION ALL SELECT 2, * FROM p2
+UNION ALL SELECT 3, * FROM p3
+"""
+
+
+@register(
+    "documents_keyset_page",
+    oracle=_KEYSET_SQL,
+    retired=True,  # STAGED for the round-15 swap
+    description=(
+        "keyset-cursor pagination (3 chained pages of 20 after doc_id>5): "
+        "each page is WHERE key > cursor ORDER BY key LIMIT n, the cursor "
+        "being the previous page's last key — the O(page) scan pattern "
+        "that replaces OFFSET's O(offset+page), and the scale fix the "
+        "/documents API route documents"
+    ),
+)
+def documents_keyset_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyset pagination as one lazy DAG: page k's cursor is a 1-row
+    broadcast aggregate of page k-1 (a scalar-subquery join, never a
+    driver collect), and every page is a TakeOrderedAndProject over the
+    filtered scan — at 100 TB with a doc_id-sorted/bucketed layout each
+    page reads only the file range past its cursor (min/max pruning),
+    while OFFSET pagination re-reads and re-sorts everything before the
+    offset.  API twin: the /documents cursor mode (api/app.py) serves the
+    same kernel per request."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+
+    def page(after_col_frame):
+        # after_col_frame: 1-row frame with column `cursor`
+        return (
+            d.crossJoin(F.broadcast(after_col_frame))
+            .filter(F.col("doc_id") > F.col("cursor"))
+            .orderBy("doc_id")
+            .limit(_KEYSET_PAGE_SIZE)
+            .select("doc_id", "source", "n_chars")
+        )
+
+    spark_ = d.sparkSession
+    c1 = spark_.range(1).select(F.lit(_KEYSET_START).cast("long").alias("cursor"))
+    p1 = page(c1)
+    p2 = page(p1.agg(F.max("doc_id").alias("cursor")))
+    p3 = page(p2.agg(F.max("doc_id").alias("cursor")))
+    out = (
+        p1.select(F.lit(1).alias("page"), "doc_id", "source", "n_chars")
+        .unionByName(p2.select(F.lit(2).alias("page"), "doc_id", "source", "n_chars"))
+        .unionByName(p3.select(F.lit(3).alias("page"), "doc_id", "source", "n_chars"))
+    )
+    return out

@@ -77,6 +77,12 @@ def append_term_batch(
     co-locates each term's batch postings (bounded by BATCH tokens, never
     the accumulated corpus — the whole point)."""
     spark = docs.sparkSession
+    # Under-parallel batch guard (see streaming/vector_index.append_to_index):
+    # a one-file micro-batch scans as one task and serializes the tokenize
+    # map side; the tf groupBy re-parallelizes only after that scan.
+    par = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < max(2, par // 2):
+        docs = docs.repartition(par)
     fs, _ = _fs(spark, index_dir)
     batch_dir = os.path.join(index_dir, f"batch={batch_id}")
     _, bpath = _fs(spark, batch_dir)

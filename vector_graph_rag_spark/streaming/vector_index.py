@@ -86,6 +86,15 @@ def append_to_index(
     from vector_graph_rag_spark.operators.ivf import assign_cells
 
     spark = batch.sparkSession
+    # Under-parallel batch guard: a micro-batch arriving as one small file
+    # (the Structured-Streaming maxFilesPerTrigger=1 shape) scans as ONE
+    # task, serializing the encode/assign expression work — measured 6x on
+    # the 10x smoke (37s vs 6.8s for the same appends from a well-
+    # partitioned frame).  Same conditional-relayout aid as
+    # queries/pipeline._pq_quantized_and_books: a multi-file batch skips it.
+    par = spark.sparkContext.defaultParallelism
+    if batch.rdd.getNumPartitions() < max(2, par // 2):
+        batch = batch.repartition(par)
     fs, _ = _fs(spark, index_dir)
     batch_dir = os.path.join(index_dir, f"batch={batch_id}")
     _, bpath = _fs(spark, batch_dir)
