@@ -907,56 +907,56 @@ def semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     search, keep rule — sits under one DuckDB hash gate.
 
     Scale: k is DATA-DERIVED — ceil(sqrt(n)), computed identically in both
-    engines — so cluster occupancy stays ~√n and the cluster-id self-join's
-    pair volume is ~n^1.5, never n² (measured: the fixed-k=8 draft of this
-    query grew 24x at 10x corpus; this form is pinned in SCALE.md).  The
-    assignment output is localCheckpointed once (vec_id+cluster, 16 bytes
-    a row) so its three consumers don't re-run Lloyd assignment, and the
-    cosine is a JVM zip_with/aggregate dot — no Python anywhere."""
+    engines — so cluster occupancy stays ~√n and the intra-cluster pair
+    volume is ~n^1.5, never n² (the fixed-k=8 draft grew 24x at 10x; that
+    counterexample is pinned in SCALE.md).  The pair search itself is one
+    Arrow-batched ``applyInPandas`` kernel per cluster (the knn_graph
+    shape): a block-wise gram matrix marks every vector with a round-6
+    cosine >= threshold to a LOWER-id cluster-mate and the kernel emits
+    the (vec_id, cluster, keep) rows DIRECTLY — no pair frame, no doomed
+    distinct, no join-back; the only corpus exchange is the cluster-key
+    shuffle.  Assignment rides the bit-exact numpy twin of the Lloyd
+    argmin (_km_assign_np).  SemDeDup's semantics need the FULL
+    intra-cluster pair set, so unlike the kNN graph there is no
+    occupancy sub-split — the gram matrix is computed in 1024-row blocks
+    to bound kernel memory at huge-cluster scale instead."""
+    import numpy as np
+    import pandas as pd
+
     emb = load_table(spark, sf_dir, "embeddings").filter(
         F.col("embedding").isNotNull()
     )
     k = _ceil_sqrt(emb.count())
-    assigned = (
-        _kmeans_assignments(spark, sf_dir, k=k)
-        .select("vec_id", "cluster")
-        .localCheckpoint(eager=True)
-    )
-    # Norms precomputed per vector (the knn_graph_incell trick, same IEEE
-    # ops as the inline cosine): each pair costs ONE dot instead of three.
-    from vector_graph_rag_spark.functions.vector import dot, l2_norm
+    v = _kmeans_assignments(spark, sf_dir, k=k, numpy_assign=True).select(
+        "vec_id", "cluster"
+    ).join(emb.select("vec_id", "embedding"), "vec_id")
+    thr = _SEMDEDUP_THRESHOLD
 
-    v = assigned.join(emb.select("vec_id", "embedding"), "vec_id").select(
-        "cluster",
-        "vec_id",
-        F.col("embedding").alias("emb"),
-        l2_norm("embedding").alias("nrm"),
+    def _keep(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = len(pdf)
+        ids = pdf["vec_id"].to_numpy()
+        cluster = pdf["cluster"].to_numpy()
+        if m < 2:
+            return pd.DataFrame(
+                {"vec_id": ids, "cluster": cluster, "keep": [True] * m}
+            )
+        V = np.asarray(pdf["embedding"].tolist(), dtype=np.float64)
+        nrm = np.sqrt(np.einsum("ij,ij->i", V, V))
+        doomed = np.zeros(m, dtype=bool)
+        for lo in range(0, m, 1024):  # block rows to bound the gram slab
+            hi = min(lo + 1024, m)
+            denom = np.outer(nrm[lo:hi], nrm)
+            S = np.divide(
+                V[lo:hi] @ V.T, denom, out=np.zeros((hi - lo, m)), where=denom != 0
+            )
+            hit = np.round(S, 6) >= thr
+            lower = ids[None, :] < ids[lo:hi, None]  # mate has the LOWER id
+            doomed[lo:hi] |= (hit & lower).any(axis=1)
+        return pd.DataFrame({"vec_id": ids, "cluster": cluster, "keep": ~doomed})
+
+    return v.groupBy("cluster").applyInPandas(
+        _keep, "vec_id long, cluster long, keep boolean"
     )
-    a = v.select(
-        "cluster",
-        F.col("vec_id").alias("a_id"),
-        F.col("emb").alias("a_emb"),
-        F.col("nrm").alias("a_nrm"),
-    )
-    b = v.select(
-        "cluster",
-        F.col("vec_id").alias("b_id"),
-        F.col("emb").alias("b_emb"),
-        F.col("nrm").alias("b_nrm"),
-    )
-    pair_cos = F.when(
-        (F.col("a_nrm") == 0.0) | (F.col("b_nrm") == 0.0), F.lit(0.0)
-    ).otherwise(dot("a_emb", "b_emb") / (F.col("a_nrm") * F.col("b_nrm")))
-    doomed = (
-        a.join(b, "cluster")
-        .filter(F.col("a_id") < F.col("b_id"))
-        .filter(F.round(pair_cos, 6) >= F.lit(_SEMDEDUP_THRESHOLD))
-        .select(F.col("b_id").alias("vec_id"))
-        .distinct()
-    )
-    return assigned.join(
-        doomed.withColumn("dup", F.lit(True)), "vec_id", "left"
-    ).select("vec_id", "cluster", F.col("dup").isNull().alias("keep"))
 
 
 # --- in-cell kNN graph construction (staged r13) ------------------------------
