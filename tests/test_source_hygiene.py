@@ -32,7 +32,7 @@ ALLOWED_DRIVER_MATERIALIZATION = {
     ("api/app.py", "neighbors", "collect"): "1-hop neighborhood of one entity (HTTP response)",
     ("api/app.py", "query", "collect"): "final_top_k passages (<= 10) for an HTTP response",
     ("graph/crud.py", "_id_list", "collect"): "ids of one client CRUD request batch",
-    ("graph/expand.py", "expand_subgraph", "collect"): "opt-in history mode only; per-hop NEW-id lists, frontier-sized (eviction-bounded)",
+    ("graph/expand.py", "_collect_tagged", "collect"): "opt-in history mode only; ONE tagged-union action per expansion step over frontier-sized (eviction-bounded) id lists — r12 fold of the former per-list collects",
     ("operators/bloom.py", "build_bloom", "collect"): "packed bitset words: n_bits/64 longs (128 KiB at default), never items",
     ("operators/bpe.py", "train_bpe", "collect"): "argmax pair (limit(1)) per merge + final vocab list (vocab-sized)",
     ("operators/ivf.py", "assign_cells", "collect"): "the bounded centroid table (nlist rows by module contract)",
