@@ -1041,3 +1041,158 @@ def test_km_assign_np_bitexact_vs_hof(spark):
     assert len(a) == q.count()
     # the duplicate-centroid tie resolved to the LOWER id everywhere
     assert all(c != 4 or d > 0 for c, d in a.values())
+
+
+def test_neardup_cc_incremental_split_invariant(spark):
+    """Incremental CC must be SPLIT-INVARIANT: merging the LSH edges in 3
+    doc_a%3 batches (the registered order), in 2 doc_b%2 batches, or all
+    at once must produce the identical label table — the
+    partition-of-union property the registered query's docstring claims.
+    The oracle pins 3-batch == one-shot; this pins the stronger any-split
+    claim."""
+    from pyspark.sql import functions as F
+
+    from vector_graph_rag_spark.operators.graph_algos import (
+        components_to_convergence,
+        undirect,
+    )
+    from vector_graph_rag_spark.queries.dedup import (
+        _neardup_edges,
+        neardup_cc_incremental,
+    )
+    from vector_graph_rag_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    registered = rows(neardup_cc_incremental(spark, sf))
+
+    # one-shot library path (to convergence, no batching)
+    pairs = _neardup_edges(spark, sf)
+    docs = load_table(spark, sf, "documents").select(F.col("doc_id").alias("id"))
+    labels, _r = components_to_convergence(
+        docs,
+        undirect(pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))),
+    )
+    oneshot = rows(
+        labels.select(
+            F.col("id").alias("doc_id"),
+            F.col("comp").alias("cluster"),
+            (F.col("id") == F.col("comp")).cast("int").alias("is_canonical"),
+        )
+    )
+    assert registered == oneshot
+
+    # alternate 2-way split keyed on the OTHER endpoint
+    lab = docs.select("id", F.col("id").alias("comp")).localCheckpoint(eager=True)
+    for b in range(2):
+        eb = pairs.filter(F.col("doc_b") % 2 == b).select(
+            F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+        )
+        ce = (
+            eb.join(lab.select(F.col("id").alias("a"), F.col("comp").alias("ca")), "a")
+            .join(lab.select(F.col("id").alias("b"), F.col("comp").alias("cb")), "b")
+            .select(F.col("ca").alias("a"), F.col("cb").alias("b"))
+            .filter(F.col("a") != F.col("b"))
+        )
+        sub, _ = components_to_convergence(
+            lab.select(F.col("comp").alias("id")).distinct(), undirect(ce)
+        )
+        lab = (
+            lab.join(
+                sub.select(F.col("id").alias("comp"), F.col("comp").alias("newc")),
+                "comp",
+            )
+            .select("id", F.col("newc").alias("comp"))
+            .localCheckpoint(eager=True)
+        )
+    twoway = rows(
+        lab.select(
+            F.col("id").alias("doc_id"),
+            F.col("comp").alias("cluster"),
+            (F.col("id") == F.col("comp")).cast("int").alias("is_canonical"),
+        )
+    )
+    assert twoway == oneshot
+    # sanity: the fixture actually has multi-doc clusters to merge
+    assert any(r[2] == 0 for r in oneshot)
+
+
+def test_knn_group_kernel_zero_norm_and_tiny_groups(spark):
+    """The grouped kNN kernel's edges: a zero vector scores 0.0 against
+    everyone (the oracle's CASE guard), a singleton group emits nothing,
+    and ranks stay dense score-desc/id-asc."""
+    import numpy as np
+
+    from vector_graph_rag_spark.queries import curation
+
+    # 1 zero vector + 3 unit-ish vectors in one cell, plus a singleton cell.
+    rows = [
+        (0, 0, 0, [0.0, 0.0]),
+        (1, 0, 0, [1.0, 0.0]),
+        (2, 0, 0, [1.0, 0.0]),
+        (3, 0, 0, [0.0, 1.0]),
+        (9, 1, 0, [0.5, 0.5]),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, cell_id long, sub_id long, embedding array<double>"
+    )
+    # drive the same applyInPandas path the registered query uses
+    import pandas as pd
+
+    out = {
+        (r["vec_id"], r["rank"]): (r["nbr_id"], r["score"])
+        for r in df.groupBy("cell_id", "sub_id")
+        .applyInPandas(
+            curation._knn_group_kernel(5),  # the registered kernel itself
+            "vec_id long, nbr_id long, score double, rank int",
+        )
+        .collect()
+    }
+    # twins (1,2) are each other's rank-1 with score 1.0
+    assert out[(1, 1)] == (2, 1.0) and out[(2, 1)] == (1, 1.0)
+    # zero vector scores 0.0 against every mate, ranked by id asc
+    assert out[(0, 1)] == (1, 0.0) and out[(0, 2)] == (2, 0.0) and out[(0, 3)] == (3, 0.0)
+    # the singleton cell emits nothing
+    assert not any(v == 9 for v, _rk in out)
+
+
+def _make_group_knn_kernel():
+    """The registered knn_graph_incell group kernel, extracted verbatim for
+    direct edge-case pinning (same arithmetic: float64 gram, outer-norm
+    divide with zero guard, round-6, score-desc/id-asc, top-5)."""
+    import numpy as np
+    import pandas as pd
+
+    topk = 5
+
+    def _group_knn(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = len(pdf)
+        if m < 2:
+            return pd.DataFrame(
+                {"vec_id": [], "nbr_id": [], "score": [], "rank": []}
+            ).astype({"vec_id": "int64", "nbr_id": "int64", "score": "float64", "rank": "int32"})
+        ids = pdf["vec_id"].to_numpy()
+        V = np.asarray(pdf["embedding"].tolist(), dtype=np.float64)
+        nrm = np.sqrt(np.einsum("ij,ij->i", V, V))
+        denom = np.outer(nrm, nrm)
+        S = np.divide(V @ V.T, denom, out=np.zeros((m, m)), where=denom != 0)
+        S = np.round(S, 6)
+        out_v, out_n, out_s, out_r = [], [], [], []
+        for i in range(m):
+            s = S[i].copy()
+            s[i] = -np.inf
+            order = np.lexsort((ids, -s))
+            order = order[order != i][: min(topk, m - 1)]
+            kk = len(order)
+            out_v.extend([ids[i]] * kk)
+            out_n.extend(ids[order])
+            out_s.extend(s[order])
+            out_r.extend(range(1, kk + 1))
+        return pd.DataFrame(
+            {"vec_id": out_v, "nbr_id": out_n, "score": out_s, "rank": out_r}
+        ).astype({"vec_id": "int64", "nbr_id": "int64", "score": "float64", "rank": "int32"})
+
+    return _group_knn

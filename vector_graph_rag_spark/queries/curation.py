@@ -1053,9 +1053,6 @@ def knn_graph_incell(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction.  (Past ~10^10 vectors the flat √n centroid literal
     outgrows a broadcast — the two-level quantizer split in
     operators/ivf.py is the documented escalation.)"""
-    import numpy as np
-    import pandas as pd
-
     emb = load_table(spark, sf_dir, "embeddings").filter(
         F.col("embedding").isNotNull()
     )
@@ -1084,7 +1081,20 @@ def knn_graph_incell(spark: SparkSession, sf_dir: str) -> DataFrame:
             "embedding",
         )
     )
-    topk = _KNN_GRAPH_K
+    return v.groupBy("cell_id", "sub_id").applyInPandas(
+        _knn_group_kernel(_KNN_GRAPH_K),
+        "vec_id long, nbr_id long, score double, rank int",
+    )
+
+
+def _knn_group_kernel(topk: int):
+    """The per-(cell, sub) gram-matrix kernel behind knn_graph_incell:
+    float64 gram, outer-norm divide with the zero-norm → 0.0 guard (the
+    oracle's CASE), round-6, score-desc/id-asc ties, top-``topk``.
+    Module-level factory so tests pin its edge cases directly
+    (tests/test_curation_kernels.py::test_knn_group_kernel_zero_norm...)."""
+    import numpy as np
+    import pandas as pd
 
     def _group_knn(pdf: pd.DataFrame) -> pd.DataFrame:
         m = len(pdf)
@@ -1113,9 +1123,7 @@ def knn_graph_incell(spark: SparkSession, sf_dir: str) -> DataFrame:
             {"vec_id": out_v, "nbr_id": out_n, "score": out_s, "rank": out_r}
         ).astype({"vec_id": "int64", "nbr_id": "int64", "score": "float64", "rank": "int32"})
 
-    return v.groupBy("cell_id", "sub_id").applyInPandas(
-        _group_knn, "vec_id long, nbr_id long, score double, rank int"
-    )
+    return _group_knn
 
 
 # --- mutual-kNN graph (staged r14) --------------------------------------------
