@@ -4,6 +4,7 @@ from vector_graph_rag_spark.llm.runner import (
     llm_map_operator,
 )
 from vector_graph_rag_spark.llm.rerank import parse_rerank_response, mock_rerank
+from vector_graph_rag_spark.llm import prompts
 
 __all__ = [
     "ModelRunner",
@@ -11,4 +12,5 @@ __all__ = [
     "llm_map_operator",
     "parse_rerank_response",
     "mock_rerank",
+    "prompts",
 ]
