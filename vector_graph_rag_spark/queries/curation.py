@@ -635,11 +635,12 @@ def _km_assign_np(q: DataFrame, centroids: list[tuple[int, list[int]]]) -> DataF
     ``np.argmin`` returns the first occurrence).  Exactness is pinned by
     ``tests/test_curation_kernels.py::test_km_assign_np_bitexact_vs_hof``.
 
-    Used by the kNN-graph family, where k = ceil(sqrt(n)) makes the HOF
+    Used by the kNN-graph/semdedup family and by the Lloyd training loop
+    (:func:`_train_centroids`), where k = ceil(sqrt(n)) makes the HOF
     form's k×dim Catalyst literal + interpreted n·k·dim fold the dominant
-    10x-smoke cost; training (:func:`_train_centroids`) and the active
-    kmeans/semdedup queries keep the JVM form, whose plan shape is pinned
-    by tests/test_plans.py::test_kmeans_assignment_stage_is_jvm_only."""
+    smoke cost; the active fixed-k queries keep the JVM form for their
+    final assignment, whose plan shape is pinned by
+    tests/test_plans.py::test_kmeans_assignment_stage_is_jvm_only."""
     import numpy as np
     import pandas as pd
 
@@ -725,7 +726,12 @@ def _train_centroids(
     if not centroids:  # empty corpus — no seeds, no training
         return []
     for _ in range(updates):
-        assigned = _km_assign(q, centroids)
+        # Bit-exact numpy twin (see _km_assign_np): at data-derived
+        # k = ceil(sqrt(n)) the JVM form's k×dim literal + interpreted
+        # n·k·dim fold dominates training wall at the 100x smoke; the twin
+        # produces the identical assignment, so the trained centroids are
+        # unchanged for every consumer.
+        assigned = _km_assign_np(q, centroids)
         sums = (
             assigned.select("cluster", F.posexplode("qv").alias("pos", "x"))
             .groupBy("cluster", "pos")
