@@ -1196,3 +1196,74 @@ def _make_group_knn_kernel():
         ).astype({"vec_id": "int64", "nbr_id": "int64", "score": "float64", "rank": "int32"})
 
     return _group_knn
+
+
+def test_knn_group_kernel_randomized_matches_bruteforce_twin(spark):
+    """Seeded random sweep of the gram-matrix kernel against a pure-Python
+    brute-force twin: random group sizes (1..30), random dims (2..8),
+    vectors with duplicates and a zero vector mixed in — same round-6
+    score, same score-desc/id-asc order, same top-5 cut."""
+    import math
+    import random
+
+    from vector_graph_rag_spark.queries.curation import _knn_group_kernel
+
+    rng = random.Random(20260816)
+    rows = []
+    n_groups = 12
+    dims = {}
+    for g in range(n_groups):
+        m = rng.randint(1, 30)
+        dim = rng.randint(2, 8)
+        dims[g] = dim
+        ids = rng.sample(range(1000), m)
+        for vid in ids:
+            if rng.random() < 0.08:
+                v = [0.0] * dim  # zero vector: scores 0.0 vs everyone
+            elif rng.random() < 0.2 and len(rows) > 1 and rows[-1][1] == g:
+                v = list(rows[-1][3])  # exact duplicate of a group-mate
+            else:
+                v = [rng.uniform(-1, 1) for _ in range(dim)]
+            rows.append((vid, g, 0, v))
+
+    def twin():
+        out = set()
+        by_g = {}
+        for vid, g, _s, v in rows:
+            by_g.setdefault(g, []).append((vid, v))
+        for g, members in by_g.items():
+            if len(members) < 2:
+                continue
+            for vid, v in members:
+                nv = math.sqrt(sum(x * x for x in v))
+                cands = []
+                for wid, w in members:
+                    if wid == vid:
+                        continue
+                    nw = math.sqrt(sum(x * x for x in w))
+                    c = 0.0 if nv == 0 or nw == 0 else sum(
+                        a * b for a, b in zip(v, w)
+                    ) / (nv * nw)
+                    cands.append((round(c, 6), wid))
+                cands.sort(key=lambda t: (-t[0], t[1]))
+                for rk, (sc, wid) in enumerate(cands[:5], 1):
+                    out.add((vid, wid, sc, rk))
+        return out
+
+    # groups with mixed dims can't share one DataFrame column type cleanly —
+    # run per-dim frames through the SAME kernel
+    got = set()
+    for g in range(n_groups):
+        sub = [(vid, gg, s, v) for vid, gg, s, v in rows if gg == g]
+        df = spark.createDataFrame(
+            sub, "vec_id long, cell_id long, sub_id long, embedding array<double>"
+        )
+        for r in (
+            df.groupBy("cell_id", "sub_id")
+            .applyInPandas(
+                _knn_group_kernel(5), "vec_id long, nbr_id long, score double, rank int"
+            )
+            .collect()
+        ):
+            got.add((r["vec_id"], r["nbr_id"], r["score"], r["rank"]))
+    assert got == twin()
