@@ -50,6 +50,10 @@ REPARTITION_CHECKED = [
     "ann_index_streamed",       # streamed shard appends + ADC rank (batch-id order)
     "neardup_cc_incremental",   # batch-contracted CC merges (label fold order)
     "documents_keyset_page",    # chained TakeOrdered cursors under repartitioning
+    # round-16 staged
+    "ann_index_compacted",      # compaction I/O must not reorder probe results
+    "cluster_capped_sample",    # hash-ordered sample stable under repartitioning
+    "curriculum_order",         # hash shuffle + phase ordinals under repartitioning
 ]
 
 

@@ -122,6 +122,13 @@ AUDITED = [
     "neardup_cc_incremental",
     "documents_keyset_page",
     "multimodal_frame_sample",
+    # round-16 staged: shard compaction for both incremental indexes
+    # (eager temp writes; the returned probe frames still audit),
+    # cluster-capped balancing, curriculum ordering
+    "ann_index_compacted",
+    "term_index_compacted",
+    "cluster_capped_sample",
+    "curriculum_order",
 ]
 
 

@@ -152,3 +152,46 @@ def test_stream_built_term_index_equals_batch_built(spark, tmp_path):
     oneshot = str(tmp_path / "oneshot")
     write_term_index(d, oneshot)
     assert got == _rows(sparse_index_search(spark, oneshot, queries, k=10))
+
+
+def test_compact_term_index_search_identical_and_source_intact(spark, tmp_path):
+    """compact_term_index: searching the compacted shard returns
+    row-identical results, posting rows are moved once each, and the
+    sharded source survives (publish-then-swap)."""
+    from pyspark.sql import functions as F
+
+    from vector_graph_rag_spark.sources.tables import load_table
+    from vector_graph_rag_spark.streaming.term_index import (
+        append_term_batch,
+        compact_term_index,
+        list_batch_ids,
+        read_term_index,
+        search_term_index,
+    )
+
+    d = load_table(spark, "/root/testdata/sf0.01", "documents").select(
+        "doc_id", "text"
+    )
+    queries = d.filter(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    sharded = str(tmp_path / "sharded")
+    compacted = str(tmp_path / "compacted")
+    for b in range(3):
+        append_term_batch(d.filter(F.col("doc_id") % 3 == b), sharded, batch_id=b)
+
+    def rows(idx):
+        return sorted(
+            map(tuple, search_term_index(spark, idx, queries, k=10).collect())
+        )
+
+    before = rows(sharded)
+    assert compact_term_index(spark, sharded, compacted) == 3
+    assert list_batch_ids(spark, compacted) == [0]
+    assert rows(compacted) == before
+    assert list_batch_ids(spark, sharded) == [0, 1, 2]
+    # posting rows preserved exactly (concatenation, no re-aggregation)
+    assert (
+        read_term_index(spark, compacted).count()
+        == read_term_index(spark, sharded).count()
+    )

@@ -153,3 +153,57 @@ def test_stream_built_index_equals_batch_built(spark, tmp_path):
         map(tuple, ivfpq_search(spark, oneshot, queries, cent, books).collect())
     )
     assert got == expected
+
+
+def test_compact_index_search_identical_and_source_intact(spark, tmp_path):
+    """compact_index: probing the compacted tree returns row-identical
+    results to the sharded tree, the source shards stay untouched
+    (publish-then-swap), and re-compaction overwrites idempotently."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from vector_graph_rag_spark.queries.pipeline import _pq_quantized_and_books
+    from vector_graph_rag_spark.sources.tables import load_table
+    from vector_graph_rag_spark.streaming.vector_index import (
+        append_to_index,
+        compact_index,
+        list_batch_ids,
+        search_index,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    emb = load_table(spark, sf, "embeddings").select("vec_id", "embedding")
+    _q, books = _pq_quantized_and_books(spark, sf)
+    cent = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cvec")
+    )
+    queries = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 105)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    sharded = str(tmp_path / "sharded")
+    compacted = str(tmp_path / "compacted")
+    for b in range(3):
+        append_to_index(emb.filter(F.col("vec_id") % 3 == b), cent, books, sharded, b)
+
+    def rows(idx):
+        return sorted(
+            map(tuple, search_index(spark, idx, queries, cent, books, k=10).collect())
+        )
+
+    before = rows(sharded)
+    assert compact_index(spark, sharded, compacted) == 3
+    assert list_batch_ids(spark, compacted) == [0]
+    assert rows(compacted) == before
+    # source untouched — all three shards still present and searchable
+    assert list_batch_ids(spark, sharded) == [0, 1, 2]
+    assert rows(sharded) == before
+    # replay-idempotent: compacting again overwrites, results unchanged
+    assert compact_index(spark, sharded, compacted) == 3
+    assert rows(compacted) == before
+    # the compacted tree holds exactly the corpus's code rows, once each
+    n_corpus = emb.filter(F.col("embedding").isNotNull()).count()
+    n_comp = spark.read.option("basePath", compacted).parquet(
+        os.path.join(compacted, "batch=0")
+    ).count()
+    assert n_comp == n_corpus

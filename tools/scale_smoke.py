@@ -93,6 +93,13 @@ QUERIES = [
     "neardup_cc_incremental",
     "documents_keyset_page",
     "multimodal_frame_sample",
+    # round-16 staged candidates (pre-registration smokes): compaction is
+    # pure I/O over code/posting rows; the sample/curriculum windows are
+    # cap-bounded / phase-keyed
+    "ann_index_compacted",
+    "term_index_compacted",
+    "cluster_capped_sample",
+    "curriculum_order",
 ]
 
 DOC_STRIDE = 1_000_000

@@ -1177,3 +1177,69 @@ def knn_graph_mutual(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("vec_a") < F.col("vec_b"))
         .select("vec_a", "vec_b", "score")
     )
+
+
+# --- cluster-capped subsampling (staged r16) ----------------------------------
+
+# DataComp/SemDeDup-style cluster balancing: huge clusters are dominated by
+# redundant content, so keep at most CAP representatives per k-means
+# cluster, chosen by a deterministic hash order (a stable "random" sample:
+# the same corpus always yields the same sample, and the choice is
+# uncorrelated with vec_id assignment order).
+_CSAMPLE_CAP = 8
+
+_CSAMPLE_SQL = f"""
+WITH {_KM_CTES_SQRT_K},
+assigned AS (
+  SELECT vec_id, cluster FROM d2
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) = 1
+),
+ranked AS (
+  SELECT cluster, vec_id,
+         CAST(row_number() OVER (
+           PARTITION BY cluster
+           ORDER BY {seeded_hash60_sql('CAST(vec_id AS VARCHAR)', 1)}, vec_id
+         ) AS INT) AS sample_rank
+  FROM assigned
+)
+SELECT cluster, vec_id, sample_rank FROM ranked WHERE sample_rank <= {_CSAMPLE_CAP}
+"""
+
+
+@register(
+    "cluster_capped_sample",
+    oracle=_CSAMPLE_SQL,
+    retired=True,  # STAGED for the round-16 swap
+    description=(
+        "cluster-balanced subsampling (DataComp/SemDeDup recipe): at most "
+        "8 representatives per data-derived sqrt(n)-means cluster, chosen "
+        "by deterministic hash order — caps any cluster's contribution to "
+        "the training mix regardless of how redundant it is"
+    ),
+)
+def cluster_capped_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-aware balancing at 100 TB: the rank window partitions by
+    cluster over (hash, vec_id) — k-bounded output (<= k*CAP rows kept),
+    WindowGroupLimit cuts each partition at CAP before the filter, and
+    the assignment rides the shared sqrt(n)-means cache + bit-exact numpy
+    argmin the whole clustering family uses.  The hash order makes the
+    sample stable under any corpus re-partitioning (pinned by the
+    determinism battery) and independent of ingestion order — the
+    property an id-order sample lacks when ids encode crawl time."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    k = _ceil_sqrt(emb.count())
+    assigned = _kmeans_assignments(spark, sf_dir, k=k, numpy_assign=True).select(
+        "vec_id", "cluster"
+    )
+    w = Window.partitionBy("cluster").orderBy(
+        seeded_hash60(F.col("vec_id").cast("string"), 1), F.asc("vec_id")
+    )
+    return (
+        assigned.withColumn("sample_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("sample_rank") <= _CSAMPLE_CAP)
+        .select("cluster", "vec_id", "sample_rank")
+    )

@@ -40,6 +40,7 @@ the returned DataFrame survives the cleanup.
 
 from __future__ import annotations
 
+import os
 import shutil
 import tempfile
 
@@ -1567,6 +1568,65 @@ def ann_index_streamed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream_index_vectors(spark, flat, cent, books, index)
         return search_index(
             spark, index, queries, cent, books, k=_PQ_TOPK, nprobe=2
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "ann_index_compacted",
+    oracle=_ivfpq_sql(),
+    retired=True,  # STAGED for the round-16 swap
+    description=(
+        "IVF-PQ shard compaction (the Milvus segment-compaction "
+        "analogue): three nightly batch shards merged into ONE compacted "
+        "shard tree — codes moved, nothing re-encoded or re-assigned — "
+        "then probed; the oracle is the one-shot IVF-PQ SQL verbatim, "
+        "pinning compacted == sharded == one-shot == logical"
+    ),
+)
+def ann_index_compacted_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The maintenance step AFTER ann_index_incremental's nightly appends:
+    a probe reads nprobe cells x n_batches shard files, so files-per-probe
+    grows linearly with appends until a compaction folds the batch tree
+    back to one.  Compaction is pure I/O over (vec_id, codes, cell_id) —
+    the frozen quantizers are never consulted, so no code can change and
+    the probe result is row-identical, which is exactly what the hash
+    gate checks.  Publish-then-swap: the sharded source stays intact
+    until the compacted tree is verified."""
+    from vector_graph_rag_spark.streaming.vector_index import (
+        append_to_index,
+        compact_index,
+        search_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    par = spark.sparkContext.defaultParallelism
+    if emb.rdd.getNumPartitions() < max(2, par // 2):
+        emb = emb.repartition(par)
+    _q, books = _pq_quantized_and_books(spark, sf_dir)
+    if not any(books):
+        return spark.createDataFrame(
+            [], "query_id long, vec_id long, adc_dist long, rank int"
+        )
+    cent = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cvec")
+    )
+    queries = emb.filter(
+        (F.col("vec_id") >= 100) & (F.col("vec_id") < 105)
+    ).select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))
+    root = tempfile.mkdtemp(prefix="vgr_anncmp_")
+    try:
+        sharded = os.path.join(root, "sharded")
+        compacted = os.path.join(root, "compacted")
+        for b in range(3):
+            append_to_index(
+                emb.filter(F.col("vec_id") % 3 == b), cent, books, sharded, b
+            )
+        n = compact_index(spark, sharded, compacted)
+        assert n == 3
+        return search_index(
+            spark, compacted, queries, cent, books, k=_PQ_TOPK, nprobe=2
         ).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)

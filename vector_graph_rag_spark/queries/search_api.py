@@ -23,6 +23,8 @@ PQ convention); ties always break to the lowest id.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -722,3 +724,54 @@ def term_index_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(index, ignore_errors=True)
+
+
+@register(
+    "term_index_compacted",
+    oracle=_SPARSE_SQL,
+    retired=True,  # STAGED for the round-16 swap
+    description=(
+        "posting-shard compaction: three nightly term-index shards merged "
+        "into ONE compacted shard (pure I/O — nothing re-tokenized), then "
+        "searched through the compacted tree — the oracle is "
+        "sparse_dot_topk's SQL verbatim, pinning compacted == sharded == "
+        "one-shot == logical"
+    ),
+)
+def term_index_compacted_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The maintenance step AFTER term_index_incremental's nightly
+    appends: a term's posting list spans every batch that saw it, so
+    files-per-term grows linearly with appends until a compaction folds
+    the shard tree back to one.  Compaction moves (doc_id, term, w) rows
+    only — batches are doc-disjoint, so concatenation IS the merged index
+    and the search result is row-identical, which is exactly what the
+    hash gate checks.  Publish-then-swap: the sharded source stays intact
+    until the compacted tree is verified."""
+    import shutil
+    import tempfile
+
+    from vector_graph_rag_spark.streaming.term_index import (
+        append_term_batch,
+        compact_term_index,
+        search_term_index,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    queries = d.filter(F.col("doc_id") < _SPARSE_NQ).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    root = tempfile.mkdtemp(prefix="vgr_terms_cmp_")
+    try:
+        sharded = os.path.join(root, "sharded")
+        compacted = os.path.join(root, "compacted")
+        for b in range(3):
+            append_term_batch(
+                d.filter(F.col("doc_id") % 3 == b), sharded, batch_id=b
+            )
+        n = compact_term_index(spark, sharded, compacted)
+        assert n == 3
+        return search_term_index(
+            spark, compacted, queries, k=_SPARSE_TOPK
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

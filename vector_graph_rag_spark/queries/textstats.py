@@ -379,3 +379,100 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             " 4, 'train_split', n4) AS (stage_idx, stage, n_docs)"
         )
     ).select(F.col("stage_idx").cast("int"), "stage", F.col("n_docs").cast("bigint"))
+
+
+# --- curriculum ordering (staged r16) ----------------------------------------
+
+# Quality-first curriculum with a deterministic in-phase shuffle: phase 1 =
+# clean long documents (passes the quality gates AND >= 40 tokens), phase 2
+# = clean short, phase 3 = everything else; within a phase, order by
+# hash60(doc_id) — a stable pseudo-random shuffle, uncorrelated with crawl
+# order (which doc_id encodes), reproducible across runs and engines.
+
+_CURR_LONG_TOKENS = 40
+
+_CURRICULUM_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+tok_stats AS (
+  SELECT doc_id,
+         COUNT(*) FILTER (WHERE tok <> '') AS n_tokens,
+         COUNT(*) FILTER (WHERE tok IN ({_STOP_SQL_LIST})) AS n_stop
+  FROM toks GROUP BY doc_id
+),
+gated AS (
+  SELECT d.doc_id, t.n_tokens,
+         CASE WHEN t.n_tokens >= 20
+               AND CAST(t.n_stop AS DOUBLE) / NULLIF(t.n_tokens, 0) >= 0.01
+               AND CAST(len(regexp_extract_all(d.text, '[^A-Za-z0-9 ]')) AS DOUBLE)
+                   / NULLIF(length(d.text), 0) <= 0.2
+              THEN 1 ELSE 0 END AS passes
+  FROM documents d JOIN tok_stats t ON d.doc_id = t.doc_id
+),
+phased AS (
+  SELECT doc_id, n_tokens,
+         CASE WHEN passes = 1 AND n_tokens >= {_CURR_LONG_TOKENS} THEN 1
+              WHEN passes = 1 THEN 2
+              ELSE 3 END AS phase
+  FROM gated
+)
+SELECT phase, CAST(row_number() OVER (
+         PARTITION BY phase ORDER BY {hash60_sql('CAST(doc_id AS VARCHAR)')}, doc_id
+       ) AS INT) AS ord_in_phase,
+       doc_id, n_tokens
+FROM phased
+"""
+
+
+@register(
+    "curriculum_order",
+    oracle=_CURRICULUM_SQL,
+    retired=True,  # STAGED for the round-16 swap
+    description=(
+        "quality-first training curriculum: clean-long -> clean-short -> "
+        "rest phases (the quality_score gates), deterministic hash "
+        "shuffle within each phase — the reproducible training-order "
+        "plan a data pipeline emits ahead of shard writing"
+    ),
+)
+def curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At 100 TB the phase assignment is a row-local CASE over the same
+    map-side-combined token stats quality_score derives, and the in-phase
+    shuffle is one rank window per phase keyed by a hash — 3 partitions
+    regardless of corpus size... which is exactly the window's scale
+    hazard: a corpus-sized ORDER BY per phase.  The deployment shape
+    writes (phase, hash) as a SORT KEY into the packing/shard-writer step
+    (range-partitioned write, no single-reducer window); the registered
+    query keeps the window form because the driver gate needs the
+    materialized global ordinals, and documents the escalation here."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    n_tokens = F.size(toks).cast("bigint")
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(_STOPWORDS)))
+    passes = (
+        (n_tokens >= 20)
+        & (n_stop.cast("double") / F.nullif(n_tokens, F.lit(0)) >= 0.01)
+        & (
+            F.regexp_count("text", F.lit("[^A-Za-z0-9 ]")).cast("double")
+            / F.nullif(F.length("text"), F.lit(0))
+            <= 0.2
+        )
+    )
+    phased = d.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.when(passes & (n_tokens >= _CURR_LONG_TOKENS), F.lit(1))
+        .when(passes, F.lit(2))
+        .otherwise(F.lit(3))
+        .alias("phase"),
+    )
+    w = Window.partitionBy("phase").orderBy(
+        hash60(F.col("doc_id").cast("string")), F.asc("doc_id")
+    )
+    return phased.select(
+        "phase",
+        F.row_number().over(w).cast("int").alias("ord_in_phase"),
+        "doc_id",
+        "n_tokens",
+    )

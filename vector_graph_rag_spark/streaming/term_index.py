@@ -174,3 +174,31 @@ def stream_index_documents(
     )
     q.awaitTermination()
     return n_batches[0]
+
+
+def compact_term_index(
+    spark: SparkSession, index_dir: str, out_dir: str, compacted_id: int = 0
+) -> int:
+    """Merge every posting shard into ONE compacted shard (the lexical
+    sibling of ``vector_index.compact_index``): all (doc_id, term, w)
+    rows rewritten term-major under ``out_dir/batch=<compacted_id>``.
+    Pure I/O — postings are never re-tokenized, and batches are
+    doc-disjoint by the append contract, so concatenation IS the merged
+    index: a search of the compacted tree returns row-identical results.
+    The source shards stay intact (publish-then-swap).  Returns the
+    number of source batches merged.
+
+    At 100 TB this bounds the files-per-term growth the nightly appends
+    accumulate (a term's posting list spans every batch that saw it)."""
+    ids = list_batch_ids(spark, index_dir)
+    if not ids:
+        return 0
+    rows = spark.read.parquet(
+        *[os.path.join(index_dir, f"batch={i}") for i in ids]
+    ).select("doc_id", "term", "w")
+    batch_dir = os.path.join(out_dir, f"batch={compacted_id}")
+    fs, bpath = _fs(spark, batch_dir)
+    if fs.exists(bpath):  # replay-idempotent like append_term_batch
+        fs.delete(bpath, True)
+    rows.repartition(F.col("term")).write.mode("overwrite").parquet(batch_dir)
+    return len(ids)

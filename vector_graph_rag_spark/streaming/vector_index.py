@@ -232,3 +232,42 @@ def stream_index_vectors(
     )
     q.awaitTermination()
     return n_batches[0]
+
+
+def compact_index(
+    spark: SparkSession, index_dir: str, out_dir: str, compacted_id: int = 0
+) -> int:
+    """Merge every batch shard into ONE compacted shard tree (the Milvus
+    segment-compaction analogue): all (vec_id, codes, cell_id) rows read
+    across batches and rewritten as ``out_dir/batch=<compacted_id>``,
+    partitionBy(cell_id) with the same salted files-per-cell bound the
+    appends use.  CODES ONLY — raw vectors are never touched and nothing
+    is re-encoded or re-assigned, so compaction is pure I/O: a probe of
+    the compacted tree returns row-identical results to the sharded one
+    (pinned by tests/test_vector_index.py and the ann_index_compacted
+    hash gate).  The source index is left intact; the caller swaps
+    directories (or deletes the source) once the compacted tree is
+    verified — the same publish-then-swap discipline as the versioned
+    store.  Returns the number of source batches merged.
+
+    At 100 TB compaction bounds the files-per-probe growth: a probe reads
+    nprobe cells x n_batches shard files; nightly appends push n_batches
+    up linearly until a compaction folds them back to one."""
+    ids = list_batch_ids(spark, index_dir)
+    if not ids:
+        return 0
+    rows = spark.read.option("basePath", index_dir).parquet(
+        *[os.path.join(index_dir, f"batch={i}") for i in ids]
+    )
+    batch_dir = os.path.join(out_dir, f"batch={compacted_id}")
+    fs, bpath = _fs(spark, batch_dir)
+    if fs.exists(bpath):  # replay-idempotent like append_to_index
+        fs.delete(bpath, True)
+    (
+        rows.select("vec_id", "codes", "cell_id")
+        .repartition(F.col("cell_id"), F.pmod(F.hash("vec_id"), F.lit(4)))
+        .write.mode("overwrite")
+        .partitionBy("cell_id")
+        .parquet(batch_dir)
+    )
+    return len(ids)
