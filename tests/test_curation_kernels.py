@@ -1267,3 +1267,54 @@ def test_knn_group_kernel_randomized_matches_bruteforce_twin(spark):
         ):
             got.add((r["vec_id"], r["nbr_id"], r["score"], r["rank"]))
     assert got == twin()
+
+
+def test_curation_pipeline_compact_index_after(spark, tmp_path, monkeypatch, capsys):
+    """--compact-index-after: night 2's append pushes the vector index to
+    two batch shards, the threshold fires, and the tree folds to ONE
+    compacted shard holding every indexed code exactly once."""
+    import glob
+    import importlib.util
+    import json
+    import os
+    import sys
+
+    from pyspark.sql import SparkSession
+
+    spec = importlib.util.spec_from_file_location(
+        "curation_pipeline",
+        os.path.join(os.path.dirname(__file__), "..", "tools", "curation_pipeline.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    monkeypatch.setattr(SparkSession, "stop", lambda self: None)
+    vindex = str(tmp_path / "vindex")
+
+    def run(out, limit=None):
+        argv = [
+            "curation_pipeline.py", "--sf", "/root/testdata/sf0.001",
+            "--out", out, "--vector-index", vindex,
+            "--compact-index-after", "2",
+        ]
+        if limit:
+            argv += ["--limit", str(limit)]
+        monkeypatch.setattr(sys, "argv", argv)
+        mod.main()
+        return json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    r1 = run(str(tmp_path / "n1"), limit=250)
+    n1 = r1["funnel"]["vector_index_appended"]
+    assert n1 > 0
+    assert sorted(glob.glob(os.path.join(vindex, "batch=*"))) == [
+        os.path.join(vindex, "batch=0")
+    ]
+
+    r2 = run(str(tmp_path / "n2"))  # full corpus: docs 250+ are new
+    n2 = r2["funnel"]["vector_index_appended"]
+    assert n2 > 0
+    assert r2["funnel"]["vector_index_compacted_from"] == 2
+    # only the compacted shard remains, holding every code exactly once
+    dirs = sorted(glob.glob(os.path.join(vindex, "batch=*")))
+    assert dirs == [os.path.join(vindex, "batch=2")]
+    total = spark.read.option("basePath", vindex).parquet(dirs[0]).count()
+    assert total == n1 + n2

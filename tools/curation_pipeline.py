@@ -155,6 +155,15 @@ def main() -> None:
              "recorded runs (streaming/corpus_stats.py)",
     )
     ap.add_argument(
+        "--compact-index-after", type=int, default=0, metavar="N",
+        help="with --vector-index: once the shard tree holds >= N batch "
+             "shards after tonight's append, fold them into one compacted "
+             "shard (streaming/vector_index.compact_index — pure I/O, "
+             "codes moved, nothing re-encoded) and drop the sources; "
+             "bounds files-per-probe growth across nightly appends. "
+             "0 disables",
+    )
+    ap.add_argument(
         "--compact-after", type=int, default=8, metavar="N",
         help="with --store: auto-compact the merge-on-read chain into a "
              "new base once it reaches N layers (chain-read cost is "
@@ -592,6 +601,32 @@ def main() -> None:
                 os.replace(tmp, os.path.join(qdir, "codebooks.json"))
             _vector_append(vbatch, v_cent, v_books, args.vector_index, v_shard)
             counts["vector_index_appended"] = counts["vector_index_new"]
+            if args.compact_index_after:
+                from vector_graph_rag_spark.streaming.vector_index import (
+                    compact_index,
+                    list_batch_ids as _v_list,
+                )
+
+                ids_now = _v_list(spark, args.vector_index)
+                if len(ids_now) >= args.compact_index_after:
+                    # fold into a NEW batch id inside the same tree, then
+                    # drop the sources — readers between the two steps see
+                    # duplicates, so this runs inside the nightly batch
+                    # window (the registered ann_index_compacted query pins
+                    # the publish-then-swap variant for online indexes)
+                    comp_id = max(ids_now) + 1
+                    compact_index(
+                        spark, args.vector_index, args.vector_index, comp_id
+                    )
+                    jvm = spark.sparkContext._jvm
+                    conf = spark.sparkContext._jsc.hadoopConfiguration()
+                    for i in ids_now:
+                        p = jvm.org.apache.hadoop.fs.Path(
+                            os.path.join(args.vector_index, f"batch={i}")
+                        )
+                        p.getFileSystem(conf).delete(p, True)
+                    counts["vector_index_compacted_from"] = len(ids_now)
+                    counts["vector_index_batches"] = 1
 
     if deferred_blocks is not None:
         deferred_blocks.write.mode("overwrite").parquet(args.out + "_blocks")
