@@ -340,3 +340,35 @@ def test_pq_books_cache_fingerprint_invalidates_on_rewrite(tmp_path):
 
     # missing table never raises — distinct sentinel key per path
     assert _embeddings_fingerprint(str(tmp_path / "nope"))[1] is None
+
+
+def test_encode_pq_np_bitexact_vs_hof(spark):
+    """The numpy encode twin (used by the streaming ingest path) must be
+    BIT-identical to the JVM HOF form — codes and carried qv both.  A
+    duplicate codeword is injected so the first-minimum == lowest-code-id
+    tie rule is exercised."""
+    from vector_graph_rag_spark.operators.pq import (
+        encode_pq,
+        encode_pq_np,
+        quantize_embeddings,
+        train_pq_codebooks,
+    )
+    from vector_graph_rag_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    q = quantize_embeddings(emb)
+    books = train_pq_codebooks(q, updates=1)
+    # duplicate codeword: code 0's vector copied onto the highest code id
+    # of each book — every vector nearest code 0 now ties with it, and
+    # both engines must resolve to the LOWER id (first minimum)
+    forced = [
+        [(cid, book[0][1] if cid == book[-1][0] else vec) for cid, vec in book]
+        for book in books
+    ]
+    a = {r["vec_id"]: (list(r["qv"]), list(r["codes"])) for r in encode_pq(q, forced).collect()}
+    b = {r["vec_id"]: (list(r["qv"]), list(r["codes"])) for r in encode_pq_np(q, forced).collect()}
+    assert a == b
+    assert len(a) == q.count()
+    # the tie actually fired somewhere and resolved low
+    top_ids = {book[-1][0] for book in forced}
+    assert not any(set(codes) & top_ids for _qv, codes in a.values())

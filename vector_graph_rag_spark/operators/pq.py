@@ -114,6 +114,57 @@ def encode_pq(q: DataFrame, codebooks: Codebooks) -> DataFrame:
     return q.select("vec_id", "qv", codes.alias("codes"))
 
 
+def encode_pq_np(q: DataFrame, codebooks: Codebooks) -> DataFrame:
+    """Numpy twin of :func:`encode_pq` (Arrow-batched ``mapInPandas``, the
+    sanctioned pandas scale path) — BIT-EXACT by construction: quantized
+    components are |x| <= PQ_SCALE, so every int64 product (<= 10^6·SUB)
+    and squared subvector distance stays an exact integer, identical to
+    the JVM fold's bigints; ``np.argmin``'s first-minimum equals the
+    lowest-code-id tie rule because each codebook's entries are ordered by
+    code id (the same order the literal form walks).  Pinned by
+    tests/test_pq.py::test_encode_pq_np_bitexact_vs_hof.
+
+    Used by the streaming ingest path (vector_index.append_to_index),
+    where per-batch encoding is the dominant 100x-smoke cost (n·M·K·SUB
+    interpreted ops in the HOF form); the one-shot registered queries keep
+    the JVM form their plans pin."""
+    import numpy as np
+    import pandas as pd
+
+    ids = [np.asarray([cid for cid, _ in book], dtype=np.int64) for book in codebooks]
+    mats = [
+        np.asarray([list(vec) for _, vec in book], dtype=np.int64)
+        for book in codebooks
+    ]
+
+    def _enc(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.asarray(pdf["qv"].tolist(), dtype=np.int64)
+            codes = np.empty((len(V), PQ_M), dtype=np.int64)
+            for m in range(PQ_M):
+                sub = V[:, m * PQ_SUB : (m + 1) * PQ_SUB]
+                C = mats[m]
+                D = (
+                    np.einsum("ij,ij->i", sub, sub)[:, None]
+                    - 2 * (sub @ C.T)
+                    + np.einsum("ij,ij->i", C, C)[None, :]
+                )
+                codes[:, m] = ids[m][np.argmin(D, axis=1)]
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "qv": pdf["qv"],
+                    "codes": [[int(c) for c in row] for row in codes],
+                }
+            )
+
+    return q.select("vec_id", "qv").mapInPandas(
+        _enc, "vec_id long, qv array<bigint>, codes array<int>"
+    )
+
+
 def train_pq_codebooks(q: DataFrame, updates: int = 1) -> Codebooks:
     """Per-subvector Lloyd training, all M codebooks in each single pass.
 

@@ -45,7 +45,7 @@ from pyspark.sql import functions as F
 from vector_graph_rag_spark.operators.pq import (
     Codebooks,
     adc_score,
-    encode_pq,
+    encode_pq_np,
     quantize_embeddings,
 )
 
@@ -80,9 +80,10 @@ def append_to_index(
     corpus_vec: str = "embedding",
 ) -> None:
     """Assign + encode ONE batch against the frozen quantizers and write
-    its shard.  Row-local work only (JVM-parsed centroid/codebook
-    literals); the single shuffle is the salted cell repartition bounding
-    files-per-cell (same rationale as ``pq.write_ivfpq_index``)."""
+    its shard.  Row-local work only (JVM centroid literals for the cell
+    assignment, the bit-exact numpy twin for the PQ encode); the single
+    shuffle is the salted cell repartition bounding files-per-cell (same
+    rationale as ``pq.write_ivfpq_index``)."""
     from vector_graph_rag_spark.operators.ivf import assign_cells
 
     spark = batch.sparkSession
@@ -101,8 +102,12 @@ def append_to_index(
     if fs.exists(bpath):  # replay: physically drop the stale shard first
         fs.delete(bpath, True)
 
+    # Bit-exact numpy encode (operators/pq.encode_pq_np): per-batch
+    # encoding is the dominant cost of the ingest path at the 100x smoke
+    # (the HOF form's n·M·K·SUB interpreted ops); codes are provably
+    # identical, so shards stay byte-compatible with the literal form.
     q = quantize_embeddings(batch, id_col=corpus_id, vec_col=corpus_vec)
-    enc = encode_pq(q, codebooks).select("vec_id", "codes")
+    enc = encode_pq_np(q, codebooks).select("vec_id", "codes")
     assigned = assign_cells(
         batch.select(corpus_id, corpus_vec),
         centroids,
