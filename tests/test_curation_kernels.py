@@ -1318,3 +1318,77 @@ def test_curation_pipeline_compact_index_after(spark, tmp_path, monkeypatch, cap
     assert dirs == [os.path.join(vindex, "batch=2")]
     total = spark.read.option("basePath", vindex).parquet(dirs[0]).count()
     assert total == n1 + n2
+
+
+def test_curation_pipeline_curriculum_pack_order(spark, tmp_path, monkeypatch, capsys):
+    """--curriculum: within every shard, packed documents follow
+    (phase, hash60) order — clean-long docs first, hash-shuffled within a
+    phase — while the packing invariants (every doc exactly once, budget
+    respected) hold unchanged."""
+    import importlib.util
+    import json
+    import os
+    import sys
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    spec = importlib.util.spec_from_file_location(
+        "curation_pipeline",
+        os.path.join(os.path.dirname(__file__), "..", "tools", "curation_pipeline.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    monkeypatch.setattr(SparkSession, "stop", lambda self: None)
+    out = str(tmp_path / "shards")
+    monkeypatch.setattr(
+        sys, "argv",
+        ["curation_pipeline.py", "--sf", "/root/testdata/sf0.001",
+         "--out", out, "--curriculum"],
+    )
+    mod.main()
+    r = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert r["funnel"]["curriculum"] is True
+
+    from vector_graph_rag_spark.functions.hashing import hash60
+    from vector_graph_rag_spark.queries.textstats import curriculum_order
+
+    # expected curriculum key for every doc (phase-major, hash within)
+    phases = {
+        r_["doc_id"]: r_["phase"]
+        for r_ in curriculum_order(spark, "/root/testdata/sf0.001").collect()
+    }
+    hashes = {
+        r_["doc_id"]: r_["h"]
+        for r_ in spark.range(0, 100000).select(
+            F.col("id").alias("doc_id"),
+            hash60(F.col("id").cast("string")).alias("h"),
+        ).collect()
+        if r_["doc_id"] in phases
+    }
+    seqs = spark.read.parquet(out).collect()
+    seen = []
+    for row in seqs:
+        seen.extend(row["doc_ids"])
+        # within a sequence, docs are in pack order — keys nondecreasing
+        keys = [(phases[d], hashes[d], d) for d in row["doc_ids"]]
+        assert keys == sorted(keys), row["doc_ids"]
+    # every curated doc packed exactly once
+    assert sorted(seen) == sorted(set(seen))
+    # across sequences of one shard, seq_id order follows the key order:
+    # the first doc of seq i+1 sorts after the last doc of seq i
+    by_shard = {}
+    for row in seqs:
+        by_shard.setdefault(int(row["shard"]), []).append(row)
+    for shard_rows in by_shard.values():
+        shard_rows.sort(key=lambda r_: r_["seq_id"])
+        for a, b in zip(shard_rows, shard_rows[1:]):
+            last_a = a["doc_ids"][-1]
+            first_b = b["doc_ids"][0]
+            assert (phases[last_a], hashes[last_a], last_a) <= (
+                phases[first_b], hashes[first_b], first_b
+            )
+    # the curriculum actually reorders: some shard must not be doc_id-sorted
+    assert any(
+        row["doc_ids"] != sorted(row["doc_ids"]) for row in seqs
+    ) or len(seqs) == 0

@@ -155,6 +155,15 @@ def main() -> None:
              "recorded runs (streaming/corpus_stats.py)",
     )
     ap.add_argument(
+        "--curriculum", action="store_true",
+        help="pack training sequences in curriculum order (clean-long -> "
+             "clean-short -> rest by the quality gates, deterministic hash "
+             "shuffle within each phase) instead of doc_id order — the "
+             "sort key rides the per-shard sequential pack, no corpus "
+             "ordinal window (queries/textstats.curriculum_order "
+             "documents the escalation)",
+    )
+    ap.add_argument(
         "--compact-index-after", type=int, default=0, metavar="N",
         help="with --vector-index: once the shard tree holds >= N batch "
              "shards after tonight's append, fold them into one compacted "
@@ -766,7 +775,42 @@ def main() -> None:
                 for r in flagged
             ]
 
-    write_training_shards(stage, args.out, budget=args.budget, shards=args.shards)
+    order_col = None
+    if args.curriculum:
+        # phase * 2^61 + hash60(doc_id): phase-major, hash-shuffled within
+        # (phase <= 3 and hash60 < 2^60, so the packed key stays < 2^63)
+        from vector_graph_rag_spark.functions.hashing import hash60
+        from vector_graph_rag_spark.queries.textstats import (
+            _CURR_LONG_TOKENS,
+            _STOPWORDS,
+        )
+        from vector_graph_rag_spark.functions.text import tokens as _toks
+
+        t = _toks("text")
+        n_tokens = F.size(t).cast("bigint")
+        n_stop = F.size(F.filter(t, lambda x: x.isin(_STOPWORDS)))
+        passes = (
+            (n_tokens >= 20)
+            & (n_stop.cast("double") / F.nullif(n_tokens, F.lit(0)) >= 0.01)
+            & (
+                F.regexp_count("text", F.lit("[^A-Za-z0-9 ]")).cast("double")
+                / F.nullif(F.length("text"), F.lit(0))
+                <= 0.2
+            )
+        )
+        phase = (
+            F.when(passes & (n_tokens >= _CURR_LONG_TOKENS), F.lit(1))
+            .when(passes, F.lit(2))
+            .otherwise(F.lit(3))
+            .cast("long")
+        )
+        order_col = phase * F.lit(2**61).cast("long") + hash60(
+            F.col("doc_id").cast("string")
+        )
+        counts["curriculum"] = True
+    write_training_shards(
+        stage, args.out, budget=args.budget, shards=args.shards, order_col=order_col
+    )
     shards_df = spark.read.parquet(args.out)
     counts["sequences_written"] = shards_df.count()
     counts["tokens_written"] = shards_df.agg(F.sum("n_tokens")).collect()[0][0]

@@ -415,22 +415,38 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def pack_sequences(
-    d: DataFrame, budget: int = _PACK_BUDGET, shards: int = _PACK_SHARDS
+    d: DataFrame,
+    budget: int = _PACK_BUDGET,
+    shards: int = _PACK_SHARDS,
+    order_col=None,
 ) -> DataFrame:
     """Parametrizable packing over any (doc_id, text) DataFrame.  At 100 TB
     ``shards`` scales with the cluster (thousands of shards ⇒ thousands of
     parallel, memory-bounded sequential scans); the declared query fixes
-    budget/shards for the oracle."""
-    sized = d.select(
+    budget/shards for the oracle.
+
+    ``order_col``: an optional Column giving each document's pack-order
+    SORT KEY within its shard (ties broken by doc_id) — this is the
+    documented curriculum escalation: instead of a corpus-sized ordinal
+    window (queries/textstats.curriculum_order), the key rides the
+    existing per-shard sequential pack, so curriculum ordering costs
+    nothing beyond the column expression.  Default None = doc_id order,
+    the oracle-gated behavior."""
+    cols = [
         "doc_id",
         (F.col("doc_id") % shards).alias("shard"),
         F.size(tokens("text")).cast("bigint").alias("n_tokens"),
-    )
+    ]
+    order_cols = ["doc_id"]
+    if order_col is not None:
+        cols.append(order_col.cast("long").alias("pack_order"))
+        order_cols = ["pack_order", "doc_id"]
+    sized = d.select(*cols)
     # NB: applyInPandas calls a TWO-parameter function as (key, pdf); the
     # lambda pins the one-argument form so _pack_shard's budget kwarg (used
     # by tests) can't be mistaken for the group key.
     return sized.groupBy("shard").applyInPandas(
-        lambda pdf: _pack_shard(pdf, budget=budget),
+        lambda pdf: _pack_shard(pdf, budget=budget, order_cols=order_cols),
         "doc_id long, shard long, seq_id long, pos_in_seq long, n_tokens long",
     )
 
@@ -440,6 +456,7 @@ def write_training_shards(
     out_dir: str,
     budget: int = _PACK_BUDGET,
     shards: int = _PACK_SHARDS,
+    order_col=None,
 ) -> None:
     """The curation sink: pack documents into training sequences and write
     one row PER SEQUENCE, partitioned by shard — the layout a trainer's
@@ -453,7 +470,7 @@ def write_training_shards(
     per-sequence assembly (groupBy shard,seq_id); the partitionBy(shard)
     write keeps each shard's sequences in its own directory.
     """
-    packed = pack_sequences(d, budget=budget, shards=shards)
+    packed = pack_sequences(d, budget=budget, shards=shards, order_col=order_col)
     with_text = packed.join(d.select("doc_id", "text"), "doc_id")
     seqs = (
         with_text.groupBy("shard", "seq_id")
@@ -477,10 +494,14 @@ def write_training_shards(
     seqs.write.mode("overwrite").partitionBy("shard").parquet(out_dir)
 
 
-def _pack_shard(pdf: pd.DataFrame, budget: int = _PACK_BUDGET) -> pd.DataFrame:
-    """Greedy first-fit over one shard's docs in doc_id order (the sequential
-    kernel inside applyInPandas; module-level so tests exercise it directly)."""
-    pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+def _pack_shard(
+    pdf: pd.DataFrame, budget: int = _PACK_BUDGET, order_cols=("doc_id",)
+) -> pd.DataFrame:
+    """Greedy first-fit over one shard's docs in ``order_cols`` order —
+    doc_id by default, (pack_order, doc_id) for curriculum packing (the
+    sequential kernel inside applyInPandas; module-level so tests exercise
+    it directly)."""
+    pdf = pdf.sort_values(list(order_cols)).reset_index(drop=True)
     seq_ids, positions = [], []
     seq_id, fill, pos = 0, 0, -1
     first = True
