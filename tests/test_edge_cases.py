@@ -176,13 +176,17 @@ def test_curation_queries_on_empty_tables(spark, tmp_path):
         [], "vec_id long, embedding array<float>, label int"
     ).write.parquet(f"{sf}/embeddings.parquet")
 
-    qs = load_all()
+    # include_retired: kmeans_embedding_clusters rotated out of the driver
+    # surface in the r13 swap but keeps its implementation + local gates;
+    # semdedup_keep is its active survivor and must hold the same contract.
+    qs = load_all(include_retired=True)
     for name in (
         "contamination_ngram_overlap",
         "pii_redaction_profile",
         "repetition_quality_filters",
         "sequence_packing",
         "kmeans_embedding_clusters",
+        "semdedup_keep",
     ):
         assert qs[name].fn(spark, sf).count() == 0, name
 
@@ -208,7 +212,7 @@ def test_kmeans_with_fewer_vectors_than_k(spark, tmp_path):
         "vec_id long, embedding array<float>, label int",
     ).write.parquet(f"{sf}/embeddings.parquet")
 
-    rows = load_all()["kmeans_embedding_clusters"].fn(spark, sf).collect()
+    rows = load_all(include_retired=True)["kmeans_embedding_clusters"].fn(spark, sf).collect()
     assert {(r["vec_id"], r["cluster"], r["dist"]) for r in rows} == {
         (0, 0, 0), (1, 1, 0), (2, 2, 0)
     }

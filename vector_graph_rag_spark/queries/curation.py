@@ -698,6 +698,7 @@ def _km_assign_np(q: DataFrame, centroids: list[tuple[int, list[int]]]) -> DataF
 @register(
     "kmeans_embedding_clusters",
     oracle=_KM_SQL,
+    retired=True,  # retired in the r13 swap — the full Lloyd CTE chain stays driver-gated inside semdedup_keep's oracle
     description=(
         "SemDeDup-style k-means (k=8, 2 Lloyd iterations) over quantized "
         "embeddings; deterministic seed init + floor-avg centroids, "
@@ -919,7 +920,7 @@ FROM assigned a LEFT JOIN doomed d ON d.vec_id = a.vec_id
 @register(
     "semdedup_keep",
     oracle=_SEMDEDUP_SQL,
-    retired=True,  # STAGED for the round-13 swap
+    # ACTIVE since the r13 swap (staged retired=True through r12)
     description=(
         "SemDeDup (Abbas et al. 2023): k-means cluster the embeddings, "
         "then within each cluster drop every vector whose round-6 cosine "
@@ -1049,7 +1050,7 @@ SELECT vec_id, nbr_id, score, rank FROM knn
 @register(
     "knn_graph_incell",
     oracle=_KNN_GRAPH_SQL,
-    retired=True,  # STAGED for the round-13 swap
+    # ACTIVE since the r13 swap (staged retired=True through r12)
     description=(
         "in-cell k-NN graph construction (k=5): every vector's top-k "
         "cosine neighbors WITHIN its k-means cell (data-derived "

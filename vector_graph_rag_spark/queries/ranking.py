@@ -187,7 +187,7 @@ def bm25_keyword_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "bm25_index_topk",
     oracle=_BM25_SQL,
-    retired=True,  # STAGED for the round-13 swap
+    # ACTIVE since the r13 swap (staged retired=True through r12)
     description=(
         "BM25 top-k served from the STORED term index: tf/dl/df/avgdl all "
         "derived from the posting table sparse_index_search lays down, the "

@@ -134,7 +134,7 @@ SELECT query_id, label, vec_id, score, CAST(grk AS INT) AS group_rank FROM (
 @register(
     "grouping_search_topk",
     oracle=_GROUPING_SQL,
-    # ACTIVE since the r11 swap (staged retired=True through r10)
+    retired=True,  # retired in the r13 swap — group_size=1 IS pass 1 of grouping_search_groupsize2's iterated argmax
     description=(
         "Milvus grouping-search analogue (group_by_field=label, "
         "group_size=1): top-3 GROUPS per query, one best hit per group — "
@@ -211,7 +211,7 @@ FROM in_group i JOIN granks g ON g.query_id = i.query_id AND g.label = i.label
 @register(
     "grouping_search_groupsize2",
     oracle=_GROUPING2_SQL,
-    retired=True,  # STAGED for the round-13 swap
+    # ACTIVE since the r13 swap (staged retired=True through r12)
     description=(
         "Milvus grouping search with group_size=2 (non-strict): top-3 "
         "groups per query ranked by their best hit, up to TWO best hits "
@@ -308,7 +308,7 @@ SELECT query_id, doc_id, score, CAST(rk AS INT) AS rank FROM (
 @register(
     "sparse_dot_topk",
     oracle=_SPARSE_SQL,
-    # ACTIVE since the r11 swap (staged retired=True through r10)
+    retired=True,  # retired in the r13 swap — its SQL is sparse_index_search's oracle verbatim; the kernel stays driver-gated there
     description=(
         "Milvus SPARSE_FLOAT_VECTOR analogue: per-doc term-frequency "
         "sparse vectors, integer dot products over the shared-term "

@@ -49,7 +49,12 @@ SELECT query_id, vec_id, score, rank FROM (
 """
 
 
-@register("knn_cosine_topk", oracle=_KNN_SQL, description="multi-query exact cosine top-20 (milvus.py:346-373)")
+@register(
+    "knn_cosine_topk",
+    oracle=_KNN_SQL,
+    retired=True,  # retired in the r13 swap — the ranked-cosine kernel is knn_graph_incell's per-vector semantics; scored-frame coverage stays via range_search_radius + grouping family
+    description="multi-query exact cosine top-20 (milvus.py:346-373)",
+)
 def knn_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5).select(
