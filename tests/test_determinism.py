@@ -53,7 +53,7 @@ REPARTITION_CHECKED = [
     # round-16 staged
     "ann_index_compacted",      # compaction I/O must not reorder probe results
     "cluster_capped_sample",    # hash-ordered sample stable under repartitioning
-    "curriculum_order",         # hash shuffle + phase ordinals under repartitioning
+    "curriculum_order",         # hash shuffle + phase sort keys under repartitioning
 ]
 
 

@@ -8,7 +8,7 @@ JVM-side built-ins — the hot path has zero Python.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from vector_graph_rag_spark.functions.hashing import hash60, hash60_sql
@@ -35,6 +35,23 @@ FROM documents
 """
 
 
+# The quality gates count chars matching [^A-Za-z0-9 ].  Implemented as a
+# translate() char-map DELETE of the 63 allowed chars (what survives is the
+# punct count) instead of regexp_count: identical per-code-point value, but
+# a table lookup instead of the java.util.regex engine — which measured as
+# 1.95s of curriculum_order's 2.10s 10x scan, i.e. ~the entire cost of every
+# quality-gate pass (SCALE.md §Round-13 punct-count fix).  The DuckDB
+# oracles keep the regexp_extract_all spelling; the hash gates pin equality.
+_ALLOWED_CHARS = (
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789 "
+)
+
+
+def n_punct_chars(col: str | Column) -> Column:
+    """count of chars matching [^A-Za-z0-9 ], regex-free."""
+    return F.length(F.translate(col, _ALLOWED_CHARS, ""))
+
+
 @register("token_profile", oracle=_PROFILE_SQL, description="token counting: whitespace + BPE-ish regex")
 def token_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
@@ -44,7 +61,7 @@ def token_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("text").cast("bigint").alias("n_chars"),
         n_tokens.alias("n_tokens"),
         F.regexp_count("text", F.lit(_BPE_PATTERN)).cast("bigint").alias("n_bpe_tokens"),
-        F.regexp_count("text", F.lit("[^A-Za-z0-9 ]")).cast("bigint").alias("n_punct"),
+        n_punct_chars("text").cast("bigint").alias("n_punct"),
         F.round(
             F.length("text").cast("double") / F.nullif(n_tokens, F.lit(0)), 6
         ).alias("chars_per_token"),
@@ -87,7 +104,7 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_stop = F.size(F.filter(toks, lambda t: t.isin(_STOPWORDS)))
     stop_ratio = F.round(n_stop.cast("double") / F.nullif(n_tokens, F.lit(0)), 6)
     punct_ratio = F.round(
-        F.regexp_count("text", F.lit("[^A-Za-z0-9 ]")).cast("double")
+        n_punct_chars("text").cast("double")
         / F.nullif(F.length("text"), F.lit(0)),
         6,
     )
@@ -96,7 +113,7 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             (n_tokens >= 20)
             & (n_stop.cast("double") / F.nullif(n_tokens, F.lit(0)) >= 0.01)
             & (
-                F.regexp_count("text", F.lit("[^A-Za-z0-9 ]")).cast("double")
+                n_punct_chars("text").cast("double")
                 / F.nullif(F.length("text"), F.lit(0))
                 <= 0.2
             ),
@@ -326,7 +343,7 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         (n_tokens >= 20)
         & (n_stop.cast("double") / F.nullif(n_tokens, F.lit(0)) >= 0.01)
         & (
-            F.regexp_count("text", F.lit("[^A-Za-z0-9 ]")).cast("double")
+            n_punct_chars("text").cast("double")
             / F.nullif(F.length("text"), F.lit(0))
             <= 0.2
         )
@@ -388,6 +405,17 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 # = clean short, phase 3 = everything else; within a phase, order by
 # hash60(doc_id) — a stable pseudo-random shuffle, uncorrelated with crawl
 # order (which doc_id encodes), reproducible across runs and engines.
+#
+# r13 fix (r12 verdict, Next #3): the REGISTERED query emits the SORT KEY
+# — (phase, sort_key=hash60(doc_id)) — not materialized per-phase ordinals.
+# The training order is "rank rows by (phase, sort_key, doc_id)"; consumers
+# (pack_sequences(order_col=...), write_training_shards) range-partition on
+# that key, so no engine ever runs the corpus-sized 3-partition ORDER BY
+# window the ordinal form needs (2.85x at the 10x smoke, SCALE.md).  The
+# ordinal form survives as the non-registered `curriculum_order_ordinals`
+# bridge, and tests/test_curation_kernels.py pins that sorting the
+# registered output by (phase, sort_key, doc_id) reproduces its ordinals
+# exactly.
 
 _CURR_LONG_TOKENS = 40
 
@@ -409,20 +437,42 @@ gated AS (
                    / NULLIF(length(d.text), 0) <= 0.2
               THEN 1 ELSE 0 END AS passes
   FROM documents d JOIN tok_stats t ON d.doc_id = t.doc_id
-),
-phased AS (
-  SELECT doc_id, n_tokens,
-         CASE WHEN passes = 1 AND n_tokens >= {_CURR_LONG_TOKENS} THEN 1
-              WHEN passes = 1 THEN 2
-              ELSE 3 END AS phase
-  FROM gated
 )
-SELECT phase, CAST(row_number() OVER (
-         PARTITION BY phase ORDER BY {hash60_sql('CAST(doc_id AS VARCHAR)')}, doc_id
-       ) AS INT) AS ord_in_phase,
+SELECT CASE WHEN passes = 1 AND n_tokens >= {_CURR_LONG_TOKENS} THEN 1
+            WHEN passes = 1 THEN 2
+            ELSE 3 END AS phase,
+       {hash60_sql('CAST(doc_id AS VARCHAR)')} AS sort_key,
        doc_id, n_tokens
-FROM phased
+FROM gated
 """
+
+
+def _curriculum_phased(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_tokens, phase, sort_key) — one linear scan, zero shuffles:
+    phase is a row-local CASE over the same token stats quality_score
+    derives, sort_key the deterministic in-phase shuffle hash."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    n_tokens = F.size(toks).cast("bigint")
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(_STOPWORDS)))
+    passes = (
+        (n_tokens >= 20)
+        & (n_stop.cast("double") / F.nullif(n_tokens, F.lit(0)) >= 0.01)
+        & (
+            n_punct_chars("text").cast("double")
+            / F.nullif(F.length("text"), F.lit(0))
+            <= 0.2
+        )
+    )
+    return d.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.when(passes & (n_tokens >= _CURR_LONG_TOKENS), F.lit(1))
+        .when(passes, F.lit(2))
+        .otherwise(F.lit(3))
+        .alias("phase"),
+        hash60(F.col("doc_id").cast("string")).alias("sort_key"),
+    )
 
 
 @register(
@@ -432,45 +482,36 @@ FROM phased
     description=(
         "quality-first training curriculum: clean-long -> clean-short -> "
         "rest phases (the quality_score gates), deterministic hash "
-        "shuffle within each phase — the reproducible training-order "
-        "plan a data pipeline emits ahead of shard writing"
+        "shuffle within each phase emitted as a SORT KEY — the "
+        "reproducible training-order plan a data pipeline hands the "
+        "shard writer (range-partitioned write, no corpus-wide window)"
     ),
 )
 def curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """At 100 TB the phase assignment is a row-local CASE over the same
-    map-side-combined token stats quality_score derives, and the in-phase
-    shuffle is one rank window per phase keyed by a hash — 3 partitions
-    regardless of corpus size... which is exactly the window's scale
-    hazard: a corpus-sized ORDER BY per phase.  The deployment shape
-    writes (phase, hash) as a SORT KEY into the packing/shard-writer step
-    (range-partitioned write, no single-reducer window); the registered
-    query keeps the window form because the driver gate needs the
-    materialized global ordinals, and documents the escalation here."""
-    d = load_table(spark, sf_dir, "documents")
-    toks = tokens("text")
-    n_tokens = F.size(toks).cast("bigint")
-    n_stop = F.size(F.filter(toks, lambda t: t.isin(_STOPWORDS)))
-    passes = (
-        (n_tokens >= 20)
-        & (n_stop.cast("double") / F.nullif(n_tokens, F.lit(0)) >= 0.01)
-        & (
-            F.regexp_count("text", F.lit("[^A-Za-z0-9 ]")).cast("double")
-            / F.nullif(F.length("text"), F.lit(0))
-            <= 0.2
-        )
+    """The 100 TB shape of curriculum ordering: phase assignment is a
+    row-local CASE over map-side-combined token stats, and the training
+    order is the SORT KEY (phase, sort_key, doc_id) — handed to
+    ``pack_sequences(order_col=phase*2^61 + sort_key)`` /
+    ``write_training_shards`` which range-partition the write.  No engine
+    materializes per-phase ordinals: that form needs a corpus-sized
+    ORDER BY window with exactly 3 partitions (measured 2.85x at the 10x
+    smoke before the r13 fix) and lives on only as the
+    :func:`curriculum_order_ordinals` bridge for tests that want explicit
+    positions."""
+    return _curriculum_phased(spark, sf_dir).select(
+        "phase", "sort_key", "doc_id", "n_tokens"
     )
-    phased = d.select(
-        "doc_id",
-        n_tokens.alias("n_tokens"),
-        F.when(passes & (n_tokens >= _CURR_LONG_TOKENS), F.lit(1))
-        .when(passes, F.lit(2))
-        .otherwise(F.lit(3))
-        .alias("phase"),
-    )
-    w = Window.partitionBy("phase").orderBy(
-        hash60(F.col("doc_id").cast("string")), F.asc("doc_id")
-    )
-    return phased.select(
+
+
+def curriculum_order_ordinals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ordinal-window twin (NOT registered, NOT the deployment shape):
+    materializes ord_in_phase via a per-phase rank window — 3 window
+    partitions regardless of corpus size, i.e. a corpus-sized sort per
+    phase.  Kept as the bridge that proves the registered sort-key output
+    linearizes to the same sequence (tests/test_curation_kernels.py
+    ``test_curriculum_sort_key_matches_ordinals``)."""
+    w = Window.partitionBy("phase").orderBy(F.asc("sort_key"), F.asc("doc_id"))
+    return _curriculum_phased(spark, sf_dir).select(
         "phase",
         F.row_number().over(w).cast("int").alias("ord_in_phase"),
         "doc_id",
