@@ -114,6 +114,14 @@ HEADLINE = [
     "sparse_index_search",
     "entity_lpa_communities_k3",
     "hybrid_weighted_topk",
+    # round-13 additions: the activated r12-staged quartet (SemDeDup keep
+    # rule, stored-index BM25, group_size=2 grouping search, in-cell kNN
+    # graph); retirees stay benched from the retired registry for
+    # cross-round comparability.
+    "semdedup_keep",
+    "bm25_index_topk",
+    "grouping_search_groupsize2",
+    "knn_graph_incell",
 ]
 
 
@@ -184,6 +192,105 @@ def main() -> None:
         gc.collect()
         spark.sparkContext._jvm.System.gc()
 
+    def _noop_write(df) -> None:
+        df.write.format("noop").mode("overwrite").save()
+
+    def _probe_only_rows() -> dict[str, float]:
+        """Deployment-marginal PROBE cost for the two persistent incremental
+        indexes (r12 verdict, Next #4).  The composite headline queries
+        (`dedup_index_incremental` 8.6s, `ann_index_incremental` 4.0s) are
+        three-of-everything write-cost theater: 3 signature/encode passes +
+        DDL + durable shard writes + probes in one number.  The number a
+        100 TB deployment watches is the probe against a STANDING index —
+        pinned at 0.93s (dedup) in SCALE.md §Round-12 dedup split and
+        cross-checked by tools/index_build_probe_split.py.  Building the
+        standing index here is UNTIMED (it is the amortized nightly write);
+        only the probe leg is measured, so BENCH diff rows catch index-side
+        shuffle/pruning regressions that the composite hides."""
+        import shutil
+        import tempfile
+
+        from vector_graph_rag_spark.queries.pipeline import (
+            _PQ_TOPK,
+            _pq_quantized_and_books,
+        )
+        from vector_graph_rag_spark.sources.tables import load_table
+        from vector_graph_rag_spark.streaming import dedup_index as dix
+        from vector_graph_rag_spark.streaming import vector_index as vix
+
+        rows: dict[str, float] = {}
+
+        # dedup_index_probe_only — batch-2 probe (+ self-pairs) vs a standing
+        # index built untimed from batches 0-1; signature pass untimed too
+        # (it scales with the batch and is pinned separately by the tool).
+        docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+        state = tempfile.mkdtemp(prefix="vgr_bench_dindex_")
+        try:
+            sigs = [
+                dix.batch_signatures(
+                    docs.filter(F.col("doc_id") % 3 == b)
+                ).localCheckpoint(eager=True)
+                for b in range(3)
+            ]
+            for b in range(2):
+                dix.append_to_index(sigs[b], state, b)
+            runs = []
+            for _ in range(ITERATIONS):
+                t0 = time.perf_counter()
+                _noop_write(
+                    dix.probe_index(spark, state, sigs[2])
+                    .select("index_doc_id", "new_doc_id", "est_jaccard")
+                    .unionByName(
+                        dix.self_pairs(sigs[2]).select(
+                            F.col("doc_a").alias("index_doc_id"),
+                            F.col("doc_b").alias("new_doc_id"),
+                            "est_jaccard",
+                        )
+                    )
+                )
+                runs.append(round(time.perf_counter() - t0, 3))
+            rows["dedup_index_probe_only"] = min(runs)
+            print(f"# dedup_index_probe_only: {runs} -> {min(runs)}s", file=sys.stderr)
+        finally:
+            dix.drop_index(spark, state)
+            shutil.rmtree(state, ignore_errors=True)
+        _release_checkpoints()
+
+        # ann_index_probe_only — partition-pruned search vs a standing
+        # 3-batch IVF-PQ index built untimed against frozen quantizers.
+        emb = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+        _q, books = _pq_quantized_and_books(spark, SF_DIR)
+        if any(books):
+            cent = emb.filter(F.col("vec_id") < 8).select(
+                F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cvec")
+            )
+            qs = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 105)).select(
+                F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+            )
+            index = tempfile.mkdtemp(prefix="vgr_bench_annindex_")
+            try:
+                for b in range(3):
+                    vix.append_to_index(
+                        emb.filter(F.col("vec_id") % 3 == b), cent, books, index, b
+                    )
+                runs = []
+                for _ in range(ITERATIONS):
+                    t0 = time.perf_counter()
+                    _noop_write(
+                        vix.search_index(
+                            spark, index, qs, cent, books, k=_PQ_TOPK, nprobe=2
+                        )
+                    )
+                    runs.append(round(time.perf_counter() - t0, 3))
+                rows["ann_index_probe_only"] = min(runs)
+                print(
+                    f"# ann_index_probe_only: {runs} -> {min(runs)}s", file=sys.stderr
+                )
+            finally:
+                shutil.rmtree(index, ignore_errors=True)
+            _release_checkpoints()
+        return rows
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         q = registry[name]
@@ -205,6 +312,8 @@ def main() -> None:
             _release_checkpoints()
         timings[name] = min(runs)
         print(f"# {name}: {runs} -> {timings[name]}s ({n} rows)", file=sys.stderr)
+
+    timings.update(_probe_only_rows())
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
