@@ -141,6 +141,21 @@ def train_bpe(
     Cost model: one corpus shuffle (word counts), then per merge one
     vocab-sized pair count + a TakeOrdered(1) argmax + a row-local fold.
     Driver state: the merge list (``n_merges`` string pairs).
+
+    Wall-clock ceiling (measured, SCALE.md §Round-13 BPE ceiling): each
+    merge is one driver-serialized Spark action (the ``limit(1).collect()``
+    argmax below), inherent to Sennrich BPE — merge i+1's pair counts need
+    merge i applied.  Measured throughput is **~2.5-4 merges/s and FLAT
+    across corpus scale** (sf0.1 / 10x / 100x: 4.0 / 3.8 / 2.5 merges/s at
+    n_merges=50) because the per-merge work runs over the word-TYPE table,
+    not the corpus — the cost is the fixed ~0.25-0.4s action round-trip,
+    not data volume.  Extrapolated: a 32k-merge vocab is ~2.5-3.5 HOURS of
+    driver-serialized merges regardless of cluster size; a 100k-merge
+    GPT-class vocab is ~9-11 h.  That is acceptable for a train-once
+    tokenizer artifact but is this package's one driver-bound loop; if it
+    ever matters, batch the argmax (take top-B disjoint pairs per round —
+    the standard approximation, changes learned merges slightly) rather
+    than parallelizing the loop.
     """
     syms = word_counts(docs, text_col).select(
         "w", "cnt", _chars_with_eow(F.col("w")).alias("syms")
