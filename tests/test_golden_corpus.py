@@ -429,3 +429,136 @@ def test_semdedup_drops_duplicated_real_passage(spark):
         assert all(keep[i] for i in range(20)), "every original passage kept"
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_golden_prompts_through_runner_pipeline(golden, spark):
+    """r12 verdict, Next #7 — the REAL prompt assembly + cache-key paths
+    (llm/prompts.py) exercised THROUGH llm/runner.llm_map_operator at the
+    pipeline level on the reference's real 20-doc corpus, with the MOCK
+    backend: extraction prompts assembled distributed (JVM concat must
+    equal the Python constant assembly), a pre-seeded cache table splits
+    hits from misses inside one DataFrame plan, the mock runner answers
+    ONLY the misses, the rerank leg runs format→respond→line-repair on
+    real relations, and the answer leg is a 100% cache hit built from real
+    retrieved passages.  Message sequences are asserted against the same
+    constants tests/test_prompts.py pins at the unit level."""
+    import pyspark.sql.functions as F
+
+    from vector_graph_rag_spark.graph.retrieve import (
+        retrieve_passages,
+        seed_frontier_from_names,
+    )
+    from vector_graph_rag_spark.llm import prompts as P
+    from vector_graph_rag_spark.llm.rerank import (
+        format_relations,
+        parse_rerank_response,
+    )
+    from vector_graph_rag_spark.llm.runner import MockModelRunner, llm_map_operator
+
+    docs = _load_documents()
+
+    # --- extraction leg: distributed key assembly == llm/prompts assembly.
+    ddf = spark.createDataFrame(
+        [(d["doc_id"], d["text"]) for d in docs], "doc_id string, text string"
+    )
+    prefix = (
+        f"{P.EXTRACTION_SYSTEM_PROMPT}\n\n{P.EXTRACTION_EXAMPLE_INPUT}\n\n"
+        f"{P.EXTRACTION_EXAMPLE_OUTPUT}\n\nText: "
+    )
+    prompts_df = ddf.withColumn("prompt", F.concat(F.lit(prefix), F.col("text")))
+    first = prompts_df.filter("doc_id = 'doc00'").collect()[0]
+    assert first["prompt"] == P.extraction_cache_key(docs[0]["text"])
+    msgs = P.extraction_messages(docs[0]["text"])
+    assert [m["role"] for m in msgs] == ["system", "user", "assistant", "user"]
+    assert msgs[-1]["content"] == "Text: " + docs[0]["text"]
+
+    def _payload(d: dict) -> str:
+        return json.dumps({"triplets": [list(t) for t in d["triplets"]]})
+
+    # cache pre-seeded with the EVEN docs (a prior run already extracted
+    # them); the mock fixture holds ONLY the odd docs, so any cache-routing
+    # bug (a hit reaching the runner, a miss served stale) breaks a row.
+    cache = spark.createDataFrame(
+        [
+            (hashlib.md5(P.extraction_cache_key(d["text"]).encode()).hexdigest(), _payload(d))
+            for i, d in enumerate(docs)
+            if i % 2 == 0
+        ],
+        "prompt_md5 string, response string",
+    )
+    fixture = {
+        P.extraction_cache_key(d["text"]): _payload(d)
+        for i, d in enumerate(docs)
+        if i % 2 == 1
+    }
+    out = llm_map_operator(
+        prompts_df, "prompt", MockModelRunner(fixture, default_prefix="MISSED-FIXTURE:"),
+        cache=cache,
+    ).collect()
+    assert len(out) == len(docs) == 20
+    assert {r["doc_id"] for r in out if r["from_cache"]} == {
+        f"doc{i:02d}" for i in range(0, 20, 2)
+    }
+    for r in out:
+        assert json.loads(r["response"])["triplets"] == [
+            list(t) for t in docs[int(r["doc_id"][3:])]["triplets"]
+        ], r["doc_id"]
+
+    # --- rerank leg: real relations → format → runner → line repair.
+    question = "Who developed the theory of relativity?"
+    rels = golden.relations.orderBy("id").limit(5).collect()
+    rel_ids = [r["id"] for r in rels]
+    rel_texts = [r["text"] for r in rels]
+    desc = format_relations(rel_ids, rel_texts)
+    rmsgs = P.rerank_messages(question, desc)
+    assert [m["role"] for m in rmsgs] == ["user", "assistant"] * 3 + ["user"]
+    rkey = P.rerank_cache_key(question, desc)
+    assert rkey.endswith(rmsgs[-1]["content"])  # examples prepended, final turn verbatim
+    # response selects row 0 by id and row 2 via a hallucinated id whose
+    # text matches exactly — the repair path must map it back.
+    resp = json.dumps(
+        {
+            "useful_relations": [
+                f"[{rel_ids[0]}] {rel_texts[0]}",
+                f"[hallucinated-id] {rel_texts[2]}",
+            ]
+        }
+    )
+    rout = llm_map_operator(
+        spark.createDataFrame([(question, rkey)], "question string, prompt string"),
+        "prompt",
+        MockModelRunner({rkey: resp}),
+    ).collect()
+    assert len(rout) == 1 and rout[0]["from_cache"] is False
+    assert parse_rerank_response(rout[0]["response"], rel_ids, rel_texts) == [
+        rel_ids[0],
+        rel_ids[2],
+    ]
+
+    # --- answer leg: REAL retrieved passages → answer key → pure cache hit.
+    seeds = seed_frontier_from_names(spark, ["Albert Einstein", "Mona Lisa"])
+    top = retrieve_passages(golden, seeds, degree=1, final_top_k=3)
+    ptexts = [
+        r["text"]
+        for r in top.join(
+            golden.passages.select(F.col("id").alias("passage_id"), "text"),
+            "passage_id",
+        )
+        .orderBy("rank")
+        .collect()
+    ]
+    assert len(ptexts) == 3 and ptexts[0].startswith("Albert Einstein")
+    akey = P.answer_cache_key(question, ptexts)
+    assert P.answer_messages(question, ptexts) == [{"role": "user", "content": akey}]
+    acache = spark.createDataFrame(
+        [(hashlib.md5(akey.encode()).hexdigest(), "Albert Einstein")],
+        "prompt_md5 string, response string",
+    )
+    aout = llm_map_operator(
+        spark.createDataFrame([(akey,)], "prompt string"),
+        "prompt",
+        MockModelRunner({}, default_prefix="MISS:"),
+        cache=acache,
+    ).collect()
+    assert len(aout) == 1
+    assert aout[0]["from_cache"] is True and aout[0]["response"] == "Albert Einstein"
