@@ -1435,3 +1435,47 @@ def test_curriculum_order_plan_has_no_window(spark):
     )
     assert "Window" not in plan, "curriculum_order regained a window"
     assert "Exchange" not in plan, "curriculum_order should be one linear scan"
+
+
+def test_n_punct_chars_equals_regexp_count_on_adversarial_unicode(spark):
+    """The r13 punct-count rewrite (translate char-map delete instead of
+    regexp_count, SCALE.md §Round-13) must count EXACTLY like the regex it
+    replaced — [^A-Za-z0-9 ] per code point — including astral plane
+    (surrogate pairs), combining marks, control chars, and boundary ASCII
+    neighbors of the allowed classes ('@' before 'A', '{' after 'z', '/'
+    before '0', ':' after '9').  One Spark job compares both
+    implementations over the battery; any divergence names the string."""
+    import pyspark.sql.functions as F
+
+    from vector_graph_rag_spark.queries.textstats import n_punct_chars
+
+    battery = [
+        "",
+        " ",
+        "   ",
+        "abc XYZ 019",
+        "@[`{/:",                      # boundary neighbors of A-Z a-z 0-9
+        "a@b[c`d{e/f:g",
+        "tab\tnewline\ncr\rnull\x00",
+        "café naïve résumé",
+        "é́́",          # combining acute marks
+        "中文文本",     # CJK
+        "\U0001F600\U0001F4A9",        # astral emoji (surrogate pairs)
+        "a\U0001F600b\U0001F4A9c",
+        "mixed ☃ and ascii.",
+        "ALL CAPS WITH 123 AND !!!",
+        " nbsp is punct",  # NBSP is NOT the allowed space
+        "z" * 500 + "!" * 500,
+        "".join(chr(c) for c in range(32, 127)),   # printable ASCII sweep
+    ]
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(battery)], "i int, s string")
+    rows = df.select(
+        "i",
+        "s",
+        F.regexp_count("s", F.lit("[^A-Za-z0-9 ]")).alias("via_regex"),
+        n_punct_chars("s").alias("via_translate"),
+    ).collect()
+    assert len(rows) == len(battery)
+    for r in rows:
+        assert r["via_regex"] == r["via_translate"], (
+            r["i"], repr(r["s"]), r["via_regex"], r["via_translate"])

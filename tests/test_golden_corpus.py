@@ -562,3 +562,117 @@ def test_golden_prompts_through_runner_pipeline(golden, spark):
     ).collect()
     assert len(aout) == 1
     assert aout[0]["from_cache"] is True and aout[0]["response"] == "Albert Einstein"
+
+
+def test_golden_full_retrieve_with_rerank_recall5(golden, spark):
+    """The reference's evaluate-with-reranking protocol end-to-end on its
+    REAL 10-question sample (evaluate.py:440-543 + rag.py:587-647 with
+    use_reranking=True): mock-NER seeds → batched d=1 expansion →
+    candidates in lexicographic relation-id order (the no-eviction branch,
+    retriever.py:263-265) → REAL rerank prompt assembly through
+    llm_map_operator (one batched call for all 10 questions) → JSON parse
+    + hallucinated-id line repair → passage fan-out in SELECTION order
+    with first-seen dedup (rag.py:161-194) → titles → calculate_recall@5
+    (evaluate.py:177-197).  The mock LLM selects relations sharing a
+    non-stopword token with the question (capped at the reference's
+    num_select=5); one response deliberately carries a hallucinated id so
+    the repair path runs inside the protocol, not just in a unit test.
+    Pinned: recall@5 == 1.0 on every question (verified by the
+    driver-side twin in /tmp prototype before pinning)."""
+    import pyspark.sql.functions as F
+
+    from vector_graph_rag_spark.functions.text import normalize_phrase_str
+    from vector_graph_rag_spark.llm import prompts as P
+    from vector_graph_rag_spark.llm.rerank import (
+        format_relations,
+        parse_rerank_response,
+    )
+    from vector_graph_rag_spark.llm.runner import MockModelRunner, llm_map_operator
+
+    with open("/root/reference/evaluation/data/test_sample.json") as f:
+        questions = json.load(f)
+
+    # mock NER (the LLM-NER stand-in): exact normalized entity-name
+    # containment in the question, same as the recall@2 test above.
+    ent = {r["id"]: r["name"] for r in golden.entities.select("id", "name").collect()}
+    seed_rows = []
+    for q in questions:
+        qn = " " + normalize_phrase_str(q["question"]) + " "
+        for eid, name in ent.items():
+            if " " + normalize_phrase_str(name) + " " in qn:
+                seed_rows.append((q["_id"], eid))
+    seeds = spark.createDataFrame(seed_rows, "qid string, entity_id string")
+
+    # batched d=1 expansion (relations -> entities -> relations)
+    er, rp = golden.entity_relation, golden.relation_passage
+    step0 = seeds.join(er, "entity_id").select("qid", "relation_id").distinct()
+    hop_ents = step0.join(er, "relation_id").select("qid", "entity_id").distinct()
+    new_ents = hop_ents.join(seeds, ["qid", "entity_id"], "left_anti")
+    hop_rels = new_ents.join(er, "entity_id").select("qid", "relation_id")
+    rels = step0.unionByName(hop_rels).distinct()
+    cand = (
+        rels.join(
+            golden.relations.select(F.col("id").alias("relation_id"), "text"),
+            "relation_id",
+        )
+        .orderBy("qid", "relation_id")
+        .collect()
+    )
+    by_q: dict[str, list[tuple[str, str]]] = {}
+    for r in cand:
+        by_q.setdefault(r["qid"], []).append((r["relation_id"], r["text"]))
+
+    stop = {
+        "the", "a", "of", "and", "to", "in", "is", "on", "for", "with",
+        "when", "did", "his", "was", "what", "who", "which", "where",
+        "how", "by",
+    }
+
+    def relevant(qtext: str, rtext: str) -> bool:
+        qt = {t for t in normalize_phrase_str(qtext).split(" ") if len(t) > 3 and t not in stop}
+        rt = {t for t in normalize_phrase_str(rtext).split(" ") if len(t) > 3 and t not in stop}
+        return bool(qt & rt)
+
+    prompts, fixture, meta = [], {}, {}
+    for qi, q in enumerate(questions):
+        qid, qtext = q["_id"], q["question"]
+        ids = [c[0] for c in by_q.get(qid, [])]
+        texts = [c[1] for c in by_q.get(qid, [])]
+        key = P.rerank_cache_key(qtext, format_relations(ids, texts))
+        sel = [(i, t) for i, t in zip(ids, texts) if relevant(qtext, t)][:5]
+        lines = [f"[{i}] {t}" for i, t in sel]
+        if qi == 0 and lines:  # exercise the repair path inside the protocol
+            _, t0 = sel[0]
+            lines[0] = f"[hallucinated-{qid}] {t0}"
+        fixture[key] = json.dumps({"useful_relations": lines})
+        prompts.append((qid, key))
+        meta[qid] = (ids, texts, [i for i, _ in sel])
+    pdf = spark.createDataFrame(prompts, "qid string, prompt string")
+    out = llm_map_operator(
+        pdf, "prompt", MockModelRunner(fixture, default_prefix="MISSED-FIXTURE:")
+    ).collect()
+    assert len(out) == 10 and all(not r["from_cache"] for r in out)
+    sel_by_q = {}
+    for r in out:
+        ids, texts, expected_sel = meta[r["qid"]]
+        got = parse_rerank_response(r["response"], ids, texts)
+        assert got == expected_sel, r["qid"]  # repair restored the true id
+        sel_by_q[r["qid"]] = got
+
+    # passage fan-out in selection order, first-seen dedup, titles, recall@5
+    rp_map: dict[str, list[str]] = {}
+    for r in rp.collect():
+        rp_map.setdefault(r["relation_id"], []).append(r["passage_id"])
+    ptext = {r["id"]: r["text"] for r in golden.passages.select("id", "text").collect()}
+    for q in questions:
+        qid = q["_id"]
+        seen: set[str] = set()
+        titles: list[str] = []
+        for rid in sel_by_q[qid]:
+            for pid in sorted(rp_map.get(rid, [])):
+                if pid not in seen:
+                    seen.add(pid)
+                    titles.append(ptext[pid].split("\n")[0].strip())
+        gold = {sf[0] for sf in q["supporting_facts"]}
+        hits = sum(1 for t in titles[:5] if t in gold)
+        assert hits / len(gold) == 1.0, (qid, titles[:5], sorted(gold))
