@@ -80,6 +80,7 @@ QUERIES = [
     "hybrid_weighted_topk",
     "semdedup_keep",
     "bm25_index_topk",
+    "grouping_search_groupsize2",
     "knn_graph_incell",
     "knn_graph_mutual",
     "term_index_incremental",
