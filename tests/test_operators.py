@@ -459,3 +459,113 @@ def test_assign_cells_zero_vector_and_empty_centroids(spark):
 
     empty = cent.limit(0)
     assert assign_cells(corpus, empty).count() == 0
+
+
+# --- real stdlib codecs (r13): BMP + WAV through the Spark decode path -------
+
+
+def test_stdlib_bmp_decode_through_spark(spark):
+    """REAL image decode end-to-end: 24-bit BMPs generated by the fixture
+    writer, shipped as a binary column through decode_assets(stdlib_kernel)
+    — feature = mean BT.601 luminance, asserted against hand-computed
+    values (pure red 76/255, pure white 1.0, black 0.0), including an
+    odd-width image that exercises the 4-byte row padding."""
+    from vector_graph_rag_spark.operators.multimodal import (
+        decode_assets,
+        encode_bmp,
+        stdlib_kernel,
+    )
+
+    red = encode_bmp(2, 2, [[(255, 0, 0)] * 2] * 2)
+    white = encode_bmp(3, 1, [[(255, 255, 255)] * 3])  # odd width -> padded rows
+    black = encode_bmp(1, 3, [[(0, 0, 0)], [(0, 0, 0)], [(0, 0, 0)]])
+    assets = spark.createDataFrame(
+        [("a_red", "image", red, 2, 2, 0),
+         ("b_white", "image", white, 3, 1, 0),
+         ("c_black", "image", black, 1, 3, 0)],
+        "asset_id string, modality string, content binary, width int, height int, duration_ms int",
+    )
+    rows = {r["asset_id"]: r for r in decode_assets(assets, kernel=stdlib_kernel).collect()}
+    assert abs(rows["a_red"]["feature"] - 0.299) < 1e-9
+    assert abs(rows["b_white"]["feature"] - 1.0) < 1e-9
+    assert rows["c_black"]["feature"] == 0.0
+    assert rows["b_white"]["n_bytes"] == len(white)
+
+
+def test_stdlib_wav_decode_through_spark(spark):
+    """REAL audio decode end-to-end: PCM WAVs through the same Spark path —
+    feature = RMS amplitude; a full-scale square wave has RMS 1.0 (minus
+    one LSB), silence has 0.0, and duration metadata round-trips."""
+    from vector_graph_rag_spark.operators.multimodal import (
+        decode_assets,
+        decode_wav,
+        encode_wav,
+        stdlib_kernel,
+    )
+
+    square = encode_wav(8000, [32767, -32767] * 400)
+    silence = encode_wav(16000, [0] * 1600)
+    assets = spark.createDataFrame(
+        [("sq", "audio", square, 0, 0, 100), ("si", "audio", silence, 0, 0, 100)],
+        "asset_id string, modality string, content binary, width int, height int, duration_ms int",
+    )
+    rows = {r["asset_id"]: r for r in decode_assets(assets, kernel=stdlib_kernel).collect()}
+    assert abs(rows["sq"]["feature"] - 32767.0 / 32768.0) < 1e-9
+    assert rows["si"]["feature"] == 0.0
+    meta = decode_wav(square)
+    assert meta["sample_rate"] == 8000 and meta["duration_ms"] == 100
+    assert meta["channels"] == 1
+
+
+def test_stdlib_kernel_mixed_formats_and_unknown_raises(spark):
+    """Magic-byte dispatch: one DataFrame mixing BMP and WAV rows decodes
+    both in one mapInPandas pass; an unknown format still raises the
+    documented NotImplementedError (the PIL/ffmpeg contract is unchanged)."""
+    import pytest as _pytest
+
+    from vector_graph_rag_spark.operators.multimodal import (
+        decode_assets,
+        encode_bmp,
+        encode_wav,
+        stdlib_kernel,
+    )
+
+    bmp = encode_bmp(1, 1, [[(0, 255, 0)]])
+    wav = encode_wav(8000, [100] * 80)
+    schema = "asset_id string, modality string, content binary, width int, height int, duration_ms int"
+    mixed = spark.createDataFrame(
+        [("i", "image", bmp, 1, 1, 0), ("a", "audio", wav, 0, 0, 10)], schema
+    )
+    rows = {r["asset_id"]: r for r in decode_assets(mixed, kernel=stdlib_kernel).collect()}
+    assert abs(rows["i"]["feature"] - 0.587) < 1e-9  # pure green luma
+    assert rows["a"]["feature"] > 0.0
+    jpeg_ish = spark.createDataFrame([("x", "image", b"\xff\xd8\xff\xe0fake", 0, 0, 0)], schema)
+    with _pytest.raises(Exception, match="NotImplementedError|codec libraries"):
+        decode_assets(jpeg_ish, kernel=stdlib_kernel).collect()
+
+
+def test_bmp_resize_real_pixels():
+    """Nearest-neighbor resize on REAL decoded pixels: a 4x4 quadrant image
+    downsampled to 2x2 must pick one representative pixel per quadrant."""
+    import numpy as np
+
+    from vector_graph_rag_spark.operators.multimodal import (
+        decode_bmp,
+        encode_bmp,
+        resize_bmp_pixels,
+    )
+
+    # quadrants: TL red, TR green, BL blue, BR white (RGB)
+    px = [
+        [(255, 0, 0), (255, 0, 0), (0, 255, 0), (0, 255, 0)],
+        [(255, 0, 0), (255, 0, 0), (0, 255, 0), (0, 255, 0)],
+        [(0, 0, 255), (0, 0, 255), (255, 255, 255), (255, 255, 255)],
+        [(0, 0, 255), (0, 0, 255), (255, 255, 255), (255, 255, 255)],
+    ]
+    decoded = decode_bmp(encode_bmp(4, 4, px))
+    small = resize_bmp_pixels(decoded["pixels"], 2, 2)
+    # pixels are top-down BGR
+    assert (small[0, 0] == np.array([0, 0, 255])).all()      # red
+    assert (small[0, 1] == np.array([0, 255, 0])).all()      # green
+    assert (small[1, 0] == np.array([255, 0, 0])).all()      # blue
+    assert (small[1, 1] == np.array([255, 255, 255])).all()  # white

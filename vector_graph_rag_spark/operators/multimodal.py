@@ -122,3 +122,133 @@ def sample_frames(assets: DataFrame, every_ms: int = 1000) -> DataFrame:
             F.sequence(F.lit(0), F.col("duration_ms"), F.lit(every_ms))
         ).alias("frame_ts_ms"),
     )
+
+
+# --- real stdlib codecs (r13) ------------------------------------------------
+#
+# "Pending PIL/ffmpeg" overstated the gap: uncompressed 24-bit BMP and PCM
+# WAV are fully decodable with the standard library (struct/wave) + numpy,
+# both of which ARE in this container.  These kernels give the decode
+# pipeline a REAL pixel/sample path — magic-byte dispatch, header parsing,
+# vectorized pixel/sample math — so the Spark-side contract is exercised
+# end-to-end on genuine binary media, not just the deterministic fake.
+# JPEG/PNG/MP4 still route to NotImplementedError until PIL/ffmpeg exist.
+
+import struct
+
+
+def encode_bmp(width: int, height: int, pixels) -> bytes:
+    """Minimal BITMAPINFOHEADER 24-bit uncompressed BMP writer (fixture
+    generator for tests and demos).  `pixels[y][x] = (r, g, b)` with row 0
+    at the TOP; BMP stores rows bottom-up with 4-byte padding."""
+    row_size = (width * 3 + 3) & ~3
+    data = bytearray()
+    for y in range(height - 1, -1, -1):
+        row = bytearray()
+        for x in range(width):
+            r, g, b = pixels[y][x]
+            row += bytes((b, g, r))  # BMP is BGR
+        row += b"\x00" * (row_size - len(row))
+        data += row
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(data), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(data), 2835, 2835, 0, 0)
+    return bytes(header + info + data)
+
+
+def decode_bmp(content: bytes) -> dict:
+    """Parse a 24-bit uncompressed BMP: header via struct, pixel rows via a
+    vectorized numpy view (strided over the 4-byte row padding).  Returns
+    width/height and mean luminance in [0, 1] as the feature."""
+    import numpy as np
+
+    if content[:2] != b"BM":
+        raise ValueError("not a BMP stream")
+    data_offset = struct.unpack_from("<I", content, 10)[0]
+    hdr_size, width, height = struct.unpack_from("<Iii", content, 14)
+    planes, bpp, compression = struct.unpack_from("<HHI", content, 26)
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(f"BMP bpp={bpp} compression={compression} needs PIL")
+    flipped = height > 0  # positive height = bottom-up storage
+    height = abs(height)
+    row_size = (width * 3 + 3) & ~3
+    raw = np.frombuffer(content, dtype=np.uint8, count=row_size * height, offset=data_offset)
+    rows = raw.reshape(height, row_size)[:, : width * 3].reshape(height, width, 3)
+    if flipped:
+        rows = rows[::-1]
+    bgr = rows.astype(np.float64)
+    # ITU-R BT.601 luma; BMP channel order is BGR
+    luma = 0.114 * bgr[..., 0] + 0.587 * bgr[..., 1] + 0.299 * bgr[..., 2]
+    return {
+        "width": int(width),
+        "height": int(height),
+        "pixels": rows,  # top-down BGR uint8 array
+        "feature": float(luma.mean() / 255.0),
+    }
+
+
+def resize_bmp_pixels(pixels, target_w: int, target_h: int):
+    """Nearest-neighbor resize of a (h, w, 3) uint8 array — pure numpy
+    fancy-indexing, no codec library."""
+    import numpy as np
+
+    h, w = pixels.shape[:2]
+    ys = np.minimum((np.arange(target_h) * h) // max(target_h, 1), h - 1)
+    xs = np.minimum((np.arange(target_w) * w) // max(target_w, 1), w - 1)
+    return pixels[ys][:, xs]
+
+
+def encode_wav(sample_rate: int, samples) -> bytes:
+    """Minimal mono 16-bit PCM WAV writer (fixture generator)."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(b"".join(struct.pack("<h", int(s)) for s in samples))
+    return buf.getvalue()
+
+
+def decode_wav(content: bytes) -> dict:
+    """Parse a PCM WAV via the stdlib wave module + numpy: channel/rate/
+    duration metadata and RMS amplitude in [0, 1] as the feature."""
+    import io
+    import wave
+
+    import numpy as np
+
+    with wave.open(io.BytesIO(content), "rb") as w:
+        n = w.getnframes()
+        rate = w.getframerate()
+        width = w.getsampwidth()
+        channels = w.getnchannels()
+        frames = w.readframes(n)
+    if width != 2:
+        raise NotImplementedError(f"WAV sample width {width} needs torchaudio")
+    samples = np.frombuffer(frames, dtype="<i2").astype(np.float64)
+    rms = float(np.sqrt((samples**2).mean()) / 32768.0) if len(samples) else 0.0
+    return {
+        "sample_rate": int(rate),
+        "channels": int(channels),
+        "duration_ms": int(n * 1000 / rate) if rate else 0,
+        "samples": samples,
+        "feature": rms,
+    }
+
+
+def stdlib_kernel(modality: str, content: bytes) -> dict:
+    """Magic-byte-dispatched REAL decode for stdlib-decodable formats:
+    'BM' → 24-bit BMP (mean-luminance feature), 'RIFF…WAVE' → PCM WAV
+    (RMS-amplitude feature).  Anything else still needs PIL/ffmpeg and
+    raises — the pluggable-kernel contract is unchanged, the default just
+    got strictly more capable."""
+    if content[:2] == b"BM":
+        return decode_bmp(content)
+    if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
+        return decode_wav(content)
+    raise NotImplementedError(
+        f"decode for modality={modality!r} with magic {content[:4]!r} requires "
+        "codec libraries (PIL/torchaudio/ffmpeg) not present in this container"
+    )
