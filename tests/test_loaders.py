@@ -54,8 +54,12 @@ def test_convert_binary_text_documents(spark, tmp_path):
 
 
 def test_convert_binary_unsupported_raises(spark, tmp_path):
-    (tmp_path / "x.pdf").write_bytes(b"%PDF-1.4 fake")
+    # legacy OLE2 .doc is the one extension no in-container path decodes
+    # (markitdown absent, no stdlib extractor) — the gate must still raise.
+    (tmp_path / "x.doc").write_bytes(b"\xd0\xcf\x11\xe0 fake ole2")
     df = spark.read.format("binaryFile").load(str(tmp_path))
+    if _has("markitdown"):
+        pytest.skip("markitdown present; gate branch not reachable")
     with pytest.raises(Exception) as ei:
         convert_binary_documents(df).collect()
     assert "NotImplementedError" in str(ei.value) or isinstance(
@@ -137,3 +141,154 @@ def test_load_table_pins_utc_on_foreign_tz_session(spark):
         assert rows == baseline
     finally:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+# --- stdlib extractors (r13): DOCX / simple-PDF / HTML decode in-container ---
+
+
+def _make_docx(paragraphs: list[str]) -> bytes:
+    """Minimal valid DOCX: the three required zip members, one <w:p> per
+    paragraph (tab characters become <w:tab/> runs)."""
+    import io
+    import zipfile
+
+    W = "http://schemas.openxmlformats.org/wordprocessingml/2006/main"
+    body = []
+    for p in paragraphs:
+        runs = []
+        for i, part in enumerate(p.split("\t")):
+            if i:
+                runs.append("<w:tab/>")
+            runs.append(f'<w:t xml:space="preserve">{part}</w:t>')
+        body.append(f"<w:p><w:r>{''.join(runs)}</w:r></w:p>")
+    doc = (
+        f'<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        f'<w:document xmlns:w="{W}"><w:body>{"".join(body)}</w:body></w:document>'
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr(
+            "[Content_Types].xml",
+            '<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">'
+            '<Default Extension="xml" ContentType="application/xml"/>'
+            '<Override PartName="/word/document.xml" ContentType="application/vnd.openxmlformats-officedocument.wordprocessingml.document.main+xml"/></Types>',
+        )
+        z.writestr(
+            "_rels/.rels",
+            '<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+            '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="word/document.xml"/></Relationships>',
+        )
+        z.writestr("word/document.xml", doc)
+    return buf.getvalue()
+
+
+def _make_pdf(lines: list[str], compress: bool = True) -> bytes:
+    """Minimal valid one-page PDF whose content stream shows each line with
+    Tj (last line via a TJ array with kerning, plus escaped parens) —
+    Flate-compressed when `compress`, raw otherwise."""
+    import zlib
+
+    def esc(s: str) -> str:
+        return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+
+    ops = ["BT /F1 12 Tf 72 720 Td"]
+    for i, line in enumerate(lines):
+        if i == len(lines) - 1 and len(lines) > 1:
+            ops.append(f"[({esc(line)}) -250 (tail)] TJ")
+        else:
+            ops.append(f"({esc(line)}) Tj 0 -14 Td")
+    ops.append("ET")
+    stream = " ".join(ops).encode()
+    if compress:
+        stream_body, filt = zlib.compress(stream), b"/Filter /FlateDecode "
+    else:
+        stream_body, filt = stream, b""
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] /Contents 4 0 R "
+        b"/Resources << /Font << /F1 5 0 R >> >> >>",
+        b"<< /Length %d %s>>\nstream\n%s\nendstream" % (len(stream_body), filt, stream_body),
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+    ]
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = []
+    for i, o in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += b"%d 0 obj\n" % i + o + b"\nendobj\n"
+    xref_at = len(out)
+    out += b"xref\n0 %d\n0000000000 65535 f \n" % (len(objs) + 1)
+    for off in offsets:
+        out += b"%010d 00000 n \n" % off
+    out += (
+        b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+        % (len(objs) + 1, xref_at)
+    )
+    return bytes(out)
+
+
+def test_stdlib_docx_extraction_through_spark(spark, tmp_path):
+    from vector_graph_rag_spark.sources.loaders import extract_docx_text
+
+    docx = _make_docx(["Hello DOCX world", "second\tparagraph"])
+    assert extract_docx_text(docx) == "Hello DOCX world\nsecond\tparagraph"
+    if _has("markitdown"):
+        pytest.skip("markitdown present; stdlib branch not reachable")
+    (tmp_path / "d.docx").write_bytes(docx)
+    df = spark.read.format("binaryFile").load(str(tmp_path))
+    rows = convert_binary_documents(df).collect()
+    assert rows[0]["text"] == "Hello DOCX world\nsecond\tparagraph"
+
+
+def test_stdlib_pdf_extraction_through_spark(spark, tmp_path):
+    from vector_graph_rag_spark.sources.loaders import extract_pdf_text
+
+    lines = ["Simple PDF text", "with (escaped) parens", "and a TJ array"]
+    for compress in (True, False):
+        pdf = _make_pdf(lines, compress=compress)
+        got = extract_pdf_text(pdf)
+        for expected in ("Simple PDF text", "with (escaped) parens", "and a TJ arraytail"):
+            assert expected in got, (compress, got)
+    if _has("markitdown"):
+        pytest.skip("markitdown present; stdlib branch not reachable")
+    (tmp_path / "p.pdf").write_bytes(_make_pdf(lines))
+    df = spark.read.format("binaryFile").load(str(tmp_path))
+    rows = convert_binary_documents(df).collect()
+    assert "Simple PDF text" in rows[0]["text"]
+
+
+def test_stdlib_html_extraction_through_spark(spark, tmp_path):
+    from vector_graph_rag_spark.sources.loaders import extract_html_text
+
+    html = (
+        "<html><head><style>p{color:red}</style><script>var x=1;</script></head>"
+        "<body><h1>Title &amp; more</h1><p>first para</p><div>second</div></body></html>"
+    )
+    assert extract_html_text(html.encode()) == "Title & more\nfirst para\nsecond"
+    if _has("markitdown"):
+        pytest.skip("markitdown present; stdlib branch not reachable")
+    (tmp_path / "h.html").write_text(html)
+    df = spark.read.format("binaryFile").load(str(tmp_path))
+    rows = convert_binary_documents(df).collect()
+    assert rows[0]["text"] == "Title & more\nfirst para\nsecond"
+
+
+def test_stdlib_mixed_format_batch(spark, tmp_path):
+    """One binaryFile scan mixing txt/docx/pdf/html decodes every row in a
+    single mapInPandas pass — the multi-format corpus-ingest shape."""
+    if _has("markitdown"):
+        pytest.skip("markitdown present; stdlib branch not reachable")
+    (tmp_path / "a.txt").write_text("plain")
+    (tmp_path / "b.docx").write_bytes(_make_docx(["from docx"]))
+    (tmp_path / "c.pdf").write_bytes(_make_pdf(["from pdf"]))
+    (tmp_path / "d.html").write_text("<p>from html</p>")
+    df = spark.read.format("binaryFile").load(str(tmp_path))
+    out = {
+        r.path.rsplit("/", 1)[-1]: r.text for r in convert_binary_documents(df).collect()
+    }
+    assert out == {
+        "a.txt": "plain",
+        "b.docx": "from docx",
+        "c.pdf": "from pdf",
+        "d.html": "from html",
+    }

@@ -112,15 +112,154 @@ def route_files(listing: DataFrame, path_col: str = "path") -> DataFrame:
     return listing.withColumn("kind", kind)
 
 
+# --- stdlib document extractors (r13) ----------------------------------------
+#
+# "Requires markitdown" overstated the converter gap: DOCX is a zip of XML
+# (zipfile + xml.etree), HTML strips to text with html.parser, and simple
+# PDFs (standard fonts, Flate or plain content streams — exactly what
+# office exports and our fixture writer produce) parse with zlib + the
+# Tj/TJ text-showing operators.  markitdown still takes PRIORITY when
+# importable (it handles the long tail: CID fonts, tables, images); these
+# run as the in-container fallback so .docx/.pdf/.html decode is REAL here,
+# not a NotImplementedError.  Legacy .doc (OLE2) stays gated.
+
+
+def extract_docx_text(content: bytes) -> str:
+    """DOCX → text via the stdlib: unzip word/document.xml, walk paragraph
+    nodes, join runs' <w:t> text (tabs/breaks → whitespace), paragraphs →
+    newlines.  No external library."""
+    import io
+    import xml.etree.ElementTree as ET
+    import zipfile
+
+    ns = "{http://schemas.openxmlformats.org/wordprocessingml/2006/main}"
+    with zipfile.ZipFile(io.BytesIO(content)) as z:
+        root = ET.fromstring(z.read("word/document.xml"))
+    paras = []
+    for p in root.iter(f"{ns}p"):
+        parts = []
+        for node in p.iter():
+            if node.tag == f"{ns}t" and node.text:
+                parts.append(node.text)
+            elif node.tag in (f"{ns}tab", f"{ns}br"):
+                parts.append("\t" if node.tag == f"{ns}tab" else "\n")
+        paras.append("".join(parts))
+    return "\n".join(paras)
+
+
+def extract_html_text(content: bytes) -> str:
+    """HTML → visible text via html.parser: tag strip, script/style
+    dropped, block-level tags become newlines."""
+    from html.parser import HTMLParser
+
+    class _Text(HTMLParser):
+        _SKIP = {"script", "style"}
+        _BLOCK = {"p", "div", "br", "li", "tr", "h1", "h2", "h3", "h4", "h5", "h6"}
+
+        def __init__(self):
+            super().__init__(convert_charrefs=True)
+            self.out: list[str] = []
+            self._skip_depth = 0
+
+        def handle_starttag(self, tag, attrs):
+            if tag in self._SKIP:
+                self._skip_depth += 1
+            elif tag in self._BLOCK:
+                self.out.append("\n")
+
+        def handle_endtag(self, tag):
+            if tag in self._SKIP and self._skip_depth:
+                self._skip_depth -= 1
+            elif tag in self._BLOCK:
+                self.out.append("\n")
+
+        def handle_data(self, data):
+            if not self._skip_depth:
+                self.out.append(data)
+
+    p = _Text()
+    p.feed(content.decode("utf-8", errors="replace"))
+    p.close()
+    lines = [ln.strip() for ln in "".join(p.out).split("\n")]
+    return "\n".join(ln for ln in lines if ln)
+
+
+def _pdf_unescape(s: bytes) -> str:
+    """PDF literal-string unescape: \\n \\r \\t \\b \\f \\( \\) \\\\ and
+    \\ddd octal codes (PDF 32000-1 §7.3.4.2)."""
+    out = bytearray()
+    i = 0
+    while i < len(s):
+        c = s[i]
+        if c == 0x5C and i + 1 < len(s):  # backslash
+            n = s[i + 1]
+            simple = {0x6E: 10, 0x72: 13, 0x74: 9, 0x62: 8, 0x66: 12,
+                      0x28: 40, 0x29: 41, 0x5C: 92}
+            if n in simple:
+                out.append(simple[n])
+                i += 2
+                continue
+            if 0x30 <= n <= 0x37:  # octal \ddd (1-3 digits)
+                j = i + 1
+                oct_digits = []
+                while j < len(s) and len(oct_digits) < 3 and 0x30 <= s[j] <= 0x37:
+                    oct_digits.append(s[j] - 0x30)
+                    j += 1
+                val = 0
+                for d in oct_digits:
+                    val = val * 8 + d
+                out.append(val & 0xFF)
+                i = j
+                continue
+            i += 1  # lone backslash before newline etc: drop
+            continue
+        out.append(c)
+        i += 1
+    return out.decode("latin-1")
+
+
+def extract_pdf_text(content: bytes) -> str:
+    """Simple-PDF text extraction via the stdlib: walk `stream…endstream`
+    objects, FlateDecode via zlib where needed, and collect the text
+    arguments of Tj / TJ / ' / " operators in stream order (standard-font
+    PDFs; CID/Type0-encoded text needs a real library and comes out
+    garbled — markitdown takes priority when present)."""
+    import re
+    import zlib
+
+    texts: list[str] = []
+    for m in re.finditer(rb"stream\r?\n(.*?)\r?\nendstream", content, re.DOTALL):
+        data = m.group(1)
+        try:
+            data = zlib.decompress(data)
+        except zlib.error:
+            pass  # uncompressed content stream
+        # literal strings shown by Tj / ' / " and array elements of TJ
+        for sm in re.finditer(
+            rb"\(((?:[^()\\]|\\.)*)\)\s*(?:Tj|'|\")|\[((?:[^\]\\]|\\.)*)\]\s*TJ",
+            data,
+            re.DOTALL,
+        ):
+            if sm.group(1) is not None:
+                texts.append(_pdf_unescape(sm.group(1)))
+            else:
+                for em in re.finditer(rb"\(((?:[^()\\]|\\.)*)\)", sm.group(2), re.DOTALL):
+                    texts.append(_pdf_unescape(em.group(1)))
+        if texts and not texts[-1].endswith("\n"):
+            texts.append("\n")
+    return "".join(texts).strip("\n")
+
+
 def convert_binary_documents(binary_df: DataFrame) -> DataFrame:
     """binaryFile-source rows (path, content) → (path, text, n_bytes).
 
-    Real Spark plumbing (mapInPandas, Arrow batches).  The PDF/DOCX decode
-    (reference converter.py:45-90) activates when `markitdown` is importable
-    — one MarkItDown instance per Arrow batch iterator, decoding from the
-    in-memory bytes (never a driver-side file loop).  Without the library
-    (this container) plain text/markdown still decodes as UTF-8 and binary
-    formats raise NotImplementedError, as the task brief sanctions.
+    Real Spark plumbing (mapInPandas, Arrow batches).  Decode priority per
+    row: plain text/markdown as UTF-8; `markitdown` when importable (the
+    reference's converter, converter.py:45-90 — one MarkItDown instance
+    per Arrow batch iterator, decoding from in-memory bytes, never a
+    driver-side file loop); otherwise the stdlib extractors above for
+    .docx/.pdf/.html.  Only formats none of those handle (legacy .doc)
+    raise NotImplementedError.
     """
 
     def _convert(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -134,17 +273,24 @@ def convert_binary_documents(binary_df: DataFrame) -> DataFrame:
             texts = []
             for path, content in zip(pdf["path"], pdf["content"]):
                 low = str(path).lower()
+                raw = bytes(content)
                 if low.endswith((".txt", ".md")):
-                    texts.append(bytes(content).decode("utf-8", errors="replace"))
+                    texts.append(raw.decode("utf-8", errors="replace"))
                 elif converter is not None:
                     import io
                     import os
 
                     ext = os.path.splitext(low)[1]
                     result = converter.convert_stream(
-                        io.BytesIO(bytes(content)), file_extension=ext
+                        io.BytesIO(raw), file_extension=ext
                     )
                     texts.append(result.text_content)
+                elif low.endswith(".docx"):
+                    texts.append(extract_docx_text(raw))
+                elif low.endswith(".pdf"):
+                    texts.append(extract_pdf_text(raw))
+                elif low.endswith((".html", ".htm")):
+                    texts.append(extract_html_text(raw))
                 else:
                     raise NotImplementedError(
                         f"binary conversion for {path} requires markitdown "
