@@ -406,3 +406,59 @@ def test_search_mmr_pool_scales_with_top_k(client, search_graph):
     # dense from 1.
     assert [h["rank"] for h in hits] == list(range(1, len(hits) + 1))
     assert len(hits) >= 1
+
+
+def test_import_route_decodes_docx_pdf_html(client, tmp_path_factory):
+    """r13: /import now ingests docx/pdf/html through the stdlib converter
+    fallback — four formats land as passages in one request; legacy .doc
+    and URLs still report skipped."""
+    from tests.test_loaders import _make_docx, _make_pdf
+
+    d = tmp_path_factory.mktemp("import_rich")
+    (d / "a.txt").write_text("red owns blue blue feeds green green likes gray tail tokens")
+    (d / "b.docx").write_bytes(_make_docx(["ant bites bee bee stings cat cat chases dog end"]))
+    (d / "c.pdf").write_bytes(_make_pdf(["sun warms moon moon pulls tide tide moves sand end"]))
+    (d / "e.html").write_text("<p>fox hunts hare hare eats grass grass covers hill end</p>")
+    (d / "f.doc").write_bytes(b"\xd0\xcf\x11\xe0 legacy")
+    r = client.post(
+        "/import",
+        json={
+            "graph_name": "imp_rich",
+            "sources": [
+                str(d / "a.txt"), str(d / "b.docx"), str(d / "c.pdf"),
+                str(d / "e.html"), str(d / "f.doc"), "https://x.test/p",
+            ],
+        },
+    ).get_json()
+    assert r["imported"] == 4, r
+    assert len(r["skipped"]) == 2
+    stats = client.get("/graph/imp_rich/stats").get_json()
+    assert stats["passages"] == 4
+
+
+def test_upload_route_decodes_real_formats(client):
+    """r13: /upload decodes docx/pdf/html driver-side with the stdlib
+    extractors; a malformed docx is skipped per-file as decode_error
+    without failing the request."""
+    import io
+
+    from tests.test_loaders import _make_docx, _make_pdf
+
+    r = client.post(
+        "/upload",
+        data={
+            "graph_name": "up_rich",
+            "files": [
+                (io.BytesIO(_make_docx(["ant bites bee bee stings cat cat chases dog end"])), "d.docx"),
+                (io.BytesIO(_make_pdf(["sun warms moon moon pulls tide tide moves sand end"])), "p.pdf"),
+                (io.BytesIO(b"<p>fox hunts hare hare eats grass grass covers hill end</p>"), "h.html"),
+                (io.BytesIO(b"PK\x03\x04 not a real zip"), "broken.docx"),
+                (io.BytesIO(b"\x00\x01binary"), "img.png"),
+            ],
+        },
+        content_type="multipart/form-data",
+    ).get_json()
+    assert r["imported"] == 3, r
+    assert {s["kind"] for s in r["skipped"]} == {"decode_error", "unsupported"}
+    stats = client.get("/graph/up_rich/stats").get_json()
+    assert stats["passages"] == 3

@@ -177,9 +177,10 @@ def create_app(
     @app.post("/import")
     def import_documents():
         """File/URL import (reference app.py:423-474): route by type, read
-        supported text files through the binaryFile source + mapInPandas
-        converter, index; PDF/DOCX/URL report skipped (decode stubbed in
-        this container, sources/loaders.py)."""
+        decodable files through the binaryFile source + mapInPandas
+        converter, index.  Since r13 the converter decodes text/docx/pdf/
+        html IN-CONTAINER (stdlib extractors, sources/loaders.py);
+        URLs (no network) and legacy .doc still report skipped."""
         from vector_graph_rag_spark.sources.loaders import (
             convert_binary_documents,
             route_files,
@@ -192,7 +193,12 @@ def create_app(
             return jsonify({"error": "no sources"}), 400
         listing = spark.createDataFrame([(s,) for s in sources], "path string")
         routed = {r["path"]: r["kind"] for r in route_files(listing).collect()}
-        readable = [p for p, k in routed.items() if k == "text" and os.path.isfile(p)]
+        decodable = {"text", "pdf", "docx", "html"}
+        readable = [
+            p
+            for p, k in routed.items()
+            if k in decodable and os.path.isfile(p) and not p.lower().endswith(".doc")
+        ]
         skipped = [
             {"source": p, "kind": k}
             for p, k in routed.items()
@@ -210,8 +216,15 @@ def create_app(
     @app.post("/upload")
     def upload_files():
         """Multipart upload (reference app.py:476-548): .txt/.md decode as
-        UTF-8 and index; other types report skipped (converter stubbed).
-        Payloads are request-bounded, so driver-side decode is safe."""
+        UTF-8; .docx/.pdf/.html through the r13 stdlib extractors; other
+        types report skipped.  Payloads are request-bounded, so driver-side
+        decode is safe (the reference decodes uploads driver-side too)."""
+        from vector_graph_rag_spark.sources.loaders import (
+            extract_docx_text,
+            extract_html_text,
+            extract_pdf_text,
+        )
+
         name = request.form.get("graph_name", "default")
         files = request.files.getlist("files")
         if not files:
@@ -219,10 +232,20 @@ def create_app(
         docs, skipped = [], []
         for f in files:
             fname = f.filename or "unnamed"
-            if fname.lower().endswith((".txt", ".md")):
-                docs.append(_doc_from_text(fname, f.read().decode("utf-8", "replace")))
-            else:
-                skipped.append({"source": fname, "kind": "unsupported"})
+            low = fname.lower()
+            try:
+                if low.endswith((".txt", ".md")):
+                    docs.append(_doc_from_text(fname, f.read().decode("utf-8", "replace")))
+                elif low.endswith(".docx"):
+                    docs.append(_doc_from_text(fname, extract_docx_text(f.read())))
+                elif low.endswith(".pdf"):
+                    docs.append(_doc_from_text(fname, extract_pdf_text(f.read())))
+                elif low.endswith((".html", ".htm")):
+                    docs.append(_doc_from_text(fname, extract_html_text(f.read())))
+                else:
+                    skipped.append({"source": fname, "kind": "unsupported"})
+            except Exception:  # malformed upload: skip the row, never the request
+                skipped.append({"source": fname, "kind": "decode_error"})
         if docs:
             _index_docs(name, docs)
         return jsonify({"graph_name": name, "imported": len(docs), "skipped": skipped})
