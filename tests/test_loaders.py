@@ -69,8 +69,8 @@ def test_convert_binary_unsupported_raises(spark, tmp_path):
 
 def test_fetch_url_without_libs_raises(spark):
     df = spark.createDataFrame([("https://example.com/a",)], "url string")
-    if _has("requests") and _has("trafilatura"):
-        pytest.skip("fetch libs present; stub branch not reachable")
+    if _has("requests"):
+        pytest.skip("requests present; the NotImplementedError gate is unreachable")
     with pytest.raises(Exception) as ei:
         fetch_url_documents(df).collect()
     assert "NotImplementedError" in str(ei.value) or isinstance(
@@ -87,13 +87,11 @@ def test_convert_binary_real_decode(spark, tmp_path):
     assert "real decode" in out["p.html"]
 
 
-@pytest.mark.skipif(
-    not (_has("requests") and _has("trafilatura")),
-    reason="requests/trafilatura not installed",
-)
+@pytest.mark.skipif(not _has("requests"), reason="requests not installed")
 def test_fetch_url_error_capture_without_network(spark):
-    """Activates outside this container: a guaranteed-unresolvable host is
-    captured per-row as an error, never failing the job (url_fetcher.py:146-149)."""
+    """r13: requests IS in this container, so the per-row error-capture
+    contract runs here — a guaranteed-unresolvable host is captured as an
+    error row, never failing the job (url_fetcher.py:146-149)."""
     df = spark.createDataFrame([("http://invalid.invalid/x",)], "url string")
     rows = fetch_url_documents(df).collect()
     assert rows[0]["text"] is None and "Failed to fetch" in rows[0]["error"]
@@ -292,3 +290,54 @@ def test_stdlib_mixed_format_batch(spark, tmp_path):
         "c.pdf": "from pdf",
         "d.html": "from html",
     }
+
+
+@pytest.mark.skipif(not _has("requests"), reason="requests not installed")
+def test_fetch_url_real_loopback_fetch_and_extract(spark):
+    """r13: the URL fetcher runs END-TO-END in this container against a
+    loopback HTTP server — requests GETs the page inside the mapInPandas
+    batch, the extract half falls back to the stdlib HTML text strip
+    (trafilatura absent), a 404 row captures its error without failing the
+    job, and an empty page reports 'No content extracted'."""
+    import http.server
+    import threading
+
+    pages = {
+        "/good": "<html><body><h1>Fetched Title</h1><p>fetched body text</p>"
+                 "<script>skip()</script></body></html>",
+        "/empty": "<html><body><script>only_script()</script></body></html>",
+    }
+
+    class _H(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            if self.path in pages:
+                body = pages[self.path].encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "text/html")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            else:
+                self.send_error(404)
+
+        def log_message(self, *a):  # quiet
+            pass
+
+    srv = http.server.HTTPServer(("127.0.0.1", 0), _H)
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        df = spark.createDataFrame(
+            [(f"http://127.0.0.1:{port}/good",),
+             (f"http://127.0.0.1:{port}/empty",),
+             (f"http://127.0.0.1:{port}/missing",)],
+            "url string",
+        )
+        rows = {r["url"].rsplit("/", 1)[-1]: r for r in fetch_url_documents(df).collect()}
+    finally:
+        srv.shutdown()
+    assert rows["good"]["error"] is None
+    assert rows["good"]["text"] == "Fetched Title\nfetched body text"
+    assert rows["empty"]["text"] is None and "No content extracted" in rows["empty"]["error"]
+    assert rows["missing"]["text"] is None and "Failed to fetch" in rows["missing"]["error"]

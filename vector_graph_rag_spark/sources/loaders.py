@@ -313,32 +313,38 @@ def fetch_url_documents(urls_df: DataFrame, url_col: str = "url") -> DataFrame:
     """urls → (url, text, error) via partition-parallel fetch+extract.
 
     Reference url_fetcher.py:91-155: GET the page, extract main content as
-    markdown with trafilatura.  Both libraries are optional — with
-    `requests`+`trafilatura` importable the real fetch runs inside the
-    mapInPandas batches (errors are captured per-row like the reference's
-    ConversionResult.errors, never failing the job); without them every row
-    raises NotImplementedError (no network in this container).
+    markdown with trafilatura.  The two halves gate independently (r13):
+    the FETCH needs `requests` (present in this container — network
+    failures are captured per-row like the reference's
+    ConversionResult.errors, never failing the job); the EXTRACT uses
+    trafilatura when importable and falls back to the stdlib
+    `extract_html_text` otherwise.  Only a missing `requests` raises
+    NotImplementedError.
     """
 
     def _fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         try:
             import requests
-            import trafilatura
-
-            have_libs = True
         except ImportError:
-            have_libs = False
+            requests = None
+        try:
+            import trafilatura
+        except ImportError:
+            trafilatura = None
         for pdf in batches:
             texts, errors = [], []
             for url in pdf[url_col]:
-                if not have_libs:
+                if requests is None:
                     raise NotImplementedError(
-                        "URL fetch requires requests+trafilatura (not in this container)"
+                        "URL fetch requires requests (not in this container)"
                     )
                 try:
                     resp = requests.get(str(url), timeout=30, allow_redirects=True)
                     resp.raise_for_status()
-                    content = trafilatura.extract(resp.text, output_format="markdown")
+                    if trafilatura is not None:
+                        content = trafilatura.extract(resp.text, output_format="markdown")
+                    else:
+                        content = extract_html_text(resp.content) or None
                     if content:
                         texts.append(content)
                         errors.append(None)
