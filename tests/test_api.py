@@ -462,3 +462,49 @@ def test_upload_route_decodes_real_formats(client):
     assert {s["kind"] for s in r["skipped"]} == {"decode_error", "unsupported"}
     stats = client.get("/graph/up_rich/stats").get_json()
     assert stats["passages"] == 3
+
+
+def test_import_route_fetches_urls_via_loopback(client):
+    """r13: /import fetches url sources for real (requests + stdlib
+    extract) — a loopback page lands as an indexed passage, a failing URL
+    reports skipped with its captured error."""
+    import http.server
+    import threading
+
+    page = (b"<html><body><p>owl guards barn barn shelters mouse "
+            b"mouse nibbles grain end</p></body></html>")
+
+    class _H(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            if self.path == "/doc":
+                self.send_response(200)
+                self.send_header("Content-Type", "text/html")
+                self.send_header("Content-Length", str(len(page)))
+                self.end_headers()
+                self.wfile.write(page)
+            else:
+                self.send_error(404)
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.HTTPServer(("127.0.0.1", 0), _H)
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        r = client.post(
+            "/import",
+            json={
+                "graph_name": "imp_url",
+                "sources": [
+                    f"http://127.0.0.1:{port}/doc",
+                    f"http://127.0.0.1:{port}/missing",
+                ],
+            },
+        ).get_json()
+    finally:
+        srv.shutdown()
+    assert r["imported"] == 1, r
+    assert len(r["skipped"]) == 1 and "error" in r["skipped"][0]
+    stats = client.get("/graph/imp_url/stats").get_json()
+    assert stats["passages"] == 1

@@ -186,6 +186,8 @@ def create_app(
             route_files,
         )
 
+        from vector_graph_rag_spark.sources.loaders import fetch_url_documents
+
         body = request.get_json(force=True)
         name = body.get("graph_name", "default")
         sources = body.get("sources") or []
@@ -199,19 +201,34 @@ def create_app(
             for p, k in routed.items()
             if k in decodable and os.path.isfile(p) and not p.lower().endswith(".doc")
         ]
+        urls = [p for p, k in routed.items() if k == "url"]
         skipped = [
             {"source": p, "kind": k}
             for p, k in routed.items()
-            if p not in readable
+            if p not in readable and k != "url"
         ]
-        imported = 0
+        docs = []
         if readable:
             binary = spark.read.format("binaryFile").load(readable)
-            texts = convert_binary_documents(binary).collect()
-            docs = [_doc_from_text(r["path"], r["text"]) for r in texts]
+            docs += [
+                _doc_from_text(r["path"], r["text"])
+                for r in convert_binary_documents(binary).collect()
+            ]
+        if urls:
+            # r13: the fetcher runs for real (requests + stdlib extract);
+            # fetch failures come back as per-row errors, reported skipped
+            # with the reason (reference app.py:423-474 error surface).
+            udf_ = spark.createDataFrame([(u,) for u in urls], "url string")
+            for r in fetch_url_documents(udf_).collect():
+                if r["text"] is not None:
+                    docs.append(_doc_from_text(r["url"], r["text"]))
+                else:
+                    skipped.append(
+                        {"source": r["url"], "kind": "url", "error": r["error"]}
+                    )
+        if docs:
             _index_docs(name, docs)
-            imported = len(docs)
-        return jsonify({"graph_name": name, "imported": imported, "skipped": skipped})
+        return jsonify({"graph_name": name, "imported": len(docs), "skipped": skipped})
 
     @app.post("/upload")
     def upload_files():
