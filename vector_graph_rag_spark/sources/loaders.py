@@ -228,23 +228,40 @@ def extract_pdf_text(content: bytes) -> str:
     import zlib
 
     texts: list[str] = []
+
+    def _hex_decode(h: bytes) -> str:
+        h = bytes(c for c in h if not chr(c).isspace())
+        if len(h) % 2:  # odd digit count: implicit trailing 0 (§7.3.4.3)
+            h += b"0"
+        return bytes.fromhex(h.decode("ascii", "ignore")).decode("latin-1")
+
     for m in re.finditer(rb"stream\r?\n(.*?)\r?\nendstream", content, re.DOTALL):
         data = m.group(1)
         try:
             data = zlib.decompress(data)
         except zlib.error:
             pass  # uncompressed content stream
-        # literal strings shown by Tj / ' / " and array elements of TJ
+        # literal (…) and hex <…> strings shown by Tj / ' / ", and array
+        # elements of TJ (both string forms appear inside TJ arrays)
         for sm in re.finditer(
-            rb"\(((?:[^()\\]|\\.)*)\)\s*(?:Tj|'|\")|\[((?:[^\]\\]|\\.)*)\]\s*TJ",
+            rb"\(((?:[^()\\]|\\.)*)\)\s*(?:Tj|'|\")"
+            rb"|<([0-9A-Fa-f\s]*)>\s*(?:Tj|'|\")"
+            rb"|\[((?:[^\]\\]|\\.)*)\]\s*TJ",
             data,
             re.DOTALL,
         ):
             if sm.group(1) is not None:
                 texts.append(_pdf_unescape(sm.group(1)))
+            elif sm.group(2) is not None:
+                texts.append(_hex_decode(sm.group(2)))
             else:
-                for em in re.finditer(rb"\(((?:[^()\\]|\\.)*)\)", sm.group(2), re.DOTALL):
-                    texts.append(_pdf_unescape(em.group(1)))
+                for em in re.finditer(
+                    rb"\(((?:[^()\\]|\\.)*)\)|<([0-9A-Fa-f\s]*)>", sm.group(3), re.DOTALL
+                ):
+                    if em.group(1) is not None:
+                        texts.append(_pdf_unescape(em.group(1)))
+                    else:
+                        texts.append(_hex_decode(em.group(2)))
         if texts and not texts[-1].endswith("\n"):
             texts.append("\n")
     return "".join(texts).strip("\n")
