@@ -165,6 +165,8 @@ def decode_bmp(content: bytes) -> dict:
         raise ValueError("not a BMP stream")
     data_offset = struct.unpack_from("<I", content, 10)[0]
     hdr_size, width, height = struct.unpack_from("<Iii", content, 14)
+    if hdr_size < 40:  # BITMAPCOREHEADER: 16-bit dims at different offsets
+        raise NotImplementedError(f"BMP header size {hdr_size} (OS/2 core) needs PIL")
     planes, bpp, compression = struct.unpack_from("<HHI", content, 26)
     if bpp != 24 or compression != 0:
         raise NotImplementedError(f"BMP bpp={bpp} compression={compression} needs PIL")

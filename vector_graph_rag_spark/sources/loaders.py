@@ -221,9 +221,12 @@ def _pdf_unescape(s: bytes) -> str:
 def extract_pdf_text(content: bytes) -> str:
     """Simple-PDF text extraction via the stdlib: walk `stream…endstream`
     objects, FlateDecode via zlib where needed, and collect the text
-    arguments of Tj / TJ / ' / " operators in stream order (standard-font
-    PDFs; CID/Type0-encoded text needs a real library and comes out
-    garbled — markitdown takes priority when present)."""
+    arguments of Tj / TJ / ' / " operators in stream order — literal
+    (…) strings with escape/octal handling and hex <…> strings with the
+    odd-digit rule.  Known limits of the fallback (markitdown takes
+    priority when present): CID/Type0-encoded text comes out garbled, and
+    literal strings containing balanced UNESCAPED parens truncate at the
+    first ')' (writers normally escape them)."""
     import re
     import zlib
 
