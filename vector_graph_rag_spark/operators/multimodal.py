@@ -132,7 +132,8 @@ def sample_frames(assets: DataFrame, every_ms: int = 1000) -> DataFrame:
 # pipeline a REAL pixel/sample path — magic-byte dispatch, header parsing,
 # vectorized pixel/sample math — so the Spark-side contract is exercised
 # end-to-end on genuine binary media, not just the deterministic fake.
-# JPEG/PNG/MP4 still route to NotImplementedError until PIL/ffmpeg exist.
+# JPEG/MP4 still route to NotImplementedError until PIL/ffmpeg exist
+# (PNG decodes too: zlib inflate + the five RFC 2083 scanline filters).
 
 import struct
 
@@ -242,15 +243,159 @@ def decode_wav(content: bytes) -> dict:
 
 def stdlib_kernel(modality: str, content: bytes) -> dict:
     """Magic-byte-dispatched REAL decode for stdlib-decodable formats:
-    'BM' → 24-bit BMP (mean-luminance feature), 'RIFF…WAVE' → PCM WAV
-    (RMS-amplitude feature).  Anything else still needs PIL/ffmpeg and
-    raises — the pluggable-kernel contract is unchanged, the default just
-    got strictly more capable."""
+    'BM' → 24-bit BMP, '\\x89PNG' → 8-bit PNG (zlib inflate + scanline
+    unfilter), both with mean-BT.601-luminance features; 'RIFF…WAVE' →
+    PCM WAV (RMS-amplitude feature).  Anything else still needs
+    PIL/ffmpeg and raises — the pluggable-kernel contract is unchanged,
+    the default just got strictly more capable."""
     if content[:2] == b"BM":
         return decode_bmp(content)
+    if content[:8] == b"\x89PNG\r\n\x1a\n":
+        return decode_png(content)
     if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
         return decode_wav(content)
     raise NotImplementedError(
         f"decode for modality={modality!r} with magic {content[:4]!r} requires "
         "codec libraries (PIL/torchaudio/ffmpeg) not present in this container"
     )
+
+
+def encode_png(width: int, height: int, pixels, filters=None) -> bytes:
+    """Minimal 8-bit truecolor PNG writer (fixture generator):
+    `pixels[y][x] = (r, g, b)`, one IDAT, per-row filter byte taken from
+    `filters[y]` (default 0/None) with the filter actually APPLIED — so
+    tests can force sub/up/average/paeth rows through the decoder."""
+    import zlib
+
+    def chunk(tag: bytes, payload: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(payload))
+            + tag
+            + payload
+            + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+        )
+
+    filters = filters or [0] * height
+    bpp = 3
+    raw = bytearray()
+    prev = bytes(width * bpp)
+    for y in range(height):
+        line = bytearray()
+        for x in range(width):
+            line += bytes(pixels[y][x])
+        f = filters[y]
+        out = bytearray()
+        for i in range(len(line)):
+            a = line[i - bpp] if i >= bpp else 0
+            b = prev[i]
+            c = prev[i - bpp] if i >= bpp else 0
+            if f == 0:
+                out.append(line[i])
+            elif f == 1:
+                out.append((line[i] - a) & 0xFF)
+            elif f == 2:
+                out.append((line[i] - b) & 0xFF)
+            elif f == 3:
+                out.append((line[i] - (a + b) // 2) & 0xFF)
+            elif f == 4:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                out.append((line[i] - pred) & 0xFF)
+            else:
+                raise ValueError(f"filter {f}")
+        raw += bytes([f]) + out
+        prev = bytes(line)
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)  # 8-bit RGB
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png(content: bytes) -> dict:
+    """Parse an 8-bit greyscale/RGB/RGBA non-interlaced PNG with the
+    stdlib: walk chunks, inflate the concatenated IDATs, undo all five
+    scanline filters (None/Sub/Up/Average/Paeth, RFC 2083 §6), return
+    pixels and mean BT.601 luminance as the feature.  Palette, 16-bit, and
+    interlaced PNGs still need PIL."""
+    import zlib
+
+    import numpy as np
+
+    if content[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG stream")
+    pos, idat, meta = 8, bytearray(), None
+    while pos + 8 <= len(content):
+        (length,) = struct.unpack_from(">I", content, pos)
+        tag = content[pos + 4 : pos + 8]
+        payload = content[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if tag == b"IHDR":
+            w, h, depth, color, comp, filt, interlace = struct.unpack(">IIBBBBB", payload)
+            meta = (w, h, depth, color, interlace)
+        elif tag == b"IDAT":
+            idat += payload
+        elif tag == b"IEND":
+            break
+    if meta is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, color, interlace = meta
+    channels = {0: 1, 2: 3, 6: 4}.get(color)
+    if depth != 8 or channels is None or interlace != 0:
+        raise NotImplementedError(
+            f"PNG depth={depth} color_type={color} interlace={interlace} needs PIL"
+        )
+    bpp = channels
+    stride = w * bpp
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != (stride + 1) * h:
+        raise ValueError("PNG data length mismatch")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        f = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).astype(np.int32)
+        if f == 0:
+            cur = line
+        elif f == 2:
+            cur = (line + prev) & 0xFF
+        else:  # sub/average/paeth need the in-progress row: sequential scan
+            cur = np.zeros(stride, dtype=np.int32)
+            for i in range(stride):
+                a = int(cur[i - bpp]) if i >= bpp else 0
+                b = int(prev[i])
+                c = int(prev[i - bpp]) if i >= bpp else 0
+                if f == 1:
+                    cur[i] = (line[i] + a) & 0xFF
+                elif f == 3:
+                    cur[i] = (line[i] + (a + b) // 2) & 0xFF
+                elif f == 4:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    cur[i] = (line[i] + pred) & 0xFF
+                else:
+                    raise NotImplementedError(f"PNG filter {f}")
+        out[y] = cur.astype(np.uint8)
+        prev = out[y].astype(np.uint8)
+    px = out.reshape(h, w, bpp)
+    if bpp == 1:
+        luma = px[..., 0].astype(np.float64)
+        rgb = np.repeat(px, 3, axis=2)
+    else:
+        rgb = px[..., :3]
+        r = rgb[..., 0].astype(np.float64)
+        g = rgb[..., 1].astype(np.float64)
+        b = rgb[..., 2].astype(np.float64)
+        luma = 0.299 * r + 0.587 * g + 0.114 * b
+    return {
+        "width": int(w),
+        "height": int(h),
+        "pixels": rgb,  # top-down RGB uint8
+        "feature": float(luma.mean() / 255.0),
+    }
