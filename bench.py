@@ -172,6 +172,16 @@ def main() -> None:
     # same 4-iteration protocol SCALE.md pins with; the reported number
     # stays a min, just over enough runs to reach steady state.
     EXTRA_ITERS = {"dedup_index_incremental": max(ITERATIONS, 4)}
+    # Contention guard (r13 verdict, What's wrong #1 / Next #2): the committed
+    # BENCH_r13 read 1.28x vs r12 purely from box load while the code was flat
+    # (idle rerun: 1.047x, zero >2x queries) — a 2-iteration min under
+    # contention publishes a misleading artifact.  Two defenses: (a) any query
+    # whose observed iterations disagree by >RERUN_RATIO gets extra runs up to
+    # min-of-MAX_SETTLE_ITERS, so a transient spike can't set the floor; (b)
+    # the JSON line records os.getloadavg() + the count of currently-running
+    # processes at start and end, so a loaded-box artifact is self-describing.
+    RERUN_RATIO = float(os.environ.get("SPARK_GRAFT_BENCH_RERUN_RATIO", "1.5"))
+    MAX_SETTLE_ITERS = int(os.environ.get("SPARK_GRAFT_BENCH_MAX_ITERS", "4"))
     from pyspark.sql import Observation
     from pyspark.sql import functions as F
 
@@ -191,6 +201,29 @@ def main() -> None:
     def _release_checkpoints() -> None:
         gc.collect()
         spark.sparkContext._jvm.System.gc()
+
+    def _load_sentinel() -> dict:
+        """Box-load snapshot recorded in the output JSON: loadavg plus the
+        number of processes currently in run state.  A bench artifact taken
+        under contention (other Spark jobs, a concurrent pytest) is then
+        distinguishable from a genuine engine regression after the fact."""
+        la1, la5, _ = os.getloadavg()
+        running = 0
+        for pid in os.listdir("/proc"):
+            if not pid.isdigit():
+                continue
+            try:
+                with open(f"/proc/{pid}/stat") as fh:
+                    state = fh.read().rsplit(")", 1)[1].split()[0]
+            except (OSError, IndexError):
+                continue
+            if state == "R":
+                running += 1
+        return {
+            "loadavg_1m": round(la1, 2),
+            "loadavg_5m": round(la5, 2),
+            "running_procs": running,
+        }
 
     def _noop_write(df) -> None:
         df.write.format("noop").mode("overwrite").save()
@@ -291,11 +324,14 @@ def main() -> None:
             _release_checkpoints()
         return rows
 
+    load_start = _load_sentinel()
+    started_utc = time.time()
     timings: dict[str, float] = {}
+    settled_extra: dict[str, int] = {}
     for name in HEADLINE:
         q = registry[name]
-        runs = []
-        for _ in range(EXTRA_ITERS.get(name, ITERATIONS)):
+
+        def _one_run() -> tuple[float, int]:
             t0 = time.perf_counter()
             if ACTION == "count":
                 n = q.fn(spark, SF_DIR).count()
@@ -306,14 +342,28 @@ def main() -> None:
                     "noop"
                 ).mode("overwrite").save()
                 n = obs.get["n"]
-            runs.append(round(time.perf_counter() - t0, 3))
-            if ACTION != "count":
-                del df, obs
+            elapsed = round(time.perf_counter() - t0, 3)
             _release_checkpoints()
+            return elapsed, n
+
+        runs = []
+        for _ in range(EXTRA_ITERS.get(name, ITERATIONS)):
+            elapsed, n = _one_run()
+            runs.append(elapsed)
+        # Settle: disagreeing iterations mean one of them was contended (or
+        # still warming) — keep running until the spread closes or the cap.
+        cap = max(EXTRA_ITERS.get(name, ITERATIONS), MAX_SETTLE_ITERS)
+        while len(runs) < cap and max(runs) / max(min(runs), 1e-9) > RERUN_RATIO:
+            elapsed, n = _one_run()
+            runs.append(elapsed)
+        base = EXTRA_ITERS.get(name, ITERATIONS)
+        if len(runs) > base:
+            settled_extra[name] = len(runs) - base
         timings[name] = min(runs)
         print(f"# {name}: {runs} -> {timings[name]}s ({n} rows)", file=sys.stderr)
 
     timings.update(_probe_only_rows())
+    load_end = _load_sentinel()
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -327,6 +377,11 @@ def main() -> None:
                 "timing": "min",
                 "action": ACTION,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "load_start": load_start,
+                "load_end": load_end,
+                "started_utc": round(started_utc, 1),
+                "ended_utc": round(time.time(), 1),
+                "settled_extra_iters": settled_extra,
             }
         )
     )
