@@ -576,7 +576,7 @@ def test_stdlib_png_decode_all_filters_through_spark(spark):
     type (None/Sub/Up/Average/Paeth) must round-trip pixel-exactly, and
     the Spark decode path must produce the same mean-luminance feature as
     a hand computation.  Greyscale and RGBA color types also decode; a
-    palette PNG routes to the documented gate."""
+    hand-built minimal palette PNG decodes through the PLTE LUT (r14)."""
     import random
 
     import numpy as np
@@ -610,7 +610,9 @@ def test_stdlib_png_decode_all_filters_through_spark(spark):
     rows = decode_assets(assets, kernel=stdlib_kernel).collect()
     assert abs(rows[0]["feature"] - luma) < 1e-9
 
-    # palette (color type 3) gates to PIL
+    # palette (color type 3) decodes through the PLTE LUT since r14 — this
+    # hand-built fixture (independent of encode_png_palette) is 1x1, one
+    # red palette entry, filter byte 0 + index 0
     import struct as _struct
     import zlib as _zlib
 
@@ -623,5 +625,174 @@ def test_stdlib_png_decode_all_filters_through_spark(spark):
            + _chunk(b"PLTE", b"\xff\x00\x00")
            + _chunk(b"IDAT", _zlib.compress(b"\x00\x00"))
            + _chunk(b"IEND", b""))
+    dp = decode_png(pal)
+    assert tuple(int(v) for v in dp["pixels"][0][0]) == (255, 0, 0)
+    assert abs(dp["feature"] - 0.299) < 1e-9
+    # 16-bit still gates to PIL
+    deep = (b"\x89PNG\r\n\x1a\n"
+            + _chunk(b"IHDR", _struct.pack(">IIBBBBB", 1, 1, 16, 2, 0, 0, 0))
+            + _chunk(b"IDAT", _zlib.compress(b"\x00" * 7))
+            + _chunk(b"IEND", b""))
     with _pytest.raises(NotImplementedError, match="needs PIL"):
-        decode_png(pal)
+        decode_png(deep)
+
+
+# --- r14 codec upgrades: palette PNG / 8-bit BMP + vectorized unfilter -------
+
+
+def test_png_palette_roundtrip_all_depths():
+    """Palette (color_type=3) PNG round-trip at every legal bit depth
+    (1/2/4/8), with all five scanline filters forced on the PACKED index
+    bytes — pixels must come back exactly as palette[index] and the
+    feature must equal the hand-computed mean BT.601 luminance."""
+    import random
+
+    import numpy as np
+
+    from vector_graph_rag_spark.operators.multimodal import (
+        decode_png,
+        encode_png_palette,
+    )
+
+    rng = random.Random(14)
+    for depth in (1, 2, 4, 8):
+        ncol = (1 << depth) if depth < 8 else 19
+        pal = [
+            (rng.randrange(256), rng.randrange(256), rng.randrange(256))
+            for _ in range(ncol)
+        ]
+        w, h = 13, 7  # odd width exercises sub-byte packing remainders
+        idx = [[rng.randrange(ncol) for _ in range(w)] for _ in range(h)]
+        data = encode_png_palette(
+            w, h, pal, idx, filters=[0, 1, 2, 3, 4, 1, 4], depth=depth
+        )
+        d = decode_png(data)
+        exp = np.array(
+            [[pal[idx[y][x]] for x in range(w)] for y in range(h)], dtype=np.uint8
+        )
+        assert d["width"] == w and d["height"] == h
+        assert (d["pixels"] == exp).all(), f"depth {depth}"
+        luma = float(
+            (0.299 * exp[..., 0] + 0.587 * exp[..., 1] + 0.114 * exp[..., 2]).mean()
+            / 255.0
+        )
+        assert abs(d["feature"] - luma) < 1e-9
+
+
+def test_bmp8_color_table_roundtrip():
+    """8-bit color-table BMP round-trip: indices map through the BGRX
+    table as a LUT; odd width exercises the 4-byte row padding; an
+    out-of-range index raises rather than wrapping."""
+    import random
+
+    import numpy as np
+    import pytest as _pytest
+
+    from vector_graph_rag_spark.operators.multimodal import decode_bmp, encode_bmp8
+
+    rng = random.Random(8)
+    pal = [
+        (rng.randrange(256), rng.randrange(256), rng.randrange(256))
+        for _ in range(40)
+    ]
+    w, h = 5, 6
+    idx = [[rng.randrange(40) for _ in range(w)] for _ in range(h)]
+    d = decode_bmp(encode_bmp8(w, h, pal, idx))
+    # decode_bmp pixels are top-down BGR
+    exp = np.array(
+        [[pal[idx[y][x]][::-1] for x in range(w)] for y in range(h)], dtype=np.uint8
+    )
+    assert d["width"] == w and d["height"] == h
+    assert (d["pixels"] == exp).all()
+
+    bad = bytearray(encode_bmp8(1, 1, [(1, 2, 3)], [[0]]))
+    bad[-4] = 7  # index 7 against a 1-entry table
+    with _pytest.raises(ValueError, match="index out of range"):
+        decode_bmp(bytes(bad))
+
+
+def test_png_unfilter_twin_vs_reference_loop():
+    """The vectorized/bytearray unfilter (r14) must produce byte-identical
+    output to the per-byte reference loop (the r13 implementation, kept
+    here as the twin oracle) on random data with random filters, across
+    bpp 1/3/4."""
+    import random
+
+    import numpy as np
+
+    from vector_graph_rag_spark.operators.multimodal import _unfilter_scanlines
+
+    def reference_unfilter(raw, h, stride, bpp):
+        out = np.zeros((h, stride), dtype=np.uint8)
+        prev = np.zeros(stride, dtype=np.uint8)
+        for y in range(h):
+            f = raw[y * (stride + 1)]
+            line = np.frombuffer(
+                raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+            ).astype(np.int32)
+            if f == 0:
+                cur = line
+            elif f == 2:
+                cur = (line + prev) & 0xFF
+            else:
+                cur = np.zeros(stride, dtype=np.int32)
+                for i in range(stride):
+                    a = int(cur[i - bpp]) if i >= bpp else 0
+                    b = int(prev[i])
+                    c = int(prev[i - bpp]) if i >= bpp else 0
+                    if f == 1:
+                        cur[i] = (line[i] + a) & 0xFF
+                    elif f == 3:
+                        cur[i] = (line[i] + (a + b) // 2) & 0xFF
+                    elif f == 4:
+                        p = a + b - c
+                        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                        pred = (
+                            a
+                            if (pa <= pb and pa <= pc)
+                            else (b if pb <= pc else c)
+                        )
+                        cur[i] = (line[i] + pred) & 0xFF
+            out[y] = cur.astype(np.uint8)
+            prev = out[y].astype(np.uint8)
+        return out
+
+    rng = random.Random(42)
+    for bpp in (1, 3, 4):
+        w, h = 37, 23
+        stride = w * bpp
+        raw = bytearray()
+        for _ in range(h):
+            raw.append(rng.choice([0, 1, 2, 3, 4]))
+            raw += bytes(rng.randrange(256) for _ in range(stride))
+        raw = bytes(raw)
+        got = _unfilter_scanlines(raw, h, stride, bpp)
+        exp = reference_unfilter(raw, h, stride, bpp)
+        assert (got == exp).all(), f"bpp={bpp}"
+
+
+def test_stdlib_kernel_palette_formats_through_spark(spark):
+    """Magic-byte dispatch now covers the palette variants: one DataFrame
+    mixing a palette PNG and an 8-bit BMP decodes both in one mapInPandas
+    pass with exact hand-computed luminance features."""
+    from vector_graph_rag_spark.operators.multimodal import (
+        decode_assets,
+        encode_bmp8,
+        encode_png_palette,
+        stdlib_kernel,
+    )
+
+    # palette PNG: 2x2 all pure-green -> luma 0.587
+    png = encode_png_palette(2, 2, [(0, 255, 0)], [[0, 0], [0, 0]], depth=8)
+    # 8-bit BMP: 3x1 all pure-blue -> luma 0.114 (odd width -> padding)
+    bmp = encode_bmp8(3, 1, [(0, 0, 255), (9, 9, 9)], [[0, 0, 0]])
+    assets = spark.createDataFrame(
+        [("png_pal", "image", png, 2, 2, 0), ("bmp_pal", "image", bmp, 3, 1, 0)],
+        "asset_id string, modality string, content binary, width int, height int, duration_ms int",
+    )
+    rows = {
+        r["asset_id"]: r
+        for r in decode_assets(assets, kernel=stdlib_kernel).collect()
+    }
+    assert abs(rows["png_pal"]["feature"] - 0.587) < 1e-9
+    assert abs(rows["bmp_pal"]["feature"] - 0.114) < 1e-9

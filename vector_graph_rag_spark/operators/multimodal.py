@@ -126,14 +126,15 @@ def sample_frames(assets: DataFrame, every_ms: int = 1000) -> DataFrame:
 
 # --- real stdlib codecs (r13) ------------------------------------------------
 #
-# "Pending PIL/ffmpeg" overstated the gap: uncompressed 24-bit BMP and PCM
-# WAV are fully decodable with the standard library (struct/wave) + numpy,
-# both of which ARE in this container.  These kernels give the decode
-# pipeline a REAL pixel/sample path — magic-byte dispatch, header parsing,
-# vectorized pixel/sample math — so the Spark-side contract is exercised
-# end-to-end on genuine binary media, not just the deterministic fake.
-# JPEG/MP4 still route to NotImplementedError until PIL/ffmpeg exist
-# (PNG decodes too: zlib inflate + the five RFC 2083 scanline filters).
+# "Pending PIL/ffmpeg" overstated the gap: uncompressed BMP (24-bit and
+# 8-bit color-table) and PCM WAV are fully decodable with the standard
+# library (struct/wave) + numpy, both of which ARE in this container.
+# These kernels give the decode pipeline a REAL pixel/sample path —
+# magic-byte dispatch, header parsing, vectorized pixel/sample math — so
+# the Spark-side contract is exercised end-to-end on genuine binary media,
+# not just the deterministic fake.  JPEG/MP4 still route to
+# NotImplementedError until PIL/ffmpeg exist (PNG decodes too: zlib
+# inflate + the five RFC 2083 scanline filters + palette LUT).
 
 import struct
 
@@ -157,9 +158,11 @@ def encode_bmp(width: int, height: int, pixels) -> bytes:
 
 
 def decode_bmp(content: bytes) -> dict:
-    """Parse a 24-bit uncompressed BMP: header via struct, pixel rows via a
-    vectorized numpy view (strided over the 4-byte row padding).  Returns
-    width/height and mean luminance in [0, 1] as the feature."""
+    """Parse an uncompressed BMP — 24-bit truecolor or 8-bit color-table
+    (palette) — header via struct, pixel rows via a vectorized numpy view
+    (strided over the 4-byte row padding); 8-bit rows map through the
+    BGRX color table as a LUT.  Returns width/height and mean BT.601
+    luminance in [0, 1] as the feature."""
     import numpy as np
 
     if content[:2] != b"BM":
@@ -169,13 +172,31 @@ def decode_bmp(content: bytes) -> dict:
     if hdr_size < 40:  # BITMAPCOREHEADER: 16-bit dims at different offsets
         raise NotImplementedError(f"BMP header size {hdr_size} (OS/2 core) needs PIL")
     planes, bpp, compression = struct.unpack_from("<HHI", content, 26)
-    if bpp != 24 or compression != 0:
+    if bpp not in (8, 24) or compression != 0:
         raise NotImplementedError(f"BMP bpp={bpp} compression={compression} needs PIL")
     flipped = height > 0  # positive height = bottom-up storage
     height = abs(height)
-    row_size = (width * 3 + 3) & ~3
-    raw = np.frombuffer(content, dtype=np.uint8, count=row_size * height, offset=data_offset)
-    rows = raw.reshape(height, row_size)[:, : width * 3].reshape(height, width, 3)
+    if bpp == 8:
+        # Color table follows the info header: biClrUsed entries (0 = 256),
+        # 4 bytes each, stored B,G,R,reserved.
+        clr_used = struct.unpack_from("<I", content, 46)[0] or 256
+        table = np.frombuffer(
+            content, dtype=np.uint8, count=clr_used * 4, offset=14 + hdr_size
+        ).reshape(clr_used, 4)[:, :3]  # BGR LUT
+        row_size = (width + 3) & ~3
+        raw = np.frombuffer(
+            content, dtype=np.uint8, count=row_size * height, offset=data_offset
+        )
+        idx = raw.reshape(height, row_size)[:, :width]
+        if int(idx.max(initial=0)) >= clr_used:
+            raise ValueError("BMP color-table index out of range")
+        rows = table[idx]  # (h, w, 3) BGR via LUT fancy-indexing
+    else:
+        row_size = (width * 3 + 3) & ~3
+        raw = np.frombuffer(
+            content, dtype=np.uint8, count=row_size * height, offset=data_offset
+        )
+        rows = raw.reshape(height, row_size)[:, : width * 3].reshape(height, width, 3)
     if flipped:
         rows = rows[::-1]
     bgr = rows.astype(np.float64)
@@ -187,6 +208,29 @@ def decode_bmp(content: bytes) -> dict:
         "pixels": rows,  # top-down BGR uint8 array
         "feature": float(luma.mean() / 255.0),
     }
+
+
+def encode_bmp8(width: int, height: int, palette, indices) -> bytes:
+    """Minimal 8-bit color-table BMP writer (fixture generator): `palette`
+    is a list of (r, g, b) (stored BGRX per the format), `indices[y][x]` a
+    color-table index with row 0 at the TOP; rows stored bottom-up with
+    4-byte padding."""
+    n = len(palette)
+    if n > 256:
+        raise ValueError("BMP 8-bit palette limited to 256 entries")
+    table = b"".join(bytes((b, g, r, 0)) for r, g, b in palette)
+    row_size = (width + 3) & ~3
+    data = bytearray()
+    for y in range(height - 1, -1, -1):
+        row = bytearray(indices[y][x] for x in range(width))
+        row += b"\x00" * (row_size - len(row))
+        data += row
+    offset = 54 + len(table)
+    header = struct.pack("<2sIHHI", b"BM", offset + len(data), 0, 0, offset)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 8, 0, len(data), 2835, 2835, n, n
+    )
+    return bytes(header + info + table + data)
 
 
 def resize_bmp_pixels(pixels, target_w: int, target_h: int):
@@ -243,11 +287,12 @@ def decode_wav(content: bytes) -> dict:
 
 def stdlib_kernel(modality: str, content: bytes) -> dict:
     """Magic-byte-dispatched REAL decode for stdlib-decodable formats:
-    'BM' → 24-bit BMP, '\\x89PNG' → 8-bit PNG (zlib inflate + scanline
-    unfilter), both with mean-BT.601-luminance features; 'RIFF…WAVE' →
-    PCM WAV (RMS-amplitude feature).  Anything else still needs
-    PIL/ffmpeg and raises — the pluggable-kernel contract is unchanged,
-    the default just got strictly more capable."""
+    'BM' → 24-bit or 8-bit-palette BMP, '\\x89PNG' → 8-bit grey/RGB/RGBA
+    or 1/2/4/8-bit palette PNG (zlib inflate + scanline unfilter + PLTE
+    LUT), both with mean-BT.601-luminance features; 'RIFF…WAVE' → PCM WAV
+    (RMS-amplitude feature).  Anything else still needs PIL/ffmpeg and
+    raises — the pluggable-kernel contract is unchanged, the default just
+    got strictly more capable."""
     if content[:2] == b"BM":
         return decode_bmp(content)
     if content[:8] == b"\x89PNG\r\n\x1a\n":
@@ -260,6 +305,42 @@ def stdlib_kernel(modality: str, content: bytes) -> dict:
     )
 
 
+def _png_chunk(tag: bytes, payload: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(payload))
+        + tag
+        + payload
+        + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+    )
+
+
+def _png_filter_line(line: bytes, prev: bytes, f: int, bpp: int) -> bytes:
+    """Apply (encode-direction) one RFC 2083 scanline filter."""
+    out = bytearray()
+    for i in range(len(line)):
+        a = line[i - bpp] if i >= bpp else 0
+        b = prev[i]
+        c = prev[i - bpp] if i >= bpp else 0
+        if f == 0:
+            out.append(line[i])
+        elif f == 1:
+            out.append((line[i] - a) & 0xFF)
+        elif f == 2:
+            out.append((line[i] - b) & 0xFF)
+        elif f == 3:
+            out.append((line[i] - (a + b) // 2) & 0xFF)
+        elif f == 4:
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            out.append((line[i] - pred) & 0xFF)
+        else:
+            raise ValueError(f"filter {f}")
+    return bytes(out)
+
+
 def encode_png(width: int, height: int, pixels, filters=None) -> bytes:
     """Minimal 8-bit truecolor PNG writer (fixture generator):
     `pixels[y][x] = (r, g, b)`, one IDAT, per-row filter byte taken from
@@ -267,67 +348,141 @@ def encode_png(width: int, height: int, pixels, filters=None) -> bytes:
     tests can force sub/up/average/paeth rows through the decoder."""
     import zlib
 
-    def chunk(tag: bytes, payload: bytes) -> bytes:
-        return (
-            struct.pack(">I", len(payload))
-            + tag
-            + payload
-            + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
-        )
-
     filters = filters or [0] * height
     bpp = 3
     raw = bytearray()
     prev = bytes(width * bpp)
     for y in range(height):
-        line = bytearray()
-        for x in range(width):
-            line += bytes(pixels[y][x])
+        line = bytes(
+            bytearray(ch for x in range(width) for ch in pixels[y][x])
+        )
         f = filters[y]
-        out = bytearray()
-        for i in range(len(line)):
-            a = line[i - bpp] if i >= bpp else 0
-            b = prev[i]
-            c = prev[i - bpp] if i >= bpp else 0
-            if f == 0:
-                out.append(line[i])
-            elif f == 1:
-                out.append((line[i] - a) & 0xFF)
-            elif f == 2:
-                out.append((line[i] - b) & 0xFF)
-            elif f == 3:
-                out.append((line[i] - (a + b) // 2) & 0xFF)
-            elif f == 4:
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                out.append((line[i] - pred) & 0xFF)
-            else:
-                raise ValueError(f"filter {f}")
-        raw += bytes([f]) + out
-        prev = bytes(line)
+        raw += bytes([f]) + _png_filter_line(line, prev, f, bpp)
+        prev = line
     ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)  # 8-bit RGB
     return (
         b"\x89PNG\r\n\x1a\n"
-        + chunk(b"IHDR", ihdr)
-        + chunk(b"IDAT", zlib.compress(bytes(raw)))
-        + chunk(b"IEND", b"")
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
     )
 
 
+def encode_png_palette(
+    width: int, height: int, palette, indices, filters=None, depth: int = 8
+) -> bytes:
+    """Minimal palette (color_type=3) PNG writer (fixture generator):
+    `palette` is a list of (r, g, b), `indices[y][x]` a palette index,
+    `depth` in {1, 2, 4, 8} bits per index (big-endian bit packing within
+    each byte, RFC 2083 §2.3).  Filters are applied on the PACKED bytes
+    with bpp=1, matching the decode contract."""
+    import zlib
+
+    if depth not in (1, 2, 4, 8):
+        raise ValueError(f"palette depth {depth}")
+    if len(palette) > (1 << depth):
+        raise ValueError("palette larger than depth allows")
+    filters = filters or [0] * height
+    stride = (width * depth + 7) // 8
+    raw = bytearray()
+    prev = bytes(stride)
+    for y in range(height):
+        line_b = bytearray(stride)
+        for x in range(width):
+            v = indices[y][x]
+            if v >= len(palette):
+                raise ValueError("index out of palette range")
+            bitpos = x * depth
+            line_b[bitpos // 8] |= v << (8 - depth - bitpos % 8)
+        line = bytes(line_b)
+        f = filters[y]
+        raw += bytes([f]) + _png_filter_line(line, prev, f, 1)
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", width, height, depth, 3, 0, 0, 0)
+    plte = bytes(bytearray(ch for rgbt in palette for ch in rgbt))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"PLTE", plte)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _unfilter_scanlines(raw: bytes, h: int, stride: int, bpp: int):
+    """Undo the five RFC 2083 §6 scanline filters over inflated IDAT data.
+
+    Fast paths (r13-verdict Next #5 — the old per-byte numpy-scalar loop was
+    O(stride) Python-interpreter work per filtered row, ~seconds for a 4K
+    image): None is a copy, Up is a wrapping uint8 vector add, Sub is an
+    exact per-channel-lane mod-256 prefix sum (numpy uint8 cumsum wraps).
+    Average/Paeth are inherently sequential in x (each byte depends on the
+    in-progress row), so they run as a plain-bytearray scan — Python-int
+    arithmetic, no per-byte numpy scalar indexing, ~20× the old loop.
+    Exactness vs the reference per-byte loop is pinned by a twin test
+    (tests/test_operators.py).  Returns an (h, stride) uint8 array."""
+    import numpy as np
+
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = bytes(stride)
+    for y in range(h):
+        f = raw[y * (stride + 1)]
+        line = raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)]
+        if f == 0:
+            cur = line
+        elif f == 1:  # Sub: mod-256 prefix sum per channel lane
+            arr = np.frombuffer(line, dtype=np.uint8)
+            if stride % bpp:
+                raise ValueError("PNG stride not a multiple of bpp")
+            cur = np.cumsum(
+                arr.reshape(-1, bpp), axis=0, dtype=np.uint8
+            ).tobytes()
+        elif f == 2:  # Up: wrapping vector add against the previous row
+            cur = (
+                np.frombuffer(line, dtype=np.uint8)
+                + np.frombuffer(prev, dtype=np.uint8)
+            ).tobytes()
+        elif f == 3:  # Average
+            cur_b = bytearray(stride)
+            for i in range(bpp):
+                cur_b[i] = (line[i] + prev[i] // 2) & 0xFF
+            for i in range(bpp, stride):
+                cur_b[i] = (line[i] + (cur_b[i - bpp] + prev[i]) // 2) & 0xFF
+            cur = bytes(cur_b)
+        elif f == 4:  # Paeth (for i<bpp: a=c=0 → predictor is b)
+            cur_b = bytearray(stride)
+            for i in range(bpp):
+                cur_b[i] = (line[i] + prev[i]) & 0xFF
+            for i in range(bpp, stride):
+                a = cur_b[i - bpp]
+                b = prev[i]
+                c = prev[i - bpp]
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur_b[i] = (line[i] + pred) & 0xFF
+            cur = bytes(cur_b)
+        else:
+            raise NotImplementedError(f"PNG filter {f}")
+        out[y] = np.frombuffer(cur, dtype=np.uint8)
+        prev = cur
+    return out
+
+
 def decode_png(content: bytes) -> dict:
-    """Parse an 8-bit greyscale/RGB/RGBA non-interlaced PNG with the
-    stdlib: walk chunks, inflate the concatenated IDATs, undo all five
-    scanline filters (None/Sub/Up/Average/Paeth, RFC 2083 §6), return
-    pixels and mean BT.601 luminance as the feature.  Palette, 16-bit, and
-    interlaced PNGs still need PIL."""
+    """Parse an 8-bit greyscale/RGB/RGBA or 1/2/4/8-bit palette (PLTE)
+    non-interlaced PNG with the stdlib: walk chunks, inflate the
+    concatenated IDATs, undo all five scanline filters (None/Sub/Up/
+    Average/Paeth, RFC 2083 §6), map palette indices through the PLTE LUT
+    when color_type=3, return pixels and mean BT.601 luminance as the
+    feature.  16-bit and interlaced PNGs still need PIL."""
     import zlib
 
     import numpy as np
 
     if content[:8] != b"\x89PNG\r\n\x1a\n":
         raise ValueError("not a PNG stream")
-    pos, idat, meta = 8, bytearray(), None
+    pos, idat, meta, plte = 8, bytearray(), None, None
     while pos + 8 <= len(content):
         (length,) = struct.unpack_from(">I", content, pos)
         tag = content[pos + 4 : pos + 8]
@@ -336,6 +491,8 @@ def decode_png(content: bytes) -> dict:
         if tag == b"IHDR":
             w, h, depth, color, comp, filt, interlace = struct.unpack(">IIBBBBB", payload)
             meta = (w, h, depth, color, interlace)
+        elif tag == b"PLTE":
+            plte = np.frombuffer(payload, dtype=np.uint8).reshape(-1, 3)
         elif tag == b"IDAT":
             idat += payload
         elif tag == b"IEND":
@@ -343,56 +500,48 @@ def decode_png(content: bytes) -> dict:
     if meta is None:
         raise ValueError("PNG missing IHDR")
     w, h, depth, color, interlace = meta
-    channels = {0: 1, 2: 3, 6: 4}.get(color)
-    if depth != 8 or channels is None or interlace != 0:
+    channels = {0: 1, 2: 3, 3: 1, 6: 4}.get(color)
+    depth_ok = depth == 8 or (color == 3 and depth in (1, 2, 4))
+    if not depth_ok or channels is None or interlace != 0:
         raise NotImplementedError(
             f"PNG depth={depth} color_type={color} interlace={interlace} needs PIL"
         )
-    bpp = channels
-    stride = w * bpp
+    if color == 3 and plte is None:
+        raise ValueError("palette PNG missing PLTE chunk")
+    # Filtering operates on packed bytes: bpp (the filter's left-neighbor
+    # distance) is the byte width of one pixel, floored at 1 for sub-byte
+    # palette depths (RFC 2083 §6.2).
+    bpp = max(1, channels * depth // 8)
+    stride = (w * channels * depth + 7) // 8
     raw = zlib.decompress(bytes(idat))
     if len(raw) != (stride + 1) * h:
         raise ValueError("PNG data length mismatch")
-    out = np.zeros((h, stride), dtype=np.uint8)
-    prev = np.zeros(stride, dtype=np.uint8)
-    for y in range(h):
-        f = raw[y * (stride + 1)]
-        line = np.frombuffer(
-            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
-        ).astype(np.int32)
-        if f == 0:
-            cur = line
-        elif f == 2:
-            cur = (line + prev) & 0xFF
-        else:  # sub/average/paeth need the in-progress row: sequential scan
-            cur = np.zeros(stride, dtype=np.int32)
-            for i in range(stride):
-                a = int(cur[i - bpp]) if i >= bpp else 0
-                b = int(prev[i])
-                c = int(prev[i - bpp]) if i >= bpp else 0
-                if f == 1:
-                    cur[i] = (line[i] + a) & 0xFF
-                elif f == 3:
-                    cur[i] = (line[i] + (a + b) // 2) & 0xFF
-                elif f == 4:
-                    p = a + b - c
-                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                    cur[i] = (line[i] + pred) & 0xFF
-                else:
-                    raise NotImplementedError(f"PNG filter {f}")
-        out[y] = cur.astype(np.uint8)
-        prev = out[y].astype(np.uint8)
-    px = out.reshape(h, w, bpp)
-    if bpp == 1:
-        luma = px[..., 0].astype(np.float64)
-        rgb = np.repeat(px, 3, axis=2)
+    out = _unfilter_scanlines(raw, h, stride, bpp)
+    if color == 3:
+        if depth == 8:
+            idx = out[:, :w]
+        else:  # unpack 1/2/4-bit indices, big-endian within each byte
+            bits = np.unpackbits(out, axis=1)
+            weights = 1 << np.arange(depth - 1, -1, -1)
+            idx = (
+                bits[:, : (stride * 8 // depth) * depth]
+                .reshape(h, -1, depth)
+                .dot(weights)[:, :w]
+                .astype(np.uint8)
+            )
+        if int(idx.max(initial=0)) >= len(plte):
+            raise ValueError("PNG palette index out of range")
+        rgb = plte[idx]  # (h, w, 3) via LUT fancy-indexing
     else:
-        rgb = px[..., :3]
-        r = rgb[..., 0].astype(np.float64)
-        g = rgb[..., 1].astype(np.float64)
-        b = rgb[..., 2].astype(np.float64)
-        luma = 0.299 * r + 0.587 * g + 0.114 * b
+        px = out.reshape(h, w, bpp)
+        if bpp == 1:
+            rgb = np.repeat(px, 3, axis=2)
+        else:
+            rgb = px[..., :3]
+    r = rgb[..., 0].astype(np.float64)
+    g = rgb[..., 1].astype(np.float64)
+    b = rgb[..., 2].astype(np.float64)
+    luma = 0.299 * r + 0.587 * g + 0.114 * b
     return {
         "width": int(w),
         "height": int(h),
