@@ -398,3 +398,42 @@ def test_docx_pdf_extractors_roundtrip_property():
             # ascii-only lines round-trip verbatim
             if line.isascii():
                 assert line in got, (trial, line, got)
+
+
+def test_pdf_paren_depth_and_line_continuation():
+    """r14 (r13-verdict Next #4 + advisor): literal strings with balanced
+    UNESCAPED parens extract verbatim via the paren-depth scanner (the old
+    regex truncated at the first ')'), backslash-EOL is a line
+    continuation where the WHOLE sequence including CRLF is dropped
+    (PDF 32000-1 §7.3.4.2), and operands consumed by other operators
+    never leak into Tj output."""
+    import zlib
+
+    from vector_graph_rag_spark.sources.loaders import (
+        _pdf_unescape,
+        extract_pdf_text,
+    )
+
+    def mkpdf(stream: bytes) -> bytes:
+        body = zlib.compress(stream)
+        return b"%PDF-1.4\nstream\n" + body + b"\nendstream\n%%EOF"
+
+    s = b"BT /F1 12 Tf 72 720 Td (a (nested (deep)) paren) Tj ET"
+    assert extract_pdf_text(mkpdf(s)) == "a (nested (deep)) paren"
+
+    # backslash-EOL continuation: LF, CRLF, and CR forms all vanish
+    assert _pdf_unescape(b"ab\\\ncd") == "abcd"
+    assert _pdf_unescape(b"ab\\\r\ncd") == "abcd"
+    assert _pdf_unescape(b"ab\\\rcd") == "abcd"
+    assert extract_pdf_text(mkpdf(b"BT (long \\\r\nline) Tj ET")) == "long line"
+
+    # an operand consumed by a non-show operator clears pending state
+    assert extract_pdf_text(mkpdf(b"BT (gone) junkop (kept) Tj ET")) == "kept"
+
+    # dicts, names, comments, stray delimiters don't derail the scanner
+    s = b"BT <</K 1>> /Name % comment (not text)\n(real) Tj ) } { ET"
+    assert extract_pdf_text(mkpdf(s)) == "real"
+
+    # TJ arrays still mix literal + hex members with kerning numbers
+    s = b"BT [(He) -20 (l) 5 <6C6F>] TJ ET"
+    assert extract_pdf_text(mkpdf(s)) == "Hello"

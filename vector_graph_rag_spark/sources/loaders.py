@@ -185,8 +185,9 @@ def extract_html_text(content: bytes) -> str:
 
 
 def _pdf_unescape(s: bytes) -> str:
-    """PDF literal-string unescape: \\n \\r \\t \\b \\f \\( \\) \\\\ and
-    \\ddd octal codes (PDF 32000-1 §7.3.4.2)."""
+    """PDF literal-string unescape: \\n \\r \\t \\b \\f \\( \\) \\\\,
+    \\ddd octal codes, and backslash-EOL line continuation — the whole
+    sequence, including a CRLF pair, is dropped (PDF 32000-1 §7.3.4.2)."""
     out = bytearray()
     i = 0
     while i < len(s):
@@ -211,22 +212,54 @@ def _pdf_unescape(s: bytes) -> str:
                 out.append(val & 0xFF)
                 i = j
                 continue
-            i += 1  # lone backslash before newline etc: drop
+            if n in (0x0D, 0x0A):  # backslash-EOL: line continuation
+                i += 2
+                if n == 0x0D and i < len(s) and s[i] == 0x0A:
+                    i += 1  # CRLF counts as one EOL
+                continue
+            i += 1  # backslash before any other char: drop the backslash
             continue
         out.append(c)
         i += 1
     return out.decode("latin-1")
 
 
+_PDF_WS = b"\x00\t\n\x0c\r "
+_PDF_DELIM = b"()<>[]{}/%"
+
+
+def _pdf_scan_literal(data: bytes, pos: int) -> tuple[bytes, int]:
+    """Scan a literal string starting at the '(' at `pos`; returns the raw
+    inner bytes (escapes intact, for _pdf_unescape) and the position after
+    the closing ')'.  Balanced UNESCAPED parens nest per PDF 32000-1
+    §7.3.4.2 — tracked with a depth counter, not a regex."""
+    depth = 1
+    i = pos + 1
+    start = i
+    while i < len(data):
+        c = data[i]
+        if c == 0x5C:  # backslash: the next byte is never a delimiter
+            i += 2
+            continue
+        if c == 0x28:  # (
+            depth += 1
+        elif c == 0x29:  # )
+            depth -= 1
+            if depth == 0:
+                return data[start:i], i + 1
+        i += 1
+    return data[start:i], i  # unterminated: take what's there
+
+
 def extract_pdf_text(content: bytes) -> str:
     """Simple-PDF text extraction via the stdlib: walk `stream…endstream`
     objects, FlateDecode via zlib where needed, and collect the text
-    arguments of Tj / TJ / ' / " operators in stream order — literal
-    (…) strings with escape/octal handling and hex <…> strings with the
-    odd-digit rule.  Known limits of the fallback (markitdown takes
-    priority when present): CID/Type0-encoded text comes out garbled, and
-    literal strings containing balanced UNESCAPED parens truncate at the
-    first ')' (writers normally escape them)."""
+    arguments of Tj / TJ / ' / " operators in content-stream order via a
+    small postfix token scanner — literal (…) strings with paren-depth
+    tracking (balanced unescaped parens nest, §7.3.4.2), escape/octal/
+    line-continuation handling, and hex <…> strings with the odd-digit
+    rule.  Known limit of the fallback (markitdown takes priority when
+    present): CID/Type0-encoded text comes out garbled."""
     import re
     import zlib
 
@@ -238,33 +271,80 @@ def extract_pdf_text(content: bytes) -> str:
             h += b"0"
         return bytes.fromhex(h.decode("ascii", "ignore")).decode("latin-1")
 
+    _num_re = re.compile(rb"^[+-]?(\d+\.?\d*|\.\d+)$")
+
     for m in re.finditer(rb"stream\r?\n(.*?)\r?\nendstream", content, re.DOTALL):
         data = m.group(1)
         try:
             data = zlib.decompress(data)
         except zlib.error:
             pass  # uncompressed content stream
-        # literal (…) and hex <…> strings shown by Tj / ' / ", and array
-        # elements of TJ (both string forms appear inside TJ arrays)
-        for sm in re.finditer(
-            rb"\(((?:[^()\\]|\\.)*)\)\s*(?:Tj|'|\")"
-            rb"|<([0-9A-Fa-f\s]*)>\s*(?:Tj|'|\")"
-            rb"|\[((?:[^\]\\]|\\.)*)\]\s*TJ",
-            data,
-            re.DOTALL,
-        ):
-            if sm.group(1) is not None:
-                texts.append(_pdf_unescape(sm.group(1)))
-            elif sm.group(2) is not None:
-                texts.append(_hex_decode(sm.group(2)))
-            else:
-                for em in re.finditer(
-                    rb"\(((?:[^()\\]|\\.)*)\)|<([0-9A-Fa-f\s]*)>", sm.group(3), re.DOTALL
-                ):
-                    if em.group(1) is not None:
-                        texts.append(_pdf_unescape(em.group(1)))
+        # Postfix scan: strings/arrays are operands; when a Tj / ' / " / TJ
+        # operator token arrives, the pending operand is the text to show.
+        # Any OTHER operator consumes its operands, so pending state clears.
+        pending_str: str | None = None
+        pending_arr: list[str] | None = None
+        in_array: list[str] | None = None
+        i = 0
+        n = len(data)
+        while i < n:
+            c = data[i]
+            if c in _PDF_WS:
+                i += 1
+            elif c == 0x28:  # ( literal string
+                raw, i = _pdf_scan_literal(data, i)
+                s = _pdf_unescape(raw)
+                if in_array is not None:
+                    in_array.append(s)
+                else:
+                    pending_str = s
+            elif c == 0x3C:  # < hex string or << dict
+                if i + 1 < n and data[i + 1] == 0x3C:
+                    i += 2
+                    pending_str = pending_arr = None
+                else:
+                    end = data.find(b">", i + 1)
+                    end = end if end != -1 else n
+                    s = _hex_decode(data[i + 1 : end])
+                    if in_array is not None:
+                        in_array.append(s)
                     else:
-                        texts.append(_hex_decode(em.group(2)))
+                        pending_str = s
+                    i = end + 1
+            elif c == 0x5B:  # [
+                in_array = []
+                i += 1
+            elif c == 0x5D:  # ]
+                pending_arr, in_array = in_array, None
+                i += 1
+            elif c == 0x25:  # % comment: to EOL
+                nl = min(
+                    x
+                    for x in (data.find(b"\r", i), data.find(b"\n", i), n)
+                    if x != -1
+                )
+                i = nl
+            elif c == 0x2F:  # /name operand
+                i += 1
+                while i < n and data[i] not in _PDF_WS and data[i] not in _PDF_DELIM:
+                    i += 1
+            elif c in (0x29, 0x3E, 0x7B, 0x7D):  # stray ) > } { — skip
+                i += 1
+            else:  # regular token: number operand or operator
+                j = i
+                while j < n and data[j] not in _PDF_WS and data[j] not in _PDF_DELIM:
+                    j += 1
+                tok = data[i:j]
+                i = j
+                if _num_re.match(tok):
+                    continue  # numeric operand (kerning, positions)
+                if tok in (b"Tj", b"'", b'"'):
+                    if pending_str is not None:
+                        texts.append(pending_str)
+                elif tok == b"TJ":
+                    if pending_arr:
+                        texts.extend(pending_arr)
+                pending_str = pending_arr = None
         if texts and not texts[-1].endswith("\n"):
             texts.append("\n")
     return "".join(texts).strip("\n")
@@ -279,7 +359,12 @@ def convert_binary_documents(binary_df: DataFrame) -> DataFrame:
     per Arrow batch iterator, decoding from in-memory bytes, never a
     driver-side file loop); otherwise the stdlib extractors above for
     .docx/.pdf/.html.  Only formats none of those handle (legacy .doc)
-    raise NotImplementedError.
+    raise NotImplementedError — that is a CAPABILITY gate and still fails
+    the action.  A decode error on a supported format (corrupt .docx zip,
+    malformed bytes) is a DATA problem and must not fail the batch: it
+    comes back as a per-row null text + `error` column, mirroring
+    fetch_url_documents (reference converter.py ConversionResult.errors
+    per-file surface; r13 advisor item).
     """
 
     def _convert(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -289,43 +374,55 @@ def convert_binary_documents(binary_df: DataFrame) -> DataFrame:
             converter = MarkItDown(enable_plugins=False)
         except ImportError:
             converter = None
+
+        def _decode_one(low: str, raw: bytes, path) -> str:
+            if low.endswith((".txt", ".md")):
+                return raw.decode("utf-8", errors="replace")
+            if converter is not None:
+                import io
+                import os
+
+                ext = os.path.splitext(low)[1]
+                result = converter.convert_stream(
+                    io.BytesIO(raw), file_extension=ext
+                )
+                return result.text_content
+            if low.endswith(".docx"):
+                return extract_docx_text(raw)
+            if low.endswith(".pdf"):
+                return extract_pdf_text(raw)
+            if low.endswith((".html", ".htm")):
+                return extract_html_text(raw)
+            raise NotImplementedError(
+                f"binary conversion for {path} requires markitdown "
+                "(not in this container)"
+            )
+
         for pdf in batches:
-            texts = []
+            texts: list[str | None] = []
+            errors: list[str | None] = []
             for path, content in zip(pdf["path"], pdf["content"]):
                 low = str(path).lower()
                 raw = bytes(content)
-                if low.endswith((".txt", ".md")):
-                    texts.append(raw.decode("utf-8", errors="replace"))
-                elif converter is not None:
-                    import io
-                    import os
-
-                    ext = os.path.splitext(low)[1]
-                    result = converter.convert_stream(
-                        io.BytesIO(raw), file_extension=ext
-                    )
-                    texts.append(result.text_content)
-                elif low.endswith(".docx"):
-                    texts.append(extract_docx_text(raw))
-                elif low.endswith(".pdf"):
-                    texts.append(extract_pdf_text(raw))
-                elif low.endswith((".html", ".htm")):
-                    texts.append(extract_html_text(raw))
-                else:
-                    raise NotImplementedError(
-                        f"binary conversion for {path} requires markitdown "
-                        "(not in this container)"
-                    )
+                try:
+                    texts.append(_decode_one(low, raw, path))
+                    errors.append(None)
+                except NotImplementedError:
+                    raise  # capability gate, not a data error
+                except Exception as exc:  # corrupt/malformed file bytes
+                    texts.append(None)
+                    errors.append(f"{type(exc).__name__}: {exc}")
             yield pd.DataFrame(
                 {
                     "path": pdf["path"],
                     "text": texts,
                     "n_bytes": [len(c) for c in pdf["content"]],
+                    "error": errors,
                 }
             )
 
     return binary_df.select("path", "content").mapInPandas(
-        _convert, "path string, text string, n_bytes long"
+        _convert, "path string, text string, n_bytes long, error string"
     )
 
 
