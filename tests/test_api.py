@@ -436,6 +436,32 @@ def test_import_route_decodes_docx_pdf_html(client, tmp_path_factory):
     assert stats["passages"] == 4
 
 
+def test_import_route_corrupt_file_per_row_error(client, tmp_path_factory):
+    """r14 (r13 advisor, medium): a corrupt .docx (BadZipFile) or malformed
+    .html on /import's BINARY decode path no longer 500s the whole import —
+    the row comes back null-text + error through convert_binary_documents
+    and /import reports it in `skipped` as kind decode_error, mirroring
+    /upload and fetch_url_documents."""
+    d = tmp_path_factory.mktemp("import_corrupt")
+    (d / "good.txt").write_text(
+        "red owns blue blue feeds green green likes gray tail tokens"
+    )
+    (d / "broken.docx").write_bytes(b"PK\x03\x04 not a real zip")
+    r = client.post(
+        "/import",
+        json={
+            "graph_name": "imp_corrupt",
+            "sources": [str(d / "good.txt"), str(d / "broken.docx")],
+        },
+    ).get_json()
+    assert r["imported"] == 1, r
+    dec = [s for s in r["skipped"] if s["kind"] == "decode_error"]
+    assert len(dec) == 1 and dec[0]["source"].endswith("broken.docx")
+    assert "BadZipFile" in dec[0]["error"]
+    stats = client.get("/graph/imp_corrupt/stats").get_json()
+    assert stats["passages"] == 1
+
+
 def test_upload_route_decodes_real_formats(client):
     """r13: /upload decodes docx/pdf/html driver-side with the stdlib
     extractors; a malformed docx is skipped per-file as decode_error

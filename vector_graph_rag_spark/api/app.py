@@ -178,9 +178,19 @@ def create_app(
     def import_documents():
         """File/URL import (reference app.py:423-474): route by type, read
         decodable files through the binaryFile source + mapInPandas
-        converter, index.  Since r13 the converter decodes text/docx/pdf/
-        html IN-CONTAINER (stdlib extractors, sources/loaders.py);
-        URLs (no network) and legacy .doc still report skipped."""
+        converter, index.  The converter decodes text/docx/pdf/html
+        IN-CONTAINER (stdlib extractors, sources/loaders.py); URLs are
+        live-fetched via fetch_url_documents (requests + stdlib extract)
+        with per-row fetch failures reported in `skipped`; corrupt files
+        on the binary path likewise come back per-row as kind
+        `decode_error` rather than failing the whole import; only legacy
+        .doc (and missing files) report skipped up front.
+
+        Trust note: URL sources are fetched SERVER-SIDE with no scheme/
+        host restrictions — parity with the reference url_fetcher.py,
+        which assumes trusted callers.  If this API is ever exposed
+        beyond trusted callers, add an allowlist / deny-private-ranges
+        check in fetch_url_documents."""
         from vector_graph_rag_spark.sources.loaders import (
             convert_binary_documents,
             route_files,
@@ -210,10 +220,17 @@ def create_app(
         docs = []
         if readable:
             binary = spark.read.format("binaryFile").load(readable)
-            docs += [
-                _doc_from_text(r["path"], r["text"])
-                for r in convert_binary_documents(binary).collect()
-            ]
+            for r in convert_binary_documents(binary).collect():
+                if r["text"] is not None:
+                    docs.append(_doc_from_text(r["path"], r["text"]))
+                else:  # corrupt file: per-row error, import continues
+                    skipped.append(
+                        {
+                            "source": r["path"],
+                            "kind": "decode_error",
+                            "error": r["error"],
+                        }
+                    )
         if urls:
             # r13: the fetcher runs for real (requests + stdlib extract);
             # fetch failures come back as per-row errors, reported skipped
