@@ -1026,7 +1026,7 @@ FROM (
 @register(
     "key_skew_profile",
     oracle=_SKEW_SQL,
-    retired=True,  # STAGED for the round-14 swap
+    # ACTIVE since the r14 swap (staged retired=True through r13)
     description=(
         "exact heavy-hitter skew profile over the events shuffle key: "
         "top-20 keys with event count, corpus share, and skew ratio "

@@ -1167,7 +1167,7 @@ WHERE a.vec_id < a.nbr_id
 @register(
     "knn_graph_mutual",
     oracle=_KNN_MUTUAL_SQL,
-    retired=True,  # STAGED for the round-14 swap
+    # ACTIVE since the r14 swap (staged retired=True through r13)
     description=(
         "mutual-kNN graph: undirected edges (a, b) where EACH is in the "
         "other's in-cell top-5 — the symmetrized graph density-based "

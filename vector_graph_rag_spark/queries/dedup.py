@@ -182,7 +182,12 @@ def _bands_df(sig: DataFrame) -> DataFrame:
     return bands
 
 
-@register("minhash_lsh_pairs", oracle=_LSH_SQL, description="LSH banding (4x4) candidate pairs + estimated jaccard")
+@register(
+    "minhash_lsh_pairs",
+    oracle=_LSH_SQL,
+    retired=True,  # r14 swap: knn_graph_mutual is the embedding-space banded pair generator (the dense sibling); banded-signature pair coverage stays driver-gated via dedup_incremental (same band table) and minhash_signatures stays active; r13-green
+    description="LSH banding (4x4) candidate pairs + estimated jaccard",
+)
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = _minhash_wide_df(spark, sf_dir).cache()
     bands = _bands_df(sig)

@@ -1149,7 +1149,7 @@ def _ivf_oracle() -> str:
 @register(
     "ann_ivf_index_search",
     oracle=_ivf_oracle(),
-    # ACTIVE since the r10 swap (staged retired=True through r9)
+    retired=True,  # r14 swap: ann_ivf_trained_topk supersedes the seed-centroid variant (same partition-pruned probe/score kernel, training data-derived); the stored-index durable contract stays driver-gated via ann_index_incremental; r13-green
     description=(
         "persistent IVF index: write the corpus partitionBy(cell_id), then "
         "search via partition-pruned probe-cell scans — the oracle is the "
@@ -1237,7 +1237,7 @@ QUALIFY rank <= 10
 @register(
     "ann_ivf_trained_topk",
     oracle=_ivf_trained_sql(),
-    retired=True,  # STAGED for the round-14 swap
+    # ACTIVE since the r14 swap (staged retired=True through r13)
     description=(
         "IVF ANN with a TRAINED coarse quantizer: Lloyd-trained centroids "
         "(the kmeans oracle chain) replace the first-8-vectors seeds of "

@@ -338,7 +338,12 @@ GROUP BY user_id, session_id
 """
 
 
-@register("sessionize_events", oracle=_SESSION_SQL, description="sessionization: lag + cumsum gap>30min")
+@register(
+    "sessionize_events",
+    oracle=_SESSION_SQL,
+    retired=True,  # r14 swap: key_skew_profile profiles the SAME events user-key this family shuffles on; sessionization semantics stay driver-gated via stream_session_window_30m + stream_stateful_sessions; r13-green
+    description="sessionization: lag + cumsum gap>30min",
+)
 def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")

@@ -651,7 +651,7 @@ def sparse_index_search(
 @register(
     "sparse_index_search",
     oracle=_SPARSE_SQL,
-    # ACTIVE since the r12 swap (staged retired=True through r11)
+    retired=True,  # r14 swap: term_index_incremental carries the SAME oracle over the same stored posting aggregation; the hash gate moves to the maintenance half (the ann_index_incremental precedent); r13-green
     description=(
         "persistent inverted term index: the corpus tokenized ONCE into a "
         "term-major posting-list layout, searched by joining query "
@@ -681,7 +681,7 @@ def sparse_index_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "term_index_incremental",
     oracle=_SPARSE_SQL,
-    retired=True,  # STAGED for the round-14 swap
+    # ACTIVE since the r14 swap (staged retired=True through r13)
     description=(
         "incremental inverted term index: three nightly document batches "
         "appended as overwrite-idempotent posting shards (one replayed to "
