@@ -226,3 +226,92 @@ def test_tokenize_joins_are_aqe_chosen_not_forced_broadcast(spark):
     assert tok.count() == 60
     plan = tok._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan  # AQE's choice at small vocab
+
+
+# --- r14: batched-argmax escape (r13 verdict, Next #7) -----------------------
+
+
+def _python_bpe_batched(
+    word_freq: dict[str, int], n_merges: int, B: int, min_pair_count: int = 2
+):
+    """Python twin of train_bpe(batch_argmax=B): per round, greedy-select
+    up to B symbol-disjoint pairs down the exact (count desc, a, b) order
+    — considering only the top B*8 candidates, the operator's over-fetch
+    contract (an under-filled round is legal: the next round recounts) —
+    and apply them in order."""
+    segs = {w: list(w) + [EOW] for w in word_freq}
+    merges: list[tuple[str, str]] = []
+    while len(merges) < n_merges:
+        counts: dict[tuple[str, str], int] = {}
+        for w, syms in segs.items():
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + word_freq[w]
+        cand = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        cand = cand[: B * 8] if B > 1 else cand[:1]
+        selected: list[tuple[str, str]] = []
+        used: set[str] = set()
+        room = min(B, n_merges - len(merges))
+        for (a, b), n in cand:
+            if n < min_pair_count:
+                break
+            if a in used or b in used or (a + b) in used:
+                continue
+            selected.append((a, b))
+            used.update((a, b, a + b))
+            if len(selected) >= room:
+                break
+        if not selected:
+            break
+        for a, b in selected:
+            merges.append((a, b))
+            for w in segs:
+                segs[w] = _apply(segs[w], a, b)
+    return merges, segs
+
+
+def test_batched_argmax_twin(spark, corpus):
+    """train_bpe(batch_argmax=B) matches its Python twin EXACTLY (merge
+    list and final segmentations) at B=2 and B=8 — the Spark-side greedy
+    disjoint selection and in-round fold chain are pinned end to end."""
+    docs, rows = corpus
+    freq: dict[str, int] = {}
+    for text in rows.values():
+        for w in _toks(text):
+            freq[w] = freq.get(w, 0) + 1
+    for B in (2, 8):
+        model = train_bpe(docs, n_merges=24, batch_argmax=B)
+        exp_merges, exp_segs = _python_bpe_batched(freq, 24, B)
+        assert model["merges"] == exp_merges, f"B={B}"
+        got_segs = {
+            r["w"]: list(r["pieces"]) for r in model["word_pieces"].collect()
+        }
+        assert got_segs == exp_segs, f"B={B}"
+
+
+def test_batched_argmax_deviation_vs_exact(spark, corpus):
+    """Documented deviation of the B=8 approximation from exact Sennrich:
+    B=1 is bit-identical to exact, the first merge of a batched run is
+    the exact argmax (disjoint selection never reorders the winner), and
+    the quality cost is bounded — measured on this corpus at n=24: merge
+    sets share 54% (BPE is path-dependent, so an early divergent merge
+    composes different symbols thereafter; the SET metric understates
+    similarity), while downstream compression (pieces/word over the full
+    corpus) stays within 10% of the exact tokenizer at the same merge
+    budget (measured 6.1%: 3.877 vs 3.654)."""
+    docs, rows = corpus
+    freq: dict[str, int] = {}
+    for text in rows.values():
+        for w in _toks(text):
+            freq[w] = freq.get(w, 0) + 1
+    exact, _ = _python_bpe(freq, n_merges=24)
+    m1 = train_bpe(docs, n_merges=24, batch_argmax=1)
+    assert m1["merges"] == exact
+    m8 = train_bpe(docs, n_merges=24, batch_argmax=8)
+    assert m8["merges"][0] == exact[0]
+    overlap = len(set(m8["merges"]) & set(exact)) / len(exact)
+    assert overlap >= 0.4, f"merge-set overlap collapsed: {overlap:.2f}"
+    ppw = {
+        B: bpe_token_stats(docs, m).collect()[0]["pieces_per_word"]
+        for B, m in ((1, m1), (8, m8))
+    }
+    assert ppw[8] <= ppw[1] * 1.10, ppw

@@ -114,6 +114,62 @@ def _apply_merge(syms_col, a: str, b: str):
     )
 
 
+def _apply_merges(syms_col, pairs: list[tuple[str, str]]):
+    """Apply a SYMBOL-DISJOINT set of merges in one left-to-right fold.
+
+    For pairs sharing no symbols (the batched-argmax selection invariant),
+    simultaneous application in one scan is EXACTLY sequential application
+    in any order: fusing (a1,b1) replaces two tokens with one, so it never
+    creates or destroys an adjacency between symbols outside {a1, b1,
+    a1b1} — each (pend, next) site matches at most one pair, and greedy
+    non-overlapping consumption proceeds independently per pair.  (The
+    equivalence is also empirically pinned by the batched twin test, which
+    applies the same pairs one at a time.)  One fold per ROUND instead of
+    B folds keeps the lineage and per-action cost at the single-merge
+    level — this is what buys the ~B× round-trip saving."""
+    if len(pairs) == 1:
+        return _apply_merge(syms_col, *pairs[0])
+
+    def fused(pend, s):
+        expr = None
+        for a, b in pairs:
+            cond = (pend == F.lit(a)) & (s == F.lit(b))
+            val = F.lit(a + b)
+            expr = F.when(cond, val) if expr is None else expr.when(cond, val)
+        return expr  # null when no pair matches this adjacency
+
+    def step(st, s):
+        fuse = fused(st["pend"], s)
+        flush = F.concat(st["acc"], F.array(st["pend"]))
+        return (
+            F.when(
+                st["pend"].isNull(),
+                F.struct(st["acc"].alias("acc"), s.alias("pend")),
+            )
+            .when(
+                fuse.isNotNull(),
+                F.struct(
+                    F.concat(st["acc"], F.array(fuse)).alias("acc"),
+                    F.lit(None).cast("string").alias("pend"),
+                ),
+            )
+            .otherwise(F.struct(flush.alias("acc"), s.alias("pend")))
+        )
+
+    init = F.struct(
+        F.array().cast("array<string>").alias("acc"),
+        F.lit(None).cast("string").alias("pend"),
+    )
+    return F.aggregate(
+        syms_col,
+        init,
+        step,
+        lambda st: F.when(
+            st["pend"].isNull(), st["acc"]
+        ).otherwise(F.concat(st["acc"], F.array(st["pend"]))),
+    )
+
+
 def word_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(w, cnt) distinct-word frequency table — the one corpus shuffle."""
     return (
@@ -128,6 +184,7 @@ def train_bpe(
     text_col: str = "text",
     n_merges: int = 50,
     min_pair_count: int = 2,
+    batch_argmax: int = 1,
 ) -> dict:
     """Learn ``n_merges`` BPE merges from the corpus.
 
@@ -138,48 +195,93 @@ def train_bpe(
     Stops early when the best remaining pair occurs fewer than
     ``min_pair_count`` times (weighted by word frequency).
 
-    Cost model: one corpus shuffle (word counts), then per merge one
-    vocab-sized pair count + a TakeOrdered(1) argmax + a row-local fold.
+    Cost model: one corpus shuffle (word counts), then per ROUND one
+    vocab-sized pair count + a TakeOrdered argmax + row-local folds.
     Driver state: the merge list (``n_merges`` string pairs).
 
     Wall-clock ceiling (measured, SCALE.md §Round-13 BPE ceiling): each
-    merge is one driver-serialized Spark action (the ``limit(1).collect()``
-    argmax below), inherent to Sennrich BPE — merge i+1's pair counts need
-    merge i applied.  Measured throughput is **~2.5-4 merges/s and FLAT
-    across corpus scale** (sf0.1 / 10x / 100x: 4.0 / 3.8 / 2.5 merges/s at
-    n_merges=50) because the per-merge work runs over the word-TYPE table,
-    not the corpus — the cost is the fixed ~0.25-0.4s action round-trip,
-    not data volume.  Extrapolated: a 32k-merge vocab is ~2.5-3.5 HOURS of
-    driver-serialized merges regardless of cluster size; a 100k-merge
-    GPT-class vocab is ~9-11 h.  That is acceptable for a train-once
-    tokenizer artifact but is this package's one driver-bound loop; if it
-    ever matters, batch the argmax (take top-B disjoint pairs per round —
-    the standard approximation, changes learned merges slightly) rather
-    than parallelizing the loop.
+    round is one driver-serialized Spark action (the ``collect()`` argmax
+    below), inherent to Sennrich BPE — merge i+1's pair counts need merge
+    i applied.  Measured throughput at ``batch_argmax=1`` (exact Sennrich)
+    is **~2.5-4 merges/s and FLAT across corpus scale** (sf0.1 / 10x /
+    100x: 4.0 / 3.8 / 2.5 merges/s at n_merges=50) because the per-merge
+    work runs over the word-TYPE table, not the corpus — the cost is the
+    fixed ~0.25-0.4s action round-trip, not data volume.  Extrapolated: a
+    32k-merge vocab is ~2.5-3.5 HOURS of driver-serialized merges
+    regardless of cluster size.
+
+    ``batch_argmax=B`` (r13 verdict, Next #7) is the measured escape for
+    the big-vocab regime: each round takes the top-B SYMBOL-DISJOINT pairs
+    (greedy selection down the exact (count desc, a, b) order, skipping
+    any pair sharing a symbol with an already-selected pair or its merged
+    form) and applies them in one lineage chain — B merges per driver
+    round trip.  Disjointness keeps every selected pair's count EXACT
+    (merging (a,b) can only change counts of pairs touching a, b, or ab),
+    so the deviation from exact Sennrich is ORDER-level only: a pair
+    newly created mid-round (e.g. (prev, ab)) cannot win until the next
+    round.  Twin-tested in tests/test_bpe.py (merge-set overlap + the
+    exact-prefix property); measured ≥20 merges/s at B=8 (SCALE.md
+    §Round-14 BPE batch escape).  ``batch_argmax=1`` is bit-identical to
+    exact Sennrich and stays the default (and the driver-gated query's
+    mode).
     """
     syms = word_counts(docs, text_col).select(
         "w", "cnt", _chars_with_eow(F.col("w")).alias("syms")
     )
     syms = syms.localCheckpoint(eager=True)
 
+    B = max(1, int(batch_argmax))
     merges: list[tuple[str, str]] = []
     merge_counts: list[int] = []
-    for i in range(n_merges):
+    applied = 0
+    while len(merges) < n_merges:
         pairs = (
             syms.select("cnt", F.explode(_adjacent_pairs(F.col("syms"))).alias("p"))
             .groupBy("p.a", "p.b")
             .agg(F.sum("cnt").alias("n"))
         )
-        best = (
-            pairs.orderBy(F.desc("n"), F.asc("a"), F.asc("b")).limit(1).collect()
+        # Over-fetch 8x candidates so greedy disjoint selection can skip
+        # conflicting pairs and still fill the batch; B=1 keeps the exact
+        # TakeOrdered(1) plan.
+        cand = (
+            pairs.orderBy(F.desc("n"), F.asc("a"), F.asc("b"))
+            .limit(B if B == 1 else B * 8)
+            .collect()
         )
-        if not best or best[0]["n"] < min_pair_count:
+        # limit(n).collect() returns the top-n SET but not necessarily in
+        # sort order (observed under AQE) — re-sort driver-side; the list
+        # is B*8 rows, trivial.
+        cand.sort(key=lambda r: (-r["n"], r["a"], r["b"]))
+        selected: list[tuple[str, str, int]] = []
+        used: set[str] = set()
+        room = min(B, n_merges - len(merges))
+        for r in cand:
+            if r["n"] < min_pair_count:
+                break
+            a, b = r["a"], r["b"]
+            if a in used or b in used or (a + b) in used:
+                continue  # shares a symbol with a selected merge: next round
+            selected.append((a, b, int(r["n"])))
+            used.update((a, b, a + b))
+            if len(selected) >= room:
+                break
+        if not selected:
             break
-        a, b = best[0]["a"], best[0]["b"]
-        merges.append((a, b))
-        merge_counts.append(int(best[0]["n"]))
-        syms = syms.select("w", "cnt", _apply_merge(F.col("syms"), a, b).alias("syms"))
-        if (i + 1) % _CHECKPOINT_EVERY == 0:
+        for a, b, won in selected:
+            merges.append((a, b))
+            merge_counts.append(won)
+        # One fold applies the whole disjoint batch (see _apply_merges);
+        # checkpoint cadence counts FOLDS, so lineage depth stays the same
+        # as exact mode regardless of B.
+        syms = syms.select(
+            "w",
+            "cnt",
+            _apply_merges(F.col("syms"), [(a, b) for a, b, _ in selected]).alias(
+                "syms"
+            ),
+        )
+        applied += 1
+        if applied % _CHECKPOINT_EVERY == 0:
             syms = syms.localCheckpoint(eager=True)
 
     word_pieces = syms.select("w", "cnt", F.col("syms").alias("pieces"))
