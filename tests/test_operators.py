@@ -796,3 +796,97 @@ def test_stdlib_kernel_palette_formats_through_spark(spark):
     }
     assert abs(rows["png_pal"]["feature"] - 0.587) < 1e-9
     assert abs(rows["bmp_pal"]["feature"] - 0.114) < 1e-9
+
+
+# --- r14: MP4 / ISO BMFF metadata parsing (operators/mp4.py) -----------------
+
+
+def test_mp4_meta_roundtrip_and_schedule():
+    """Fixture MP4 (ftyp+moov skeleton) round-trips through the box
+    walker: movie duration, track dimensions (16.16 fixed), codec fourcc,
+    stts-derived frame count/fps/timestamps, stss keyframes — and the
+    frame-sample schedule picks the latest sample at-or-before each grid
+    point with the latest keyframe as the seek entry."""
+    from vector_graph_rag_spark.operators.mp4 import (
+        decode_mp4_meta,
+        encode_mp4_meta,
+        sample_frame_indices,
+    )
+
+    data = encode_mp4_meta(30000, [1000] * 90, 1920, 1080, keyframes=[1, 31, 61])
+    m = decode_mp4_meta(data)
+    assert m["duration_ms"] == 3000 and m["n_frames"] == 90
+    assert m["width"] == 1920 and m["height"] == 1080
+    assert m["fps"] == 30.0 and m["codec"] == "avc1"
+    assert m["keyframe_samples"] == [1, 31, 61]
+    assert m["sample_ts_ms"][:3] == [0, 33, 66]
+    assert abs(m["feature"] - 0.5) < 1e-9  # fps/60
+
+    sched = sample_frame_indices(m, every_ms=1000)
+    assert [s["grid_ts_ms"] for s in sched] == [0, 1000, 2000, 3000]
+    assert [s["frame_idx"] for s in sched] == [0, 30, 60, 89]
+    # keyframes are samples 1/31/61 (1-based) = indices 0/30/60; the 89th
+    # frame's seek point is the LAST keyframe before it
+    assert [s["seek_idx"] for s in sched] == [0, 30, 60, 60]
+
+
+def test_mp4_variable_frame_rate_and_no_stss():
+    """Run-length stts with two delta runs (1s@25fps + 1s@50fps) decodes
+    to per-sample timestamps; a missing stss box means every sample is a
+    sync sample (ISO 14496-12 §8.6.2), so seek_idx == frame_idx."""
+    from vector_graph_rag_spark.operators.mp4 import (
+        decode_mp4_meta,
+        encode_mp4_meta,
+        sample_frame_indices,
+    )
+
+    data = encode_mp4_meta(1000, [40] * 25 + [20] * 50, 640, 480)
+    m = decode_mp4_meta(data)
+    assert m["n_frames"] == 75 and m["duration_ms"] == 2000
+    assert m["keyframe_samples"] == []
+    sched = sample_frame_indices(m, every_ms=500)
+    assert [(s["grid_ts_ms"], s["frame_idx"]) for s in sched] == [
+        (0, 0), (500, 12), (1000, 25), (1500, 50), (2000, 74),
+    ]
+    assert all(s["seek_idx"] == s["frame_idx"] for s in sched)
+
+
+def test_mp4_malformed_raises():
+    from vector_graph_rag_spark.operators.mp4 import _box, decode_mp4_meta
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not an ISO BMFF"):
+        decode_mp4_meta(b"\x00\x00\x00\x08free")
+    with _pytest.raises(ValueError, match="missing moov"):
+        decode_mp4_meta(_box(b"ftyp", b"isom"))
+    # truncated box: declared size exceeds the buffer
+    with _pytest.raises(ValueError, match="malformed box"):
+        decode_mp4_meta(
+            _box(b"ftyp", b"isom") + b"\x00\x00\xff\xffmoov"
+        )
+
+
+def test_mp4_metadata_through_spark_kernel(spark):
+    """MP4 rows dispatch through the same decode_assets(stdlib_kernel)
+    path as images/audio — one mixed batch decodes a BMP and an MP4, the
+    MP4's feature being its normalized fps."""
+    from vector_graph_rag_spark.operators.mp4 import encode_mp4_meta
+    from vector_graph_rag_spark.operators.multimodal import (
+        decode_assets,
+        encode_bmp,
+        stdlib_kernel,
+    )
+
+    vid = encode_mp4_meta(24000, [1000] * 48, 1280, 720)  # 24 fps, 2 s
+    bmp = encode_bmp(1, 1, [[(255, 255, 255)]])
+    assets = spark.createDataFrame(
+        [("v", "video", vid, 1280, 720, 2000), ("i", "image", bmp, 1, 1, 0)],
+        "asset_id string, modality string, content binary, width int, height int, duration_ms int",
+    )
+    rows = {
+        r["asset_id"]: r
+        for r in decode_assets(assets, kernel=stdlib_kernel).collect()
+    }
+    assert abs(rows["v"]["feature"] - 24.0 / 60.0) < 1e-9
+    assert abs(rows["i"]["feature"] - 1.0) < 1e-9
