@@ -27,6 +27,7 @@ def test_route_files_dispatch(spark):
         "c/readme.md",
         "d/index.html",
         "e/data.xlsx",
+        "f/old.doc",
     ]
     listing = spark.createDataFrame([(p,) for p in paths], "path string")
     kinds = {r.path: r.kind for r in route_files(listing).collect()}
@@ -38,6 +39,7 @@ def test_route_files_dispatch(spark):
         "c/readme.md": "text",
         "d/index.html": "html",
         "e/data.xlsx": "unsupported",
+        "f/old.doc": "doc_legacy",  # markitdown-gated: self-describing kind
     }
 
 

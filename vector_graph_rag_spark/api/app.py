@@ -209,7 +209,7 @@ def create_app(
         readable = [
             p
             for p, k in routed.items()
-            if k in decodable and os.path.isfile(p) and not p.lower().endswith(".doc")
+            if k in decodable and os.path.isfile(p)  # doc_legacy routes out
         ]
         urls = [p for p, k in routed.items() if k == "url"]
         skipped = [

@@ -99,12 +99,17 @@ SUPPORTED_EXTENSIONS = [".pdf", ".docx", ".doc", ".txt", ".md", ".html", ".htm"]
 
 def route_files(listing: DataFrame, path_col: str = "path") -> DataFrame:
     """File-type router (loaders/__init__.py:52-143): adds `kind` in
-    {url, pdf, docx, text, html, unsupported}."""
+    {url, pdf, docx, doc_legacy, text, html, unsupported}.  Legacy `.doc`
+    (OLE2) gets its own kind rather than riding `docx`: the converter has
+    no stdlib path for it (markitdown-gated), so the router's contract is
+    self-describing about what downstream can actually decode (r13
+    verdict residual)."""
     p = F.lower(F.col(path_col))
     kind = (
         F.when(p.startswith("http://") | p.startswith("https://"), "url")
         .when(p.endswith(".pdf"), "pdf")
-        .when(p.endswith(".docx") | p.endswith(".doc"), "docx")
+        .when(p.endswith(".docx"), "docx")
+        .when(p.endswith(".doc"), "doc_legacy")
         .when(p.endswith(".txt") | p.endswith(".md"), "text")
         .when(p.endswith(".html") | p.endswith(".htm"), "html")
         .otherwise("unsupported")
