@@ -122,6 +122,14 @@ HEADLINE = [
     "bm25_index_topk",
     "grouping_search_groupsize2",
     "knn_graph_incell",
+    # round-14 additions: the activated r13-staged quartet (incremental
+    # posting index, trained-quantizer IVF, mutual-kNN graph, shuffle-key
+    # skew profile); retirees stay benched from the retired registry for
+    # cross-round comparability.
+    "term_index_incremental",
+    "ann_ivf_trained_topk",
+    "knn_graph_mutual",
+    "key_skew_profile",
 ]
 
 
