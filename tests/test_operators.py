@@ -539,9 +539,11 @@ def test_stdlib_kernel_mixed_formats_and_unknown_raises(spark):
     rows = {r["asset_id"]: r for r in decode_assets(mixed, kernel=stdlib_kernel).collect()}
     assert abs(rows["i"]["feature"] - 0.587) < 1e-9  # pure green luma
     assert rows["a"]["feature"] > 0.0
-    jpeg_ish = spark.createDataFrame([("x", "image", b"\xff\xd8\xff\xe0fake", 0, 0, 0)], schema)
+    # JPEG now decodes for real (operators/jpeg.py) — the unknown-format
+    # gate is exercised with a GIF magic instead
+    gif_ish = spark.createDataFrame([("x", "image", b"GIF89a fake", 0, 0, 0)], schema)
     with _pytest.raises(Exception, match="NotImplementedError|codec libraries"):
-        decode_assets(jpeg_ish, kernel=stdlib_kernel).collect()
+        decode_assets(gif_ish, kernel=stdlib_kernel).collect()
 
 
 def test_bmp_resize_real_pixels():

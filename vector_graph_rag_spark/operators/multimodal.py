@@ -289,16 +289,22 @@ def stdlib_kernel(modality: str, content: bytes) -> dict:
     """Magic-byte-dispatched REAL decode for stdlib-decodable formats:
     'BM' → 24-bit or 8-bit-palette BMP, '\\x89PNG' → 8-bit grey/RGB/RGBA
     or 1/2/4/8-bit palette PNG (zlib inflate + scanline unfilter + PLTE
-    LUT), both with mean-BT.601-luminance features; 'RIFF…WAVE' → PCM WAV
-    (RMS-amplitude feature); 'ftyp' at offset 4 → MP4/ISO-BMFF metadata
-    (moov box walk: duration/fps/dimensions/keyframes, operators/mp4.py —
-    the mdat PIXEL payload still needs ffmpeg).  Anything else still
-    needs PIL/ffmpeg and raises — the pluggable-kernel contract is
-    unchanged, the default just got strictly more capable."""
+    LUT), both with mean-BT.601-luminance features; '\\xff\\xd8\\xff' →
+    baseline JPEG (full entropy + IDCT decode, operators/jpeg.py;
+    progressive/12-bit still raise); 'RIFF…WAVE' → PCM WAV (RMS-amplitude
+    feature); 'ftyp' at offset 4 → MP4/ISO-BMFF metadata (moov box walk:
+    duration/fps/dimensions/keyframes, operators/mp4.py — the mdat PIXEL
+    payload still needs ffmpeg).  Anything else still needs PIL/ffmpeg
+    and raises — the pluggable-kernel contract is unchanged, the default
+    just got strictly more capable."""
     if content[:2] == b"BM":
         return decode_bmp(content)
     if content[:8] == b"\x89PNG\r\n\x1a\n":
         return decode_png(content)
+    if content[:3] == b"\xff\xd8\xff":
+        from vector_graph_rag_spark.operators.jpeg import decode_jpeg
+
+        return decode_jpeg(content)
     if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
         return decode_wav(content)
     if content[4:8] == b"ftyp":
