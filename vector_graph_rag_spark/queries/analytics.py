@@ -265,6 +265,109 @@ def multimodal_binary_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- multimodal REAL-codec features (staged r16) ------------------------------
+
+# Deterministic media whose DECODED features have closed forms: solid-color
+# BMPs (mean BT.601 luma is the color's luma), constant-amplitude square
+# WAVs (RMS is amplitude/32768), and MP4 skeletons (feature is fps/60).
+# The binary round-trips through the REAL encoders and the REAL
+# stdlib_kernel decoders inside the query — header parse, pixel math,
+# Huffman-free formats chosen so the oracle stays exact — which puts the
+# r13/r14 codec kernels behind a driver hash gate instead of unit tests
+# only.  Feature rounded to 9 dp so float64 vs DuckDB double agree.
+
+_CODEC_SQL = """
+SELECT doc_id,
+       CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+            WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+       ROUND(CASE CAST(doc_id % 3 AS INT)
+         WHEN 0 THEN (0.114 * ((doc_id * 83) % 256)
+                      + 0.587 * ((doc_id * 59) % 256)
+                      + 0.299 * ((doc_id * 37) % 256)) / 255.0
+         WHEN 1 THEN ((doc_id * 11) % 32768) / 32768.0
+         ELSE LEAST(1.0, (12 + doc_id % 48) / 60.0) END, 9) AS feature
+FROM documents
+WHERE doc_id < 300
+"""
+
+
+@register(
+    "multimodal_codec_features",
+    oracle=_CODEC_SQL,
+    retired=True,  # STAGED for the round-16 swap
+    description=(
+        "REAL-codec decode features with closed-form oracles: per doc a "
+        "solid-color BMP / square-wave PCM WAV / MP4 metadata skeleton is "
+        "ENCODED from doc_id, shipped as a binary column, and DECODED by "
+        "the stdlib kernel inside mapInPandas — mean-luma / RMS / fps "
+        "features then equal exact SQL expressions of doc_id, so the hash "
+        "gate pins the real codec paths end to end"
+    ),
+)
+def multimodal_codec_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The codec kernels (operators/multimodal.py, operators/mp4.py) under
+    a driver hash gate: encode→binary→decode happens Spark-side (Arrow
+    batches, zero shuffle), and the decoded feature must reproduce the
+    closed form — a wrong BMP row stride, WAV sample width, or stts walk
+    breaks the hash.  Formats here are the Huffman-free ones whose decode
+    is numerically exact (JPEG's quantization loss keeps it in unit-test
+    land, tests/test_jpeg.py)."""
+    from collections.abc import Iterator as _It
+
+    import pandas as pd
+
+    from vector_graph_rag_spark.operators.multimodal import (
+        ASSET_SCHEMA,
+        decode_assets,
+        encode_bmp,
+        encode_wav,
+        stdlib_kernel,
+    )
+    from vector_graph_rag_spark.operators.mp4 import encode_mp4_meta
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 300
+    )
+
+    def _gen(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in
+                    ("asset_id", "modality", "content", "width", "height",
+                     "duration_ms")}
+            for did in pdf["doc_id"]:
+                did = int(did)
+                kind = did % 3
+                if kind == 0:
+                    r, g, b = (did * 37) % 256, (did * 59) % 256, (did * 83) % 256
+                    content, modality = (
+                        encode_bmp(4, 4, [[(r, g, b)] * 4] * 4),
+                        "image",
+                    )
+                elif kind == 1:
+                    a = (did * 11) % 32768
+                    content, modality = encode_wav(8000, [a, -a] * 40), "audio"
+                else:
+                    fps = 12 + did % 48
+                    content, modality = (
+                        encode_mp4_meta(fps, [1] * (fps * 2), 64, 48),
+                        "video",
+                    )
+                rows["asset_id"].append(f"asset_{did}")
+                rows["modality"].append(modality)
+                rows["content"].append(content)
+                rows["width"].append(0)
+                rows["height"].append(0)
+                rows["duration_ms"].append(0)
+            yield pd.DataFrame(rows)
+
+    assets = d.mapInPandas(_gen, ASSET_SCHEMA)
+    return decode_assets(assets, kernel=stdlib_kernel).select(
+        F.split(F.col("asset_id"), "_").getItem(1).cast("long").alias("doc_id"),
+        "modality",
+        F.round("feature", 9).alias("feature"),
+    )
+
+
 # --- multimodal frame sampling (staged r15) ----------------------------------
 
 # Deterministic media metadata synthesized from doc_id (the container has no
