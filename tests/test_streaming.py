@@ -20,7 +20,7 @@ def test_stateful_sessionize_matches_batch(spark):
     )
     s_rows = {(r.user_id, r.start_epoch, r.n_events) for r in streamed.collect()}
 
-    batch = load_all()["sessionize_events"].fn(spark, SF_SMOKE)
+    batch = load_all(include_retired=True)["sessionize_events"].fn(spark, SF_SMOKE)
     b_rows = {
         (r.user_id, r.session_start, r.n_events)
         for r in batch.select(
