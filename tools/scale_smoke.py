@@ -94,6 +94,9 @@ QUERIES = [
     "neardup_cc_incremental",
     "documents_keyset_page",
     "multimodal_frame_sample",
+    # r14-staged real-codec gate: encode+decode is row-local mapInPandas
+    # over a fixed 300-doc slice — cost is scale-INDEPENDENT by design
+    "multimodal_codec_features",
     # round-16 staged candidates (pre-registration smokes): compaction is
     # pure I/O over code/posting rows; the sample/curriculum windows are
     # cap-bounded / phase-keyed
