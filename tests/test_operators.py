@@ -539,11 +539,11 @@ def test_stdlib_kernel_mixed_formats_and_unknown_raises(spark):
     rows = {r["asset_id"]: r for r in decode_assets(mixed, kernel=stdlib_kernel).collect()}
     assert abs(rows["i"]["feature"] - 0.587) < 1e-9  # pure green luma
     assert rows["a"]["feature"] > 0.0
-    # JPEG now decodes for real (operators/jpeg.py) — the unknown-format
-    # gate is exercised with a GIF magic instead
-    gif_ish = spark.createDataFrame([("x", "image", b"GIF89a fake", 0, 0, 0)], schema)
+    # JPEG and GIF now decode for real — the unknown-format gate is
+    # exercised with a TIFF magic instead
+    tiff_ish = spark.createDataFrame([("x", "image", b"II*\x00fake", 0, 0, 0)], schema)
     with _pytest.raises(Exception, match="NotImplementedError|codec libraries"):
-        decode_assets(gif_ish, kernel=stdlib_kernel).collect()
+        decode_assets(tiff_ish, kernel=stdlib_kernel).collect()
 
 
 def test_bmp_resize_real_pixels():
@@ -892,3 +892,79 @@ def test_mp4_metadata_through_spark_kernel(spark):
     }
     assert abs(rows["v"]["feature"] - 24.0 / 60.0) < 1e-9
     assert abs(rows["i"]["feature"] - 1.0) < 1e-9
+
+
+# --- r14: GIF codec (LZW) -----------------------------------------------------
+
+
+def test_gif_roundtrip_plain_and_interlaced():
+    """GIF87a/89a first-frame decode: real LZW (variable-width LSB-first
+    codes), global color table, and the 4-pass interlace row order —
+    pixel-exact round trips across palette sizes 1..256 and odd dims."""
+    import random
+
+    import numpy as np
+
+    from vector_graph_rag_spark.operators.multimodal import decode_gif, encode_gif
+
+    rng = random.Random(5)
+    for interlace in (False, True):
+        for (w, h, ncol) in ((13, 9, 7), (16, 16, 200), (1, 1, 1), (40, 31, 256)):
+            pal = [
+                (rng.randrange(256), rng.randrange(256), rng.randrange(256))
+                for _ in range(ncol)
+            ]
+            idx = [[rng.randrange(ncol) for _ in range(w)] for _ in range(h)]
+            d = decode_gif(encode_gif(w, h, pal, idx, interlace=interlace))
+            exp = np.array(
+                [[pal[idx[y][x]] for x in range(w)] for y in range(h)],
+                dtype=np.uint8,
+            )
+            assert d["width"] == w and d["height"] == h
+            assert (d["pixels"] == exp).all(), (w, h, ncol, interlace)
+            assert d["n_frames"] == 1
+
+
+def test_gif_lzw_table_overflow_clear():
+    """A large random image forces the LZW table past 12 bits, so the
+    encoder must emit CLEAR and the decoder must rebuild mid-stream —
+    still pixel-exact."""
+    import random
+
+    import numpy as np
+
+    from vector_graph_rag_spark.operators.multimodal import decode_gif, encode_gif
+
+    rng = random.Random(11)
+    w, h = 90, 70  # 6300 random 256-color pixels: table hits 4096
+    pal = [(i, 255 - i, (i * 7) % 256) for i in range(256)]
+    idx = [[rng.randrange(256) for _ in range(w)] for _ in range(h)]
+    d = decode_gif(encode_gif(w, h, pal, idx))
+    exp = np.array(
+        [[pal[idx[y][x]] for x in range(w)] for y in range(h)], dtype=np.uint8
+    )
+    assert (d["pixels"] == exp).all()
+
+
+def test_gif_through_spark_kernel(spark):
+    from vector_graph_rag_spark.operators.multimodal import (
+        decode_assets,
+        encode_gif,
+        stdlib_kernel,
+    )
+
+    import pytest as _pytest
+
+    # pure blue 2x2 -> luma 0.114
+    data = encode_gif(2, 2, [(0, 0, 255)], [[0, 0], [0, 0]])
+    assets = spark.createDataFrame(
+        [("g", "image", data, 2, 2, 0)],
+        "asset_id string, modality string, content binary, width int, height int, duration_ms int",
+    )
+    rows = decode_assets(assets, kernel=stdlib_kernel).collect()
+    assert abs(rows[0]["feature"] - 0.114) < 1e-9
+
+    from vector_graph_rag_spark.operators.multimodal import decode_gif
+
+    with _pytest.raises(ValueError, match="not a GIF"):
+        decode_gif(b"NOTGIF")

@@ -291,12 +291,13 @@ def stdlib_kernel(modality: str, content: bytes) -> dict:
     or 1/2/4/8-bit palette PNG (zlib inflate + scanline unfilter + PLTE
     LUT), both with mean-BT.601-luminance features; '\\xff\\xd8\\xff' →
     baseline JPEG (full entropy + IDCT decode, operators/jpeg.py;
-    progressive/12-bit still raise); 'RIFF…WAVE' → PCM WAV (RMS-amplitude
-    feature); 'ftyp' at offset 4 → MP4/ISO-BMFF metadata (moov box walk:
-    duration/fps/dimensions/keyframes, operators/mp4.py — the mdat PIXEL
-    payload still needs ffmpeg).  Anything else still needs PIL/ffmpeg
-    and raises — the pluggable-kernel contract is unchanged, the default
-    just got strictly more capable."""
+    progressive/12-bit still raise); 'GIF8xa' → GIF first frame (LZW +
+    de-interlace); 'RIFF…WAVE' → PCM WAV (RMS-amplitude feature); 'ftyp'
+    at offset 4 → MP4/ISO-BMFF metadata (moov box walk: duration/fps/
+    dimensions/keyframes, operators/mp4.py — the mdat PIXEL payload still
+    needs ffmpeg).  Anything else still needs PIL/ffmpeg and raises — the
+    pluggable-kernel contract is unchanged, the default just got strictly
+    more capable."""
     if content[:2] == b"BM":
         return decode_bmp(content)
     if content[:8] == b"\x89PNG\r\n\x1a\n":
@@ -305,6 +306,8 @@ def stdlib_kernel(modality: str, content: bytes) -> dict:
         from vector_graph_rag_spark.operators.jpeg import decode_jpeg
 
         return decode_jpeg(content)
+    if content[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif(content)
     if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
         return decode_wav(content)
     if content[4:8] == b"ftyp":
@@ -558,5 +561,223 @@ def decode_png(content: bytes) -> dict:
         "width": int(w),
         "height": int(h),
         "pixels": rgb,  # top-down RGB uint8
+        "feature": float(luma.mean() / 255.0),
+    }
+
+
+# --- GIF (r14): LZW decode, stdlib-only ---------------------------------------
+
+
+def _lzw_compress(indices, min_code_size: int) -> bytes:
+    """Real LZW for the GIF fixture encoder: variable-width codes,
+    LSB-first packing, CLEAR emitted when the table fills 12 bits."""
+    clear = 1 << min_code_size
+    end = clear + 1
+
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table = {(i,): i for i in range(clear)}
+    next_code = end + 1
+    width = min_code_size + 1
+    emit(clear, width)
+    seq: tuple = ()
+    for px in indices:
+        cand = seq + (px,)
+        if cand in table:
+            seq = cand
+            continue
+        emit(table[seq], width)
+        table[cand] = next_code
+        next_code += 1
+        if next_code > (1 << width) and width < 12:
+            width += 1
+        elif next_code >= (1 << 12):
+            emit(clear, width)
+            table = {(i,): i for i in range(clear)}
+            next_code = end + 1
+            width = min_code_size + 1
+        seq = (px,)
+    if seq:
+        emit(table[seq], width)
+    emit(end, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decompress(data: bytes, min_code_size: int) -> bytearray:
+    """GIF LZW decode: LSB-first variable-width codes (GIF89a App. F)."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    pos = 0
+    acc = 0
+    nbits = 0
+
+    def read(width: int) -> int:
+        nonlocal pos, acc, nbits
+        while nbits < width:
+            if pos >= len(data):
+                return end  # truncated stream: treat as end
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        v = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        return v
+
+    out = bytearray()
+    table: list[bytes] = []
+    width = min_code_size + 1
+    prev: bytes | None = None
+    while True:
+        code = read(width)
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if not table:
+            raise ValueError("GIF LZW data before clear code")
+        if code < len(table):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]
+        else:
+            raise ValueError("GIF LZW code out of range")
+        out += entry
+        if prev is not None:
+            table.append(prev + entry[:1])
+        prev = entry
+        if len(table) == (1 << width) and width < 12:
+            width += 1
+    return out
+
+
+def encode_gif(width: int, height: int, palette, indices, interlace: bool = False) -> bytes:
+    """Minimal single-frame GIF89a writer (fixture generator): global
+    color table, one image descriptor, real LZW compression, optional
+    interlacing (the 4-pass row order actually applied)."""
+    n = len(palette)
+    size_field = max(1, (n - 1).bit_length()) - 1 if n > 1 else 0
+    table_len = 1 << (size_field + 1)
+    if n > 256 or n > table_len and table_len < 256:
+        size_field = (n - 1).bit_length() - 1
+        table_len = 1 << (size_field + 1)
+    gct = bytearray()
+    for i in range(table_len):
+        r, g, b = palette[i] if i < n else (0, 0, 0)
+        gct += bytes((r, g, b))
+    rows = list(range(height))
+    if interlace:
+        rows = (list(range(0, height, 8)) + list(range(4, height, 8))
+                + list(range(2, height, 4)) + list(range(1, height, 2)))
+    flat = [indices[y][x] for y in rows for x in range(width)]
+    min_code = max(2, size_field + 1)
+    lzw = _lzw_compress(flat, min_code)
+    sub = bytearray()
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        sub += bytes([len(chunk)]) + chunk
+    sub += b"\x00"
+    header = b"GIF89a" + struct.pack("<HH", width, height) + bytes(
+        [0x80 | size_field, 0, 0]
+    )
+    img = b"\x2c" + struct.pack("<HHHH", 0, 0, width, height) + bytes(
+        [0x40 if interlace else 0]
+    ) + bytes([min_code]) + bytes(sub)
+    return header + bytes(gct) + img + b"\x3b"
+
+
+def decode_gif(content: bytes) -> dict:
+    """Decode a GIF87a/89a: global/local color tables, LZW decompression,
+    4-pass de-interlacing; returns the FIRST frame's RGB pixels, mean
+    BT.601 luminance as the feature, and n_frames (image-descriptor
+    count — animation frames are counted, not composited)."""
+    import numpy as np
+
+    if content[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF stream")
+    sw, sh = struct.unpack_from("<HH", content, 6)
+    packed = content[10]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        glen = 2 << (packed & 0x07)
+        gct = np.frombuffer(content, np.uint8, glen * 3, pos).reshape(glen, 3)
+        pos += glen * 3
+    first = None
+    n_frames = 0
+    while pos < len(content):
+        b0 = content[pos]
+        if b0 == 0x3B:  # trailer
+            break
+        if b0 == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while content[pos]:
+                pos += content[pos] + 1
+            pos += 1
+            continue
+        if b0 != 0x2C:
+            raise ValueError(f"unknown GIF block {b0:#x}")
+        left, top, w, h = struct.unpack_from("<HHHH", content, pos + 1)
+        ipacked = content[pos + 9]
+        pos += 10
+        table = gct
+        if ipacked & 0x80:
+            llen = 2 << (ipacked & 0x07)
+            table = np.frombuffer(content, np.uint8, llen * 3, pos).reshape(llen, 3)
+            pos += llen * 3
+        min_code = content[pos]
+        pos += 1
+        lzw = bytearray()
+        while content[pos]:
+            ln = content[pos]
+            lzw += content[pos + 1 : pos + 1 + ln]
+            pos += ln + 1
+        pos += 1
+        n_frames += 1
+        if first is None:
+            if table is None:
+                raise ValueError("GIF frame has no color table")
+            idx = np.frombuffer(
+                bytes(_lzw_decompress(bytes(lzw), min_code)), np.uint8
+            )
+            if len(idx) < w * h:
+                raise ValueError("GIF pixel data truncated")
+            idx = idx[: w * h].reshape(h, w)
+            if ipacked & 0x40:  # de-interlace: undo the 4-pass row order
+                order = (list(range(0, h, 8)) + list(range(4, h, 8))
+                         + list(range(2, h, 4)) + list(range(1, h, 2)))
+                out = np.empty_like(idx)
+                out[order] = idx
+                idx = out
+            if int(idx.max(initial=0)) >= len(table):
+                raise ValueError("GIF index out of color-table range")
+            first = table[idx]  # (h, w, 3) RGB via LUT
+    if first is None:
+        raise ValueError("GIF has no image frame")
+    r = first[..., 0].astype(np.float64)
+    g = first[..., 1].astype(np.float64)
+    b = first[..., 2].astype(np.float64)
+    luma = 0.299 * r + 0.587 * g + 0.114 * b
+    return {
+        "width": int(first.shape[1]),
+        "height": int(first.shape[0]),
+        "pixels": first,  # top-down RGB uint8 (first frame)
+        "n_frames": int(n_frames),
         "feature": float(luma.mean() / 255.0),
     }
