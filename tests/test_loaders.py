@@ -439,3 +439,41 @@ def test_pdf_paren_depth_and_line_continuation():
     # TJ arrays still mix literal + hex members with kerning numbers
     s = b"BT [(He) -20 (l) 5 <6C6F>] TJ ET"
     assert extract_pdf_text(mkpdf(s)) == "Hello"
+
+
+def test_extract_main_html_boilerplate_removal():
+    """r14: readability-lite main-content extraction — nav/header/footer/
+    aside/ad/breadcrumb containers and link-farm blocks are dropped by
+    structure + link-density scoring; article prose and headings survive;
+    a page that is ALL boilerplate falls back to the full tag-strip
+    (safety valve)."""
+    from vector_graph_rag_spark.sources.loaders import (
+        extract_html_text,
+        extract_main_html_text,
+    )
+
+    page = b"""<html><body>
+    <header class="site-header"><a href="/">Home</a><a href="/about">About</a></header>
+    <nav><ul><li><a href="/a">Products</a></li><li><a href="/b">Pricing information</a></li></ul></nav>
+    <div class="breadcrumb"><a href="/">Home</a> &gt; <a href="/news">News</a></div>
+    <main><article>
+    <h1>The Actual Headline of the Article</h1>
+    <p>This is the first real paragraph of the article body, long enough to score as content.</p>
+    <p>Second paragraph with a single <a href="/ref">reference link</a> inline but mostly prose text around it to keep density low.</p>
+    <div class="ad-banner">Buy now! <a href="/buy">Click here</a></div>
+    </article></main>
+    <aside class="sidebar"><p>Related: <a href="/x">Another story that is quite long indeed</a></p></aside>
+    <footer><p>Copyright 2026 Example Corp. All rights reserved. <a href="/tos">Terms</a></p></footer>
+    </body></html>"""
+    main = extract_main_html_text(page)
+    assert "Actual Headline" in main
+    assert "first real paragraph" in main and "mostly prose text" in main
+    for boiler in ("Products", "Pricing", "Copyright", "Buy now",
+                   "Another story", "News", "About"):
+        assert boiler not in main, boiler
+
+    plain = b"<html><body><p>Just one short paragraph here.</p></body></html>"
+    assert "Just one short paragraph" in extract_main_html_text(plain)
+
+    links = b"<body><p><a href='/1'>one</a></p><p><a href='/2'>two</a></p></body>"
+    assert extract_main_html_text(links) == extract_html_text(links)

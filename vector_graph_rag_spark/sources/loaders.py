@@ -189,6 +189,130 @@ def extract_html_text(content: bytes) -> str:
     return "\n".join(ln for ln in lines if ln)
 
 
+_BOILER_RE = None  # compiled lazily
+
+
+def extract_main_html_text(content: bytes) -> str:
+    """Main-content HTML extraction (readability-lite, stdlib-only) — the
+    quality gap between tag-stripping and trafilatura for URL ingestion:
+
+    1. structural boilerplate containers are dropped wholesale (nav,
+       header, footer, aside, form + elements whose class/id/role matches
+       the classic boilerplate vocabulary: menu, sidebar, comment, ad,
+       banner, breadcrumb, …);
+    2. the remaining text is segmented into blocks at block-level tags,
+       each scored by length and LINK DENSITY (chars inside <a> / chars);
+       content blocks (≥25 chars, link density ≤ 1/3) and low-link
+       headings are kept, link-farm blocks dropped.
+
+    Safety valve: if the kept text is implausibly small relative to the
+    full tag-strip (<20% and <200 chars), fall back to
+    :func:`extract_html_text` — a page that is all boilerplate by these
+    heuristics is better over-extracted than emptied."""
+    import re
+    from html.parser import HTMLParser
+
+    global _BOILER_RE
+    if _BOILER_RE is None:
+        _BOILER_RE = re.compile(
+            r"(?:^|[-_ ])(?:nav|menu|sidebar|side-bar|footer|header|comment|"
+            r"banner|ad|ads|advert\w*|breadcrumb|social|share|related|promo|"
+            r"cookie|popup|modal)(?:$|[-_ ])",
+            re.IGNORECASE,
+        )
+
+    DROP = {"script", "style", "nav", "header", "footer", "aside", "form",
+            "noscript", "svg", "button", "select", "iframe"}
+    BLOCK = {"p", "li", "h1", "h2", "h3", "h4", "h5", "h6", "pre",
+             "blockquote", "td", "dd", "dt", "figcaption", "div", "section",
+             "article", "main", "tr", "br", "ul", "ol", "table"}
+    VOID = {"br", "img", "hr", "input", "meta", "link"}
+    HEADING = {"h1", "h2", "h3", "h4", "h5", "h6"}
+
+    class _Blocks(HTMLParser):
+        def __init__(self):
+            super().__init__(convert_charrefs=True)
+            self.stack: list[tuple[str, bool]] = []  # (tag, dropped)
+            self.drop_depth = 0
+            self.link_depth = 0
+            self.blocks: list[tuple[str, int, bool]] = []  # text, link_chars, heading
+            self._buf: list[str] = []
+            self._link_chars = 0
+            self._heading = False
+
+        def _flush(self):
+            text = "".join(self._buf).strip()
+            if text:
+                self.blocks.append((text, self._link_chars, self._heading))
+            self._buf = []
+            self._link_chars = 0
+            self._heading = False
+
+        def handle_starttag(self, tag, attrs):
+            if tag in VOID:
+                if tag == "br":
+                    self._flush()
+                return
+            attrd = dict(attrs)
+            blob = " ".join(
+                str(attrd.get(k) or "") for k in ("class", "id", "role")
+            )
+            dropped = tag in DROP or bool(_BOILER_RE.search(blob)) or (
+                attrd.get("role") in ("navigation", "banner", "contentinfo")
+            )
+            if tag in BLOCK:
+                self._flush()
+                if tag in HEADING and not dropped:
+                    self._heading = True
+            if tag == "a":
+                self.link_depth += 1
+            self.stack.append((tag, dropped))
+            if dropped:
+                self.drop_depth += 1
+
+        def handle_endtag(self, tag):
+            if tag in VOID:
+                return
+            if tag == "a" and self.link_depth:
+                self.link_depth -= 1
+            if tag in BLOCK:
+                self._flush()
+            # lenient pop: unwind to the matching open tag if present
+            for i in range(len(self.stack) - 1, -1, -1):
+                if self.stack[i][0] == tag:
+                    for t, d in self.stack[i:]:
+                        if d:
+                            self.drop_depth -= 1
+                    del self.stack[i:]
+                    break
+
+        def handle_data(self, data):
+            if self.drop_depth:
+                return
+            self._buf.append(data)
+            if self.link_depth:
+                self._link_chars += len(data)
+
+    p = _Blocks()
+    p.feed(content.decode("utf-8", errors="replace"))
+    p._flush()
+    p.close()
+    kept: list[str] = []
+    for text, link_chars, heading in p.blocks:
+        ld = link_chars / max(len(text), 1)
+        if heading and ld <= 0.5:
+            kept.append(text)
+        elif len(text) >= 25 and ld <= 1 / 3:
+            kept.append(text)
+        elif ld == 0.0 and len(text) >= 8:
+            kept.append(text)
+    main = "\n".join(kept)
+    full = extract_html_text(content)
+    if len(main) < 200 and len(main) < 0.2 * len(full):
+        return full  # safety valve: implausibly empty extraction
+    return main
+
+
 def _pdf_unescape(s: bytes) -> str:
     """PDF literal-string unescape: \\n \\r \\t \\b \\f \\( \\) \\\\,
     \\ddd octal codes, and backslash-EOL line continuation — the whole
@@ -440,7 +564,8 @@ def fetch_url_documents(urls_df: DataFrame, url_col: str = "url") -> DataFrame:
     failures are captured per-row like the reference's
     ConversionResult.errors, never failing the job); the EXTRACT uses
     trafilatura when importable and falls back to the stdlib
-    `extract_html_text` otherwise.  Only a missing `requests` raises
+    `extract_main_html_text` (readability-lite boilerplate removal)
+    otherwise.  Only a missing `requests` raises
     NotImplementedError.
     """
 
@@ -466,7 +591,7 @@ def fetch_url_documents(urls_df: DataFrame, url_col: str = "url") -> DataFrame:
                     if trafilatura is not None:
                         content = trafilatura.extract(resp.text, output_format="markdown")
                     else:
-                        content = extract_html_text(resp.content) or None
+                        content = extract_main_html_text(resp.content) or None
                     if content:
                         texts.append(content)
                         errors.append(None)
