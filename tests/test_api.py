@@ -409,31 +409,36 @@ def test_search_mmr_pool_scales_with_top_k(client, search_graph):
 
 
 def test_import_route_decodes_docx_pdf_html(client, tmp_path_factory):
-    """r13: /import now ingests docx/pdf/html through the stdlib converter
-    fallback — four formats land as passages in one request; legacy .doc
-    and URLs still report skipped."""
+    """r13/r14: /import ingests txt/docx/pdf/html AND legacy .doc (the r14
+    OLE2 extractor) through the stdlib converter — five formats land as
+    passages in one request; a corrupt .doc reports per-row decode_error
+    and the unreachable URL reports its fetch failure."""
     from tests.test_loaders import _make_docx, _make_pdf
+    from vector_graph_rag_spark.sources.ole2 import make_doc
 
     d = tmp_path_factory.mktemp("import_rich")
     (d / "a.txt").write_text("red owns blue blue feeds green green likes gray tail tokens")
     (d / "b.docx").write_bytes(_make_docx(["ant bites bee bee stings cat cat chases dog end"]))
     (d / "c.pdf").write_bytes(_make_pdf(["sun warms moon moon pulls tide tide moves sand end"]))
     (d / "e.html").write_text("<p>fox hunts hare hare eats grass grass covers hill end</p>")
-    (d / "f.doc").write_bytes(b"\xd0\xcf\x11\xe0 legacy")
+    (d / "f.doc").write_bytes(make_doc("owl watches mouse mouse nibbles seed seed grows tree end"))
+    (d / "g.doc").write_bytes(b"\xd0\xcf\x11\xe0 corrupt")
     r = client.post(
         "/import",
         json={
             "graph_name": "imp_rich",
             "sources": [
                 str(d / "a.txt"), str(d / "b.docx"), str(d / "c.pdf"),
-                str(d / "e.html"), str(d / "f.doc"), "https://x.test/p",
+                str(d / "e.html"), str(d / "f.doc"), str(d / "g.doc"),
+                "https://x.test/p",
             ],
         },
     ).get_json()
-    assert r["imported"] == 4, r
-    assert len(r["skipped"]) == 2
+    assert r["imported"] == 5, r
+    kinds = sorted(s["kind"] for s in r["skipped"])
+    assert kinds == ["decode_error", "url"], r["skipped"]
     stats = client.get("/graph/imp_rich/stats").get_json()
-    assert stats["passages"] == 4
+    assert stats["passages"] == 5
 
 
 def test_import_route_corrupt_file_per_row_error(client, tmp_path_factory):

@@ -56,9 +56,10 @@ def test_convert_binary_text_documents(spark, tmp_path):
 
 
 def test_convert_binary_unsupported_raises(spark, tmp_path):
-    # legacy OLE2 .doc is the one extension no in-container path decodes
-    # (markitdown absent, no stdlib extractor) — the gate must still raise.
-    (tmp_path / "x.doc").write_bytes(b"\xd0\xcf\x11\xe0 fake ole2")
+    # .doc decodes since r14 (sources/ole2.py) — a spreadsheet is now the
+    # representative extension no in-container path decodes; the gate must
+    # still raise.
+    (tmp_path / "x.xlsx").write_bytes(b"PK\x03\x04 fake xlsx")
     df = spark.read.format("binaryFile").load(str(tmp_path))
     if _has("markitdown"):
         pytest.skip("markitdown present; gate branch not reachable")
@@ -477,3 +478,52 @@ def test_extract_main_html_boilerplate_removal():
 
     links = b"<body><p><a href='/1'>one</a></p><p><a href='/2'>two</a></p></body>"
     assert extract_main_html_text(links) == extract_html_text(links)
+
+
+# --- legacy .doc (r14): OLE2/CFB + MS-DOC piece table -------------------------
+
+
+def test_doc_extraction_roundtrip_variants():
+    """Word 97 .doc fixtures round-trip through the real binary format:
+    CP1252 and UTF-16LE text, single- and multi-piece CLX tables, and
+    both CFB stream paths (mini stream for small WordDocument, regular
+    sectors when it crosses the 4096-byte cutoff)."""
+    from vector_graph_rag_spark.sources.ole2 import (
+        extract_doc_text,
+        make_doc,
+        parse_cfb,
+    )
+
+    t = "Hello legacy Word.\nSecond paragraph with accents: café naïve.\nEnd."
+    for compressed in (True, False):
+        for pieces in (1, 3):
+            assert extract_doc_text(make_doc(t, compressed=compressed, pieces=pieces)) == t
+
+    t2 = "Unicode: 中文 текст beyond cp1252.\nDone."
+    assert extract_doc_text(make_doc(t2, compressed=False, pieces=2)) == t2
+
+    big = ("Long line of text for the big-stream path. " * 200).strip()
+    doc = make_doc(big)
+    assert len(parse_cfb(doc)["WordDocument"]) >= 4096  # regular sectors
+    assert extract_doc_text(doc).startswith("Long line of text")
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="OLE2"):
+        extract_doc_text(b"\xd0\xcf\x11\xe0 truncated junk")
+
+
+def test_doc_through_spark_converter(spark, tmp_path):
+    """.doc rides the binaryFile → mapInPandas converter like every other
+    format; a corrupt OLE2 file becomes a per-row decode error."""
+    from vector_graph_rag_spark.sources.ole2 import make_doc
+
+    (tmp_path / "legacy.doc").write_bytes(
+        make_doc("ant bites bee bee stings cat cat chases dog end")
+    )
+    (tmp_path / "broken.doc").write_bytes(b"\xd0\xcf\x11\xe0 not a real cfb")
+    df = spark.read.format("binaryFile").load(str(tmp_path))
+    rows = {r.path.rsplit("/", 1)[-1]: r for r in convert_binary_documents(df).collect()}
+    assert rows["legacy.doc"].text.startswith("ant bites bee")
+    assert rows["broken.doc"].text is None
+    assert "ValueError" in rows["broken.doc"].error

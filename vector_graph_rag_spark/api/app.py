@@ -183,8 +183,9 @@ def create_app(
         live-fetched via fetch_url_documents (requests + stdlib extract)
         with per-row fetch failures reported in `skipped`; corrupt files
         on the binary path likewise come back per-row as kind
-        `decode_error` rather than failing the whole import; only legacy
-        .doc (and missing files) report skipped up front.
+        `decode_error` rather than failing the whole import; legacy .doc
+        decodes via the r14 OLE2 extractor, so only missing files and
+        unsupported extensions report skipped up front.
 
         Trust note: URL sources are fetched SERVER-SIDE with no scheme/
         host restrictions — parity with the reference url_fetcher.py,
@@ -205,11 +206,11 @@ def create_app(
             return jsonify({"error": "no sources"}), 400
         listing = spark.createDataFrame([(s,) for s in sources], "path string")
         routed = {r["path"]: r["kind"] for r in route_files(listing).collect()}
-        decodable = {"text", "pdf", "docx", "html"}
+        decodable = {"text", "pdf", "docx", "html", "doc_legacy"}
         readable = [
             p
             for p, k in routed.items()
-            if k in decodable and os.path.isfile(p)  # doc_legacy routes out
+            if k in decodable and os.path.isfile(p)
         ]
         urls = [p for p, k in routed.items() if k == "url"]
         skipped = [

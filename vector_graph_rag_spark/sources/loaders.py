@@ -100,10 +100,10 @@ SUPPORTED_EXTENSIONS = [".pdf", ".docx", ".doc", ".txt", ".md", ".html", ".htm"]
 def route_files(listing: DataFrame, path_col: str = "path") -> DataFrame:
     """File-type router (loaders/__init__.py:52-143): adds `kind` in
     {url, pdf, docx, doc_legacy, text, html, unsupported}.  Legacy `.doc`
-    (OLE2) gets its own kind rather than riding `docx`: the converter has
-    no stdlib path for it (markitdown-gated), so the router's contract is
-    self-describing about what downstream can actually decode (r13
-    verdict residual)."""
+    (OLE2) keeps its own kind: it rides a DIFFERENT decode path (the
+    sources/ole2.py CFB + piece-table extractor since r14; markitdown
+    when importable) and downstream may want to track the legacy format
+    separately."""
     p = F.lower(F.col(path_col))
     kind = (
         F.when(p.startswith("http://") | p.startswith("https://"), "url")
@@ -126,7 +126,8 @@ def route_files(listing: DataFrame, path_col: str = "path") -> DataFrame:
 # Tj/TJ text-showing operators.  markitdown still takes PRIORITY when
 # importable (it handles the long tail: CID fonts, tables, images); these
 # run as the in-container fallback so .docx/.pdf/.html decode is REAL here,
-# not a NotImplementedError.  Legacy .doc (OLE2) stays gated.
+# not a NotImplementedError.  Legacy .doc decodes too since r14
+# (sources/ole2.py: CFB reader + MS-DOC piece table).
 
 
 def extract_docx_text(content: bytes) -> str:
@@ -522,6 +523,10 @@ def convert_binary_documents(binary_df: DataFrame) -> DataFrame:
                 return extract_pdf_text(raw)
             if low.endswith((".html", ".htm")):
                 return extract_html_text(raw)
+            if low.endswith(".doc"):
+                from vector_graph_rag_spark.sources.ole2 import extract_doc_text
+
+                return extract_doc_text(raw)
             raise NotImplementedError(
                 f"binary conversion for {path} requires markitdown "
                 "(not in this container)"
