@@ -630,13 +630,14 @@ def test_stdlib_png_decode_all_filters_through_spark(spark):
     dp = decode_png(pal)
     assert tuple(int(v) for v in dp["pixels"][0][0]) == (255, 0, 0)
     assert abs(dp["feature"] - 0.299) < 1e-9
-    # 16-bit still gates to PIL
-    deep = (b"\x89PNG\r\n\x1a\n"
-            + _chunk(b"IHDR", _struct.pack(">IIBBBBB", 1, 1, 16, 2, 0, 0, 0))
-            + _chunk(b"IDAT", _zlib.compress(b"\x00" * 7))
-            + _chunk(b"IEND", b""))
+    # every legal color type decodes since r14 — the gate now guards
+    # illegal depth/color combinations (4-bit truecolor)
+    bad = (b"\x89PNG\r\n\x1a\n"
+           + _chunk(b"IHDR", _struct.pack(">IIBBBBB", 1, 1, 4, 2, 0, 0, 0))
+           + _chunk(b"IDAT", _zlib.compress(b"\x00\x00"))
+           + _chunk(b"IEND", b""))
     with _pytest.raises(NotImplementedError, match="needs PIL"):
-        decode_png(deep)
+        decode_png(bad)
 
 
 # --- r14 codec upgrades: palette PNG / 8-bit BMP + vectorized unfilter -------
@@ -968,3 +969,82 @@ def test_gif_through_spark_kernel(spark):
 
     with _pytest.raises(ValueError, match="not a GIF"):
         decode_gif(b"NOTGIF")
+
+
+def test_png_adam7_interlace_and_16bit():
+    """r14: Adam7-interlaced PNGs round-trip pixel-exactly (seven
+    independently-filtered sub-images scattered onto the grid, odd dims
+    included), and 16-bit grey/RGB samples decode to their high byte —
+    including a 16-bit Sub/Paeth-filtered row where the filter's
+    left-neighbor distance is 6 bytes."""
+    import random
+    import struct as _struct
+    import zlib as _zlib
+
+    import numpy as np
+
+    from vector_graph_rag_spark.operators.multimodal import (
+        _png_chunk,
+        _png_filter_line,
+        decode_png,
+        encode_png,
+    )
+
+    rng = random.Random(21)
+    for (w, h) in ((13, 9), (8, 8), (1, 1), (3, 10), (17, 5)):
+        px = [
+            [(rng.randrange(256), rng.randrange(256), rng.randrange(256))
+             for _ in range(w)]
+            for _ in range(h)
+        ]
+        d = decode_png(encode_png(w, h, px, filters=[0, 1, 2, 3, 4], interlace=True))
+        assert (d["pixels"] == np.array(px, dtype=np.uint8)).all(), (w, h)
+
+    # 16-bit RGB, Sub + Paeth filtered rows (bpp = 6)
+    w, h = 4, 2
+    px16 = [
+        [(rng.randrange(65536), rng.randrange(65536), rng.randrange(65536))
+         for _ in range(w)]
+        for _ in range(h)
+    ]
+    lines = [b"".join(_struct.pack(">HHH", *p) for p in row) for row in px16]
+    raw = (
+        bytes([1]) + _png_filter_line(lines[0], bytes(len(lines[0])), 1, 6)
+        + bytes([4]) + _png_filter_line(lines[1], lines[0], 4, 6)
+    )
+    ihdr = _struct.pack(">IIBBBBB", w, h, 16, 2, 0, 0, 0)
+    png = (b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+           + _png_chunk(b"IDAT", _zlib.compress(raw)) + _png_chunk(b"IEND", b""))
+    d = decode_png(png)
+    exp = np.array(
+        [[(r >> 8, g >> 8, b >> 8) for (r, g, b) in row] for row in px16],
+        dtype=np.uint8,
+    )
+    assert (d["pixels"] == exp).all()
+
+
+def test_png_grey_alpha_decodes_and_illegal_combo_gates():
+    """r14: grey+alpha (color_type=4) decodes — luma channel kept, alpha
+    dropped; an ILLEGAL depth/color combination (4-bit truecolor) still
+    routes to the documented gate."""
+    import struct as _struct
+    import zlib as _zlib
+
+    import numpy as np
+    import pytest as _pytest
+
+    from vector_graph_rag_spark.operators.multimodal import _png_chunk, decode_png
+
+    raw = bytes([0, 200, 10, 30, 255])  # (grey=200, a=10), (grey=30, a=255)
+    ihdr = _struct.pack(">IIBBBBB", 2, 1, 8, 4, 0, 0, 0)
+    png = (b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+           + _png_chunk(b"IDAT", _zlib.compress(raw)) + _png_chunk(b"IEND", b""))
+    d = decode_png(png)
+    assert (d["pixels"] == np.array([[[200] * 3, [30] * 3]], dtype=np.uint8)).all()
+
+    bad = (b"\x89PNG\r\n\x1a\n"
+           + _png_chunk(b"IHDR", _struct.pack(">IIBBBBB", 1, 1, 4, 2, 0, 0, 0))
+           + _png_chunk(b"IDAT", _zlib.compress(b"\x00\x00"))
+           + _png_chunk(b"IEND", b""))
+    with _pytest.raises(NotImplementedError, match="needs PIL"):
+        decode_png(bad)

@@ -356,25 +356,48 @@ def _png_filter_line(line: bytes, prev: bytes, f: int, bpp: int) -> bytes:
     return bytes(out)
 
 
-def encode_png(width: int, height: int, pixels, filters=None) -> bytes:
+_ADAM7 = (
+    (0, 8, 0, 8), (4, 8, 0, 8), (0, 4, 4, 8), (2, 4, 0, 4),
+    (0, 2, 2, 4), (1, 2, 0, 2), (0, 1, 1, 2),
+)
+
+
+def encode_png(width: int, height: int, pixels, filters=None, interlace: bool = False) -> bytes:
     """Minimal 8-bit truecolor PNG writer (fixture generator):
-    `pixels[y][x] = (r, g, b)`, one IDAT, per-row filter byte taken from
-    `filters[y]` (default 0/None) with the filter actually APPLIED — so
-    tests can force sub/up/average/paeth rows through the decoder."""
+    `pixels[y][x] = (r, g, b)`, one IDAT, per-scanline filter byte taken
+    from `filters` in emission order (default 0/None) with the filter
+    actually APPLIED — so tests can force sub/up/average/paeth rows
+    through the decoder.  `interlace=True` emits the seven Adam7
+    sub-images (each filtered independently, RFC 2083 §2.8)."""
     import zlib
 
-    filters = filters or [0] * height
     bpp = 3
+    if interlace:
+        passes = []
+        for xs, xstep, ys, ystep in _ADAM7:
+            rows = [
+                [pixels[y][x] for x in range(xs, width, xstep)]
+                for y in range(ys, height, ystep)
+            ]
+            if rows and rows[0]:
+                passes.append(rows)
+    else:
+        passes = [pixels if isinstance(pixels, list) else [list(r) for r in pixels]]
+    total_rows = sum(len(p) for p in passes)
+    filters = filters or [0] * total_rows
     raw = bytearray()
-    prev = bytes(width * bpp)
-    for y in range(height):
-        line = bytes(
-            bytearray(ch for x in range(width) for ch in pixels[y][x])
-        )
-        f = filters[y]
-        raw += bytes([f]) + _png_filter_line(line, prev, f, bpp)
-        prev = line
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)  # 8-bit RGB
+    fi = 0
+    for rows in passes:
+        prev = bytes(len(rows[0]) * bpp)
+        for row in rows:
+            line = bytes(bytearray(ch for px in row for ch in px))
+            f = filters[fi % len(filters)]
+            fi += 1
+            raw += bytes([f]) + _png_filter_line(line, prev, f, bpp)
+            prev = line
+    ihdr = struct.pack(
+        ">IIBBBBB", width, height, 8, 2, 0, 0, 1 if interlace else 0
+    )
     return (
         b"\x89PNG\r\n\x1a\n"
         + _png_chunk(b"IHDR", ihdr)
@@ -485,12 +508,14 @@ def _unfilter_scanlines(raw: bytes, h: int, stride: int, bpp: int):
 
 
 def decode_png(content: bytes) -> dict:
-    """Parse an 8-bit greyscale/RGB/RGBA or 1/2/4/8-bit palette (PLTE)
-    non-interlaced PNG with the stdlib: walk chunks, inflate the
-    concatenated IDATs, undo all five scanline filters (None/Sub/Up/
-    Average/Paeth, RFC 2083 §6), map palette indices through the PLTE LUT
-    when color_type=3, return pixels and mean BT.601 luminance as the
-    feature.  16-bit and interlaced PNGs still need PIL."""
+    """Parse an 8/16-bit greyscale/grey+alpha/RGB/RGBA or 1/2/4/8-bit
+    palette (PLTE)
+    PNG, plain or Adam7-interlaced, with the stdlib: walk chunks, inflate
+    the concatenated IDATs, undo all five scanline filters (None/Sub/Up/
+    Average/Paeth, RFC 2083 §6) per (sub)image, map palette indices
+    through the PLTE LUT when color_type=3, scatter Adam7 passes onto the
+    full grid, reduce 16-bit samples to their high byte, and return
+    pixels and mean BT.601 luminance as the feature."""
     import zlib
 
     import numpy as np
@@ -515,44 +540,79 @@ def decode_png(content: bytes) -> dict:
     if meta is None:
         raise ValueError("PNG missing IHDR")
     w, h, depth, color, interlace = meta
-    channels = {0: 1, 2: 3, 3: 1, 6: 4}.get(color)
-    depth_ok = depth == 8 or (color == 3 and depth in (1, 2, 4))
-    if not depth_ok or channels is None or interlace != 0:
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
+    depth_ok = (
+        depth in (1, 2, 4, 8) if color == 3 else depth in (8, 16)
+    )
+    if channels is None or not depth_ok or interlace not in (0, 1):
         raise NotImplementedError(
             f"PNG depth={depth} color_type={color} interlace={interlace} needs PIL"
         )
     if color == 3 and plte is None:
         raise ValueError("palette PNG missing PLTE chunk")
-    # Filtering operates on packed bytes: bpp (the filter's left-neighbor
-    # distance) is the byte width of one pixel, floored at 1 for sub-byte
-    # palette depths (RFC 2083 §6.2).
-    bpp = max(1, channels * depth // 8)
-    stride = (w * channels * depth + 7) // 8
-    raw = zlib.decompress(bytes(idat))
-    if len(raw) != (stride + 1) * h:
-        raise ValueError("PNG data length mismatch")
-    out = _unfilter_scanlines(raw, h, stride, bpp)
-    if color == 3:
-        if depth == 8:
-            idx = out[:, :w]
-        else:  # unpack 1/2/4-bit indices, big-endian within each byte
-            bits = np.unpackbits(out, axis=1)
-            weights = 1 << np.arange(depth - 1, -1, -1)
-            idx = (
-                bits[:, : (stride * 8 // depth) * depth]
-                .reshape(h, -1, depth)
-                .dot(weights)[:, :w]
-                .astype(np.uint8)
-            )
-        if int(idx.max(initial=0)) >= len(plte):
-            raise ValueError("PNG palette index out of range")
-        rgb = plte[idx]  # (h, w, 3) via LUT fancy-indexing
-    else:
-        px = out.reshape(h, w, bpp)
-        if bpp == 1:
-            rgb = np.repeat(px, 3, axis=2)
+
+    def _sub(raw: bytes, off: int, sw: int, sh: int):
+        """Unfilter + unpack one (sub)image at raw[off:]; returns the
+        (sh, sw, 3) uint8 RGB array and the byte count consumed.
+        Filtering operates on packed bytes: bpp is the byte width of one
+        pixel, floored at 1 for sub-byte palette depths (RFC 2083 §6.2);
+        16-bit samples reduce to their high byte (v >> 8)."""
+        bpp = max(1, channels * depth // 8)
+        stride = (sw * channels * depth + 7) // 8
+        need = (stride + 1) * sh
+        if off + need > len(raw):
+            raise ValueError("PNG data length mismatch")
+        out = _unfilter_scanlines(raw[off : off + need], sh, stride, bpp)
+        if color == 3:
+            if depth == 8:
+                idx = out[:, :sw]
+            else:  # unpack 1/2/4-bit indices, big-endian within each byte
+                bits = np.unpackbits(out, axis=1)
+                weights = 1 << np.arange(depth - 1, -1, -1)
+                idx = (
+                    bits[:, : (stride * 8 // depth) * depth]
+                    .reshape(sh, -1, depth)
+                    .dot(weights)[:, :sw]
+                    .astype(np.uint8)
+                )
+            if int(idx.max(initial=0)) >= len(plte):
+                raise ValueError("PNG palette index out of range")
+            rgb = plte[idx]  # (sh, sw, 3) via LUT fancy-indexing
         else:
-            rgb = px[..., :3]
+            if depth == 16:
+                px = out.reshape(sh, sw, channels, 2)[..., 0]  # high byte
+            else:
+                px = out.reshape(sh, sw, channels)
+            if channels == 1:
+                rgb = np.repeat(px, 3, axis=2)
+            elif channels == 2:  # grey + alpha: luma channel, alpha dropped
+                rgb = np.repeat(px[..., :1], 3, axis=2)
+            else:
+                rgb = px[..., :3]
+        return rgb, need
+
+    raw = zlib.decompress(bytes(idat))
+    if interlace == 0:
+        rgb, used = _sub(raw, 0, w, h)
+        if used != len(raw):
+            raise ValueError("PNG data length mismatch")
+    else:  # Adam7: seven filtered sub-images scattered onto the full grid
+        full = np.zeros((h, w, 3), dtype=np.uint8)
+        off = 0
+        for xs, xstep, ys, ystep in (
+            (0, 8, 0, 8), (4, 8, 0, 8), (0, 4, 4, 8), (2, 4, 0, 4),
+            (0, 2, 2, 4), (1, 2, 0, 2), (0, 1, 1, 2),
+        ):
+            pw = (w - xs + xstep - 1) // xstep
+            ph = (h - ys + ystep - 1) // ystep
+            if pw <= 0 or ph <= 0:
+                continue
+            sub_rgb, used = _sub(raw, off, pw, ph)
+            off += used
+            full[ys::ystep, xs::xstep] = sub_rgb
+        if off != len(raw):
+            raise ValueError("PNG data length mismatch")
+        rgb = full
     r = rgb[..., 0].astype(np.float64)
     g = rgb[..., 1].astype(np.float64)
     b = rgb[..., 2].astype(np.float64)
