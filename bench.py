@@ -130,6 +130,14 @@ HEADLINE = [
     "ann_ivf_trained_topk",
     "knn_graph_mutual",
     "key_skew_profile",
+    # round-15 additions: the activated r14-staged quartet (streamed IVF-PQ
+    # ingestion, incremental near-dup components, keyset pagination, video
+    # frame-sample schedule); retirees stay benched from the retired
+    # registry for cross-round comparability.
+    "ann_index_streamed",
+    "neardup_cc_incremental",
+    "documents_keyset_page",
+    "multimodal_frame_sample",
 ]
 
 
@@ -180,6 +188,15 @@ def main() -> None:
     # same 4-iteration protocol SCALE.md pins with; the reported number
     # stays a min, just over enough runs to reach steady state.
     EXTRA_ITERS = {"dedup_index_incremental": max(ITERATIONS, 4)}
+    # Known wobblers (r14 verdict, What's wrong #1 / Next #4): queries whose
+    # committed rows have repeatedly read above their same-session isolated
+    # floors WITHOUT tripping the >RERUN_RATIO settle (both iterations land
+    # uniformly high under early-session box state, so the spread never
+    # opens).  Min-of-4 unconditionally — the same protocol SCALE.md's
+    # isolated floors use — so the committed value IS the floor.
+    for _wob in ("bpe_train_merges", "contamination_ngram_overlap"):
+        EXTRA_ITERS.setdefault(_wob, max(ITERATIONS, 4))
+    PROBE_ITERS = max(ITERATIONS, 4)
     # Contention guard (r13 verdict, What's wrong #1 / Next #2): the committed
     # BENCH_r13 read 1.28x vs r12 purely from box load while the code was flat
     # (idle rerun: 1.047x, zero >2x queries) — a 2-iteration min under
@@ -276,7 +293,7 @@ def main() -> None:
             for b in range(2):
                 dix.append_to_index(sigs[b], state, b)
             runs = []
-            for _ in range(ITERATIONS):
+            for _ in range(PROBE_ITERS):
                 t0 = time.perf_counter()
                 _noop_write(
                     dix.probe_index(spark, state, sigs[2])
@@ -315,7 +332,7 @@ def main() -> None:
                         emb.filter(F.col("vec_id") % 3 == b), cent, books, index, b
                     )
                 runs = []
-                for _ in range(ITERATIONS):
+                for _ in range(PROBE_ITERS):
                     t0 = time.perf_counter()
                     _noop_write(
                         vix.search_index(
@@ -331,6 +348,22 @@ def main() -> None:
                 shutil.rmtree(index, ignore_errors=True)
             _release_checkpoints()
         return rows
+
+    # First-query warm-up (r14 verdict, Next #4): the first timed query pays
+    # session costs no later query pays — executor thread spin-up, shuffle
+    # service init, first-touch page cache on the biggest tables (26.3s raw
+    # vs a 7-9s steady state observed in r14).  One UNTIMED execution of the
+    # first headline query absorbs that, so iteration 1 of the timed loop
+    # measures the query, not the session.
+    _warm_q = registry[HEADLINE[0]]
+    t0 = time.perf_counter()
+    _noop_write(_warm_q.fn(spark, SF_DIR))
+    _release_checkpoints()
+    print(
+        f"# first-headline warm-up ({HEADLINE[0]}, untimed): "
+        f"{time.perf_counter() - t0:.3f}s",
+        file=sys.stderr,
+    )
 
     load_start = _load_sentinel()
     started_utc = time.time()

@@ -398,7 +398,6 @@ FROM meta
 @register(
     "multimodal_frame_sample",
     oracle=_FRAME_SQL,
-    retired=True,  # STAGED for the round-15 swap
     description=(
         "video frame-sampling plan (uniform stride to <= 16 frames per "
         "clip): duration/fps metadata -> exploded (frame_idx, ts_ms) "
@@ -481,6 +480,7 @@ FROM routed GROUP BY handler, ext
 @register(
     "file_type_router",
     oracle=_ROUTER_SQL,
+    retired=True,  # r15 swap: metadata-dispatch contract driver-gated via multimodal_frame_sample; CASE dispatch stays unit-pinned (test_route_files_dispatch incl. doc_legacy); r13-green
     description="extension-dispatch routing over a file listing (loaders/__init__.py:52-143)",
 )
 def file_type_router(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -627,7 +627,6 @@ FROM documents d LEFT JOIN lbl l ON l.src = d.doc_id
 @register(
     "neardup_cc_incremental",
     oracle=_NEARDUP_CC_INC_SQL,
-    retired=True,  # STAGED for the round-15 swap
     description=(
         "incremental near-dup components: standing min-doc-id labels "
         "merged with each nightly LSH edge batch by contracting components "

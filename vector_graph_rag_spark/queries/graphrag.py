@@ -173,7 +173,12 @@ SELECT id, name FROM firsts WHERE rn = 1 AND id IN ({_SEED_SQL_LIST})
 """
 
 
-@register("entity_point_lookup", oracle=_LOOKUP_SQL, description="id-set semi-join lookup (milvus.py:429-507)")
+@register(
+    "entity_point_lookup",
+    oracle=_LOOKUP_SQL,
+    retired=True,  # r15 swap: pushed-down id-predicate scan driver-gated via documents_keyset_page; point-lookup semantics stay exercised in entity_neighbors + CRUD cascade; r13-green
+    description="id-set semi-join lookup (milvus.py:429-507)",
+)
 def entity_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = _graph(spark, sf_dir)
     seeds = _seed_entities(spark).withColumnRenamed("entity_id", "id")

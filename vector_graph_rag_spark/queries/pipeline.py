@@ -298,6 +298,7 @@ SELECT doc_id, change, old_hash, new_hash FROM c WHERE change IS NOT NULL"""
 @register(
     "versioned_merge_diff",
     oracle=_VMERGE_SQL,
+    retired=True,  # r15 swap: durable-write discipline driver-gated via ann_index_streamed; MERGE/diff semantics stay unit+golden-pinned (tests/test_versioned*.py); r13-green
     description=(
         "versioned corpus store round trip: commit v1, MERGE a deterministic "
         "update/insert/delete mutation as v2 (parquet snapshots + atomic "
@@ -795,6 +796,7 @@ def _lsh_oracle() -> str:
 @register(
     "dedup_index_incremental",
     oracle=_lsh_oracle(),
+    retired=True,  # r15 swap: banded-LSH pair stream driver-gated via neardup_cc_incremental (pair gen -> maintained cluster state); probe cost stays in BENCH via dedup_index_probe_only; r13-green
     description=(
         "persistent-LSH-index nightly flow: 3 batches probe + self-pair + "
         "append — the oracle is the one-shot LSH pair SQL verbatim, pinning "
@@ -1505,7 +1507,6 @@ def ann_index_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ann_index_streamed",
     oracle=_ivfpq_sql(),
-    retired=True,  # STAGED for the round-15 swap
     description=(
         "Structured-Streaming vector ingestion (the Milvus growing-segment "
         "story): the corpus replayed as a parquet file stream through "

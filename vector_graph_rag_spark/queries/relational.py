@@ -519,7 +519,6 @@ UNION ALL SELECT 3, * FROM p3
 @register(
     "documents_keyset_page",
     oracle=_KEYSET_SQL,
-    retired=True,  # STAGED for the round-15 swap
     description=(
         "keyset-cursor pagination (3 chained pages of 20 after doc_id>5): "
         "each page is WHERE key > cursor ORDER BY key LIMIT n, the cursor "
