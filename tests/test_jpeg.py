@@ -99,6 +99,24 @@ def test_unsupported_modes_gate():
         decode_jpeg(b"\xff\xd8\xff\xd9")
 
 
+def test_multi_scan_baseline_gate():
+    """A baseline frame split into multiple sequential scans (SOS ns <
+    frame ncomp) is spec-legal but outside the single-interleaved-scan
+    decoder: it must gate cleanly at SOS parse, not KeyError mid-decode
+    (r14 advisor item)."""
+    px = _gradient(8, 8)
+    base = encode_jpeg(px)  # 3-component color frame
+    i = base.find(b"\xff\xda")
+    assert i != -1
+    # original SOS for ns=3: len=12, ns, 3x(id,tabs), 3 spectral bytes.
+    # Replace with a single-component scan header (len=8, ns=1).
+    sos_len = int.from_bytes(base[i + 2 : i + 4], "big")
+    single = b"\xff\xda" + bytes([0, 8, 1, 1, 0x00, 0, 63, 0])
+    patched = base[:i] + single + base[i + 2 + sos_len :]
+    with pytest.raises(NotImplementedError, match="multi-scan"):
+        decode_jpeg(patched)
+
+
 def test_jpeg_through_spark_kernel(spark):
     """JPEG rows dispatch through decode_assets(stdlib_kernel) on the
     \\xff\\xd8\\xff magic — feature is the decoded mean luma."""

@@ -527,3 +527,156 @@ def test_doc_through_spark_converter(spark, tmp_path):
     assert rows["legacy.doc"].text.startswith("ant bites bee")
     assert rows["broken.doc"].text is None
     assert "ValueError" in rows["broken.doc"].error
+
+
+def test_doc_v4_4096_byte_sectors():
+    """Major-version-4 CFB (4096-byte sectors): sector 0 begins at byte
+    4096, not 512+n*4096 — MS-CFB §2.1 (r14 advisor item).  Round trip
+    through the real v4 container, both encodings, multi-piece."""
+    from vector_graph_rag_spark.sources.ole2 import extract_doc_text, make_doc
+
+    t = "V4 container text.\nSecond paragraph: café."
+    for compressed in (True, False):
+        doc = make_doc(t, compressed=compressed, pieces=2, sector_size=4096)
+        assert doc[26:28] == b"\x04\x00"  # major version 4
+        assert extract_doc_text(doc) == t
+
+
+def test_encrypted_doc_is_per_row_data_error(spark, tmp_path):
+    """fEncrypted is a property of the file DATA, not of this container's
+    capabilities (r14 advisor, medium): extract_doc_text raises ValueError
+    and the converter captures it per-row — one encrypted file must not
+    fail the batch."""
+    import struct
+
+    import pytest as _pytest
+
+    from vector_graph_rag_spark.sources.ole2 import (
+        _make_cfb,
+        extract_doc_text,
+        make_doc,
+        parse_cfb,
+    )
+
+    plain = make_doc("readable text survives the batch")
+    streams = parse_cfb(plain)
+    wd = bytearray(streams["WordDocument"])
+    struct.pack_into("<H", wd, 0x0A, 0x0100)  # set fEncrypted
+    encrypted = _make_cfb({"WordDocument": bytes(wd), "0Table": streams["0Table"]})
+    with _pytest.raises(ValueError, match="fEncrypted"):
+        extract_doc_text(encrypted)
+
+    (tmp_path / "plain.doc").write_bytes(plain)
+    (tmp_path / "enc.doc").write_bytes(encrypted)
+    df = spark.read.format("binaryFile").load(str(tmp_path))
+    rows = {r.path.rsplit("/", 1)[-1]: r for r in convert_binary_documents(df).collect()}
+    assert rows["plain.doc"].text == "readable text survives the batch"
+    assert rows["enc.doc"].text is None
+    assert "fEncrypted" in rows["enc.doc"].error
+
+
+def test_pdf_dict_body_strings_do_not_leak():
+    """String-valued dict entries (e.g. /ActualText in a BDC property
+    list) are operands of the dict, not show-text: balanced << … >>
+    bodies are skipped wholesale (r14 advisor item) — including nested
+    dicts, parens and hex strings inside them."""
+    from vector_graph_rag_spark.sources.loaders import (
+        _pdf_skip_dict,
+        extract_pdf_text,
+    )
+
+    def _mkpdf(stream: bytes) -> bytes:
+        return (
+            b"%PDF-1.4\n1 0 obj\n<< /Length "
+            + str(len(stream)).encode()
+            + b" >>\nstream\n"
+            + stream
+            + b"\nendstream\nendobj\n"
+        )
+
+    # the advisor's exact scenario: dict string followed by a text operator
+    got = extract_pdf_text(
+        _mkpdf(b"/Span << /ActualText (LEAK) >> BDC BT (real) Tj ET EMC")
+    )
+    assert got == "real"
+
+    # dict string then a malformed Tj with NO operand: nothing leaks
+    got = extract_pdf_text(_mkpdf(b"/Span << /Alt (boiler) >> BDC Tj (ok) Tj"))
+    assert got == "ok"
+
+    s = b"<< /A << /B (x(y)z) /C <414243> >> /D [1 2] % c\n >> tail"
+    assert s[_pdf_skip_dict(s, 0) :] == b" tail"
+
+
+def _make_cid_pdf(text: str, use_tj_array: bool = False) -> bytes:
+    """One-page PDF showing `text` through an Identity-H Type0 font whose
+    ToUnicode CMap is a bfchar table over synthetic 2-byte CIDs."""
+    codes = {ch: 0x100 + i for i, ch in enumerate(sorted(set(text)))}
+    hexstr = "".join(f"{codes[ch]:04X}" for ch in text)
+    bfchar = "\n".join(
+        f"<{codes[ch]:04X}> <{ord(ch):04X}>" for ch in sorted(set(text))
+    )
+    cmap = (
+        "/CIDInit /ProcSet findresource begin\n"
+        "12 dict begin begincmap\n"
+        "1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n"
+        f"{len(codes)} beginbfchar\n{bfchar}\nendbfchar\n"
+        "endcmap CMapName currentdict /CMap defineresource pop end end"
+    ).encode()
+    if use_tj_array:
+        half = (len(text) // 2) * 4  # char boundary: 4 hex digits per CID
+        show = f"[<{hexstr[:half]}> -250 <{hexstr[half:]}>] TJ"
+    else:
+        show = f"<{hexstr}> Tj"
+    stream = f"BT /F9 12 Tf 72 720 Td {show} ET".encode()
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R "
+        b"/Resources << /Font << /F9 5 0 R >> >> >>",
+        b"<< /Length %d >>\nstream\n%s\nendstream" % (len(stream), stream),
+        b"<< /Type /Font /Subtype /Type0 /BaseFont /Fake-Identity-H "
+        b"/Encoding /Identity-H /ToUnicode 6 0 R >>",
+        b"<< /Length %d >>\nstream\n%s\nendstream" % (len(cmap), cmap),
+    ]
+    out = bytearray(b"%PDF-1.4\n")
+    for i, o in enumerate(objs, start=1):
+        out += b"%d 0 obj\n" % i + o + b"\nendobj\n"
+    out += b"trailer\n<< /Size 7 /Root 1 0 R >>\n"
+    return bytes(out)
+
+
+def test_pdf_cid_tounicode_extraction():
+    """CID/Type0 text with a ToUnicode CMap extracts verbatim (r14
+    verdict, Next #7) — via Tj hex strings and TJ arrays, including
+    non-latin destination code points; a font WITHOUT a CMap still falls
+    through to the raw path."""
+    from vector_graph_rag_spark.sources.loaders import extract_pdf_text
+
+    assert extract_pdf_text(_make_cid_pdf("Hello CID world")) == "Hello CID world"
+    assert extract_pdf_text(_make_cid_pdf("ab cd", use_tj_array=True)) == "ab cd"
+    assert extract_pdf_text(_make_cid_pdf("中文 mixed")) == "中文 mixed"
+    # simple fonts in the same file keep the raw latin-1 path
+    assert "Simple PDF text" in extract_pdf_text(_make_pdf(["Simple PDF text"]))
+
+
+def test_parse_tounicode_cmap_forms():
+    """bfrange increment form, bfrange array form, bfchar pairs, and
+    codespacerange width detection (PDF 32000-1 §9.10.3)."""
+    from vector_graph_rag_spark.sources.loaders import (
+        _apply_cmap,
+        _parse_tounicode_cmap,
+    )
+
+    data = (
+        b"2 begincodespacerange <00> <FF> <0000> <FFFF> endcodespacerange\n"
+        b"1 beginbfrange <0041> <0043> <0061> endbfrange\n"
+        b"1 beginbfrange <0050> <0051> [<0058> <0059>] endbfrange\n"
+        b"1 beginbfchar <0001> <00480069> endbfchar"
+    )
+    cmap, width = _parse_tounicode_cmap(data)
+    assert width == 2
+    assert [cmap[c] for c in (0x41, 0x42, 0x43, 0x50, 0x51)] == list("abcXY")
+    assert cmap[0x0001] == "Hi"  # multi-code-unit destination
+    # raw 2-byte codes map through; unmapped codes drop
+    assert _apply_cmap("\x00\x41\x00\x50\x7f\x7f", cmap, 2) == "aX"

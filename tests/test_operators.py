@@ -1048,3 +1048,99 @@ def test_png_grey_alpha_decodes_and_illegal_combo_gates():
            + _png_chunk(b"IEND", b""))
     with _pytest.raises(NotImplementedError, match="needs PIL"):
         decode_png(bad)
+
+
+def test_kernel_priority_pil_dispatch(monkeypatch):
+    """Library-priority contract (r14 verdict, Next #3): when Pillow is
+    importable, image magics route through the PIL fast path; when it is
+    not (this container), the pure-Python walks decode the same bytes.
+    Pinned with a fake PIL module whose decode is distinguishable from
+    the stdlib result."""
+    import io
+    import sys
+    import types
+
+    import numpy as np
+    import pytest as _pytest
+
+    from vector_graph_rag_spark.operators import multimodal as mm
+    from vector_graph_rag_spark.operators.jpeg import encode_jpeg
+
+    bmp = mm.encode_bmp(2, 1, [[(255, 0, 0), (0, 255, 0)]])
+    png = mm.encode_png(2, 1, [[(255, 0, 0), (0, 255, 0)]])
+    gif = mm.encode_gif(2, 1, [(255, 0, 0), (0, 255, 0)], [[0, 1]])
+    jpg = encode_jpeg(np.full((8, 8, 3), 200, np.uint8))
+    wav = mm.encode_wav(8000, [0, 16384, -16384, 0])
+
+    # This container has no Pillow: the PIL helper must gate on ImportError
+    # (the dispatcher's fallback trigger), and the stdlib walks must decode.
+    if "PIL" not in sys.modules:
+        with _pytest.raises(ImportError):
+            mm._pil_decode_image(png)
+    stdlib_results = {
+        name: mm.stdlib_kernel("image", data)
+        for name, data in [("bmp", bmp), ("png", png), ("gif", gif), ("jpg", jpg)]
+    }
+    assert stdlib_results["gif"]["n_frames"] == 1
+
+    # Inject a fake Pillow: every image magic must now take the PIL path.
+    class _FakeImg:
+        format = "PNG"
+        n_frames = 1
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+        def convert(self, mode):
+            assert mode == "RGB"
+            return np.full((1, 2, 3), 7, np.uint8)
+
+    fake_image_mod = types.SimpleNamespace(open=lambda fh: _FakeImg())
+    fake_pil = types.ModuleType("PIL")
+    fake_pil.Image = fake_image_mod
+    monkeypatch.setitem(sys.modules, "PIL", fake_pil)
+    monkeypatch.setitem(sys.modules, "PIL.Image", fake_image_mod)
+
+    for data in (bmp, png, gif, jpg):
+        out = mm.stdlib_kernel("image", data)
+        assert out["feature"] == _pytest.approx(7 / 255.0)  # fake PIL pixels
+        assert (out["width"], out["height"]) == (2, 1)
+    # non-image formats never consult PIL
+    assert mm.stdlib_kernel("audio", wav)["sample_rate"] == 8000
+
+    # A PIL DATA error must propagate (it is not a fallback trigger).
+    def _boom(fh):
+        raise OSError("truncated image")
+
+    fake_pil.Image = types.SimpleNamespace(open=_boom)
+    with _pytest.raises(OSError, match="truncated"):
+        mm.stdlib_kernel("image", png)
+
+
+def test_pil_path_feature_parity_when_pillow_present():
+    """When a REAL Pillow is installed (not this container), the PIL path
+    must produce the same features as the stdlib walks: bit-identical for
+    lossless BMP/PNG/GIF, within 2 luma levels for JPEG (libjpeg integer
+    IDCT vs the float64 reference)."""
+    import numpy as np
+    import pytest as _pytest
+
+    _pytest.importorskip("PIL")
+    from vector_graph_rag_spark.operators import multimodal as mm
+    from vector_graph_rag_spark.operators.jpeg import encode_jpeg
+
+    bmp = mm.encode_bmp(3, 2, [[(9, 20, 31), (200, 100, 0), (1, 2, 3)],
+                               [(0, 0, 0), (255, 255, 255), (50, 60, 70)]])
+    png = mm.encode_png(2, 2, [[(10, 20, 30), (40, 50, 60)],
+                               [(70, 80, 90), (100, 110, 120)]])
+    gif = mm.encode_gif(2, 1, [(255, 0, 0), (0, 255, 0)], [[0, 1]])
+    for data, dec in ((bmp, mm.decode_bmp), (png, mm.decode_png), (gif, mm.decode_gif)):
+        assert mm._pil_decode_image(data)["feature"] == dec(data)["feature"]
+        assert np.array_equal(mm._pil_decode_image(data)["pixels"], dec(data)["pixels"])
+    jpg = encode_jpeg(np.full((16, 16, 3), 180, np.uint8), quality=95)
+    from vector_graph_rag_spark.operators.jpeg import decode_jpeg
+
+    assert abs(mm._pil_decode_image(jpg)["feature"] - decode_jpeg(jpg)["feature"]) < 2 / 255.0

@@ -50,29 +50,99 @@ class MockModelRunner:
 
 
 class OpenAICompatRunner:
-    """Real backend (OpenAI-compatible HTTP API), gated behind import-try —
-    present for completeness, never used in correctness runs."""
+    """Real backend speaking the OpenAI-compatible chat-completions HTTP
+    protocol (the reference's extractor.py/reranker.py calls, made through
+    the openai client there).  The `openai` client package is preferred
+    when importable (connection pooling, streaming); otherwise the
+    protocol is spoken directly with stdlib urllib — same request
+    assembly, bearer auth, and response parse — so the real-backend
+    request/retry/parse paths are exercisable (and e2e-tested against a
+    loopback server, tests/test_prompts.py) in containers without the
+    client library or network access.  Transient failures (HTTP 429/5xx,
+    connection errors) retry with exponential backoff; anything else
+    raises.  Plain attributes only: instances pickle into the
+    mapInPandas closure like every ModelRunner."""
 
-    def __init__(self, model: str, base_url: str | None = None, api_key: str | None = None,
-                 temperature: float = 0.0):
+    _RETRYABLE = (429, 500, 502, 503, 504)
+
+    def __init__(
+        self,
+        model: str,
+        base_url: str | None = None,
+        api_key: str | None = None,
+        temperature: float = 0.0,
+        max_retries: int = 3,
+        backoff_s: float = 0.25,
+        timeout_s: float = 60.0,
+        force_stdlib: bool = False,
+    ):
         self.model, self.base_url, self.api_key = model, base_url, api_key
         self.temperature = temperature
+        self.max_retries = max_retries
+        self.backoff_s = backoff_s
+        self.timeout_s = timeout_s
+        self.force_stdlib = force_stdlib
+
+    def _request_body(self, prompt: str) -> dict:
+        """The chat-completions request payload — one place, both paths."""
+        return {
+            "model": self.model,
+            "temperature": self.temperature,
+            "messages": [{"role": "user", "content": prompt}],
+        }
+
+    def _call_stdlib(self, prompt: str) -> str:
+        import json
+        import time
+        import urllib.error
+        import urllib.request
+
+        url = (
+            (self.base_url or "https://api.openai.com/v1").rstrip("/")
+            + "/chat/completions"
+        )
+        body = json.dumps(self._request_body(prompt)).encode()
+        for attempt in range(self.max_retries + 1):
+            req = urllib.request.Request(
+                url,
+                data=body,
+                headers={
+                    "Content-Type": "application/json",
+                    "Authorization": f"Bearer {self.api_key or ''}",
+                },
+                method="POST",
+            )
+            try:
+                with urllib.request.urlopen(req, timeout=self.timeout_s) as resp:
+                    payload = json.load(resp)
+                return payload["choices"][0]["message"]["content"] or ""
+            except urllib.error.HTTPError as exc:
+                if exc.code not in self._RETRYABLE or attempt >= self.max_retries:
+                    raise
+            except urllib.error.URLError:
+                if attempt >= self.max_retries:
+                    raise
+            time.sleep(self.backoff_s * (2**attempt))
+        raise RuntimeError("unreachable: retry loop exits by return or raise")
 
     def run_batch(self, prompts: list[str]) -> list[str]:
-        try:
-            from openai import OpenAI  # type: ignore
-        except ImportError as e:  # pragma: no cover
-            raise NotImplementedError("openai client not installed in this container") from e
-        client = OpenAI(base_url=self.base_url, api_key=self.api_key)
-        out = []
-        for p in prompts:
-            resp = client.chat.completions.create(
-                model=self.model,
-                temperature=self.temperature,
-                messages=[{"role": "user", "content": p}],
-            )
-            out.append(resp.choices[0].message.content or "")
-        return out
+        if not self.force_stdlib:
+            try:
+                from openai import OpenAI  # type: ignore
+            except ImportError:
+                pass
+            else:
+                client = OpenAI(
+                    base_url=self.base_url,
+                    api_key=self.api_key,
+                    max_retries=self.max_retries,
+                )
+                out = []
+                for p in prompts:
+                    resp = client.chat.completions.create(**self._request_body(p))
+                    out.append(resp.choices[0].message.content or "")
+                return out
+        return [self._call_stdlib(p) for p in prompts]
 
 
 def llm_map_operator(

@@ -8,10 +8,11 @@ un-zigzag, float64 IDCT, chroma upsampling, YCbCr→RGB — plus the matching
 encoder used as the deterministic fixture generator (and a real encoder in
 its own right: standard Annex-K tables, quality scaling, 4:4:4 / 4:2:0).
 
-Scope (documented honestly): baseline DCT (SOF0) with 8-bit precision and
-≤2x2 sampling factors — what cameras/exports produce as "baseline JPEG".
-Progressive (SOF2), arithmetic coding, 12-bit, and hierarchical modes
-still raise NotImplementedError.
+Scope (documented honestly): baseline DCT (SOF0) with 8-bit precision,
+≤2x2 sampling factors, and a SINGLE interleaved scan covering all frame
+components — what cameras/exports produce as "baseline JPEG".
+Progressive (SOF2), arithmetic coding, 12-bit, hierarchical modes, and
+multi-scan baseline (ns < ncomp) raise NotImplementedError.
 
 Numerics: encode/decode use the same float64 DCT-II basis matrix, so the
 loss is quantization only; a quality-95 4:4:4 round trip reconstructs
@@ -471,6 +472,12 @@ def decode_jpeg(content: bytes) -> dict:
             if frame is None:
                 raise ValueError("SOS before SOF")
             ns = payload[0]
+            if ns != len(frame["comps"]):
+                # Spec-legal but rare: a baseline frame split into multiple
+                # sequential scans (ns < ncomp).  _decode_scan assumes ONE
+                # interleaved scan covering every frame component — gate
+                # cleanly instead of a raw KeyError mid-decode.
+                raise NotImplementedError("multi-scan baseline JPEG")
             scan_tabs = {}
             for i in range(ns):
                 cs, td_ta = payload[1 + 2 * i : 3 + 2 * i]

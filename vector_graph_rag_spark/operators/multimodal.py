@@ -285,6 +285,43 @@ def decode_wav(content: bytes) -> dict:
     }
 
 
+def _pil_decode_image(content: bytes) -> dict:
+    """PIL-backed image decode — the SIMD fast path (libjpeg/libpng/
+    giflib) preferred over the pure-Python walks when Pillow is
+    importable.  Raises ImportError when it isn't (the dispatcher falls
+    back to the stdlib kernels); any OTHER exception is a data error and
+    propagates, exactly like the stdlib paths.
+
+    Feature contract matches the stdlib kernels: mean ITU-R BT.601 luma
+    over the RGB pixels in [0, 1]; `pixels` keeps each format's stdlib
+    orientation contract (BGR for BMP, RGB otherwise, top-down);
+    `n_frames` rides GIF rows.  Bit-identical to the stdlib kernels for
+    the lossless formats (BMP/PNG/GIF decode to the same integers); JPEG
+    may differ by a few luma ULPs (libjpeg's integer IDCT vs our float64
+    reference) — the kernel-priority test pins lossless equality and a
+    JPEG tolerance."""
+    import io
+
+    import numpy as np
+    from PIL import Image  # ImportError here = fall back to stdlib
+
+    with Image.open(io.BytesIO(content)) as img:
+        fmt = (img.format or "").upper()
+        n_frames = int(getattr(img, "n_frames", 1))
+        rgb = np.asarray(img.convert("RGB"), dtype=np.uint8)
+    f = rgb.astype(np.float64)
+    luma = 0.299 * f[..., 0] + 0.587 * f[..., 1] + 0.114 * f[..., 2]
+    out = {
+        "width": int(rgb.shape[1]),
+        "height": int(rgb.shape[0]),
+        "pixels": rgb[..., ::-1] if fmt == "BMP" else rgb,
+        "feature": float(luma.mean() / 255.0),
+    }
+    if fmt == "GIF":
+        out["n_frames"] = n_frames
+    return out
+
+
 def stdlib_kernel(modality: str, content: bytes) -> dict:
     """Magic-byte-dispatched REAL decode for stdlib-decodable formats:
     'BM' → 24-bit or 8-bit-palette BMP, '\\x89PNG' → 8-bit grey/RGB/RGBA
@@ -295,9 +332,29 @@ def stdlib_kernel(modality: str, content: bytes) -> dict:
     de-interlace); 'RIFF…WAVE' → PCM WAV (RMS-amplitude feature); 'ftyp'
     at offset 4 → MP4/ISO-BMFF metadata (moov box walk: duration/fps/
     dimensions/keyframes, operators/mp4.py — the mdat PIXEL payload still
-    needs ffmpeg).  Anything else still needs PIL/ffmpeg and raises — the
-    pluggable-kernel contract is unchanged, the default just got strictly
-    more capable."""
+    needs ffmpeg).  Anything else still needs PIL/ffmpeg and raises.
+
+    Library priority (r14 verdict, Next #3 — mirrors the converter's
+    markitdown-first design): image magics route through Pillow when it
+    is importable (`_pil_decode_image`, the libjpeg/libpng SIMD path —
+    the pure-Python Huffman walk is the right FALLBACK, not the right
+    default, at 100 TB image scale) and fall back to the stdlib walks
+    otherwise.  MP4 metadata deliberately stays on the stdlib box walk
+    even when ffmpeg exists: the walk is exact and in-process, while an
+    ffprobe SUBPROCESS per asset is the wrong default inside a 100 TB
+    mapInPandas pass — ffmpeg's place is the still-gated mdat pixel
+    decode, not the metadata path."""
+    is_image = (
+        content[:2] == b"BM"
+        or content[:8] == b"\x89PNG\r\n\x1a\n"
+        or content[:3] == b"\xff\xd8\xff"
+        or content[:6] in (b"GIF87a", b"GIF89a")
+    )
+    if is_image:
+        try:
+            return _pil_decode_image(content)
+        except ImportError:
+            pass  # Pillow not in this container: pure-Python walks below
     if content[:2] == b"BM":
         return decode_bmp(content)
     if content[:8] == b"\x89PNG\r\n\x1a\n":

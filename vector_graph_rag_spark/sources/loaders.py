@@ -381,15 +381,190 @@ def _pdf_scan_literal(data: bytes, pos: int) -> tuple[bytes, int]:
     return data[start:i], i  # unterminated: take what's there
 
 
+def _pdf_skip_dict(data: bytes, pos: int) -> int:
+    """Skip a balanced ``<< … >>`` dictionary body starting at the ``<<``
+    at `pos`; returns the position after the closing ``>>``.  Literal
+    strings, hex strings, and comments inside the dict are skipped as
+    units so their bytes can't open/close nesting — and, the point of
+    skipping wholesale (r14 advisor item), string-valued dict entries
+    (e.g. ``/ActualText (foo)`` in a BDC property list) never become
+    pending text-show operands."""
+    depth = 1
+    i = pos + 2
+    n = len(data)
+    while i < n and depth:
+        c = data[i]
+        if c == 0x28:  # ( literal string: skip as a unit
+            _, i = _pdf_scan_literal(data, i)
+        elif c == 0x3C:  # << nested dict or < hex string
+            if i + 1 < n and data[i + 1] == 0x3C:
+                depth += 1
+                i += 2
+            else:
+                end = data.find(b">", i + 1)
+                i = end + 1 if end != -1 else n
+        elif c == 0x3E:  # >> closes a level (a bare > can't appear outside strings)
+            if i + 1 < n and data[i + 1] == 0x3E:
+                depth -= 1
+                i += 2
+            else:
+                i += 1
+        elif c == 0x25:  # % comment: to EOL
+            nl = min(
+                x for x in (data.find(b"\r", i), data.find(b"\n", i), n) if x != -1
+            )
+            i = nl
+        else:
+            i += 1
+    return i
+
+
+def _parse_tounicode_cmap(data: bytes) -> tuple[dict[int, str], int]:
+    """Parse a ToUnicode CMap stream (PDF 32000-1 §9.10.3) → (code→text,
+    code byte width).  Handles begincodespacerange (width), beginbfchar
+    (pairs), and beginbfrange (both the <lo> <hi> <dstStart> increment
+    form and the <lo> <hi> [<d1> <d2> …] array form).  Destination hex is
+    UTF-16BE per the spec."""
+    import re
+
+    hex_tok = re.compile(rb"<([0-9A-Fa-f]+)>")
+    cmap: dict[int, str] = {}
+    width = 0
+
+    def _dst(h: bytes) -> str:
+        if len(h) % 2:
+            h += b"0"
+        return bytes.fromhex(h.decode("ascii")).decode("utf-16-be", "replace")
+
+    for m in re.finditer(
+        rb"begincodespacerange(.*?)endcodespacerange", data, re.DOTALL
+    ):
+        for h in hex_tok.findall(m.group(1)):
+            width = max(width, (len(h) + 1) // 2)
+    for m in re.finditer(rb"beginbfchar(.*?)endbfchar", data, re.DOTALL):
+        toks = hex_tok.findall(m.group(1))
+        for src, dst in zip(toks[0::2], toks[1::2]):
+            cmap[int(src, 16)] = _dst(dst)
+            width = max(width, (len(src) + 1) // 2)
+    for m in re.finditer(rb"beginbfrange(.*?)endbfrange", data, re.DOTALL):
+        body = m.group(1)
+        # tokenize: hex strings and [ ... ] arrays, in order
+        i = 0
+        toks: list[object] = []
+        while i < len(body):
+            c = body[i : i + 1]
+            if c == b"<":
+                mm = hex_tok.match(body, i)
+                if not mm:
+                    i += 1
+                    continue
+                toks.append(mm.group(1))
+                i = mm.end()
+            elif c == b"[":
+                end = body.find(b"]", i)
+                end = end if end != -1 else len(body)
+                toks.append([h for h in hex_tok.findall(body[i:end])])
+                i = end + 1
+            else:
+                i += 1
+        j = 0
+        while j + 2 < len(toks):
+            lo_t, hi_t, dst_t = toks[j], toks[j + 1], toks[j + 2]
+            j += 3
+            if not isinstance(lo_t, bytes) or not isinstance(hi_t, bytes):
+                continue
+            lo, hi = int(lo_t, 16), int(hi_t, 16)
+            width = max(width, (len(lo_t) + 1) // 2)
+            if isinstance(dst_t, list):  # array form: one dst per code
+                for k, h in enumerate(dst_t):
+                    if lo + k <= hi:
+                        cmap[lo + k] = _dst(h)
+            else:  # increment form: dst string's LAST code unit increments
+                base = _dst(dst_t)
+                for code in range(lo, min(hi, lo + 65535) + 1):
+                    if base:
+                        cmap[code] = base[:-1] + chr(ord(base[-1]) + (code - lo))
+    return cmap, width or 2
+
+
+def _pdf_font_cmaps(content: bytes) -> dict[bytes, tuple[dict[int, str], int]]:
+    """Resource font name (e.g. b"F1") → parsed ToUnicode CMap.
+
+    Walks the uncompressed object graph: ``/Font << /Fx N 0 R … >>``
+    resource fragments name the font objects; each font object may carry
+    ``/ToUnicode M 0 R``; object M's stream is the CMap.  Names are
+    collected globally (per-page resource resolution is out of scope for
+    the fallback extractor — a name reused across pages for DIFFERENT
+    fonts keeps the first binding).  Objects living inside object streams
+    (compressed xref) are not visible to this scan."""
+    import re
+    import zlib
+
+    objs: dict[int, bytes] = {}
+    for m in re.finditer(rb"(\d+)\s+\d+\s+obj\b(.*?)endobj", content, re.DOTALL):
+        objs.setdefault(int(m.group(1)), m.group(2))
+
+    def _stream_of(body: bytes) -> bytes | None:
+        sm = re.search(rb"stream\r?\n(.*?)\r?\nendstream", body, re.DOTALL)
+        if not sm:
+            return None
+        data = sm.group(1)
+        try:
+            return zlib.decompress(data)
+        except zlib.error:
+            return data
+
+    cmaps: dict[bytes, tuple[dict[int, str], int]] = {}
+    cmap_cache: dict[int, tuple[dict[int, str], int] | None] = {}
+    for rm in re.finditer(rb"/Font\s*<<(.*?)>>", content, re.DOTALL):
+        for fm in re.finditer(rb"/([^\s/<>\[\]()]+)\s+(\d+)\s+\d+\s+R", rm.group(1)):
+            name, objnum = fm.group(1), int(fm.group(2))
+            if name in cmaps:
+                continue  # first binding wins
+            body = objs.get(objnum)
+            if body is None:
+                continue
+            tm = re.search(rb"/ToUnicode\s+(\d+)\s+\d+\s+R", body)
+            if not tm:
+                continue
+            tnum = int(tm.group(1))
+            if tnum not in cmap_cache:
+                tbody = objs.get(tnum)
+                tdata = _stream_of(tbody) if tbody is not None else None
+                cmap_cache[tnum] = (
+                    _parse_tounicode_cmap(tdata) if tdata is not None else None
+                )
+            parsed = cmap_cache[tnum]
+            if parsed and parsed[0]:
+                cmaps[name] = parsed
+    return cmaps
+
+
+def _apply_cmap(s: str, cmap: dict[int, str], width: int) -> str:
+    """Map a raw (latin-1-decoded) show-string through a ToUnicode CMap:
+    the string's bytes are consumed `width` at a time as big-endian codes.
+    Codes absent from the CMap are dropped (they map to no text)."""
+    bs = s.encode("latin-1", "replace")
+    return "".join(
+        cmap.get(int.from_bytes(bs[i : i + width], "big"), "")
+        for i in range(0, len(bs) - width + 1, width)
+    )
+
+
 def extract_pdf_text(content: bytes) -> str:
     """Simple-PDF text extraction via the stdlib: walk `stream…endstream`
     objects, FlateDecode via zlib where needed, and collect the text
     arguments of Tj / TJ / ' / " operators in content-stream order via a
     small postfix token scanner — literal (…) strings with paren-depth
     tracking (balanced unescaped parens nest, §7.3.4.2), escape/octal/
-    line-continuation handling, and hex <…> strings with the odd-digit
-    rule.  Known limit of the fallback (markitdown takes priority when
-    present): CID/Type0-encoded text comes out garbled."""
+    line-continuation handling, hex <…> strings with the odd-digit rule,
+    and balanced ``<< … >>`` dict bodies skipped wholesale (their string
+    values are not show operands).  CID/Type0 fonts that carry a
+    /ToUnicode CMap decode through it (bfchar + bfrange, both forms),
+    keyed by the /Fx … Tf font selection.  Known limit of the fallback
+    (markitdown takes priority when present): CID text WITHOUT a
+    ToUnicode CMap comes out garbled, and object-stream-packed font
+    objects are invisible to the scan."""
     import re
     import zlib
 
@@ -403,6 +578,12 @@ def extract_pdf_text(content: bytes) -> str:
 
     _num_re = re.compile(rb"^[+-]?(\d+\.?\d*|\.\d+)$")
 
+    # CID/Type0 support: only pay the object-graph walk when the file
+    # declares a ToUnicode CMap at all.
+    font_cmaps = (
+        _pdf_font_cmaps(content) if b"/ToUnicode" in content else {}
+    )
+
     for m in re.finditer(rb"stream\r?\n(.*?)\r?\nendstream", content, re.DOTALL):
         data = m.group(1)
         try:
@@ -415,6 +596,8 @@ def extract_pdf_text(content: bytes) -> str:
         pending_str: str | None = None
         pending_arr: list[str] | None = None
         in_array: list[str] | None = None
+        last_name: bytes | None = None
+        cur_cmap: tuple[dict[int, str], int] | None = None
         i = 0
         n = len(data)
         while i < n:
@@ -430,7 +613,10 @@ def extract_pdf_text(content: bytes) -> str:
                     pending_str = s
             elif c == 0x3C:  # < hex string or << dict
                 if i + 1 < n and data[i + 1] == 0x3C:
-                    i += 2
+                    # dict operand (e.g. a BDC property list): skip the
+                    # balanced body wholesale — its string values are NOT
+                    # show operands (r14 advisor item).
+                    i = _pdf_skip_dict(data, i)
                     pending_str = pending_arr = None
                 else:
                     end = data.find(b">", i + 1)
@@ -454,10 +640,12 @@ def extract_pdf_text(content: bytes) -> str:
                     if x != -1
                 )
                 i = nl
-            elif c == 0x2F:  # /name operand
+            elif c == 0x2F:  # /name operand (remembered for Tf font selection)
                 i += 1
+                start = i
                 while i < n and data[i] not in _PDF_WS and data[i] not in _PDF_DELIM:
                     i += 1
+                last_name = data[start:i]
             elif c in (0x29, 0x3E, 0x7B, 0x7D):  # stray ) > } { — skip
                 i += 1
             else:  # regular token: number operand or operator
@@ -470,10 +658,19 @@ def extract_pdf_text(content: bytes) -> str:
                     continue  # numeric operand (kerning, positions)
                 if tok in (b"Tj", b"'", b'"'):
                     if pending_str is not None:
-                        texts.append(pending_str)
+                        texts.append(
+                            _apply_cmap(pending_str, *cur_cmap)
+                            if cur_cmap
+                            else pending_str
+                        )
                 elif tok == b"TJ":
                     if pending_arr:
-                        texts.extend(pending_arr)
+                        texts.extend(
+                            _apply_cmap(s, *cur_cmap) if cur_cmap else s
+                            for s in pending_arr
+                        )
+                elif tok == b"Tf" and font_cmaps:
+                    cur_cmap = font_cmaps.get(last_name)
                 pending_str = pending_arr = None
         if texts and not texts[-1].endswith("\n"):
             texts.append("\n")
@@ -488,13 +685,14 @@ def convert_binary_documents(binary_df: DataFrame) -> DataFrame:
     reference's converter, converter.py:45-90 — one MarkItDown instance
     per Arrow batch iterator, decoding from in-memory bytes, never a
     driver-side file loop); otherwise the stdlib extractors above for
-    .docx/.pdf/.html.  Only formats none of those handle (legacy .doc)
-    raise NotImplementedError — that is a CAPABILITY gate and still fails
-    the action.  A decode error on a supported format (corrupt .docx zip,
-    malformed bytes) is a DATA problem and must not fail the batch: it
-    comes back as a per-row null text + `error` column, mirroring
-    fetch_url_documents (reference converter.py ConversionResult.errors
-    per-file surface; r13 advisor item).
+    .docx/.pdf/.html/.doc.  Only extensions NO extractor handles raise
+    NotImplementedError — that is a CAPABILITY gate and still fails the
+    action.  A decode error on a supported format (corrupt .docx zip,
+    malformed bytes, an ENCRYPTED .doc — a property of the file data, not
+    of this container; r14 advisor item) is a DATA problem and must not
+    fail the batch: it comes back as a per-row null text + `error`
+    column, mirroring fetch_url_documents (reference converter.py
+    ConversionResult.errors per-file surface; r13 advisor item).
     """
 
     def _convert(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

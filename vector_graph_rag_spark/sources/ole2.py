@@ -8,9 +8,10 @@ Word 97-2003 text extractor (MS-DOC: FIB, CLX piece table in the
 ccpText truncation to the main document range).
 
 Scope (documented honestly): text extraction only — no formatting,
-tables-as-text (cell marks become newlines), no OLE-embedded objects, no
-encrypted (fEncrypted) documents.  markitdown still takes priority in the
-converter when importable.
+tables-as-text (cell marks become newlines), no OLE-embedded objects.
+Encrypted (fEncrypted) documents raise ValueError — a data property, not
+a capability gate, so the converter records it per-row (r14 advisor
+item).  markitdown still takes priority in the converter when importable.
 
 The fixture writer :func:`make_doc` builds a structurally valid CFB
 (regular + mini-stream sectors, so BOTH reader paths are exercised) with
@@ -45,7 +46,10 @@ def parse_cfb(content: bytes) -> dict[str, bytes]:
     first_difat, n_difat = struct.unpack_from("<II", content, 68)
 
     def sector(n: int) -> bytes:
-        off = 512 + n * ssz
+        # MS-CFB §2.1: sector n begins at (n+1)*size — the header occupies
+        # the whole of "sector -1", so for major-version-4 files (4096-byte
+        # sectors) sector 0 starts at 4096, not 512.
+        off = (n + 1) * ssz
         return content[off : off + ssz]
 
     # DIFAT: 109 header entries + chained DIFAT sectors
@@ -146,8 +150,10 @@ def extract_doc_text(content: bytes) -> str:
     if wd is None or len(wd) < 34 or struct.unpack_from("<H", wd, 0)[0] != 0xA5EC:
         raise ValueError(".doc missing a valid WordDocument stream")
     flags = struct.unpack_from("<H", wd, 0x0A)[0]
-    if flags & 0x0100:  # fEncrypted
-        raise NotImplementedError("encrypted .doc needs a password/msoffcrypto")
+    if flags & 0x0100:  # fEncrypted — a property of the file DATA, not of
+        # this container's capabilities: raise ValueError so the converter
+        # captures it per-row (decode_error) instead of failing the batch.
+        raise ValueError("encrypted .doc (fEncrypted) needs a password/msoffcrypto")
     table_name = "1Table" if flags & 0x0200 else "0Table"
     table = streams.get(table_name)
 
@@ -210,12 +216,17 @@ def extract_doc_text(content: bytes) -> str:
 # --- CFB + .doc fixture writer ---------------------------------------------------
 
 
-def _make_cfb(streams: dict[str, bytes]) -> bytes:
-    """Minimal structurally valid CFB writer: 512-byte sectors, header-only
-    DIFAT, small streams in the mini stream (so the reader's miniFAT path
-    is exercised), flat directory (sibling tree set to NOSTREAM — our
-    reader indexes by name)."""
-    SSZ, MSZ, CUTOFF = 512, 64, 4096
+def _make_cfb(streams: dict[str, bytes], sector_size: int = 512) -> bytes:
+    """Minimal structurally valid CFB writer: 512-byte (major version 3) or
+    4096-byte (major version 4) sectors, header-only DIFAT, small streams
+    in the mini stream (so the reader's miniFAT path is exercised), flat
+    directory (sibling tree set to NOSTREAM — our reader indexes by name).
+    For v4 the 512-byte header block is zero-padded to a full sector, so
+    sector 0 begins at byte 4096 (MS-CFB §2.1 — the r14 advisor's offset
+    fix is pinned by the v4 round-trip test)."""
+    if sector_size not in (512, 4096):
+        raise ValueError("CFB sector size must be 512 or 4096")
+    SSZ, MSZ, CUTOFF = sector_size, 64, 4096
 
     minis = {n: d for n, d in streams.items() if len(d) < CUTOFF}
     bigs = {n: d for n, d in streams.items() if len(d) >= CUTOFF}
@@ -297,9 +308,11 @@ def _make_cfb(streams: dict[str, bytes]) -> bytes:
 
     header = bytearray(512)
     header[:8] = _MAGIC
-    struct.pack_into("<HH", header, 24, 0x003E, 0x0003)  # minor, major=3
+    major = 3 if SSZ == 512 else 4
+    shift = 9 if SSZ == 512 else 12
+    struct.pack_into("<HH", header, 24, 0x003E, major)  # minor, major
     struct.pack_into("<H", header, 28, 0xFFFE)  # little-endian
-    struct.pack_into("<HH", header, 30, 9, 6)  # 512B sectors, 64B mini
+    struct.pack_into("<HH", header, 30, shift, 6)  # sector, 64B mini
     struct.pack_into("<I", header, 44, n_fat_sec)
     struct.pack_into("<I", header, 48, dir_start)
     struct.pack_into("<I", header, 56, CUTOFF)
@@ -310,13 +323,17 @@ def _make_cfb(streams: dict[str, bytes]) -> bytes:
     difat = [fat_start + i for i in range(n_fat_sec)]
     difat += [_FREESECT] * (109 - len(difat))
     struct.pack_into("<109I", header, 76, *difat)
-    return bytes(header) + b"".join(sectors)
+    # v4: the header block is padded to a full 4096-byte sector.
+    return bytes(header).ljust(SSZ, b"\x00") + b"".join(sectors)
 
 
-def make_doc(text: str, compressed: bool = True, pieces: int = 1) -> bytes:
+def make_doc(
+    text: str, compressed: bool = True, pieces: int = 1, sector_size: int = 512
+) -> bytes:
     """Build a minimal valid Word 97 `.doc`: FIB + CLX piece table split
     into `pieces` runs, text stored CP1252 (`compressed=True`) or
-    UTF-16LE.  Paragraph breaks: '\\n' in `text` becomes CR (0x0D)."""
+    UTF-16LE.  Paragraph breaks: '\\n' in `text` becomes CR (0x0D).
+    `sector_size=4096` wraps it in a major-version-4 CFB container."""
     body = text.replace("\n", "\r")
     if compressed and any(ord(c) > 0xFF for c in body):
         raise ValueError("compressed .doc text must be latin-1/cp1252 range")
@@ -361,4 +378,4 @@ def make_doc(text: str, compressed: bool = True, pieces: int = 1) -> bytes:
     var += struct.pack("<H", cb_pairs) + blob
     wd = bytes(fib) + bytes(var)
     wd += b"\x00" * (text_off - len(wd)) + payload
-    return _make_cfb({"WordDocument": wd, "0Table": table})
+    return _make_cfb({"WordDocument": wd, "0Table": table}, sector_size=sector_size)
