@@ -154,6 +154,107 @@ def truncate_tokens(text: str, max_tokens: int = MAX_EMBED_TOKENS, tokenize=None
     return " ".join(toks[:max_tokens])
 
 
+class OpenAICompatEmbedder:
+    """Real embedding backend speaking the OpenAI-compatible /embeddings
+    protocol (reference embeddings.py:152-203) — an `embed_with_backend`
+    encoder: ``encoder(texts) -> list[list[float]]``.
+
+    Protocol notes, parity with the reference:
+    - empty/blank texts are NEVER sent to the API; they come back as zero
+      vectors (embeddings.py:180-193's guard), which the UDF's L2 step
+      leaves at zero.
+    - one Arrow batch = ONE request (the ``input`` list), matching the
+      reference's batch_size-driven call shape (config.py:120-122).
+    - responses are re-ordered by the API's ``index`` field — the spec
+      allows out-of-order data rows.
+
+    Like OpenAICompatRunner (llm/runner.py), the `openai` client package
+    is preferred when importable; otherwise the protocol is spoken with
+    stdlib urllib (same assembly, bearer auth, parse; 429/5xx exponential
+    backoff) so the path is e2e-testable against a loopback server with
+    neither client nor network.  Plain attributes only — instances pickle
+    into the pandas-UDF closure."""
+
+    _RETRYABLE = (429, 500, 502, 503, 504)
+
+    def __init__(
+        self,
+        model: str,
+        dim: int,
+        base_url: str | None = None,
+        api_key: str | None = None,
+        max_retries: int = 3,
+        backoff_s: float = 0.25,
+        timeout_s: float = 60.0,
+        force_stdlib: bool = False,
+    ):
+        self.model, self.dim = model, dim
+        self.base_url, self.api_key = base_url, api_key
+        self.max_retries, self.backoff_s = max_retries, backoff_s
+        self.timeout_s, self.force_stdlib = timeout_s, force_stdlib
+
+    def _post_stdlib(self, inputs: list[str]) -> list[list[float]]:
+        import json
+        import time
+        import urllib.error
+        import urllib.request
+
+        url = (
+            (self.base_url or "https://api.openai.com/v1").rstrip("/")
+            + "/embeddings"
+        )
+        body = json.dumps({"model": self.model, "input": inputs}).encode()
+        for attempt in range(self.max_retries + 1):
+            req = urllib.request.Request(
+                url,
+                data=body,
+                headers={
+                    "Content-Type": "application/json",
+                    "Authorization": f"Bearer {self.api_key or ''}",
+                },
+                method="POST",
+            )
+            try:
+                with urllib.request.urlopen(req, timeout=self.timeout_s) as resp:
+                    payload = json.load(resp)
+                rows = sorted(payload["data"], key=lambda r: r["index"])
+                return [r["embedding"] for r in rows]
+            except urllib.error.HTTPError as exc:
+                if exc.code not in self._RETRYABLE or attempt >= self.max_retries:
+                    raise
+            except urllib.error.URLError:
+                if attempt >= self.max_retries:
+                    raise
+            time.sleep(self.backoff_s * (2**attempt))
+        raise RuntimeError("unreachable: retry loop exits by return or raise")
+
+    def _embed_nonblank(self, inputs: list[str]) -> list[list[float]]:
+        if not self.force_stdlib:
+            try:
+                from openai import OpenAI  # type: ignore
+            except ImportError:
+                pass
+            else:
+                client = OpenAI(
+                    base_url=self.base_url,
+                    api_key=self.api_key,
+                    max_retries=self.max_retries,
+                )
+                resp = client.embeddings.create(model=self.model, input=inputs)
+                rows = sorted(resp.data, key=lambda r: r.index)
+                return [list(r.embedding) for r in rows]
+        return self._post_stdlib(inputs)
+
+    def __call__(self, texts: list[str]) -> list[list[float]]:
+        nonblank = [(i, t) for i, t in enumerate(texts) if t and t.strip()]
+        out: list[list[float]] = [[0.0] * self.dim for _ in texts]
+        if nonblank:
+            vecs = self._embed_nonblank([t for _, t in nonblank])
+            for (i, _), v in zip(nonblank, vecs):
+                out[i] = list(v)
+        return out
+
+
 def embed_with_backend(
     df,
     text_col: str,
