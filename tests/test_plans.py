@@ -129,6 +129,13 @@ AUDITED = [
     "term_index_compacted",
     "cluster_capped_sample",
     "curriculum_order",
+    # round-17 staged (r15 staging): time-travel reads, moment registers,
+    # tombstone-excluded probe (eager temp writes; the returned frames
+    # still audit), late-interaction MaxSim (broadcast query tokens)
+    "versioned_time_travel",
+    "embedding_drift_registers",
+    "ann_index_tombstone_delete",
+    "colbert_maxsim_topk",
 ]
 
 

@@ -254,3 +254,78 @@ def test_mmr_kernel_randomized_multiquery_matches_twin(spark):
     }
     assert got == want
     assert len({qid for qid, _ in got}) == 8  # every query produced output
+
+
+def test_colbert_maxsim_self_retrieval_and_twin(spark):
+    """MaxSim semantics pinned two ways: (1) each query (the first 3
+    tokens of docs 7/21/42) scores its OWN document at the maximum — every
+    query token matches its twin with dot=1 inside the source doc's
+    first-8 window, so NO doc can beat the self score (docs sharing all
+    three tokens TIE, and ties break to the lower doc_id — the synthetic
+    corpus's small vocabulary makes such ties real); (2) a pure-Python
+    twin over the collected token vectors reproduces every (query, doc)
+    score in the top-k output exactly."""
+    from tests.conftest import SF_SMOKE
+
+    from vector_graph_rag_spark.functions.embedding import mock_embedding
+    from vector_graph_rag_spark.queries import load_all
+    from vector_graph_rag_spark.queries.search_api import (
+        _MAXSIM_DOC_TOKS,
+        _MAXSIM_Q_TOKS,
+        _MAXSIM_QUERY_DOCS,
+    )
+    from vector_graph_rag_spark.sources.tables import load_table
+
+    out = load_all(include_retired=True)["colbert_maxsim_topk"].fn(spark, SF_SMOKE)
+    rows = out.collect()
+    by_query = {}
+    for r in rows:
+        by_query.setdefault(r["query_id"], []).append(r)
+    assert set(by_query) == set(_MAXSIM_QUERY_DOCS)
+
+    # pure-Python twin over the same mock token vectors
+    d = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    from pyspark.sql import functions as F
+
+    dv = (
+        d.select("doc_id", F.explode(F.slice(F.split("text", " "), 1, _MAXSIM_DOC_TOKS)).alias("tok"))
+        .select("doc_id", mock_embedding("tok").alias("v"))
+        .collect()
+    )
+    qv = (
+        d.filter(F.col("doc_id").isin(*_MAXSIM_QUERY_DOCS))
+        .select(F.col("doc_id").alias("query_id"), F.explode(F.slice(F.split("text", " "), 1, _MAXSIM_Q_TOKS)).alias("tok"))
+        .select("query_id", mock_embedding("tok").alias("qv"))
+        .collect()
+    )
+    from collections import defaultdict
+    from decimal import Decimal
+
+    docvecs = defaultdict(list)
+    for r in dv:
+        docvecs[r["doc_id"]].append(list(r["v"]))
+    qvecs = defaultdict(list)
+    for r in qv:
+        qvecs[r["query_id"]].append(list(r["qv"]))
+
+    def _score(qid, did):
+        total = Decimal(0)
+        for q in qvecs[qid]:
+            best = max(
+                round(sum(a * b for a, b in zip(q, v)), 6) for v in docvecs[did]
+            )
+            total += Decimal(f"{best:.6f}")
+        return float(total)
+
+    for r in rows:
+        assert abs(_score(r["query_id"], r["doc_id"]) - r["maxsim"]) < 1e-9, (
+            r["query_id"], r["doc_id"])
+
+    # no doc beats the self score, and the self score tops its query
+    for qid, rs in by_query.items():
+        self_score = _score(qid, qid)
+        top = min(rs, key=lambda r: r["rank"])
+        assert top["maxsim"] <= self_score + 1e-9, f"query {qid}: beaten self"
+        assert abs(top["maxsim"] - self_score) < 1e-9, (
+            f"query {qid}: top is below the self score"
+        )

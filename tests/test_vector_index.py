@@ -207,3 +207,67 @@ def test_compact_index_search_identical_and_source_intact(spark, tmp_path):
         os.path.join(compacted, "batch=0")
     ).count()
     assert n_comp == n_corpus
+
+
+def test_tombstone_delete_contracts(spark, tmp_path):
+    """The delete story end-to-end: (1) a tombstone-excluded search equals
+    a search over an index that never contained the deleted ids (deleted
+    vectors VACATE top-k slots); (2) tombstone replay is idempotent;
+    (3) an index with no tombstones is untouched (exclude_tombstoned=True
+    is a no-op); (4) compaction applies tombstones PHYSICALLY and the
+    compacted tree carries none."""
+    from vector_graph_rag_spark.streaming.vector_index import (
+        append_tombstones,
+        compact_index,
+        read_tombstones,
+    )
+
+    emb, books, cent, queries = _fixture(spark)
+    dels = emb.filter(F.col("vec_id") % 7 == 0).select("vec_id")
+    survivors = emb.filter(F.col("vec_id") % 7 != 0)
+
+    # reference: an index built from the surviving corpus only
+    clean = str(tmp_path / "clean")
+    append_to_index(survivors, cent, books, clean, 0)
+    expected = sorted(
+        map(tuple, search_index(spark, clean, queries, cent, books).collect())
+    )
+
+    # full index + tombstones (two delete batches, batch 0 replayed)
+    full = str(tmp_path / "full")
+    for b in range(2):
+        append_to_index(emb.filter(F.col("vec_id") % 2 == b), cent, books, full, b)
+    half0 = dels.filter((F.col("vec_id") / 7).cast("long") % 2 == 0)
+    half1 = dels.filter((F.col("vec_id") / 7).cast("long") % 2 == 1)
+    append_tombstones(half0, full, 0)
+    append_tombstones(half1, full, 1)
+    append_tombstones(half0, full, 0)  # replay
+    assert read_tombstones(spark, full).count() == dels.count()
+
+    got = sorted(
+        map(tuple, search_index(spark, full, queries, cent, books).collect())
+    )
+    assert got == expected  # deleted ids vacated, survivors moved up
+    assert not any(r[1] % 7 == 0 for r in got)
+
+    # exclude_tombstoned=False still sees the deleted candidates
+    raw = search_index(
+        spark, full, queries, cent, books, exclude_tombstoned=False
+    ).collect()
+    assert any(r["vec_id"] % 7 == 0 for r in raw)
+
+    # no tombstones → read_tombstones None, search unaffected
+    assert read_tombstones(spark, clean) is None
+
+    # compaction applies tombstones physically; compacted tree carries none
+    compacted = str(tmp_path / "compacted")
+    assert compact_index(spark, full, compacted) == 2
+    assert read_tombstones(spark, compacted) is None
+    rows = spark.read.option("basePath", compacted).parquet(
+        os.path.join(compacted, "batch=0")
+    )
+    assert rows.filter(F.col("vec_id") % 7 == 0).count() == 0
+    got_c = sorted(
+        map(tuple, search_index(spark, compacted, queries, cent, books).collect())
+    )
+    assert got_c == expected

@@ -104,6 +104,14 @@ QUERIES = [
     "term_index_compacted",
     "cluster_capped_sample",
     "curriculum_order",
+    # round-17 staged candidates (r15 staging, pre-registration smokes):
+    # time-travel reads scan one version's layers; moment registers are
+    # KB-bounded; tombstone probes add one anti-join; MaxSim explodes
+    # x8 row-locally against a broadcast query side
+    "versioned_time_travel",
+    "embedding_drift_registers",
+    "ann_index_tombstone_delete",
+    "colbert_maxsim_topk",
 ]
 
 DOC_STRIDE = 1_000_000

@@ -259,7 +259,9 @@ def bloom_membership_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Deterministic mutation of `documents`, branch-disjoint so MERGE's
 # one-source-row-per-key contract holds: doc_id%17 -> delete marker,
-# else %13 -> edited update, %29 -> re-keyed insert (+1e6).
+# else %13 -> edited update, %29 -> re-keyed insert (+1e9 — beyond any
+# scale-smoke copy range, whose re-keys stride 1e6 per copy; a +1e6
+# offset collided with copy ids at the 10x smoke).
 _VMERGE_SQL = """WITH o AS (
   SELECT doc_id, TRUE AS in_old, md5(text) AS old_hash FROM documents
 ),
@@ -270,7 +272,7 @@ upd AS (
   SELECT doc_id, text || ' EDITED' AS text, FALSE
   FROM documents WHERE doc_id % 13 = 0 AND doc_id % 17 <> 0
   UNION ALL
-  SELECT doc_id + 1000000 AS doc_id, text, FALSE
+  SELECT doc_id + 1000000000 AS doc_id, text, FALSE
   FROM documents WHERE doc_id % 29 = 0
 ),
 v2 AS (
@@ -295,6 +297,29 @@ c AS (
 SELECT doc_id, change, old_hash, new_hash FROM c WHERE change IS NOT NULL"""
 
 
+def _vmerge_mutation(d: DataFrame) -> DataFrame:
+    """The deterministic branch-disjoint mutation _VMERGE_SQL describes:
+    doc_id%17 → delete marker, else %13 → edited update, %29 → re-keyed
+    insert.  Shared by versioned_merge_diff and versioned_time_travel so
+    both gates pin the SAME v1→v2 transition."""
+    dels = d.filter(F.col("doc_id") % 17 == 0).select(
+        "doc_id",
+        F.lit(None).cast("string").alias("text"),
+        F.lit(True).alias("is_delete"),
+    )
+    edits = d.filter((F.col("doc_id") % 13 == 0) & (F.col("doc_id") % 17 != 0)).select(
+        "doc_id",
+        F.concat("text", F.lit(" EDITED")).alias("text"),
+        F.lit(False).alias("is_delete"),
+    )
+    ins = d.filter(F.col("doc_id") % 29 == 0).select(
+        (F.col("doc_id") + 1_000_000_000).alias("doc_id"),
+        "text",
+        F.lit(False).alias("is_delete"),
+    )
+    return dels.unionByName(edits).unionByName(ins)
+
+
 @register(
     "versioned_merge_diff",
     oracle=_VMERGE_SQL,
@@ -313,30 +338,79 @@ def versioned_merge_diff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         store = VersionedCorpus(spark, root)
         store.write(d)
-        dels = d.filter(F.col("doc_id") % 17 == 0).select(
-            "doc_id",
-            F.lit(None).cast("string").alias("text"),
-            F.lit(True).alias("is_delete"),
-        )
-        edits = d.filter(
-            (F.col("doc_id") % 13 == 0) & (F.col("doc_id") % 17 != 0)
-        ).select(
-            "doc_id",
-            F.concat("text", F.lit(" EDITED")).alias("text"),
-            F.lit(False).alias("is_delete"),
-        )
-        ins = d.filter(F.col("doc_id") % 29 == 0).select(
-            (F.col("doc_id") + 1_000_000).alias("doc_id"),
-            "text",
-            F.lit(False).alias("is_delete"),
-        )
-        store.merge(
-            dels.unionByName(edits).unionByName(ins),
-            key="doc_id",
-            delete_col="is_delete",
-        )
+        store.merge(_vmerge_mutation(d), key="doc_id", delete_col="is_delete")
         # materialize before the scratch store is removed
         return store.diff(1, 2).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+# Snapshot-isolation twin: the same v1→v2 mutation, but the GATED read is
+# version 1 AFTER v2 has been committed (plus v2 itself) — pinning that
+# merge-on-read layers never mutate an already-published snapshot.  The
+# oracle reconstructs both versions as pure SQL over `documents`.
+_VTRAVEL_SQL = """WITH upd AS (
+  SELECT doc_id, CAST(NULL AS VARCHAR) AS text, TRUE AS del
+  FROM documents WHERE doc_id % 17 = 0
+  UNION ALL
+  SELECT doc_id, text || ' EDITED' AS text, FALSE
+  FROM documents WHERE doc_id % 13 = 0 AND doc_id % 17 <> 0
+  UNION ALL
+  SELECT doc_id + 1000000000 AS doc_id, text, FALSE
+  FROM documents WHERE doc_id % 29 = 0
+),
+v2 AS (
+  SELECT d.doc_id, d.text FROM documents d ANTI JOIN upd u ON d.doc_id = u.doc_id
+  UNION ALL
+  SELECT doc_id, text FROM upd WHERE NOT del
+)
+SELECT CAST(1 AS INT) AS version, doc_id, md5(text) AS text_hash FROM documents
+UNION ALL
+SELECT CAST(2 AS INT) AS version, doc_id, md5(text) AS text_hash FROM v2"""
+
+
+@register(
+    "versioned_time_travel",
+    oracle=_VTRAVEL_SQL,
+    retired=True,  # STAGED for a round-17 swap (r15 staging)
+    description=(
+        "versioned-store time travel: commit v1, MERGE the deterministic "
+        "v2 mutation, then read BOTH versions — v1 read AFTER v2 exists — "
+        "pinning snapshot isolation (published layers are immutable under "
+        "later merges); the oracle reconstructs each version as SQL set "
+        "algebra over documents"
+    ),
+)
+def versioned_time_travel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At 100 TB the versioned store IS the corpus (Delta/Iceberg-style
+    snapshots): training jobs pin a version while ingestion commits new
+    ones, so read-at-version must see the layer set as of that commit —
+    never the merge-on-read deltas a later version added.  The read path
+    is the same partition-pruned parquet scan either way; the manifest
+    lookup is O(1) driver-side metadata (sources/versioned.py:184-287).
+
+    Reference parity: the reference has no versioned store (its corpus is
+    a Milvus collection, milvus.py) — this is a north-star extension
+    family (SURVEY §2.2 storage), kept driver-gated after
+    versioned_merge_diff's r15 retirement."""
+    from vector_graph_rag_spark.sources.versioned import VersionedCorpus
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    root = tempfile.mkdtemp(prefix="vgr_vstore_")
+    try:
+        store = VersionedCorpus(spark, root)
+        store.write(d)
+        store.merge(_vmerge_mutation(d), key="doc_id", delete_col="is_delete")
+
+        def _ver(v: int) -> DataFrame:
+            return store.read(v).select(
+                F.lit(v).cast("int").alias("version"),
+                "doc_id",
+                F.md5("text").alias("text_hash"),
+            )
+
+        # v1 is read AFTER the v2 merge landed — the snapshot-isolation pin.
+        return _ver(1).unionByName(_ver(2)).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -1306,19 +1380,27 @@ def ann_ivf_trained_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- IVF-PQ composition: probe-pruned candidates, ADC-scored ------------------
 
 
-def _ivfpq_sql() -> str:
+def _ivfpq_sql(vecs_predicate: str = "") -> str:
     # The Milvus IVF_PQ index shape end-to-end: the IVF coarse quantizer
     # prunes candidates to nprobe cells, PQ codes score them — composed
     # from the SAME CTE prefixes both component oracles use (_PQ_CTES for
     # train/encode, the ann_ivf_topk assign/probe shape for pruning), so
     # every constant and tie-break is pinned by the already-gated parts.
+    # `vecs_predicate` restricts the CANDIDATE corpus (the tombstone-delete
+    # twin: a search over the full stored index minus tombstoned ids is
+    # logically a one-shot search over the surviving corpus — quantizers
+    # are frozen, so surviving assignments are unchanged).  NOTE: `qsel`
+    # derives from `vecs`, so the predicate must keep the query ids
+    # (100-104) alive — the tombstone query uses vec_id % 7 = 0, disjoint
+    # from them; centroids (`cent`) read embeddings directly either way.
     from vector_graph_rag_spark.queries.vector import _cos_sql
 
+    where = f" WHERE {vecs_predicate}" if vecs_predicate else ""
     return f"""
 WITH {_PQ_CTES},
 cent AS (SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cvec
          FROM embeddings WHERE vec_id < 8),
-vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings{where}),
 assign AS (
   SELECT vec_id, centroid_id FROM (
     SELECT v.vec_id, c.centroid_id,
@@ -1631,3 +1713,199 @@ def ann_index_compacted_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# --- Embedding drift monitor (staged r15, for a round-17 swap) ---------------
+#
+# The production question a 100 TB embedding pipeline asks nightly: did the
+# embedding distribution move between two corpus slices (yesterday's crawl
+# vs today's, model v1 vs v2 re-embeds)?  Register shape per (half, dim):
+# (count, sum, sum-of-squares) — the moment registers are COMMUTATIVE and
+# ASSOCIATIVE, so they merge shard-by-shard exactly like the HLL/HDR/CM
+# register families; the query computes them per vec_id%8 shard and merges,
+# pinning merge == one-shot under the hash gate.  Per-element values are
+# quantized round(x, 6) and summed as DECIMAL(18,6) (exact, order-free —
+# the lmfilter convention), so the registers are bit-stable under any
+# repartitioning.  The drift signal is Welch's z per dimension.
+
+_DRIFT_SQL = """WITH el AS (
+  SELECT vec_id % 2 AS half, vec_id % 8 AS shard,
+         generate_subscripts(embedding, 1) - 1 AS dim,
+         round(CAST(unnest(embedding) AS DOUBLE), 6) AS v6
+  FROM embeddings
+),
+shard_regs AS (
+  SELECT half, shard, dim, COUNT(*) AS cnt,
+         SUM(CAST(v6 AS DECIMAL(18,6))) AS s1,
+         SUM(CAST(round(v6 * v6, 6) AS DECIMAL(18,6))) AS s2
+  FROM el GROUP BY 1, 2, 3
+),
+merged AS (
+  SELECT half, dim, SUM(cnt) AS n,
+         CAST(SUM(s1) AS DOUBLE) AS s1, CAST(SUM(s2) AS DOUBLE) AS s2
+  FROM shard_regs GROUP BY 1, 2
+),
+stats AS (
+  SELECT half, dim, n, s1 / n AS mean,
+         (s2 - s1 * s1 / n) / (n - 1) AS var
+  FROM merged
+)
+SELECT a.dim AS dim,
+       CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b,
+       round(a.mean, 6) AS mean_a, round(b.mean, 6) AS mean_b,
+       round(abs(a.mean - b.mean) / sqrt(a.var / a.n + b.var / b.n), 6)
+         AS drift_z
+FROM stats a JOIN stats b ON a.dim = b.dim AND a.half = 0 AND b.half = 1"""
+
+
+@register(
+    "embedding_drift_registers",
+    oracle=_DRIFT_SQL,
+    retired=True,  # STAGED for a round-17 swap (r15 staging)
+    description=(
+        "embedding-distribution drift monitor: per-dimension moment "
+        "registers (count/sum/sum-sq as quantized DECIMAL sums) built per "
+        "vec_id%8 shard, merged commutatively, compared across the two "
+        "vec_id%2 corpus halves via Welch's z — the register-merge shape "
+        "of the HLL/HDR/CM family over the vector column"
+    ),
+)
+def embedding_drift_registers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale notes: the explode is row-local (no exchange); the ONLY
+    shuffle is the register aggregation keyed (half, shard, dim) — at most
+    2*8*dim rows leave the map side thanks to partial aggregation, then
+    the merge contracts to 2*dim rows.  At 100 TB the registers are KBs
+    regardless of corpus size — the monitor costs one corpus scan.  The
+    DECIMAL(18,6) quantized sums make the registers bit-identical under
+    any shuffle parallelism (the lmfilter determinism convention)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    v6 = F.round(F.col("val").cast("double"), 6)
+    el = e.select(
+        (F.col("vec_id") % 2).alias("half"),
+        (F.col("vec_id") % 8).alias("shard"),
+        F.posexplode("embedding").alias("dim", "val"),
+    ).select(
+        "half",
+        "shard",
+        "dim",
+        v6.alias("v6"),
+        F.round(v6 * v6, 6).alias("v6sq"),
+    )
+    shard_regs = el.groupBy("half", "shard", "dim").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.col("v6").cast("decimal(18,6)")).alias("s1"),
+        F.sum(F.col("v6sq").cast("decimal(18,6)")).alias("s2"),
+    )
+    merged = shard_regs.groupBy("half", "dim").agg(
+        F.sum("cnt").alias("n"),
+        F.sum("s1").cast("double").alias("s1"),
+        F.sum("s2").cast("double").alias("s2"),
+    )
+    stats = merged.select(
+        "half",
+        "dim",
+        "n",
+        (F.col("s1") / F.col("n")).alias("mean"),
+        (
+            (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n"))
+            / (F.col("n") - 1)
+        ).alias("var"),
+    )
+    a = stats.filter(F.col("half") == 0).select(
+        "dim",
+        F.col("n").alias("n_a"),
+        F.col("mean").alias("mean_a"),
+        F.col("var").alias("var_a"),
+    )
+    b = stats.filter(F.col("half") == 1).select(
+        "dim",
+        F.col("n").alias("n_b"),
+        F.col("mean").alias("mean_b"),
+        F.col("var").alias("var_b"),
+    )
+    return a.join(b, "dim").select(
+        "dim",
+        "n_a",
+        "n_b",
+        F.round("mean_a", 6).alias("mean_a"),
+        F.round("mean_b", 6).alias("mean_b"),
+        F.round(
+            F.abs(F.col("mean_a") - F.col("mean_b"))
+            / F.sqrt(
+                F.col("var_a") / F.col("n_a") + F.col("var_b") / F.col("n_b")
+            ),
+            6,
+        ).alias("drift_z"),
+    )
+
+
+# --- IVF-PQ tombstone deletes (staged r15, for a round-17 swap) ---------------
+
+
+@register(
+    "ann_index_tombstone_delete",
+    oracle=_ivfpq_sql(vecs_predicate="vec_id % 7 <> 0"),
+    retired=True,  # STAGED for a round-17 swap (r15 staging)
+    description=(
+        "vector-index DELETE maintenance (the Milvus delta-segment story): "
+        "tombstone shards mark vec_id%7=0 deleted WITHOUT touching sealed "
+        "code shards (one tombstone batch replayed to pin idempotence); "
+        "search anti-joins them out BEFORE ranking — the oracle is the "
+        "one-shot IVF-PQ SQL over the SURVIVING corpus, pinning "
+        "delete-by-tombstone == never-indexed"
+    ),
+)
+def ann_index_tombstone_delete_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deletes at 100 TB must not rewrite sealed shards: a tombstone is an
+    id-only row in ``tombstones/batch=<id>`` (same overwrite-idempotent
+    replay contract as code batches), the probe's anti-join is the only
+    added cost, and ``compact_index`` applies them physically when the
+    nightly fold runs (tests/test_vector_index.py pins compacted ==
+    tombstone-excluded).  Correctness shape: deleted vectors must VACATE
+    top-k slots (survivors move up), which is exactly what the
+    surviving-corpus oracle demands — an exclusion AFTER ranking would
+    hash-mismatch."""
+    from vector_graph_rag_spark.streaming.vector_index import (
+        append_to_index,
+        append_tombstones,
+        search_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    par = spark.sparkContext.defaultParallelism
+    if emb.rdd.getNumPartitions() < max(2, par // 2):
+        emb = emb.repartition(par)
+    _q, books = _pq_quantized_and_books(spark, sf_dir)
+    if not any(books):
+        return spark.createDataFrame(
+            [], "query_id long, vec_id long, adc_dist long, rank int"
+        )
+    cent = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cvec")
+    )
+    queries = emb.filter(
+        (F.col("vec_id") >= 100) & (F.col("vec_id") < 105)
+    ).select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))
+    index = tempfile.mkdtemp(prefix="vgr_anntomb_")
+    try:
+        for b in range(3):
+            append_to_index(
+                emb.filter(F.col("vec_id") % 3 == b), cent, books, index, b
+            )
+        # two delete batches split by parity of vec_id//7, then batch 0
+        # REPLAYED — idempotence under at-least-once delivery
+        dels = emb.filter(F.col("vec_id") % 7 == 0).select("vec_id")
+        for tb in range(2):
+            append_tombstones(
+                dels.filter((F.col("vec_id") / 7).cast("long") % 2 == tb),
+                index,
+                tb,
+            )
+        append_tombstones(
+            dels.filter((F.col("vec_id") / 7).cast("long") % 2 == 0), index, 0
+        )
+        return search_index(
+            spark, index, queries, cent, books, k=_PQ_TOPK, nprobe=2
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(index, ignore_errors=True)

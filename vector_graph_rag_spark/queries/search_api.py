@@ -775,3 +775,122 @@ def term_index_compacted_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# --- ColBERT-style late-interaction MaxSim top-k (staged r15, round-17 swap) --
+#
+# Milvus 2.5+ / BGE-M3 multi-vector search: a document is a BAG of token
+# vectors; score(q, d) = sum over query tokens of the max dot product
+# against d's token vectors (Khattab & Zaharia 2020, ColBERT).  The single
+# embedding column the rest of the engine uses cannot express "this query
+# token matched THAT doc token" — late interaction is the serving shape
+# that keeps token-level matching at retrieval time without cross-encoder
+# cost.  Docs contribute their first 8 whitespace tokens, queries are the
+# first 3 tokens of three fixed documents (self-retrieval built in); token
+# vectors are the deterministic hash mock (FIXTURES §1.5), so the oracle
+# reproduces every dot product bit-exactly.
+
+_MAXSIM_K = 10
+_MAXSIM_DOC_TOKS = 8
+_MAXSIM_Q_TOKS = 3
+_MAXSIM_QUERY_DOCS = (7, 21, 42)
+
+
+def _maxsim_sql() -> str:
+    from vector_graph_rag_spark.functions.embedding import mock_embedding_sql
+
+    qdocs = ", ".join(str(d) for d in _MAXSIM_QUERY_DOCS)
+    return f"""
+WITH dt AS (
+  SELECT doc_id, unnest(toks) AS tok
+  FROM (SELECT doc_id, string_split(text, ' ')[1:{_MAXSIM_DOC_TOKS}] AS toks
+        FROM documents)
+),
+dv AS (SELECT doc_id, {mock_embedding_sql('tok')} AS v FROM dt),
+qt AS (
+  SELECT doc_id AS query_id, generate_subscripts(toks, 1) AS qpos,
+         unnest(toks) AS tok
+  FROM (SELECT doc_id, string_split(text, ' ')[1:{_MAXSIM_Q_TOKS}] AS toks
+        FROM documents WHERE doc_id IN ({qdocs}))
+),
+qv AS (SELECT query_id, qpos, {mock_embedding_sql('tok')} AS v FROM qt),
+best AS (
+  SELECT q.query_id, d.doc_id, q.qpos,
+         MAX(round(list_dot_product(q.v, d.v), 6)) AS m
+  FROM qv q CROSS JOIN dv d
+  GROUP BY 1, 2, 3
+),
+score AS (
+  SELECT query_id, doc_id,
+         CAST(SUM(CAST(m AS DECIMAL(18,6))) AS DOUBLE) AS maxsim
+  FROM best GROUP BY 1, 2
+)
+SELECT query_id, doc_id, maxsim, CAST(rk AS INT) AS rank
+FROM (
+  SELECT query_id, doc_id, maxsim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY maxsim DESC, doc_id ASC) AS rk
+  FROM score
+)
+WHERE rk <= {_MAXSIM_K}"""
+
+
+@register(
+    "colbert_maxsim_topk",
+    oracle=_maxsim_sql(),
+    retired=True,  # STAGED for a round-17 swap (r15 staging)
+    description=(
+        "late-interaction multi-vector top-k (ColBERT MaxSim, the Milvus "
+        "2.5 / BGE-M3 serving shape): score = sum over query tokens of "
+        "the max dot product against the doc's token vectors; per-token "
+        "hash-mock embeddings, max-then-DECIMAL-sum for order-free "
+        "determinism, rank ties to the lowest doc_id"
+    ),
+)
+def colbert_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late interaction at 100 TB: the doc token-vector table is a
+    row-local explode (bounded x8, no exchange), the query side is a
+    broadcast literal (|queries| x 3 token vectors), so the scoring join
+    is map-side; the ONLY shuffles are the two bounded aggregations —
+    (query, doc, qpos) max with map-side partial agg, then (query, doc)
+    sum over <= 3 rows — and the final per-query top-k window over
+    |queries| partitions.  Token count caps bound the explosion factor
+    exactly like multimodal_frame_sample's <= 16-frame cap."""
+    from vector_graph_rag_spark.functions.embedding import mock_embedding
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks8 = F.slice(F.split("text", " "), 1, _MAXSIM_DOC_TOKS)
+    dv = d.select(
+        "doc_id", F.explode(toks8).alias("tok")
+    ).select("doc_id", mock_embedding("tok").alias("v"))
+
+    toks3 = F.slice(F.split("text", " "), 1, _MAXSIM_Q_TOKS)
+    qv = (
+        d.filter(F.col("doc_id").isin(*_MAXSIM_QUERY_DOCS))
+        .select(F.col("doc_id").alias("query_id"), F.posexplode(toks3).alias("qpos", "tok"))
+        .select("query_id", "qpos", mock_embedding("tok").alias("qv"))
+    )
+
+    dot = F.round(
+        F.aggregate(
+            F.zip_with("v", "qv", lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+    best = (
+        dv.crossJoin(F.broadcast(qv))
+        .select("query_id", "doc_id", "qpos", dot.alias("dot"))
+        .groupBy("query_id", "doc_id", "qpos")
+        .agg(F.max("dot").alias("m"))
+    )
+    score = best.groupBy("query_id", "doc_id").agg(
+        F.sum(F.col("m").cast("decimal(18,6)")).cast("double").alias("maxsim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("maxsim"), F.asc("doc_id"))
+    return (
+        score.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _MAXSIM_K)
+        .select("query_id", "doc_id", "maxsim", "rank")
+    )

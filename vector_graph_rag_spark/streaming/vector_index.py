@@ -123,6 +123,46 @@ def append_to_index(
     )
 
 
+def append_tombstones(
+    ids: DataFrame, index_dir: str, batch_id: int, id_col: str = "vec_id"
+) -> None:
+    """Mark vectors DELETED without touching their code shards — the
+    Milvus delete story (delta/tombstone segments beside sealed segments):
+    at 100 TB, rewriting a sealed shard to remove one vector is the cost
+    deletes must avoid, so deletes land as id-only tombstone shards
+
+        index_dir/tombstones/batch=<id>/part-*.parquet   (vec_id)
+
+    under the SAME overwrite-idempotent replay contract as code batches
+    (a replayed tombstone batch id overwrites its own shard).  Search
+    anti-joins the tombstone set; ``compact_index`` is the physical-removal
+    path (Milvus segment compaction applies deltas the same way)."""
+    spark = ids.sparkSession
+    tomb_dir = os.path.join(index_dir, "tombstones", f"batch={batch_id}")
+    fs, tpath = _fs(spark, tomb_dir)
+    if fs.exists(tpath):  # replay: drop the stale shard first
+        fs.delete(tpath, True)
+    ids.select(F.col(id_col).cast("long").alias("vec_id")).write.mode(
+        "overwrite"
+    ).parquet(tomb_dir)
+
+
+def read_tombstones(spark: SparkSession, index_dir: str) -> DataFrame | None:
+    """The union of all tombstone shards (None when none exist)."""
+    root = os.path.join(index_dir, "tombstones")
+    fs, rpath = _fs(spark, root)
+    if not fs.exists(rpath):
+        return None
+    dirs = [
+        st.getPath().toString()
+        for st in fs.listStatus(rpath)
+        if st.isDirectory() and st.getPath().getName().startswith("batch=")
+    ]
+    if not dirs:
+        return None
+    return spark.read.parquet(*dirs).select("vec_id").distinct()
+
+
 def search_index(
     spark: SparkSession,
     index_dir: str,
@@ -133,12 +173,19 @@ def search_index(
     nprobe: int = 2,
     query_id: str = "query_id",
     query_vec: str = "qvec",
+    exclude_tombstoned: bool = True,
 ) -> DataFrame:
     """(query_id, vec_id, adc_dist, rank) over ONLY the probed cells' code
     files, across every appended batch.  Identical contract (and result
     rows) to ``pq.ivfpq_search`` over a one-shot index; the scan reads
     ``basePath=index_dir`` so batch and cell_id are both partition
-    columns and the ``cell_id IN`` filter prunes inside every batch."""
+    columns and the ``cell_id IN`` filter prunes inside every batch.
+
+    Deletes: tombstoned ids (``append_tombstones``) are anti-joined out
+    BEFORE ranking — a deleted vector must not displace a survivor from
+    the top-k.  The anti-join keys on vec_id, so at scale Spark picks
+    broadcast vs shuffled by tombstone-set stats; an index with no
+    tombstones skips the join entirely (plan unchanged)."""
     from pyspark.sql import Window
 
     from vector_graph_rag_spark.functions.vector import cosine
@@ -168,6 +215,10 @@ def search_index(
         .parquet(*[os.path.join(index_dir, f"batch={i}") for i in ids])
         .filter(F.col("cell_id").isin(cells))
     )
+    if exclude_tombstoned:
+        tombs = read_tombstones(spark, index_dir)
+        if tombs is not None:
+            index = index.join(tombs, "vec_id", "left_anti")
     pairs = spark.createDataFrame(
         [(r[query_id], r["centroid_id"]) for r in probe_rows],
         f"{query_id} bigint, cell_id bigint",
@@ -240,7 +291,11 @@ def stream_index_vectors(
 
 
 def compact_index(
-    spark: SparkSession, index_dir: str, out_dir: str, compacted_id: int = 0
+    spark: SparkSession,
+    index_dir: str,
+    out_dir: str,
+    compacted_id: int = 0,
+    apply_tombstones: bool = True,
 ) -> int:
     """Merge every batch shard into ONE compacted shard tree (the Milvus
     segment-compaction analogue): all (vec_id, codes, cell_id) rows read
@@ -257,13 +312,23 @@ def compact_index(
 
     At 100 TB compaction bounds the files-per-probe growth: a probe reads
     nprobe cells x n_batches shard files; nightly appends push n_batches
-    up linearly until a compaction folds them back to one."""
+    up linearly until a compaction folds them back to one.
+
+    Tombstones (``append_tombstones``) are applied PHYSICALLY here by
+    default — the Milvus compaction semantic: delta segments fold into
+    sealed segments, after which the deltas are gone.  The compacted tree
+    carries no tombstones; a probe of it equals a tombstone-excluded probe
+    of the source (pinned by tests/test_vector_index.py)."""
     ids = list_batch_ids(spark, index_dir)
     if not ids:
         return 0
     rows = spark.read.option("basePath", index_dir).parquet(
         *[os.path.join(index_dir, f"batch={i}") for i in ids]
     )
+    if apply_tombstones:
+        tombs = read_tombstones(spark, index_dir)
+        if tombs is not None:
+            rows = rows.join(tombs, "vec_id", "left_anti")
     batch_dir = os.path.join(out_dir, f"batch={compacted_id}")
     fs, bpath = _fs(spark, batch_dir)
     if fs.exists(bpath):  # replay-idempotent like append_to_index
