@@ -539,3 +539,38 @@ def test_import_route_fetches_urls_via_loopback(client):
     assert len(r["skipped"]) == 1 and "error" in r["skipped"][0]
     stats = client.get("/graph/imp_url/stats").get_json()
     assert stats["passages"] == 1
+
+
+def test_search_maxsim_mode_token_level_beats_pooled(client):
+    """mode=maxsim: late interaction matches at TOKEN level.  Passage A
+    contains the query's exact tokens scattered among distractors, and
+    passage B contains none of them; MaxSim must rank A first with a
+    strictly higher score — and the query's source text itself scores
+    max (every token self-matches at dot=1)."""
+    docs = [
+        {"doc_id": "x1", "text": "alpha binds beta beta lifts gamma gamma guards delta", "source": "web"},
+        {"doc_id": "x2", "text": "alpha holds beta beta meets gamma gamma joins iota", "source": "web"},
+        {"doc_id": "x3", "text": "omicron warms pi pi shades rho rho cools sigma", "source": "web"},
+    ]
+    assert client.post(
+        "/add_documents", json={"graph_name": "gms", "documents": docs}
+    ).status_code == 200
+    out = client.post(
+        "/search",
+        json={
+            "graph_name": "gms",
+            "queries": ["alpha beta gamma"],
+            "mode": "maxsim",
+            "top_k": 3,
+        },
+    ).get_json()
+    assert out["mode"] == "maxsim"
+    hits = out["hits"]
+    assert [h["rank"] for h in hits] == [1, 2, 3]
+    by_id = {h["passage_id"]: h for h in hits}
+    # x1 and x2 both contain all three query tokens verbatim → both score
+    # the 3.0 self-max; x3 contains none and must land strictly below.
+    assert hits[0]["passage_id"] == "x1"  # tie at 3.0 breaks to lowest id
+    assert abs(by_id["x1"]["maxsim"] - 3.0) < 1e-6
+    assert abs(by_id["x2"]["maxsim"] - 3.0) < 1e-6
+    assert by_id["x3"]["maxsim"] < by_id["x2"]["maxsim"]

@@ -680,3 +680,53 @@ def test_parse_tounicode_cmap_forms():
     assert cmap[0x0001] == "Hi"  # multi-code-unit destination
     # raw 2-byte codes map through; unmapped codes drop
     assert _apply_cmap("\x00\x41\x00\x50\x7f\x7f", cmap, 2) == "aX"
+
+
+def test_pdf_cid_font_inside_object_stream():
+    """PDF 1.5+ packs non-stream objects into /ObjStm containers — the
+    compressed-xref layout modern writers emit.  A CID font dict living
+    inside an ObjStm must still resolve to its ToUnicode CMap (the CMap
+    stream itself stays a regular object: streams cannot live in object
+    streams, §7.5.7)."""
+    import zlib
+
+    from vector_graph_rag_spark.sources.loaders import extract_pdf_text
+
+    text = "ObjStm CID"
+    codes = {ch: 0x200 + i for i, ch in enumerate(sorted(set(text)))}
+    hexstr = "".join(f"{codes[ch]:04X}" for ch in text)
+    bfchar = "\n".join(
+        f"<{codes[ch]:04X}> <{ord(ch):04X}>" for ch in sorted(set(text))
+    )
+    cmap = (
+        "1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n"
+        f"{len(codes)} beginbfchar\n{bfchar}\nendbfchar"
+    ).encode()
+    stream = f"BT /F9 12 Tf 72 720 Td <{hexstr}> Tj ET".encode()
+
+    # the font dict is object 5, packed inside ObjStm object 7
+    font_body = (
+        b"<< /Type /Font /Subtype /Type0 /Encoding /Identity-H "
+        b"/ToUnicode 6 0 R >>"
+    )
+    pad_body = b"<< /Dummy true >>"
+    header = b"4 0 5 %d" % (len(pad_body) + 1)
+    first = len(header) + 1
+    objstm_data = header + b" " + pad_body + b" " + font_body
+    objstm_z = zlib.compress(objstm_data)
+
+    objs = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R "
+           b"/Resources << /Font << /F9 5 0 R >> >> >>",
+        4: b"<< /Length %d >>\nstream\n%s\nendstream" % (len(stream), stream),
+        6: b"<< /Length %d >>\nstream\n%s\nendstream" % (len(cmap), cmap),
+        7: b"<< /Type /ObjStm /N 2 /First %d /Length %d "
+           b"/Filter /FlateDecode >>\nstream\n%s\nendstream"
+           % (first, len(objstm_z), objstm_z),
+    }
+    out = bytearray(b"%PDF-1.5\n")
+    for num, body in objs.items():
+        out += b"%d 0 obj\n" % num + body + b"\nendobj\n"
+    assert extract_pdf_text(bytes(out)) == "ObjStm CID"

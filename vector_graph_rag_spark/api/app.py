@@ -469,14 +469,16 @@ def create_app(
 
     @app.post("/search")
     def search():
-        """Embedding search over a graph's passages in the four Milvus
+        """Embedding search over a graph's passages in the five Milvus
         search modes the engine implements as queries (queries/search_api.py):
         ``topk`` (plain top-k, milvus.py:346-373), ``range`` (radius <
         score <= range_filter, no k), ``grouping`` (group_by=entity:
         top-k ENTITIES per query, one best passage per entity —
-        group_size=1), and ``mmr`` (diversity-aware top-k: greedy
+        group_size=1), ``mmr`` (diversity-aware top-k: greedy
         maximal-marginal-relevance over each query's top-20 candidates,
-        the registered mmr_diversity_rerank kernel).  Query texts ride
+        the registered mmr_diversity_rerank kernel), and ``maxsim``
+        (late-interaction multi-vector scoring over per-token embeddings,
+        the registered colbert_maxsim_topk kernel).  Query texts ride
         the same deterministic embedding the indexing side uses."""
         from pyspark.sql import Window
 
@@ -492,7 +494,7 @@ def create_app(
         if not qtexts:
             return jsonify({"error": "queries required"}), 400
         mode = body.get("mode", "topk")
-        if mode not in ("topk", "range", "grouping", "mmr"):
+        if mode not in ("topk", "range", "grouping", "mmr", "maxsim"):
             return jsonify({"error": f"unknown mode '{mode}'"}), 400
         # Numeric params validate up front: malformed JSON values (e.g.
         # top_k='abc') are a caller error → 400, consistent with the
@@ -650,6 +652,46 @@ def create_app(
                     "rel": int(r["rel"]),
                     "mmr_score": int(r["mmr_score"]),
                     "rank": int(r["sel_rank"]),
+                }
+                for r in rows
+            ]
+        elif mode == "maxsim":
+            # Late-interaction multi-vector search (the Milvus 2.5 /
+            # BGE-M3 shape): both sides contribute their first 8
+            # whitespace tokens as per-token embeddings; score = sum over
+            # query tokens of the max dot against the passage's token
+            # vectors — one kernel with the registered colbert_maxsim_topk
+            # (search_api.maxsim_topk).  Collect bounded at
+            # |queries| x top_k.
+            from vector_graph_rag_spark.queries.search_api import (
+                _MAXSIM_DOC_TOKS,
+                maxsim_topk,
+            )
+
+            toks = F.slice(F.split("text", " "), 1, _MAXSIM_DOC_TOKS)
+            d_toks = (
+                g.passages.filter(F.col("text").isNotNull())
+                .select("id", F.explode(toks).alias("tok"))
+                .select("id", mock_embedding("tok").alias("v"))
+            )
+            qtok = F.slice(F.split("qtext", " "), 1, _MAXSIM_DOC_TOKS)
+            q_toks = spark.createDataFrame(
+                [(i, t) for i, t in enumerate(qtexts)],
+                "query_idx int, qtext string",
+            ).select(
+                "query_idx", F.posexplode(qtok).alias("qpos", "tok")
+            ).select("query_idx", "qpos", mock_embedding("tok").alias("qv"))
+            rows = (
+                maxsim_topk(d_toks, q_toks, k, doc_id="id", query_id="query_idx")
+                .orderBy("query_idx", "rank")
+                .collect()
+            )
+            hits = [
+                {
+                    "query": int(r["query_idx"]),
+                    "passage_id": r["id"],
+                    "maxsim": r["maxsim"],
+                    "rank": int(r["rank"]),
                 }
                 for r in rows
             ]

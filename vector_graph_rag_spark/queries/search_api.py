@@ -835,6 +835,46 @@ FROM (
 WHERE rk <= {_MAXSIM_K}"""
 
 
+def maxsim_topk(
+    doc_toks: DataFrame,
+    query_toks: DataFrame,
+    k: int,
+    doc_id: str = "doc_id",
+    query_id: str = "query_id",
+) -> DataFrame:
+    """The reusable MaxSim kernel (shared by the registered
+    ``colbert_maxsim_topk`` gate and the API's ``/search`` maxsim mode):
+    ``doc_toks`` is one row per doc token vector ``(doc_id, v)``,
+    ``query_toks`` is the bounded query side ``(query_id, qpos, qv)``
+    (broadcast — |queries| x token-cap rows).  Returns
+    ``(query_id, doc_id, maxsim, rank)`` with rank <= k per query, scores
+    order-free (max of rounded dots, summed as DECIMAL), ties to the
+    lowest doc id."""
+    dot = F.round(
+        F.aggregate(
+            F.zip_with("v", "qv", lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+    best = (
+        doc_toks.crossJoin(F.broadcast(query_toks))
+        .select(query_id, doc_id, "qpos", dot.alias("dot"))
+        .groupBy(query_id, doc_id, "qpos")
+        .agg(F.max("dot").alias("m"))
+    )
+    score = best.groupBy(query_id, doc_id).agg(
+        F.sum(F.col("m").cast("decimal(18,6)")).cast("double").alias("maxsim")
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("maxsim"), F.asc(doc_id))
+    return (
+        score.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, doc_id, "maxsim", "rank")
+    )
+
+
 @register(
     "colbert_maxsim_topk",
     oracle=_maxsim_sql(),
@@ -871,26 +911,4 @@ def colbert_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "qpos", mock_embedding("tok").alias("qv"))
     )
 
-    dot = F.round(
-        F.aggregate(
-            F.zip_with("v", "qv", lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ),
-        6,
-    )
-    best = (
-        dv.crossJoin(F.broadcast(qv))
-        .select("query_id", "doc_id", "qpos", dot.alias("dot"))
-        .groupBy("query_id", "doc_id", "qpos")
-        .agg(F.max("dot").alias("m"))
-    )
-    score = best.groupBy("query_id", "doc_id").agg(
-        F.sum(F.col("m").cast("decimal(18,6)")).cast("double").alias("maxsim")
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("maxsim"), F.asc("doc_id"))
-    return (
-        score.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= _MAXSIM_K)
-        .select("query_id", "doc_id", "maxsim", "rank")
-    )
+    return maxsim_topk(dv, qv, _MAXSIM_K)

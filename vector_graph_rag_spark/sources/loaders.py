@@ -490,13 +490,15 @@ def _parse_tounicode_cmap(data: bytes) -> tuple[dict[int, str], int]:
 def _pdf_font_cmaps(content: bytes) -> dict[bytes, tuple[dict[int, str], int]]:
     """Resource font name (e.g. b"F1") → parsed ToUnicode CMap.
 
-    Walks the uncompressed object graph: ``/Font << /Fx N 0 R … >>``
-    resource fragments name the font objects; each font object may carry
-    ``/ToUnicode M 0 R``; object M's stream is the CMap.  Names are
+    Walks the object graph: ``/Font << /Fx N 0 R … >>`` resource
+    fragments name the font objects; each font object may carry
+    ``/ToUnicode M 0 R``; object M's stream is the CMap.  Objects packed
+    in object streams (``/Type /ObjStm``, PDF 32000-1 §7.5.7 — the 1.5+
+    compressed layout) are expanded first: the stream's header is N
+    (objnum, offset) integer pairs, bodies start at /First.  Names are
     collected globally (per-page resource resolution is out of scope for
     the fallback extractor — a name reused across pages for DIFFERENT
-    fonts keeps the first binding).  Objects living inside object streams
-    (compressed xref) are not visible to this scan."""
+    fonts keeps the first binding)."""
     import re
     import zlib
 
@@ -513,6 +515,28 @@ def _pdf_font_cmaps(content: bytes) -> dict[bytes, tuple[dict[int, str], int]]:
             return zlib.decompress(data)
         except zlib.error:
             return data
+
+    # Expand /ObjStm containers: their member objects join the graph
+    # (first binding wins, so a plain `N 0 obj` of the same number takes
+    # priority — incremental-update PDFs put the NEWER object outside).
+    for body in list(objs.values()):
+        if re.search(rb"/Type\s*/ObjStm\b", body) is None:
+            continue
+        nm = re.search(rb"/N\s+(\d+)", body)
+        fm = re.search(rb"/First\s+(\d+)", body)
+        data = _stream_of(body)
+        if not (nm and fm and data):
+            continue
+        n, first = int(nm.group(1)), int(fm.group(1))
+        header = data[:first].split()
+        if len(header) < 2 * n:
+            continue
+        pairs = [
+            (int(header[2 * i]), int(header[2 * i + 1])) for i in range(n)
+        ]
+        for i, (objnum, off) in enumerate(pairs):
+            end = pairs[i + 1][1] if i + 1 < n else len(data) - first
+            objs.setdefault(objnum, data[first + off : first + end])
 
     cmaps: dict[bytes, tuple[dict[int, str], int]] = {}
     cmap_cache: dict[int, tuple[dict[int, str], int] | None] = {}
@@ -561,10 +585,11 @@ def extract_pdf_text(content: bytes) -> str:
     and balanced ``<< … >>`` dict bodies skipped wholesale (their string
     values are not show operands).  CID/Type0 fonts that carry a
     /ToUnicode CMap decode through it (bfchar + bfrange, both forms),
-    keyed by the /Fx … Tf font selection.  Known limit of the fallback
-    (markitdown takes priority when present): CID text WITHOUT a
-    ToUnicode CMap comes out garbled, and object-stream-packed font
-    objects are invisible to the scan."""
+    keyed by the /Fx … Tf font selection; objects packed in object
+    streams (/Type /ObjStm, PDF 1.5+ compressed xref layout) are expanded
+    into the object graph first.  Known limit of the fallback (markitdown
+    takes priority when present): CID text WITHOUT a ToUnicode CMap comes
+    out garbled."""
     import re
     import zlib
 
@@ -579,9 +604,12 @@ def extract_pdf_text(content: bytes) -> str:
     _num_re = re.compile(rb"^[+-]?(\d+\.?\d*|\.\d+)$")
 
     # CID/Type0 support: only pay the object-graph walk when the file
-    # declares a ToUnicode CMap at all.
+    # declares a ToUnicode CMap at all — or carries object streams, whose
+    # compressed members may hide the /ToUnicode reference.
     font_cmaps = (
-        _pdf_font_cmaps(content) if b"/ToUnicode" in content else {}
+        _pdf_font_cmaps(content)
+        if (b"/ToUnicode" in content or b"/ObjStm" in content)
+        else {}
     )
 
     for m in re.finditer(rb"stream\r?\n(.*?)\r?\nendstream", content, re.DOTALL):
