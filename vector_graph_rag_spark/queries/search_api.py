@@ -849,7 +849,15 @@ def maxsim_topk(
     (broadcast — |queries| x token-cap rows).  Returns
     ``(query_id, doc_id, maxsim, rank)`` with rank <= k per query, scores
     order-free (max of rounded dots, summed as DECIMAL), ties to the
-    lowest doc id."""
+    lowest doc id.
+
+    Production composition at 100 TB: this scores EVERY doc's token bag
+    (the exhaustive form the oracle pins).  Serving deployments bound
+    `doc_toks` first — a single-vector ANN pass (IVF/PQ) selects a
+    candidate pool per query, and MaxSim reranks only the pool's token
+    vectors (the ColBERT two-stage recipe; same shape as the mmr mode's
+    pool-then-rerank).  The kernel is agnostic: pass the pooled subset
+    as `doc_toks` and the plan stays map-side."""
     dot = F.round(
         F.aggregate(
             F.zip_with("v", "qv", lambda x, y: x * y),
