@@ -1479,3 +1479,73 @@ def test_n_punct_chars_equals_regexp_count_on_adversarial_unicode(spark):
     for r in rows:
         assert r["via_regex"] == r["via_translate"], (
             r["i"], repr(r["s"]), r["via_regex"], r["via_translate"])
+
+
+def test_curation_pipeline_index_delete_lifecycle(spark, tmp_path, monkeypatch, capsys):
+    """--index-delete: the takedown lifecycle end-to-end.  Night 1 indexes
+    the corpus; night 2 tombstones a takedown list (searches exclude the
+    ids immediately, the nightly re-append keeps skipping them); the next
+    compaction removes their codes PHYSICALLY and spends the tombstones,
+    re-opening the ids for legitimate re-indexing."""
+    import glob
+    import importlib.util
+    import json
+    import os
+    import sys
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    spec = importlib.util.spec_from_file_location(
+        "curation_pipeline",
+        os.path.join(os.path.dirname(__file__), "..", "tools", "curation_pipeline.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    monkeypatch.setattr(SparkSession, "stop", lambda self: None)
+    vindex = str(tmp_path / "vindex")
+
+    def run(out, extra=()):
+        argv = [
+            "curation_pipeline.py", "--sf", "/root/testdata/sf0.001",
+            "--out", out, "--vector-index", vindex, *extra,
+        ]
+        monkeypatch.setattr(sys, "argv", argv)
+        mod.main()
+        return json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    r1 = run(str(tmp_path / "n1"))
+    n1 = r1["funnel"]["vector_index_appended"]
+    assert n1 > 0
+    indexed = spark.read.option("basePath", vindex).parquet(
+        os.path.join(vindex, "batch=0")
+    )
+    victim_ids = [r["vec_id"] for r in indexed.orderBy("vec_id").limit(3).collect()]
+
+    takedown = str(tmp_path / "takedown.parquet")
+    spark.createDataFrame(
+        [(int(v),) for v in victim_ids], "doc_id long"
+    ).write.parquet(takedown)
+
+    # night 2: takedown list rides the nightly run
+    r2 = run(str(tmp_path / "n2"), extra=("--index-delete", takedown))
+    assert r2["funnel"]["index_delete_ids"] == 3
+    assert r2["funnel"]["index_tombstone_batch"] == 0
+    # the ids are tombstoned, not re-appended (still "seen" in code shards)
+    from vector_graph_rag_spark.streaming.vector_index import read_tombstones
+
+    tombs = {r["vec_id"] for r in read_tombstones(spark, vindex).collect()}
+    assert tombs == set(victim_ids)
+
+    # night 3: compaction applies + spends the tombstones in place
+    r3 = run(str(tmp_path / "n3"), extra=("--compact-index-after", "1"))
+    assert r3["funnel"].get("vector_index_compacted_from", 0) >= 1
+    assert read_tombstones(spark, vindex) is None  # spent
+    dirs = sorted(glob.glob(os.path.join(vindex, "batch=*")))
+    remaining = spark.read.option("basePath", vindex).parquet(*dirs)
+    assert remaining.filter(F.col("vec_id").isin(*victim_ids)).count() == 0
+    assert remaining.count() == n1 - 3  # codes physically gone
+
+    # night 4: the takedown ids are re-indexable after the spend
+    r4 = run(str(tmp_path / "n4"))
+    assert r4["funnel"]["vector_index_appended"] == 3

@@ -173,6 +173,18 @@ def main() -> None:
              "0 disables",
     )
     ap.add_argument(
+        "--index-delete", default=None, metavar="PATH",
+        help="with --vector-index: tombstone these ids (a parquet file/dir "
+             "carrying a vec_id or doc_id column — the takedown / "
+             "right-to-be-forgotten list) as an id-only delete shard "
+             "(streaming/vector_index.append_tombstones).  Searches "
+             "exclude them immediately (anti-join before ranking); the "
+             "next compaction removes their codes physically and SPENDS "
+             "the tombstones, after which the ids are re-indexable.  "
+             "Until that compaction the ids count as already-indexed, so "
+             "nightly re-appends keep skipping them",
+    )
+    ap.add_argument(
         "--compact-after", type=int, default=8, metavar="N",
         help="with --store: auto-compact the merge-on-read chain into a "
              "new base once it reaches N layers (chain-read cost is "
@@ -197,6 +209,8 @@ def main() -> None:
     args = ap.parse_args()
     if args.promote and not (args.store and args.stats):
         ap.error("--promote requires --store and --stats")
+    if args.index_delete and not args.vector_index:
+        ap.error("--index-delete requires --vector-index")
 
     from pyspark.sql import functions as F
 
@@ -469,6 +483,20 @@ def main() -> None:
         counts["vector_index_new"] = vbatch.count()
         deferred_vector_append = (vbatch, v_cent, v_books, v_shard, new_quantizers)
 
+    deferred_vector_delete = None
+    if args.index_delete is not None:
+        # Takedown list: same deferred commit discipline as the append —
+        # the nightly run either commits wholly or not at all; a
+        # gate-rejected run re-applies the (idempotent) tombstones tomorrow.
+        del_df = spark.read.parquet(args.index_delete)
+        idcol = "vec_id" if "vec_id" in del_df.columns else "doc_id"
+        deferred_vector_delete = (
+            del_df.select(F.col(idcol).cast("long").alias("vec_id"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        counts["index_delete_ids"] = deferred_vector_delete.count()
+
     # --- promote gate: drift check FIRST, before any commit ------------------
     # The nightly promotion order is curate → drift-compare → expectations →
     # commit: a broken feed (ingest collapse, vanished column) must be caught
@@ -585,6 +613,17 @@ def main() -> None:
         append_to_index(kept_new, args.dedup_index, shard_id)
         counts["neardup_index_appended"] = kept_new.count()
 
+    if deferred_vector_delete is not None:
+        from vector_graph_rag_spark.streaming.vector_index import (
+            append_tombstones as _vector_tombstone,
+            list_tombstone_ids as _tomb_list,
+        )
+
+        t_ids = _tomb_list(spark, args.vector_index)
+        tomb_id = max(t_ids) + 1 if t_ids else 0
+        _vector_tombstone(deferred_vector_delete, args.vector_index, tomb_id)
+        counts["index_tombstone_batch"] = tomb_id
+
     if deferred_vector_append is not None:
         from vector_graph_rag_spark.streaming.vector_index import (
             append_to_index as _vector_append,
@@ -610,32 +649,42 @@ def main() -> None:
                 os.replace(tmp, os.path.join(qdir, "codebooks.json"))
             _vector_append(vbatch, v_cent, v_books, args.vector_index, v_shard)
             counts["vector_index_appended"] = counts["vector_index_new"]
-            if args.compact_index_after:
-                from vector_graph_rag_spark.streaming.vector_index import (
-                    compact_index,
-                    list_batch_ids as _v_list,
-                )
 
-                ids_now = _v_list(spark, args.vector_index)
-                if len(ids_now) >= args.compact_index_after:
-                    # fold into a NEW batch id inside the same tree, then
-                    # drop the sources — readers between the two steps see
-                    # duplicates, so this runs inside the nightly batch
-                    # window (the registered ann_index_compacted query pins
-                    # the publish-then-swap variant for online indexes)
-                    comp_id = max(ids_now) + 1
-                    compact_index(
-                        spark, args.vector_index, args.vector_index, comp_id
-                    )
-                    jvm = spark.sparkContext._jvm
-                    conf = spark.sparkContext._jsc.hadoopConfiguration()
-                    for i in ids_now:
-                        p = jvm.org.apache.hadoop.fs.Path(
-                            os.path.join(args.vector_index, f"batch={i}")
-                        )
-                        p.getFileSystem(conf).delete(p, True)
-                    counts["vector_index_compacted_from"] = len(ids_now)
-                    counts["vector_index_batches"] = 1
+    # Compaction threshold check runs INDEPENDENTLY of tonight's append:
+    # a pure-maintenance night (takedown tombstones landed, nothing new to
+    # index) must still fold the tree — that is exactly the night the
+    # physical tombstone removal happens.
+    if args.vector_index is not None and args.compact_index_after:
+        from vector_graph_rag_spark.streaming.vector_index import (
+            compact_index,
+            list_tombstone_ids as _t_list,
+            list_batch_ids as _v_list,
+        )
+
+        ids_now = _v_list(spark, args.vector_index)
+        pending_tombs = bool(_t_list(spark, args.vector_index))
+        if ids_now and (len(ids_now) >= args.compact_index_after or pending_tombs):
+            # fold into a NEW batch id inside the same tree, then
+            # drop the sources — readers between the two steps see
+            # duplicates, so this runs inside the nightly batch
+            # window (the registered ann_index_compacted query pins
+            # the publish-then-swap variant for online indexes).
+            # Pending tombstones force the fold regardless of the
+            # batch-count threshold: compaction is their physical
+            # removal + spend (streaming/vector_index.compact_index)
+            comp_id = max(ids_now) + 1
+            compact_index(
+                spark, args.vector_index, args.vector_index, comp_id
+            )
+            jvm = spark.sparkContext._jvm
+            conf = spark.sparkContext._jsc.hadoopConfiguration()
+            for i in ids_now:
+                p = jvm.org.apache.hadoop.fs.Path(
+                    os.path.join(args.vector_index, f"batch={i}")
+                )
+                p.getFileSystem(conf).delete(p, True)
+            counts["vector_index_compacted_from"] = len(ids_now)
+            counts["vector_index_batches"] = 1
 
     if deferred_blocks is not None:
         deferred_blocks.write.mode("overwrite").parquet(args.out + "_blocks")

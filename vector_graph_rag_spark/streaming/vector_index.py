@@ -147,19 +147,26 @@ def append_tombstones(
     ).parquet(tomb_dir)
 
 
-def read_tombstones(spark: SparkSession, index_dir: str) -> DataFrame | None:
-    """The union of all tombstone shards (None when none exist)."""
+def list_tombstone_ids(spark: SparkSession, index_dir: str) -> list[int]:
+    """Tombstone batch ids present under ``index_dir/tombstones``."""
     root = os.path.join(index_dir, "tombstones")
     fs, rpath = _fs(spark, root)
     if not fs.exists(rpath):
-        return None
-    dirs = [
-        st.getPath().toString()
+        return []
+    return sorted(
+        int(st.getPath().getName().split("=", 1)[1])
         for st in fs.listStatus(rpath)
         if st.isDirectory() and st.getPath().getName().startswith("batch=")
-    ]
-    if not dirs:
+    )
+
+
+def read_tombstones(spark: SparkSession, index_dir: str) -> DataFrame | None:
+    """The union of all tombstone shards (None when none exist)."""
+    ids = list_tombstone_ids(spark, index_dir)
+    if not ids:
         return None
+    root = os.path.join(index_dir, "tombstones")
+    dirs = [os.path.join(root, f"batch={i}") for i in ids]
     return spark.read.parquet(*dirs).select("vec_id").distinct()
 
 
@@ -340,4 +347,15 @@ def compact_index(
         .partitionBy("cell_id")
         .parquet(batch_dir)
     )
+    # In-place compaction (out_dir == index_dir, the nightly-CLI flow):
+    # applied tombstones are SPENT — dropping them re-opens the ids for
+    # future re-indexing (a takedown followed by a legitimate re-add).
+    # Runs after the compacted shard lands; the caller's source-shard
+    # cleanup follows, all inside the nightly batch window the CLI
+    # documents.
+    if apply_tombstones and os.path.abspath(out_dir) == os.path.abspath(index_dir):
+        troot = os.path.join(index_dir, "tombstones")
+        tfs, tpath = _fs(spark, troot)
+        if tfs.exists(tpath):
+            tfs.delete(tpath, True)
     return len(ids)
