@@ -195,3 +195,76 @@ def test_compact_term_index_search_identical_and_source_intact(spark, tmp_path):
         read_term_index(spark, compacted).count()
         == read_term_index(spark, sharded).count()
     )
+
+
+def test_doc_tombstone_delete_lifecycle(spark, tmp_path):
+    """The lexical delete story (r15): (1) a tombstone-excluded search
+    equals a search over an index that never contained the deleted docs
+    (they VACATE ranks, survivors move up); (2) the LOGICAL posting table
+    excludes tombstoned docs, so df/dl-style statistics see the
+    post-delete corpus; (3) tombstone replay is idempotent; (4) in-place
+    compaction removes postings physically AND spends the tombstones,
+    re-opening the ids."""
+    import os
+
+    from vector_graph_rag_spark.sources.tables import load_table
+    from vector_graph_rag_spark.streaming.term_index import (
+        append_doc_tombstones,
+        append_term_batch,
+        compact_term_index,
+        list_batch_ids,
+        read_doc_tombstones,
+        read_term_index,
+        search_term_index,
+    )
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    queries = d.filter(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    dels = d.filter(F.col("doc_id") % 7 == 0).select("doc_id")
+    survivors = d.filter(F.col("doc_id") % 7 != 0)
+
+    # reference: an index that never saw the deleted docs
+    clean = str(tmp_path / "clean")
+    append_term_batch(survivors, clean, batch_id=0)
+    want = _rows(search_term_index(spark, clean, queries, k=10))
+    assert want
+
+    # full index + tombstones (two delete shards, shard 0 replayed)
+    full = str(tmp_path / "full")
+    for b in range(2):
+        append_term_batch(d.filter(F.col("doc_id") % 2 == b), full, batch_id=b)
+    half0 = dels.filter((F.col("doc_id") / 7).cast("long") % 2 == 0)
+    half1 = dels.filter((F.col("doc_id") / 7).cast("long") % 2 == 1)
+    append_doc_tombstones(half0, full, 0)
+    append_doc_tombstones(half1, full, 1)
+    append_doc_tombstones(half0, full, 0)  # replay
+    assert read_doc_tombstones(spark, full).count() == dels.count()
+
+    got = _rows(search_term_index(spark, full, queries, k=10))
+    assert got == want  # deleted docs vacated, survivors moved up
+    # the logical table carries zero postings for tombstoned docs
+    assert (
+        read_term_index(spark, full).filter(F.col("doc_id") % 7 == 0).count() == 0
+    )
+    # ... but the raw shards still do (exclusion is logical until compaction)
+    assert (
+        read_term_index(spark, full, exclude_tombstoned=False)
+        .filter(F.col("doc_id") % 7 == 0)
+        .count()
+        > 0
+    )
+
+    # in-place compaction: postings physically gone, tombstones spent
+    n = compact_term_index(spark, full, full, compacted_id=2)
+    assert n == 2
+    for b in range(2):  # caller's source cleanup (the CLI pattern)
+        import shutil
+
+        shutil.rmtree(os.path.join(full, f"batch={b}"), ignore_errors=True)
+    assert list_batch_ids(spark, full) == [2]
+    assert read_doc_tombstones(spark, full) is None  # spent
+    raw = read_term_index(spark, full, exclude_tombstoned=False)
+    assert raw.filter(F.col("doc_id") % 7 == 0).count() == 0
+    assert _rows(search_term_index(spark, full, queries, k=10)) == want

@@ -29,6 +29,12 @@ SQL verbatim):
 - **append-only doc ids**: batches carry NEW documents.  A revised
   document is a delete + re-append of its batch (or a new index) — the
   same contract as the LSH band table.
+- **deletes are tombstones** (r15): ``append_doc_tombstones`` marks docs
+  deleted without touching sealed shards; the LOGICAL posting table
+  (``read_term_index``) anti-joins them, so search scores AND the df/dl/
+  avgdl statistics reflect the post-delete corpus; ``compact_term_index``
+  removes the postings physically and spends the tombstones (in place) —
+  the same lifecycle as ``vector_index.append_tombstones``.
 
 The laziness caveat of ``dedup_index.probe_index`` applies: a search plan
 is pinned to the files its scan discovered, so materialize outstanding
@@ -96,11 +102,78 @@ def append_term_batch(
     tf.repartition(F.col("term")).write.mode("overwrite").parquet(batch_dir)
 
 
-def read_term_index(spark: SparkSession, index_dir: str) -> DataFrame:
+def append_doc_tombstones(
+    ids: DataFrame, index_dir: str, batch_id: int, id_col: str = "doc_id"
+) -> None:
+    """Mark documents DELETED without touching sealed posting shards —
+    the lexical sibling of ``vector_index.append_tombstones`` (takedown /
+    right-to-be-forgotten): id-only shards under
+
+        index_dir/tombstones/batch=<id>/part-*.parquet   (doc_id)
+
+    with the same overwrite-idempotent replay contract as posting batches.
+    The logical posting table (``read_term_index``) anti-joins them, so
+    EVERY consumer — search scores, df/dl/avgdl statistics — sees the
+    post-delete corpus; ``compact_term_index`` removes the postings
+    physically and spends the tombstones."""
+    spark = ids.sparkSession
+    tomb_dir = os.path.join(index_dir, "tombstones", f"batch={batch_id}")
+    fs, tpath = _fs(spark, tomb_dir)
+    if fs.exists(tpath):  # replay: drop the stale shard first
+        fs.delete(tpath, True)
+    ids.select(F.col(id_col).cast("long").alias("doc_id")).write.mode(
+        "overwrite"
+    ).parquet(tomb_dir)
+
+
+def list_doc_tombstone_ids(spark: SparkSession, index_dir: str) -> list[int]:
+    """Tombstone batch ids present under ``index_dir/tombstones``."""
+    root = os.path.join(index_dir, "tombstones")
+    fs, rpath = _fs(spark, root)
+    if not fs.exists(rpath):
+        return []
+    return sorted(
+        int(st.getPath().getName().split("=", 1)[1])
+        for st in fs.listStatus(rpath)
+        if st.isDirectory() and st.getPath().getName().startswith("batch=")
+    )
+
+
+def read_doc_tombstones(spark: SparkSession, index_dir: str) -> DataFrame | None:
+    """The union of all doc tombstone shards (None when none exist)."""
+    ids = list_doc_tombstone_ids(spark, index_dir)
+    if not ids:
+        return None
+    root = os.path.join(index_dir, "tombstones")
+    return spark.read.parquet(
+        *[os.path.join(root, f"batch={i}") for i in ids]
+    ).select("doc_id").distinct()
+
+
+def read_term_index(
+    spark: SparkSession, index_dir: str, exclude_tombstoned: bool = True
+) -> DataFrame:
     """The logical posting table across all batches — (doc_id, term, w)
     plus the ``batch`` partition column (dropped: consumers aggregate over
-    postings and must see the one-shot schema)."""
-    return spark.read.parquet(index_dir).select("doc_id", "term", "w")
+    postings and must see the one-shot schema).  Batch shards are read by
+    EXPLICIT path (a ``tombstones/`` sibling under the index root must not
+    enter partition discovery).  Tombstoned documents are anti-joined out
+    of the logical table by default, so downstream statistics (df, dl,
+    avgdl) as well as scores reflect the post-delete corpus — the
+    correctness property a BM25-style consumer needs from deletes."""
+    ids = list_batch_ids(spark, index_dir)
+    if not ids:
+        return spark.createDataFrame([], "doc_id long, term string, w long")
+    rows = (
+        spark.read.option("basePath", index_dir)
+        .parquet(*[os.path.join(index_dir, f"batch={i}") for i in ids])
+        .select("doc_id", "term", "w")
+    )
+    if exclude_tombstoned:
+        tombs = read_doc_tombstones(spark, index_dir)
+        if tombs is not None:
+            rows = rows.join(tombs, "doc_id", "left_anti")
+    return rows
 
 
 def search_term_index(
@@ -193,12 +266,19 @@ def compact_term_index(
     ids = list_batch_ids(spark, index_dir)
     if not ids:
         return 0
-    rows = spark.read.parquet(
-        *[os.path.join(index_dir, f"batch={i}") for i in ids]
-    ).select("doc_id", "term", "w")
+    # read_term_index applies doc tombstones — compaction is their
+    # PHYSICAL removal (the vector_index.compact_index semantic).
+    rows = read_term_index(spark, index_dir)
     batch_dir = os.path.join(out_dir, f"batch={compacted_id}")
     fs, bpath = _fs(spark, batch_dir)
     if fs.exists(bpath):  # replay-idempotent like append_term_batch
         fs.delete(bpath, True)
     rows.repartition(F.col("term")).write.mode("overwrite").parquet(batch_dir)
+    # In-place compaction: applied tombstones are SPENT (ids re-open for
+    # legitimate re-indexing), mirroring vector_index.compact_index.
+    if os.path.abspath(out_dir) == os.path.abspath(index_dir):
+        troot = os.path.join(index_dir, "tombstones")
+        tfs, tpath = _fs(spark, troot)
+        if tfs.exists(tpath):
+            tfs.delete(tpath, True)
     return len(ids)
