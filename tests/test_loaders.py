@@ -730,3 +730,36 @@ def test_pdf_cid_font_inside_object_stream():
     for num, body in objs.items():
         out += b"%d 0 obj\n" % num + body + b"\nendobj\n"
     assert extract_pdf_text(bytes(out)) == "ObjStm CID"
+
+
+def test_pdf_malformed_cmap_and_objstm_degrade_not_crash():
+    """Hostile/corrupt metadata degrades instead of failing the document:
+    (1) a bfrange whose increment would run past U+10FFFF stops at the
+    boundary and keeps every in-range mapping; (2) an ObjStm whose header
+    is junk is simply not expanded; extraction of the rest continues."""
+    from vector_graph_rag_spark.sources.loaders import (
+        _parse_tounicode_cmap,
+        extract_pdf_text,
+    )
+
+    # (1) dst starts 2 below the ceiling, range spans 10 codes: the first
+    # three map (10FFFD..10FFFF), the overflow tail is dropped.
+    data = (b"1 beginbfrange <0000> <0009> <DBFFDFFD> endbfrange")
+    cmap, width = _parse_tounicode_cmap(data)
+    assert cmap[0x0000] == "\U0010fffd" and cmap[0x0002] == "\U0010ffff"
+    assert 0x0003 not in cmap and len(cmap) == 3
+
+    # (2) junk ObjStm header: the container is skipped, the plain-text
+    # content stream still extracts.
+    stream = b"BT (still works) Tj ET"
+    junk = b"not numbers at all"
+    objs = [
+        b"<< /Length %d >>\nstream\n%s\nendstream" % (len(stream), stream),
+        b"<< /Type /ObjStm /N 3 /First %d /Length %d >>\nstream\n%s\nendstream"
+        % (len(junk), len(junk), junk),
+        b"<< /ToUnicode 9 0 R >>",  # forces the font-cmap walk to run
+    ]
+    out = bytearray(b"%PDF-1.5\n")
+    for i, o in enumerate(objs, start=1):
+        out += b"%d 0 obj\n" % i + o + b"\nendobj\n"
+    assert extract_pdf_text(bytes(out)) == "still works"

@@ -483,7 +483,10 @@ def _parse_tounicode_cmap(data: bytes) -> tuple[dict[int, str], int]:
                 base = _dst(dst_t)
                 for code in range(lo, min(hi, lo + 65535) + 1):
                     if base:
-                        cmap[code] = base[:-1] + chr(ord(base[-1]) + (code - lo))
+                        nxt = ord(base[-1]) + (code - lo)
+                        if nxt > 0x10FFFF:  # malformed range: stop, keep the rest
+                            break
+                        cmap[code] = base[:-1] + chr(nxt)
     return cmap, width or 2
 
 
@@ -531,9 +534,12 @@ def _pdf_font_cmaps(content: bytes) -> dict[bytes, tuple[dict[int, str], int]]:
         header = data[:first].split()
         if len(header) < 2 * n:
             continue
-        pairs = [
-            (int(header[2 * i]), int(header[2 * i + 1])) for i in range(n)
-        ]
+        try:  # a corrupt container degrades to "not expanded", never a crash
+            pairs = [
+                (int(header[2 * i]), int(header[2 * i + 1])) for i in range(n)
+            ]
+        except ValueError:
+            continue
         for i, (objnum, off) in enumerate(pairs):
             end = pairs[i + 1][1] if i + 1 < n else len(data) - first
             objs.setdefault(objnum, data[first + off : first + end])
