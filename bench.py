@@ -138,6 +138,15 @@ HEADLINE = [
     "neardup_cc_incremental",
     "documents_keyset_page",
     "multimodal_frame_sample",
+    # round-16 additions: the activated r15-staged quintet (IVF-PQ shard
+    # compaction, posting-shard compaction, real-codec decode features,
+    # cluster-balanced subsampling, curriculum sort key); retirees stay
+    # benched from the retired registry for cross-round comparability.
+    "ann_index_compacted",
+    "term_index_compacted",
+    "multimodal_codec_features",
+    "cluster_capped_sample",
+    "curriculum_order",
 ]
 
 
@@ -194,7 +203,14 @@ def main() -> None:
     # uniformly high under early-session box state, so the spread never
     # opens).  Min-of-4 unconditionally — the same protocol SCALE.md's
     # isolated floors use — so the committed value IS the floor.
-    for _wob in ("bpe_train_merges", "contamination_ngram_overlap"):
+    # bm25_index_topk joined the set in r16: its committed r15 row read
+    # 1.57x its floor with no disposition (r15 verdict, Next #5) — the
+    # same uniform-high early-session signature as the other two.
+    for _wob in (
+        "bpe_train_merges",
+        "contamination_ngram_overlap",
+        "bm25_index_topk",
+    ):
         EXTRA_ITERS.setdefault(_wob, max(ITERATIONS, 4))
     PROBE_ITERS = max(ITERATIONS, 4)
     # Contention guard (r13 verdict, What's wrong #1 / Next #2): the committed

@@ -669,17 +669,52 @@ def test_parse_tounicode_cmap_forms():
     )
 
     data = (
-        b"2 begincodespacerange <00> <FF> <0000> <FFFF> endcodespacerange\n"
+        b"1 begincodespacerange <0000> <FFFF> endcodespacerange\n"
         b"1 beginbfrange <0041> <0043> <0061> endbfrange\n"
         b"1 beginbfrange <0050> <0051> [<0058> <0059>] endbfrange\n"
         b"1 beginbfchar <0001> <00480069> endbfchar"
     )
-    cmap, width = _parse_tounicode_cmap(data)
-    assert width == 2
+    cmap, ranges = _parse_tounicode_cmap(data)
+    assert ranges == [(2, 0x0000, 0xFFFF)]
     assert [cmap[c] for c in (0x41, 0x42, 0x43, 0x50, 0x51)] == list("abcXY")
     assert cmap[0x0001] == "Hi"  # multi-code-unit destination
-    # raw 2-byte codes map through; unmapped codes drop
-    assert _apply_cmap("\x00\x41\x00\x50\x7f\x7f", cmap, 2) == "aX"
+    # raw 2-byte codes map through; unmapped multi-byte CIDs still drop
+    # (a CID has no latin-1 identity — raw bytes would be garbage)
+    assert _apply_cmap("\x00\x41\x00\x50\x7f\x7f", cmap, ranges) == "aX"
+
+
+def test_apply_cmap_mixed_width_and_raw_fallback():
+    """r15 ADVICE regressions: (1) mixed-width codespaceranges consume
+    each code at its own range's width (prefix matching, §9.7.6.2) —
+    not one collapsed max width; (2) a PARTIAL CMap over a 1-byte font
+    falls back to the raw latin-1 character for unmapped codes instead
+    of dropping/shifting the text; (3) bytes outside every codespace
+    range pass through raw one at a time."""
+    from vector_graph_rag_spark.sources.loaders import (
+        _apply_cmap,
+        _parse_tounicode_cmap,
+    )
+
+    # Shift-JIS-like layout: 1-byte <00>-<7F>, 2-byte <8140>-<FCFC>
+    data = (
+        b"2 begincodespacerange <00> <7F> <8140> <FCFC> endcodespacerange\n"
+        b"2 beginbfchar <41> <0058> <8140> <4E2D> endbfchar"
+    )
+    cmap, ranges = _parse_tounicode_cmap(data)
+    assert ranges == [(1, 0x00, 0x7F), (2, 0x8140, 0xFCFC)]
+    # A(1-byte, mapped)  0x8140(2-byte, mapped)  B(1-byte, UNmapped→raw)
+    assert _apply_cmap("\x41\x81\x40\x42", cmap, ranges) == "X中B"
+    # 0x8150: inside the 2-byte range but unmapped → dropped (CID);
+    # 0xFE: outside every range → raw byte passthrough
+    assert _apply_cmap("\x81\x50\xfe", cmap, ranges) == "\xfe"
+
+    # Partial 1-byte CMap: the unmapped tail stays readable
+    data1 = (
+        b"1 begincodespacerange <00> <FF> endcodespacerange\n"
+        b"1 beginbfchar <41> <005A> endbfchar"
+    )
+    cmap1, ranges1 = _parse_tounicode_cmap(data1)
+    assert _apply_cmap("A plain tail", cmap1, ranges1) == "Z plain tail"
 
 
 def test_pdf_cid_font_inside_object_stream():
@@ -732,6 +767,58 @@ def test_pdf_cid_font_inside_object_stream():
     assert extract_pdf_text(bytes(out)) == "ObjStm CID"
 
 
+def test_pdf_font_resources_inside_object_stream():
+    """r15 ADVICE regression: the common PDF 1.5+ layout packs the PAGE
+    dict — whose /Resources /Font fragment names the fonts — inside an
+    /ObjStm container.  The /Font resource scan must cover the expanded
+    member bodies, not just the raw file bytes, or the font never binds
+    to its ToUnicode CMap and CID text comes out garbled/empty."""
+    import zlib
+
+    from vector_graph_rag_spark.sources.loaders import extract_pdf_text
+
+    text = "Packed page"
+    codes = {ch: 0x300 + i for i, ch in enumerate(sorted(set(text)))}
+    hexstr = "".join(f"{codes[ch]:04X}" for ch in text)
+    bfchar = "\n".join(
+        f"<{codes[ch]:04X}> <{ord(ch):04X}>" for ch in sorted(set(text))
+    )
+    cmap = (
+        "1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n"
+        f"{len(codes)} beginbfchar\n{bfchar}\nendbfchar"
+    ).encode()
+    stream = f"BT /F9 12 Tf 72 720 Td <{hexstr}> Tj ET".encode()
+
+    # The PAGE dict (object 3, carrying the /Font resource) lives inside
+    # ObjStm object 7; font dict 5 rides along in the same container.
+    page_body = (
+        b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R "
+        b"/Resources << /Font << /F9 5 0 R >> >> >>"
+    )
+    font_body = (
+        b"<< /Type /Font /Subtype /Type0 /Encoding /Identity-H "
+        b"/ToUnicode 6 0 R >>"
+    )
+    header = b"3 0 5 %d" % (len(page_body) + 1)
+    first = len(header) + 1
+    objstm_data = header + b" " + page_body + b" " + font_body
+    objstm_z = zlib.compress(objstm_data)
+
+    objs = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        4: b"<< /Length %d >>\nstream\n%s\nendstream" % (len(stream), stream),
+        6: b"<< /Length %d >>\nstream\n%s\nendstream" % (len(cmap), cmap),
+        7: b"<< /Type /ObjStm /N 2 /First %d /Length %d "
+           b"/Filter /FlateDecode >>\nstream\n%s\nendstream"
+           % (first, len(objstm_z), objstm_z),
+    }
+    out = bytearray(b"%PDF-1.5\n")
+    for num, body in objs.items():
+        out += b"%d 0 obj\n" % num + body + b"\nendobj\n"
+    assert extract_pdf_text(bytes(out)) == "Packed page"
+
+
 def test_pdf_malformed_cmap_and_objstm_degrade_not_crash():
     """Hostile/corrupt metadata degrades instead of failing the document:
     (1) a bfrange whose increment would run past U+10FFFF stops at the
@@ -745,7 +832,7 @@ def test_pdf_malformed_cmap_and_objstm_degrade_not_crash():
     # (1) dst starts 2 below the ceiling, range spans 10 codes: the first
     # three map (10FFFD..10FFFF), the overflow tail is dropped.
     data = (b"1 beginbfrange <0000> <0009> <DBFFDFFD> endbfrange")
-    cmap, width = _parse_tounicode_cmap(data)
+    cmap, _ranges = _parse_tounicode_cmap(data)
     assert cmap[0x0000] == "\U0010fffd" and cmap[0x0002] == "\U0010ffff"
     assert 0x0003 not in cmap and len(cmap) == 3
 

@@ -136,6 +136,11 @@ AUDITED = [
     "embedding_drift_registers",
     "ann_index_tombstone_delete",
     "colbert_maxsim_topk",
+    # r16-staged (round-18 swap): bounded-pool MaxSim (broadcast pool +
+    # broadcast query tokens), term tombstone anti-join, spend+readd fold
+    "maxsim_prefiltered_topk",
+    "term_index_tombstone_delete",
+    "ann_index_spend_readd",
 ]
 
 

@@ -329,3 +329,45 @@ def test_colbert_maxsim_self_retrieval_and_twin(spark):
         assert abs(top["maxsim"] - self_score) < 1e-9, (
             f"query {qid}: top is below the self score"
         )
+
+
+def test_maxsim_prefiltered_consistency_and_recall(spark):
+    """The two-stage recipe (r15 verdict, Next #4) pinned three ways:
+    (1) SCORE CONSISTENCY — every (query, doc) the prefiltered top-k
+    emits carries exactly the maxsim the exhaustive kernel assigns that
+    doc (the prefilter changes WHICH docs are scored, never a score);
+    (2) SELF-RETRIEVAL — the query's own document survives the cell
+    prefilter (identical tokens → identical vectors → identical cells)
+    and scores at the per-query maximum; (3) RECALL vs the full kernel,
+    measured and floored — the PLAID-style cell prune trades tail recall
+    for a candidate-bounded rerank, it must not lose the head (measured
+    1.0 at sf0.001 AND sf0.01 at staging time: token overlap — what
+    MaxSim ranks by — survives cell collision; the 0.8 floor leaves room
+    for corpus drift, not for a lost head)."""
+    from tests.conftest import SF_SMOKE
+
+    from vector_graph_rag_spark.queries import load_all
+
+    reg = load_all(include_retired=True)
+    full = {
+        (r["query_id"], r["doc_id"]): (r["maxsim"], r["rank"])
+        for r in reg["colbert_maxsim_topk"].fn(spark, SF_SMOKE).collect()
+    }
+    pre_rows = reg["maxsim_prefiltered_topk"].fn(spark, SF_SMOKE).collect()
+    assert pre_rows
+
+    by_q = {}
+    for r in pre_rows:
+        by_q.setdefault(r["query_id"], {})[r["doc_id"]] = r["maxsim"]
+    # (2) self-retrieval: self present and at the per-query max score
+    for qid, docs in by_q.items():
+        assert qid in docs, f"query {qid} lost its own doc to the prefilter"
+        assert docs[qid] == max(docs.values())
+    # (1) score consistency on the overlap
+    for (qid, did), (m, _rk) in full.items():
+        if did in by_q.get(qid, {}):
+            assert by_q[qid][did] == m, (qid, did)
+    # (3) recall@k floor vs the exhaustive kernel
+    hits = sum(1 for (qid, did) in full if did in by_q.get(qid, {}))
+    recall = hits / len(full)
+    assert recall >= 0.8, f"prefiltered recall {recall:.2f} collapsed"

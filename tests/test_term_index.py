@@ -256,15 +256,70 @@ def test_doc_tombstone_delete_lifecycle(spark, tmp_path):
         > 0
     )
 
-    # in-place compaction: postings physically gone, tombstones spent
+    # in-place compaction: postings physically gone, tombstones spent,
+    # and the SOURCE shards dropped by compact_term_index itself (before
+    # the spend — the crash-safe ordering, r15 ADVICE; no caller cleanup)
     n = compact_term_index(spark, full, full, compacted_id=2)
     assert n == 2
-    for b in range(2):  # caller's source cleanup (the CLI pattern)
-        import shutil
-
-        shutil.rmtree(os.path.join(full, f"batch={b}"), ignore_errors=True)
     assert list_batch_ids(spark, full) == [2]
     assert read_doc_tombstones(spark, full) is None  # spent
     raw = read_term_index(spark, full, exclude_tombstoned=False)
     assert raw.filter(F.col("doc_id") % 7 == 0).count() == 0
     assert _rows(search_term_index(spark, full, queries, k=10)) == want
+
+
+def test_inplace_term_compaction_delete_ordering(spark, tmp_path, monkeypatch):
+    """r15 ADVICE regression, lexical sibling: in-place compaction drops
+    the source posting shards BEFORE spending the doc tombstones — a
+    crash between the two leaves a harmless no-op tombstone set, never
+    tombstoned postings with the record already spent."""
+    import vector_graph_rag_spark.streaming.term_index as TI
+    from vector_graph_rag_spark.sources.tables import load_table
+    from vector_graph_rag_spark.streaming.term_index import (
+        append_doc_tombstones,
+        append_term_batch,
+        list_batch_ids,
+        read_doc_tombstones,
+    )
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    idx = str(tmp_path / "idx")
+    for b in range(2):
+        append_term_batch(d.filter(F.col("doc_id") % 2 == b), idx, batch_id=b)
+    append_doc_tombstones(
+        d.filter(F.col("doc_id") % 7 == 0).select("doc_id"), idx, 0
+    )
+
+    deletes: list[str] = []
+    real_fs = TI._fs
+
+    class _RecFS:
+        def __init__(self, fs):
+            self._fs = fs
+
+        def __getattr__(self, name):  # delegate listStatus etc.
+            return getattr(self._fs, name)
+
+        def delete(self, p, recursive=True):
+            deletes.append(str(p))
+            return self._fs.delete(p, recursive)
+
+    def rec_fs(s, path):
+        fs, p = real_fs(s, path)
+        return _RecFS(fs), p
+
+    monkeypatch.setattr(TI, "_fs", rec_fs)
+    assert TI.compact_term_index(spark, idx, idx, compacted_id=2) == 2
+    monkeypatch.undo()
+
+    src = [
+        i
+        for i, p in enumerate(deletes)
+        if "tombstones" not in p
+        and (p.rstrip("/").endswith("batch=0") or p.rstrip("/").endswith("batch=1"))
+    ]
+    tomb = [i for i, p in enumerate(deletes) if "tombstones" in p]
+    assert len(src) == 2 and len(tomb) == 1
+    assert max(src) < min(tomb)  # sources dropped first, spend last
+    assert list_batch_ids(spark, idx) == [2]
+    assert read_doc_tombstones(spark, idx) is None

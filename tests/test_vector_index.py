@@ -271,3 +271,85 @@ def test_tombstone_delete_contracts(spark, tmp_path):
         map(tuple, search_index(spark, compacted, queries, cent, books).collect())
     )
     assert got_c == expected
+
+
+def test_inplace_compaction_crash_safe_ordering(spark, tmp_path, monkeypatch):
+    """r15 ADVICE regression: in-place compaction must drop the SOURCE
+    shards before spending the tombstones.  The old order (spend first)
+    had a crash window where tombstoned vectors survived in source
+    shards with the tombstone record already gone — permanent silent
+    resurfacing.  Pinned by (1) recording the actual filesystem delete
+    sequence through a proxy, (2) the end state (single compacted batch,
+    tombstones spent, search equals the never-indexed reference), and
+    (3) the crash-window state (sources gone, tombstones unspent) being
+    a harmless no-op on the next compaction."""
+    import vector_graph_rag_spark.streaming.vector_index as VI
+    from vector_graph_rag_spark.streaming.vector_index import (
+        append_tombstones,
+        read_tombstones,
+    )
+
+    emb, books, cent, queries = _fixture(spark)
+    dels = emb.filter(F.col("vec_id") % 7 == 0).select("vec_id")
+    survivors = emb.filter(F.col("vec_id") % 7 != 0)
+    clean = str(tmp_path / "clean")
+    append_to_index(survivors, cent, books, clean, 0)
+    expected = sorted(
+        map(tuple, search_index(spark, clean, queries, cent, books).collect())
+    )
+
+    idx = str(tmp_path / "idx")
+    for b in range(2):
+        append_to_index(emb.filter(F.col("vec_id") % 2 == b), cent, books, idx, b)
+    append_tombstones(dels, idx, 0)
+
+    deletes: list[str] = []
+    real_fs = VI._fs
+
+    class _RecFS:
+        def __init__(self, fs):
+            self._fs = fs
+
+        def __getattr__(self, name):  # delegate listStatus etc.
+            return getattr(self._fs, name)
+
+        def delete(self, p, recursive=True):
+            deletes.append(str(p))
+            return self._fs.delete(p, recursive)
+
+    def rec_fs(s, path):
+        fs, p = real_fs(s, path)
+        return _RecFS(fs), p
+
+    monkeypatch.setattr(VI, "_fs", rec_fs)
+    assert VI.compact_index(spark, idx, idx, compacted_id=2) == 2
+    monkeypatch.undo()
+
+    src_deletes = [
+        i
+        for i, p in enumerate(deletes)
+        if "tombstones" not in p
+        and (p.rstrip("/").endswith("batch=0") or p.rstrip("/").endswith("batch=1"))
+    ]
+    tomb_deletes = [i for i, p in enumerate(deletes) if "tombstones" in p]
+    assert len(src_deletes) == 2 and len(tomb_deletes) == 1
+    assert max(src_deletes) < min(tomb_deletes)  # sources first, spend last
+
+    # end state: one batch, tombstones spent, search == never-indexed ref
+    assert list_batch_ids(spark, idx) == [2]
+    assert read_tombstones(spark, idx) is None
+    got = sorted(
+        map(tuple, search_index(spark, idx, queries, cent, books).collect())
+    )
+    assert got == expected
+
+    # crash-window state: tombstones present but their rows already gone
+    # (the spend never happened) — the next compaction is a no-op re-spend
+    append_tombstones(dels, idx, 0)
+    assert VI.compact_index(spark, idx, idx, compacted_id=3) == 1
+    assert read_tombstones(spark, idx) is None
+    assert list_batch_ids(spark, idx) == [3]
+    got2 = sorted(
+        map(tuple, search_index(spark, idx, queries, cent, books).collect())
+    )
+    assert got2 == expected

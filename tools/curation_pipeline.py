@@ -664,25 +664,22 @@ def main() -> None:
         ids_now = _v_list(spark, args.vector_index)
         pending_tombs = bool(_t_list(spark, args.vector_index))
         if ids_now and (len(ids_now) >= args.compact_index_after or pending_tombs):
-            # fold into a NEW batch id inside the same tree, then
-            # drop the sources — readers between the two steps see
-            # duplicates, so this runs inside the nightly batch
-            # window (the registered ann_index_compacted query pins
-            # the publish-then-swap variant for online indexes).
-            # Pending tombstones force the fold regardless of the
-            # batch-count threshold: compaction is their physical
-            # removal + spend (streaming/vector_index.compact_index)
+            # fold into a NEW batch id inside the same tree; in-place
+            # compact_index owns the whole crash-safe sequence itself —
+            # write compacted shard, drop source shards, THEN spend the
+            # tombstones — so no cleanup loop runs here (a spend that
+            # preceded the source drop could strand tombstoned vectors
+            # in surviving shards after a crash; r15 ADVICE).  Readers
+            # between the write and the drop see duplicates, so this
+            # runs inside the nightly batch window (the registered
+            # ann_index_compacted query pins the publish-then-swap
+            # variant for online indexes).  Pending tombstones force
+            # the fold regardless of the batch-count threshold:
+            # compaction is their physical removal + spend.
             comp_id = max(ids_now) + 1
             compact_index(
                 spark, args.vector_index, args.vector_index, comp_id
             )
-            jvm = spark.sparkContext._jvm
-            conf = spark.sparkContext._jsc.hadoopConfiguration()
-            for i in ids_now:
-                p = jvm.org.apache.hadoop.fs.Path(
-                    os.path.join(args.vector_index, f"batch={i}")
-                )
-                p.getFileSystem(conf).delete(p, True)
             counts["vector_index_compacted_from"] = len(ids_now)
             counts["vector_index_batches"] = 1
 

@@ -250,7 +250,20 @@ class OpenAICompatEmbedder:
         out: list[list[float]] = [[0.0] * self.dim for _ in texts]
         if nonblank:
             vecs = self._embed_nonblank([t for _, t in nonblank])
+            # A short or ragged response must fail LOUDLY: zip() would
+            # silently leave the tail as zero vectors / write ragged
+            # rows into the embedding column (r15 ADVICE).
+            if len(vecs) != len(nonblank):
+                raise ValueError(
+                    f"embedding backend returned {len(vecs)} vectors "
+                    f"for {len(nonblank)} inputs"
+                )
             for (i, _), v in zip(nonblank, vecs):
+                if len(v) != self.dim:
+                    raise ValueError(
+                        f"embedding backend returned dim {len(v)}, "
+                        f"expected {self.dim}"
+                    )
                 out[i] = list(v)
         return out
 

@@ -294,7 +294,7 @@ WHERE doc_id < 300
 @register(
     "multimodal_codec_features",
     oracle=_CODEC_SQL,
-    retired=True,  # STAGED for the round-16 swap
+    # ACTIVE since the r16 swap (staged retired=True through r15)
     description=(
         "REAL-codec decode features with closed-form oracles: per doc a "
         "solid-color BMP / square-wave PCM WAV / MP4 metadata skeleton is "
@@ -721,6 +721,7 @@ FROM documents
 @register(
     "multimodal_decode_features",
     oracle=_DECODE_SQL,
+    retired=True,  # r16 swap: real-codec sibling multimodal_codec_features activates (strict extension of this fake-kernel contract — same mapInPandas/Arrow binary round trip); Arrow-contract semantics stay unit-pinned in tests/test_operators.py multimodal battery; r14-green
     description="mapInPandas binary decode (fake kernel) under the hash gate — Arrow round-trip pinned",
 )
 def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:

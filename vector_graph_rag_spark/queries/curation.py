@@ -1231,7 +1231,7 @@ SELECT cluster, vec_id, sample_rank FROM ranked WHERE sample_rank <= {_CSAMPLE_C
 @register(
     "cluster_capped_sample",
     oracle=_CSAMPLE_SQL,
-    retired=True,  # STAGED for the round-16 swap
+    # ACTIVE since the r16 swap (staged retired=True through r15)
     description=(
         "cluster-balanced subsampling (DataComp/SemDeDup recipe): at most "
         "8 representatives per data-derived sqrt(n)-means cluster, chosen "

@@ -1533,7 +1533,7 @@ def ann_ivfpq_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ann_index_incremental",
     oracle=_ivfpq_sql(),
-    # ACTIVE since the r12 swap (staged retired=True through r11)
+    retired=True,  # r16 swap: compaction sibling ann_index_compacted activates (same IVF-PQ shard-tree family; append path stays visible via ann_index_streamed r15-active, probe leg via the standing ann_index_probe_only BENCH row); incremental==one-shot stays unit-pinned (tests/test_vector_index.py); r14-green
     description=(
         "persistent incremental IVF-PQ index (streaming/vector_index.py): "
         "the corpus appended in 3 nightly shards (assign + PQ-encode paid "
@@ -1659,7 +1659,7 @@ def ann_index_streamed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ann_index_compacted",
     oracle=_ivfpq_sql(),
-    retired=True,  # STAGED for the round-16 swap
+    # ACTIVE since the r16 swap (staged retired=True through r15)
     description=(
         "IVF-PQ shard compaction (the Milvus segment-compaction "
         "analogue): three nightly batch shards merged into ONE compacted "
@@ -1903,6 +1903,80 @@ def ann_index_tombstone_delete_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         append_tombstones(
             dels.filter((F.col("vec_id") / 7).cast("long") % 2 == 0), index, 0
+        )
+        return search_index(
+            spark, index, queries, cent, books, k=_PQ_TOPK, nprobe=2
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(index, ignore_errors=True)
+
+
+# --- tombstone SPEND + id re-open lifecycle (staged r16, round-18 swap) -------
+
+
+@register(
+    "ann_index_spend_readd",
+    oracle=_ivfpq_sql(vecs_predicate="vec_id % 7 <> 0 OR vec_id % 14 = 0"),
+    retired=True,  # STAGED for a round-18 swap (r16 staging)
+    description=(
+        "tombstone SPEND semantics under the hash gate: delete vec_id%7=0 "
+        "by tombstone, compact IN-PLACE (physical removal + crash-safe "
+        "source drop + spend), then RE-ADD the even multiples of 7 as a "
+        "fresh batch — the re-added ids must REAPPEAR in search, which "
+        "only happens if compaction truly spent the tombstones; the "
+        "oracle is the one-shot IVF-PQ SQL over survivors ∪ re-added"
+    ),
+)
+def ann_index_spend_readd_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The takedown → legitimate-re-add lifecycle the nightly CLI
+    documents, end-to-end under the driver hash gate.  Why this is a
+    DISTINCT correctness surface from ann_index_tombstone_delete: that
+    gate exercises the anti-join (tombstones outstanding); this one
+    exercises what happens AFTER the fold — the compacted tree carries
+    no tombstones (exclusion must come from PHYSICAL removal), and a
+    re-added id must rank again (an unspent tombstone would anti-join
+    the re-add into invisibility and hash-mismatch against the oracle).
+    The in-place compaction follows the crash-safe ordering
+    vector_index.compact_index pins: compacted shard lands, source
+    shards drop, tombstones spend LAST."""
+    from vector_graph_rag_spark.streaming.vector_index import (
+        append_to_index,
+        append_tombstones,
+        compact_index,
+        search_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    par = spark.sparkContext.defaultParallelism
+    if emb.rdd.getNumPartitions() < max(2, par // 2):
+        emb = emb.repartition(par)
+    _q, books = _pq_quantized_and_books(spark, sf_dir)
+    if not any(books):
+        return spark.createDataFrame(
+            [], "query_id long, vec_id long, adc_dist long, rank int"
+        )
+    cent = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cvec")
+    )
+    queries = emb.filter(
+        (F.col("vec_id") >= 100) & (F.col("vec_id") < 105)
+    ).select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))
+    index = tempfile.mkdtemp(prefix="vgr_spendre_")
+    try:
+        for b in range(3):
+            append_to_index(
+                emb.filter(F.col("vec_id") % 3 == b), cent, books, index, b
+            )
+        append_tombstones(
+            emb.filter(F.col("vec_id") % 7 == 0).select("vec_id"), index, 0
+        )
+        # in-place fold: physical tombstone removal, source-shard drop,
+        # spend — the nightly maintenance night, replayed under the gate
+        assert compact_index(spark, index, index, compacted_id=3) == 3
+        # the takedown target comes back legitimately: re-add the even
+        # multiples of 7 as a fresh post-compaction batch
+        append_to_index(
+            emb.filter(F.col("vec_id") % 14 == 0), cent, books, index, 4
         )
         return search_index(
             spark, index, queries, cent, books, k=_PQ_TOPK, nprobe=2

@@ -54,6 +54,7 @@ FROM assigned
 @register(
     "train_test_split_hash",
     oracle=_SPLIT_SQL,
+    retired=True,  # r16 swap: sampling-family sibling cluster_capped_sample activates (both deterministic-hash sampling contracts over documents; split semantics stay exercised inside corpus_curation_funnel); r14-green
     description="deterministic 80/10/10 split via content hash (stable across reruns/engines, unlike randomSplit)",
 )
 def train_test_split_hash(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -284,11 +284,17 @@ _SPARSE_TOPK = 10
 # (functions/text.tokens — whitespace split, empties removed); scores are
 # integer dot products over the shared-term inverted index, so every value
 # crossing the engine boundary is exact.
-_SPARSE_SQL = f"""
+def _sparse_sql(docs_predicate: str = "") -> str:
+    """The sparse-dot oracle, optionally over a restricted corpus — the
+    ``docs_predicate`` parameter mirrors ``_ivfpq_sql(vecs_predicate=)``:
+    the tombstone-delete gate pins delete-by-tombstone == never-indexed
+    by running the SAME SQL over the surviving documents only."""
+    where = f"\n  WHERE {docs_predicate}" if docs_predicate else ""
+    return f"""
 WITH tf AS (
   SELECT doc_id, t.term, COUNT(*) AS w
   FROM documents,
-       unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS t(term)
+       unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS t(term){where}
   GROUP BY doc_id, t.term
 ),
 qtf AS (SELECT doc_id AS query_id, term, w AS qw FROM tf WHERE doc_id < {_SPARSE_NQ}),
@@ -303,6 +309,9 @@ SELECT query_id, doc_id, score, CAST(rk AS INT) AS rank FROM (
   ) AS rk FROM scored
 ) WHERE rk <= {_SPARSE_TOPK}
 """
+
+
+_SPARSE_SQL = _sparse_sql()
 
 
 @register(
@@ -681,7 +690,7 @@ def sparse_index_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "term_index_incremental",
     oracle=_SPARSE_SQL,
-    # ACTIVE since the r14 swap (staged retired=True through r13)
+    retired=True,  # r16 swap: compaction sibling term_index_compacted activates (same posting-shard contract; append/replay/BM25-from-shards stay unit-pinned by tests/test_term_index.py); r14-green
     description=(
         "incremental inverted term index: three nightly document batches "
         "appended as overwrite-idempotent posting shards (one replayed to "
@@ -729,7 +738,7 @@ def term_index_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "term_index_compacted",
     oracle=_SPARSE_SQL,
-    retired=True,  # STAGED for the round-16 swap
+    # ACTIVE since the r16 swap (staged retired=True through r15)
     description=(
         "posting-shard compaction: three nightly term-index shards merged "
         "into ONE compacted shard (pure I/O — nothing re-tokenized), then "
@@ -920,3 +929,325 @@ def colbert_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return maxsim_topk(dv, qv, _MAXSIM_K)
+
+
+# --- ANN-prefiltered MaxSim (staged r16, for a round-18 swap) -----------------
+#
+# The ColBERT two-stage serving recipe the full-kernel docstring promises
+# (r15 verdict, Next #4), as CODE — specifically the PLAID/ColBERTv2 shape
+# (Santhanam et al. 2022: every token vector lives in an IVF cell; a
+# query's candidate docs come from the inverted doc lists of its tokens'
+# cells, scored by centroid-bounded interaction, and only the top-C pool
+# pays full MaxSim).  The full kernel's (query, doc, qpos) volume is
+# corpus-linear (100x smoke read 3.77x); here stage 2 is CANDIDATE-bounded
+# — |queries| x C x 8 doc-token rows regardless of corpus size — and
+# stage 1 scores only BUCKET-COLLIDING token pairs (identical tokens hash
+# to identical vectors, hence identical cells, so token-overlap — what
+# MaxSim actually ranks by — survives the prune; a doc-level pooled/hash
+# vector does NOT: it loses the head, measured 0.10-0.20 recall).
+# Determinism: cell assignment is argmax of the 6-rounded dot against 8
+# fixed mock centroids with ties to the lowest cell id; the approximate
+# stage-1 score is the usual max-then-DECIMAL-sum.
+
+_PMAXSIM_C = 20  # stage-1 candidate pool per query (the rerank bound)
+_PMAXSIM_NCENT = 8  # fixed token-vector cells (mock centroids)
+
+
+def _pmaxsim_sql() -> str:
+    from vector_graph_rag_spark.functions.embedding import mock_embedding_sql
+
+    qdocs = ", ".join(str(d) for d in _MAXSIM_QUERY_DOCS)
+    return f"""
+WITH cents AS (
+  SELECT CAST(i AS BIGINT) AS cent_id,
+         {mock_embedding_sql("('cent' || CAST(i AS VARCHAR))")} AS cv
+  FROM (SELECT unnest(range({_PMAXSIM_NCENT})) AS i)
+),
+dt AS (
+  SELECT doc_id, generate_subscripts(toks, 1) AS tpos, unnest(toks) AS tok
+  FROM (SELECT doc_id, string_split(text, ' ')[1:{_MAXSIM_DOC_TOKS}] AS toks
+        FROM documents)
+),
+dv AS (SELECT doc_id, tpos, {mock_embedding_sql('tok')} AS v FROM dt),
+qt AS (
+  SELECT doc_id AS query_id, generate_subscripts(toks, 1) AS qpos,
+         unnest(toks) AS tok
+  FROM (SELECT doc_id, string_split(text, ' ')[1:{_MAXSIM_Q_TOKS}] AS toks
+        FROM documents WHERE doc_id IN ({qdocs}))
+),
+qv AS (SELECT query_id, qpos, {mock_embedding_sql('tok')} AS v FROM qt),
+dassign AS (
+  SELECT doc_id, tpos, cent_id, v FROM (
+    SELECT d.doc_id, d.tpos, c.cent_id, d.v,
+           row_number() OVER (
+             PARTITION BY d.doc_id, d.tpos
+             ORDER BY round(list_dot_product(d.v, c.cv), 6) DESC, c.cent_id ASC
+           ) AS rk
+    FROM dv d CROSS JOIN cents c
+  ) WHERE rk = 1
+),
+qassign AS (
+  SELECT query_id, qpos, cent_id, v FROM (
+    SELECT q.query_id, q.qpos, c.cent_id, q.v,
+           row_number() OVER (
+             PARTITION BY q.query_id, q.qpos
+             ORDER BY round(list_dot_product(q.v, c.cv), 6) DESC, c.cent_id ASC
+           ) AS rk
+    FROM qv q CROSS JOIN cents c
+  ) WHERE rk = 1
+),
+tok_matches AS (
+  SELECT q.query_id, d.doc_id, q.qpos,
+         MAX(round(list_dot_product(q.v, d.v), 6)) AS m
+  FROM qassign q JOIN dassign d ON d.cent_id = q.cent_id
+  GROUP BY 1, 2, 3
+),
+approx AS (
+  SELECT query_id, doc_id,
+         CAST(SUM(CAST(m AS DECIMAL(18,6))) AS DOUBLE) AS a
+  FROM tok_matches GROUP BY 1, 2
+),
+pool AS (
+  SELECT query_id, doc_id FROM (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY a DESC, doc_id ASC) AS rk
+    FROM approx
+  ) WHERE rk <= {_PMAXSIM_C}
+),
+best AS (
+  SELECT p.query_id, p.doc_id, q.qpos,
+         MAX(round(list_dot_product(q.v, d.v), 6)) AS m
+  FROM pool p
+  JOIN dv d ON d.doc_id = p.doc_id
+  JOIN qv q ON q.query_id = p.query_id
+  GROUP BY 1, 2, 3
+),
+score AS (
+  SELECT query_id, doc_id,
+         CAST(SUM(CAST(m AS DECIMAL(18,6))) AS DOUBLE) AS maxsim
+  FROM best GROUP BY 1, 2
+)
+SELECT query_id, doc_id, maxsim, CAST(rk AS INT) AS rank
+FROM (
+  SELECT query_id, doc_id, maxsim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY maxsim DESC, doc_id ASC) AS rk
+  FROM score
+)
+WHERE rk <= {_MAXSIM_K}"""
+
+
+def maxsim_rerank(
+    cand: DataFrame,
+    doc_toks: DataFrame,
+    query_toks: DataFrame,
+    k: int,
+    doc_id: str = "doc_id",
+    query_id: str = "query_id",
+) -> DataFrame:
+    """MaxSim over a BOUNDED candidate pool — the rerank half of the
+    two-stage recipe (``maxsim_topk`` is the exhaustive form; this scores
+    only ``cand``'s (query_id, doc_id) pairs).  ``cand`` is tiny
+    (|queries| x C rows) and broadcasts into the doc-token join, so the
+    token scoring stays map-side; the aggregations run over pool-bounded
+    row counts.  Same output contract as ``maxsim_topk``: (query_id,
+    doc_id, maxsim, rank <= k), order-free scores, ties to the lowest
+    doc id."""
+    dot = F.round(
+        F.aggregate(
+            F.zip_with("v", "qv", lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+    best = (
+        doc_toks.join(F.broadcast(cand), doc_id)
+        .join(F.broadcast(query_toks), query_id)
+        .select(query_id, doc_id, "qpos", dot.alias("dot"))
+        .groupBy(query_id, doc_id, "qpos")
+        .agg(F.max("dot").alias("m"))
+    )
+    score = best.groupBy(query_id, doc_id).agg(
+        F.sum(F.col("m").cast("decimal(18,6)")).cast("double").alias("maxsim")
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("maxsim"), F.asc(doc_id))
+    return (
+        score.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, doc_id, "maxsim", "rank")
+    )
+
+
+@register(
+    "maxsim_prefiltered_topk",
+    oracle=_pmaxsim_sql(),
+    retired=True,  # STAGED for a round-18 swap (r16 staging)
+    description=(
+        "two-stage late interaction (the PLAID/ColBERTv2 serving recipe): "
+        "every token vector is assigned to a fixed IVF cell; candidates "
+        "come from cell-colliding token pairs scored by centroid-bounded "
+        "interaction, and full MaxSim reranks only the top-C=20 pool — "
+        "stage-2 volume is candidate-bounded instead of corpus-linear; "
+        "the oracle replays cells, pool, and rerank bit-for-bit"
+    ),
+)
+def maxsim_prefiltered_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At 100 TB the exhaustive MaxSim kernel's (query, doc, qpos) scoring
+    volume grows with the corpus (its 100x smoke reads 3.77x); production
+    late interaction NEVER runs it raw — PLAID (Santhanam et al. 2022)
+    assigns token vectors to IVF cells once at index time, gathers each
+    query token's cell-mates through the inverted lists, scores that
+    bounded interaction, and MaxSim-reranks only the survivors.  Here the
+    cell assignment is a map-side-combined argmax against 8 BROADCAST
+    mock centroids (the best_hit_per_group kernel — no window over the
+    corpus), the stage-1 join touches only cell-colliding token pairs
+    (~1/ncent of the cross product), and stage 2 joins the x8 token
+    explode against the BROADCAST top-C pool, so the rerank is map-side
+    and its volume is |queries| x C x 8 rows at ANY corpus size."""
+    from vector_graph_rag_spark.functions.embedding import mock_embedding
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks8 = F.slice(F.split("text", " "), 1, _MAXSIM_DOC_TOKS)
+    dv = d.select(
+        "doc_id", F.posexplode(toks8).alias("tpos", "tok")
+    ).select("doc_id", "tpos", mock_embedding("tok").alias("v"))
+    toks3 = F.slice(F.split("text", " "), 1, _MAXSIM_Q_TOKS)
+    qv = (
+        d.filter(F.col("doc_id").isin(*_MAXSIM_QUERY_DOCS))
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.posexplode(toks3).alias("qpos", "tok"),
+        )
+        .select("query_id", "qpos", mock_embedding("tok").alias("qv"))
+    )
+
+    cents = (
+        spark.range(_PMAXSIM_NCENT)
+        .select(F.col("id").alias("cent_id"))
+        .select(
+            "cent_id",
+            mock_embedding(
+                F.concat(F.lit("cent"), F.col("cent_id").cast("string"))
+            ).alias("cv"),
+        )
+    )
+    cdot = F.round(
+        F.aggregate(
+            F.zip_with("v", "cv", lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+
+    def _assign(toks: DataFrame, keys: list, vec: str) -> DataFrame:
+        scored = (
+            toks.withColumnRenamed(vec, "v")
+            .crossJoin(F.broadcast(cents))
+            .select(*keys, "v", cdot.alias("score"), "cent_id")
+        )
+        # argmax dot, ties to the LOWEST cell id — min(struct(-score,
+        # cent_id, v)) keeps the token vector in the same reduction, so
+        # assignment is one map-side-combined aggregation, never a window
+        b = F.min(F.struct((-F.col("score")).alias("ns"), "cent_id", "v"))
+        return scored.groupBy(*keys).agg(b.alias("b")).select(
+            *keys, F.col("b.cent_id").alias("cent_id"), F.col("b.v").alias(vec)
+        )
+
+    dassign = _assign(dv, ["doc_id", "tpos"], "v")
+    qassign = _assign(
+        qv.withColumnRenamed("qv", "v"), ["query_id", "qpos"], "v"
+    ).withColumnRenamed("v", "qv")
+
+    # stage-1: centroid-bounded interaction — only cell-colliding pairs
+    idot = F.round(
+        F.aggregate(
+            F.zip_with("v", "qv", lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+    approx = (
+        dassign.join(F.broadcast(qassign), "cent_id")
+        .select("query_id", "doc_id", "qpos", idot.alias("dot"))
+        .groupBy("query_id", "doc_id", "qpos")
+        .agg(F.max("dot").alias("m"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum(F.col("m").cast("decimal(18,6)")).cast("double").alias("a"))
+    )
+    wc = Window.partitionBy("query_id").orderBy(F.desc("a"), F.asc("doc_id"))
+    pool = (
+        approx.withColumn("rk", F.row_number().over(wc))
+        .filter(F.col("rk") <= _PMAXSIM_C)
+        .select("query_id", "doc_id")
+    )
+    return maxsim_rerank(pool, dv.drop("tpos"), qv, _MAXSIM_K)
+
+
+
+# --- term-index tombstone deletes (staged r16, for a round-18 swap) -----------
+
+
+@register(
+    "term_index_tombstone_delete",
+    oracle=_sparse_sql(docs_predicate="doc_id % 7 <> 3"),
+    retired=True,  # STAGED for a round-18 swap (r16 staging)
+    description=(
+        "lexical DELETE maintenance (the term-index sibling of "
+        "ann_index_tombstone_delete): doc tombstone shards mark "
+        "doc_id%7=3 deleted WITHOUT touching sealed posting shards (one "
+        "tombstone shard replayed to pin idempotence); search anti-joins "
+        "them BEFORE scoring — the oracle is the sparse-dot SQL over the "
+        "SURVIVING documents, pinning delete-by-tombstone == never-indexed"
+    ),
+)
+def term_index_tombstone_delete_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deletes at 100 TB never rewrite sealed posting shards: a doc
+    tombstone is an id-only row in ``tombstones/batch=<id>`` beside the
+    postings (same overwrite-idempotent replay contract), the search's
+    anti-join is the only added cost, and ``compact_term_index`` removes
+    the postings physically when the nightly fold runs
+    (tests/test_term_index.py pins the full lifecycle incl. the
+    crash-safe drop-then-spend ordering).  Correctness shape: deleted
+    docs must VACATE top-k slots AND stop contributing df/dl-style
+    statistics — both of which the surviving-corpus oracle demands.
+    Delete predicate doc_id%7=3 keeps the query docs (0,1,2) alive."""
+    import shutil
+    import tempfile
+
+    from vector_graph_rag_spark.streaming.term_index import (
+        append_doc_tombstones,
+        append_term_batch,
+        search_term_index,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    queries = d.filter(F.col("doc_id") < _SPARSE_NQ).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    index = tempfile.mkdtemp(prefix="vgr_termtomb_")
+    try:
+        for b in range(3):
+            append_term_batch(
+                d.filter(F.col("doc_id") % 3 == b), index, batch_id=b
+            )
+        dels = d.filter(F.col("doc_id") % 7 == 3).select("doc_id")
+        # two delete shards split by parity of doc_id//7, shard 0 REPLAYED
+        # — idempotence under at-least-once delivery
+        for tb in range(2):
+            append_doc_tombstones(
+                dels.filter((F.col("doc_id") / 7).cast("long") % 2 == tb),
+                index,
+                tb,
+            )
+        append_doc_tombstones(
+            dels.filter((F.col("doc_id") / 7).cast("long") % 2 == 0), index, 0
+        )
+        return search_term_index(
+            spark, index, queries, k=_SPARSE_TOPK
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(index, ignore_errors=True)

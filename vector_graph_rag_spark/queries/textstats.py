@@ -52,7 +52,12 @@ def n_punct_chars(col: str | Column) -> Column:
     return F.length(F.translate(col, _ALLOWED_CHARS, ""))
 
 
-@register("token_profile", oracle=_PROFILE_SQL, description="token counting: whitespace + BPE-ish regex")
+@register(
+    "token_profile",
+    oracle=_PROFILE_SQL,
+    retired=True,  # r16 swap: quality-signal sibling curriculum_order activates (curriculum sort key derives from the same quality gates); token-stats kernel stays driver-gated via quality_score + textstats unit battery; r14-green
+    description="token counting: whitespace + BPE-ish regex",
+)
 def token_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     n_tokens = F.size(tokens("text")).cast("bigint")
@@ -478,7 +483,7 @@ def _curriculum_phased(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "curriculum_order",
     oracle=_CURRICULUM_SQL,
-    retired=True,  # STAGED for the round-16 swap
+    # ACTIVE since the r16 swap (staged retired=True through r15)
     description=(
         "quality-first training curriculum: clean-long -> clean-short -> "
         "rest phases (the quality_score gates), deterministic hash "

@@ -419,17 +419,21 @@ def _pdf_skip_dict(data: bytes, pos: int) -> int:
     return i
 
 
-def _parse_tounicode_cmap(data: bytes) -> tuple[dict[int, str], int]:
+def _parse_tounicode_cmap(
+    data: bytes,
+) -> tuple[dict[int, str], list[tuple[int, int, int]]]:
     """Parse a ToUnicode CMap stream (PDF 32000-1 §9.10.3) → (code→text,
-    code byte width).  Handles begincodespacerange (width), beginbfchar
-    (pairs), and beginbfrange (both the <lo> <hi> <dstStart> increment
-    form and the <lo> <hi> [<d1> <d2> …] array form).  Destination hex is
-    UTF-16BE per the spec."""
+    codespace ranges as (width, lo, hi) sorted by width).  Handles
+    begincodespacerange (PER-RANGE widths — mixed 1/2-byte CMaps keep
+    both, r15 ADVICE), beginbfchar (pairs), and beginbfrange (both the
+    <lo> <hi> <dstStart> increment form and the <lo> <hi> [<d1> <d2> …]
+    array form).  Destination hex is UTF-16BE per the spec."""
     import re
 
     hex_tok = re.compile(rb"<([0-9A-Fa-f]+)>")
     cmap: dict[int, str] = {}
-    width = 0
+    ranges: list[tuple[int, int, int]] = []
+    width = 0  # max observed src width: the no-codespacerange fallback
 
     def _dst(h: bytes) -> str:
         if len(h) % 2:
@@ -439,8 +443,11 @@ def _parse_tounicode_cmap(data: bytes) -> tuple[dict[int, str], int]:
     for m in re.finditer(
         rb"begincodespacerange(.*?)endcodespacerange", data, re.DOTALL
     ):
-        for h in hex_tok.findall(m.group(1)):
-            width = max(width, (len(h) + 1) // 2)
+        toks = hex_tok.findall(m.group(1))
+        for lo_t, hi_t in zip(toks[0::2], toks[1::2]):
+            w = (len(lo_t) + 1) // 2
+            ranges.append((w, int(lo_t, 16), int(hi_t, 16)))
+            width = max(width, w)
     for m in re.finditer(rb"beginbfchar(.*?)endbfchar", data, re.DOTALL):
         toks = hex_tok.findall(m.group(1))
         for src, dst in zip(toks[0::2], toks[1::2]):
@@ -487,10 +494,16 @@ def _parse_tounicode_cmap(data: bytes) -> tuple[dict[int, str], int]:
                         if nxt > 0x10FFFF:  # malformed range: stop, keep the rest
                             break
                         cmap[code] = base[:-1] + chr(nxt)
-    return cmap, width or 2
+    if not ranges:  # no codespacerange: single range at the observed width
+        w = width or 2
+        ranges = [(w, 0, (1 << (8 * w)) - 1)]
+    ranges.sort(key=lambda r: r[0])  # shortest-prefix-first consumption
+    return cmap, ranges
 
 
-def _pdf_font_cmaps(content: bytes) -> dict[bytes, tuple[dict[int, str], int]]:
+def _pdf_font_cmaps(
+    content: bytes,
+) -> dict[bytes, tuple[dict[int, str], list[tuple[int, int, int]]]]:
     """Resource font name (e.g. b"F1") → parsed ToUnicode CMap.
 
     Walks the object graph: ``/Font << /Fx N 0 R … >>`` resource
@@ -522,6 +535,11 @@ def _pdf_font_cmaps(content: bytes) -> dict[bytes, tuple[dict[int, str], int]]:
     # Expand /ObjStm containers: their member objects join the graph
     # (first binding wins, so a plain `N 0 obj` of the same number takes
     # priority — incremental-update PDFs put the NEWER object outside).
+    # Member bodies are ALSO collected for the /Font resource scan below:
+    # page/resource dicts live inside object streams in the common PDF
+    # 1.5+ layout, so scanning only the raw bytes would never bind those
+    # fonts to their CMaps (r15 ADVICE).
+    expanded: list[bytes] = []
     for body in list(objs.values()):
         if re.search(rb"/Type\s*/ObjStm\b", body) is None:
             continue
@@ -542,43 +560,81 @@ def _pdf_font_cmaps(content: bytes) -> dict[bytes, tuple[dict[int, str], int]]:
             continue
         for i, (objnum, off) in enumerate(pairs):
             end = pairs[i + 1][1] if i + 1 < n else len(data) - first
-            objs.setdefault(objnum, data[first + off : first + end])
+            member = data[first + off : first + end]
+            objs.setdefault(objnum, member)
+            expanded.append(member)
 
-    cmaps: dict[bytes, tuple[dict[int, str], int]] = {}
-    cmap_cache: dict[int, tuple[dict[int, str], int] | None] = {}
-    for rm in re.finditer(rb"/Font\s*<<(.*?)>>", content, re.DOTALL):
-        for fm in re.finditer(rb"/([^\s/<>\[\]()]+)\s+(\d+)\s+\d+\s+R", rm.group(1)):
-            name, objnum = fm.group(1), int(fm.group(2))
-            if name in cmaps:
-                continue  # first binding wins
-            body = objs.get(objnum)
-            if body is None:
-                continue
-            tm = re.search(rb"/ToUnicode\s+(\d+)\s+\d+\s+R", body)
-            if not tm:
-                continue
-            tnum = int(tm.group(1))
-            if tnum not in cmap_cache:
-                tbody = objs.get(tnum)
-                tdata = _stream_of(tbody) if tbody is not None else None
-                cmap_cache[tnum] = (
-                    _parse_tounicode_cmap(tdata) if tdata is not None else None
-                )
-            parsed = cmap_cache[tnum]
-            if parsed and parsed[0]:
-                cmaps[name] = parsed
+    CMapT = tuple[dict[int, str], list[tuple[int, int, int]]]
+    cmaps: dict[bytes, CMapT] = {}
+    cmap_cache: dict[int, CMapT | None] = {}
+    # Raw bytes first (first binding wins — the incremental-update rule
+    # above), then ObjStm member bodies, where PDF 1.5+ writers pack the
+    # page dicts whose /Resources name the fonts.
+    for source in (content, *expanded):
+        for rm in re.finditer(rb"/Font\s*<<(.*?)>>", source, re.DOTALL):
+            for fm in re.finditer(
+                rb"/([^\s/<>\[\]()]+)\s+(\d+)\s+\d+\s+R", rm.group(1)
+            ):
+                name, objnum = fm.group(1), int(fm.group(2))
+                if name in cmaps:
+                    continue  # first binding wins
+                body = objs.get(objnum)
+                if body is None:
+                    continue
+                tm = re.search(rb"/ToUnicode\s+(\d+)\s+\d+\s+R", body)
+                if not tm:
+                    continue
+                tnum = int(tm.group(1))
+                if tnum not in cmap_cache:
+                    tbody = objs.get(tnum)
+                    tdata = _stream_of(tbody) if tbody is not None else None
+                    cmap_cache[tnum] = (
+                        _parse_tounicode_cmap(tdata)
+                        if tdata is not None
+                        else None
+                    )
+                parsed = cmap_cache[tnum]
+                if parsed and parsed[0]:
+                    cmaps[name] = parsed
     return cmaps
 
 
-def _apply_cmap(s: str, cmap: dict[int, str], width: int) -> str:
-    """Map a raw (latin-1-decoded) show-string through a ToUnicode CMap:
-    the string's bytes are consumed `width` at a time as big-endian codes.
-    Codes absent from the CMap are dropped (they map to no text)."""
+def _apply_cmap(
+    s: str, cmap: dict[int, str], ranges: list[tuple[int, int, int]]
+) -> str:
+    """Map a raw (latin-1-decoded) show-string through a ToUnicode CMap.
+    Bytes are consumed at the width of the first codespace range (sorted
+    shortest-first) containing them — mixed 1/2-byte CMaps consume each
+    code at its own width, the spec's prefix-matching consumption.  Codes
+    absent from the CMap fall back to their raw latin-1 character when
+    the code is ONE byte wide (a 1-byte code in a simple font IS that
+    character — a partial CMap degrades to the readable raw path, r15
+    ADVICE); unmapped MULTI-byte CIDs stay dropped (a CID has no latin-1
+    identity — emitting its bytes would be garbage).  Bytes outside
+    every codespace range pass through raw one at a time.  An EXPLICIT
+    empty destination (<>) still maps to nothing — that is a real
+    mapping, not an absence."""
     bs = s.encode("latin-1", "replace")
-    return "".join(
-        cmap.get(int.from_bytes(bs[i : i + width], "big"), "")
-        for i in range(0, len(bs) - width + 1, width)
-    )
+    n = len(bs)
+    out: list[str] = []
+    i = 0
+    while i < n:
+        w_used = 0
+        for w, lo, hi in ranges:
+            if i + w <= n and lo <= int.from_bytes(bs[i : i + w], "big") <= hi:
+                w_used = w
+                break
+        if w_used == 0:  # outside every codespace range: raw byte
+            out.append(chr(bs[i]))
+            i += 1
+            continue
+        mapped = cmap.get(int.from_bytes(bs[i : i + w_used], "big"))
+        if mapped is not None:
+            out.append(mapped)
+        elif w_used == 1:
+            out.append(chr(bs[i]))
+        i += w_used
+    return "".join(out)
 
 
 def extract_pdf_text(content: bytes) -> str:

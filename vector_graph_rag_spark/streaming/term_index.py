@@ -258,8 +258,11 @@ def compact_term_index(
     Pure I/O — postings are never re-tokenized, and batches are
     doc-disjoint by the append contract, so concatenation IS the merged
     index: a search of the compacted tree returns row-identical results.
-    The source shards stay intact (publish-then-swap).  Returns the
-    number of source batches merged.
+    With ``out_dir != index_dir`` the source shards stay intact
+    (publish-then-swap); in-place, the source shards are dropped here
+    BEFORE the tombstones are spent — the crash-safe ordering
+    ``vector_index.compact_index`` documents.  Returns the number of
+    source batches merged.
 
     At 100 TB this bounds the files-per-term growth the nightly appends
     accumulate (a term's posting list spans every batch that saw it)."""
@@ -274,9 +277,19 @@ def compact_term_index(
     if fs.exists(bpath):  # replay-idempotent like append_term_batch
         fs.delete(bpath, True)
     rows.repartition(F.col("term")).write.mode("overwrite").parquet(batch_dir)
-    # In-place compaction: applied tombstones are SPENT (ids re-open for
-    # legitimate re-indexing), mirroring vector_index.compact_index.
+    # In-place compaction: drop source shards FIRST, then spend the
+    # applied tombstones (ids re-open for legitimate re-indexing) —
+    # crash between the two leaves only a harmless no-op tombstone set,
+    # never tombstoned postings with a spent record (r15 ADVICE;
+    # ordering contract documented at vector_index.compact_index).
     if os.path.abspath(out_dir) == os.path.abspath(index_dir):
+        for i in ids:
+            if i == compacted_id:
+                continue
+            sdir = os.path.join(index_dir, f"batch={i}")
+            sfs, spath = _fs(spark, sdir)
+            if sfs.exists(spath):
+                sfs.delete(spath, True)
         troot = os.path.join(index_dir, "tombstones")
         tfs, tpath = _fs(spark, troot)
         if tfs.exists(tpath):

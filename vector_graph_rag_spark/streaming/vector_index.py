@@ -312,10 +312,13 @@ def compact_index(
     is re-encoded or re-assigned, so compaction is pure I/O: a probe of
     the compacted tree returns row-identical results to the sharded one
     (pinned by tests/test_vector_index.py and the ann_index_compacted
-    hash gate).  The source index is left intact; the caller swaps
-    directories (or deletes the source) once the compacted tree is
+    hash gate).  With ``out_dir != index_dir`` the source index is left
+    intact; the caller swaps directories once the compacted tree is
     verified — the same publish-then-swap discipline as the versioned
-    store.  Returns the number of source batches merged.
+    store.  With ``out_dir == index_dir`` (the nightly-CLI flow) the
+    SOURCE shards are removed here, then the tombstones are spent — in
+    that order, so a crash anywhere in the window leaves the index
+    consistent (see below).  Returns the number of source batches merged.
 
     At 100 TB compaction bounds the files-per-probe growth: a probe reads
     nprobe cells x n_batches shard files; nightly appends push n_batches
@@ -348,14 +351,27 @@ def compact_index(
         .parquet(batch_dir)
     )
     # In-place compaction (out_dir == index_dir, the nightly-CLI flow):
-    # applied tombstones are SPENT — dropping them re-opens the ids for
-    # future re-indexing (a takedown followed by a legitimate re-add).
-    # Runs after the compacted shard lands; the caller's source-shard
-    # cleanup follows, all inside the nightly batch window the CLI
-    # documents.
-    if apply_tombstones and os.path.abspath(out_dir) == os.path.abspath(index_dir):
-        troot = os.path.join(index_dir, "tombstones")
-        tfs, tpath = _fs(spark, troot)
-        if tfs.exists(tpath):
-            tfs.delete(tpath, True)
+    # the source shards are dropped HERE, and only then are the applied
+    # tombstones SPENT (re-opening the ids for legitimate re-indexing).
+    # Ordering is the crash-safety contract (r15 ADVICE): a crash after
+    # the compacted shard lands but before the source drop leaves
+    # duplicates that the unspent tombstones still exclude and the next
+    # compaction folds; a crash after the source drop but before the
+    # spend leaves tombstones pointing at rows that no longer exist — a
+    # harmless no-op anti-join, re-spent next compaction.  Spending
+    # FIRST (the old order) had a window where tombstoned rows survived
+    # in source shards with no record left to exclude them.
+    if os.path.abspath(out_dir) == os.path.abspath(index_dir):
+        for i in ids:
+            if i == compacted_id:
+                continue
+            sdir = os.path.join(index_dir, f"batch={i}")
+            sfs, spath = _fs(spark, sdir)
+            if sfs.exists(spath):
+                sfs.delete(spath, True)
+        if apply_tombstones:
+            troot = os.path.join(index_dir, "tombstones")
+            tfs, tpath = _fs(spark, troot)
+            if tfs.exists(tpath):
+                tfs.delete(tpath, True)
     return len(ids)
