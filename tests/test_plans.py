@@ -141,6 +141,7 @@ AUDITED = [
     "maxsim_prefiltered_topk",
     "term_index_tombstone_delete",
     "ann_index_spend_readd",
+    "prf_query_expansion",
 ]
 
 

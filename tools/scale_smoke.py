@@ -119,6 +119,7 @@ QUERIES = [
     "maxsim_prefiltered_topk",
     "term_index_tombstone_delete",
     "ann_index_spend_readd",
+    "prf_query_expansion",
 ]
 
 DOC_STRIDE = 1_000_000

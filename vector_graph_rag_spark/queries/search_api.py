@@ -1251,3 +1251,139 @@ def term_index_tombstone_delete_q(spark: SparkSession, sf_dir: str) -> DataFrame
         ).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(index, ignore_errors=True)
+
+
+# --- pseudo-relevance-feedback query expansion (staged r16, round-18 swap) ----
+#
+# The classic two-pass retrieval recipe (Rocchio 1971; RM3 — Abdul-Jaleel
+# et al. 2004, the Anserini/Lucene default): retrieve once, mine expansion
+# terms from the top feedback documents, re-retrieve with the expanded
+# query.  RAG stacks bolt this onto sparse retrieval to close vocabulary
+# gaps the raw query misses.  Everything is integer arithmetic over the
+# shared inverted term index, so the oracle replays both passes exactly.
+
+_PRF_FB_DOCS = 5  # feedback depth: top docs mined for expansion terms
+_PRF_FB_TERMS = 3  # expansion width: terms appended to the query
+
+_PRF_SQL = f"""
+WITH tf AS (
+  SELECT doc_id, t.term, COUNT(*) AS w
+  FROM documents,
+       unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS t(term)
+  GROUP BY doc_id, t.term
+),
+qtf AS (SELECT doc_id AS query_id, term, w AS qw FROM tf WHERE doc_id < {_SPARSE_NQ}),
+r1 AS (
+  SELECT q.query_id, d.doc_id, CAST(SUM(q.qw * d.w) AS BIGINT) AS score
+  FROM qtf q JOIN tf d ON d.term = q.term
+  GROUP BY q.query_id, d.doc_id
+),
+fb AS (
+  SELECT query_id, doc_id FROM (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, doc_id ASC) AS rk
+    FROM r1
+  ) WHERE rk <= {_PRF_FB_DOCS}
+),
+exp_terms AS (
+  SELECT query_id, term FROM (
+    SELECT f.query_id, t.term, SUM(t.w) AS fw,
+           row_number() OVER (
+             PARTITION BY f.query_id
+             ORDER BY SUM(t.w) DESC, t.term ASC
+           ) AS rk
+    FROM fb f
+    JOIN tf t ON t.doc_id = f.doc_id
+    LEFT JOIN qtf q ON q.query_id = f.query_id AND q.term = t.term
+    WHERE q.term IS NULL
+    GROUP BY f.query_id, t.term
+  ) WHERE rk <= {_PRF_FB_TERMS}
+),
+qexp AS (
+  SELECT query_id, term, qw FROM qtf
+  UNION ALL
+  SELECT query_id, term, 1 AS qw FROM exp_terms
+),
+r2 AS (
+  SELECT q.query_id, d.doc_id, CAST(SUM(q.qw * d.w) AS BIGINT) AS score
+  FROM qexp q JOIN tf d ON d.term = q.term
+  GROUP BY q.query_id, d.doc_id
+)
+SELECT query_id, doc_id, score, CAST(rk AS INT) AS rank FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY score DESC, doc_id ASC
+  ) AS rk FROM r2
+) WHERE rk <= {_SPARSE_TOPK}
+"""
+
+
+@register(
+    "prf_query_expansion",
+    oracle=_PRF_SQL,
+    retired=True,  # STAGED for a round-18 swap (r16 staging)
+    description=(
+        "pseudo-relevance-feedback query expansion (Rocchio/RM3, the "
+        "Anserini default): sparse retrieve, mine the top-3 new terms "
+        "from the top-5 feedback docs by summed tf (ties lexicographic), "
+        "append them at weight 1, re-retrieve — two integer-exact passes "
+        "over the shared inverted term index"
+    ),
+)
+def prf_query_expansion_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two sparse passes, both in the 100 TB inverted-index shape: the
+    query side stays BROADCAST in every join (original terms, then
+    original+3 expansion terms), scoring is map-side-combined integer
+    sums over posting matches, and the only windows rank per-query
+    frames (feedback docs: |q| x corpus-hits reduced by the score agg;
+    expansion terms: the term vocabulary of 5 docs; final top-k).  The
+    expansion-term mine joins the 5-doc feedback set (broadcast) back to
+    the term index — posting-list lookups, never a corpus scan beyond
+    the tf build both passes share."""
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(tokens("text")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    qtf = tf.filter(F.col("doc_id") < _SPARSE_NQ).select(
+        F.col("doc_id").alias("query_id"), "term", F.col("w").alias("qw")
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    r1 = (
+        tf.join(F.broadcast(qtf), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum(F.col("qw") * F.col("w")).alias("score"))
+    )
+    fb = (
+        r1.withColumn("rk", F.row_number().over(w_rank))
+        .filter(F.col("rk") <= _PRF_FB_DOCS)
+        .select("query_id", "doc_id")
+    )
+    w_term = Window.partitionBy("query_id").orderBy(
+        F.desc("fw"), F.asc("term")
+    )
+    exp_terms = (
+        tf.join(F.broadcast(fb), "doc_id")
+        .join(
+            F.broadcast(qtf.select("query_id", "term")),
+            ["query_id", "term"],
+            "left_anti",
+        )
+        .groupBy("query_id", "term")
+        .agg(F.sum("w").alias("fw"))
+        .withColumn("rk", F.row_number().over(w_term))
+        .filter(F.col("rk") <= _PRF_FB_TERMS)
+        .select("query_id", "term", F.lit(1).cast("long").alias("qw"))
+    )
+    qexp = qtf.unionByName(exp_terms)
+    return (
+        tf.join(F.broadcast(qexp), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum(F.col("qw") * F.col("w")).alias("score"))
+        .withColumn("rank", F.row_number().over(w_rank).cast("int"))
+        .filter(F.col("rank") <= _SPARSE_TOPK)
+        .select("query_id", "doc_id", "score", "rank")
+    )
