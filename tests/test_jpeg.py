@@ -91,30 +91,128 @@ def test_unsupported_modes_gate():
     px = _gradient(8, 8)
     base = encode_jpeg(px)
     i = base.find(b"\xff\xc0")
-    with pytest.raises(NotImplementedError, match="SOF2"):
-        decode_jpeg(base[:i] + b"\xff\xc2" + base[i + 2 :])
+    # arithmetic-coded sequential (SOF9) stays a clean capability gate
+    with pytest.raises(NotImplementedError, match="SOF9"):
+        decode_jpeg(base[:i] + b"\xff\xc9" + base[i + 2 :])
     with pytest.raises(ValueError, match="not a JPEG"):
         decode_jpeg(b"GIF89a")
     with pytest.raises(ValueError, match="missing SOS"):
         decode_jpeg(b"\xff\xd8\xff\xd9")
 
 
-def test_multi_scan_baseline_gate():
-    """A baseline frame split into multiple sequential scans (SOS ns <
-    frame ncomp) is spec-legal but outside the single-interleaved-scan
-    decoder: it must gate cleanly at SOS parse, not KeyError mid-decode
-    (r14 advisor item)."""
-    px = _gradient(8, 8)
-    base = encode_jpeg(px)  # 3-component color frame
-    i = base.find(b"\xff\xda")
-    assert i != -1
-    # original SOS for ns=3: len=12, ns, 3x(id,tabs), 3 spectral bytes.
-    # Replace with a single-component scan header (len=8, ns=1).
-    sos_len = int.from_bytes(base[i + 2 : i + 4], "big")
-    single = b"\xff\xda" + bytes([0, 8, 1, 1, 0x00, 0, 63, 0])
-    patched = base[:i] + single + base[i + 2 + sos_len :]
-    with pytest.raises(NotImplementedError, match="multi-scan"):
-        decode_jpeg(patched)
+def test_multi_scan_sequential_decodes_identically():
+    """A baseline frame split into one NON-interleaved scan per component
+    (SOS ns < frame ncomp, spec-legal, the r14 advisor's shape) now
+    DECODES — via the coefficient-accumulating path — to the exact same
+    pixels as the single interleaved scan (r16: the gate became a
+    capability)."""
+    import numpy as np
+
+    from vector_graph_rag_spark.operators.jpeg import encode_jpeg_multiscan
+
+    rs = np.random.RandomState(11)
+    for shape, sub, gray in [
+        ((16, 24, 3), "444", False),
+        ((20, 28, 3), "420", False),
+        ((15, 9, 3), "444", True),
+    ]:
+        px = rs.randint(0, 256, shape, dtype=np.uint8)
+        base = decode_jpeg(encode_jpeg(px, quality=85, subsample=sub, grayscale=gray))
+        ms = decode_jpeg(
+            encode_jpeg_multiscan(px, quality=85, subsample=sub, grayscale=gray)
+        )
+        assert (base["pixels"] == ms["pixels"]).all()
+        assert base["feature"] == ms["feature"]
+    # restarts across non-interleaved scans (block-counted, not MCU)
+    px = rs.randint(0, 256, (32, 48, 3), dtype=np.uint8)
+    base = decode_jpeg(encode_jpeg(px, quality=85))
+    ms = decode_jpeg(encode_jpeg_multiscan(px, quality=85, restart_interval=5))
+    assert (base["pixels"] == ms["pixels"]).all()
+
+
+def test_progressive_decodes_identically_across_scan_plans():
+    """Progressive (SOF2): spectral selection + successive approximation
+    over the SAME quantized coefficients the baseline encoder produces —
+    so decode(progressive) == decode(baseline) pixel-for-pixel.  Covers
+    4:4:4 / 4:2:0 (where the luma AC scans span fewer blocks than the
+    MCU-padded DC grid), grayscale, non-multiple-of-8/16 dims, restarts
+    (per-scan RSTn with EOB-run flushes), and a solid image whose AC
+    scans are one long EOB run (the added EOBn symbols)."""
+    import numpy as np
+
+    from vector_graph_rag_spark.operators.jpeg import encode_jpeg_progressive
+
+    rs = np.random.RandomState(5)
+    cases = [
+        ((16, 16, 3), "444", False, 80, 0),
+        ((20, 28, 3), "420", False, 80, 0),
+        ((33, 17, 3), "420", False, 60, 0),
+        ((15, 9, 3), "444", False, 95, 0),
+        ((21, 13, 3), "444", True, 90, 0),
+        ((32, 48, 3), "420", False, 85, 3),
+    ]
+    for shape, sub, gray, q, ri in cases:
+        px = rs.randint(0, 256, shape, dtype=np.uint8)
+        base = decode_jpeg(
+            encode_jpeg(px, quality=q, subsample=sub, grayscale=gray)
+        )
+        prog = decode_jpeg(
+            encode_jpeg_progressive(
+                px, quality=q, subsample=sub, grayscale=gray,
+                restart_interval=ri,
+            )
+        )
+        assert (base["pixels"] == prog["pixels"]).all(), (shape, sub, q, ri)
+        assert base["feature"] == prog["feature"]
+    # solid color: every AC scan is a pure EOBn run
+    px = np.full((48, 64, 3), 77, dtype=np.uint8)
+    base = decode_jpeg(encode_jpeg(px, quality=90))
+    prog = decode_jpeg(encode_jpeg_progressive(px, quality=90))
+    assert (base["pixels"] == prog["pixels"]).all()
+    # smooth gradient at several qualities: mixed EOB runs + refinements
+    gx = np.linspace(0, 255, 80).astype(np.uint8)
+    px = np.repeat(np.repeat(gx[None, :, None], 56, 0), 3, 2)
+    for q in (30, 60, 95):
+        assert (
+            decode_jpeg(encode_jpeg(px, quality=q))["pixels"]
+            == decode_jpeg(encode_jpeg_progressive(px, quality=q))["pixels"]
+        ).all()
+
+
+def test_progressive_prefix_scans_decode_coarse():
+    """The progressive CONTRACT: a stream truncated to a prefix of the
+    scan plan (at scan boundaries) still decodes at full dimensions —
+    each further scan refines the image toward the baseline decode."""
+    import numpy as np
+
+    from vector_graph_rag_spark.operators.jpeg import (
+        _DEFAULT_PROG_SCANS_COLOR,
+        encode_jpeg_progressive,
+    )
+
+    rs = np.random.RandomState(9)
+    px = rs.randint(0, 256, (24, 24, 3), dtype=np.uint8)
+    full = decode_jpeg(encode_jpeg_progressive(px, quality=85))
+    errs = []
+    for n in range(1, len(_DEFAULT_PROG_SCANS_COLOR) + 1):
+        part = decode_jpeg(
+            encode_jpeg_progressive(
+                px, quality=85, scans=_DEFAULT_PROG_SCANS_COLOR[:n]
+            )
+        )
+        assert part["pixels"].shape == (24, 24, 3)
+        errs.append(
+            float(
+                np.mean(
+                    np.abs(
+                        part["pixels"].astype(np.int32)
+                        - full["pixels"].astype(np.int32)
+                    )
+                )
+            )
+        )
+    assert errs[-1] == 0.0  # the full plan IS the full image
+    assert errs[0] > errs[-1]  # the DC-only preview is genuinely coarser
 
 
 def test_jpeg_through_spark_kernel(spark):
@@ -125,11 +223,16 @@ def test_jpeg_through_spark_kernel(spark):
         stdlib_kernel,
     )
 
+    from vector_graph_rag_spark.operators.jpeg import encode_jpeg_progressive
+
     px = np.full((8, 8, 3), (255, 255, 255), dtype=np.uint8)
     data = encode_jpeg(px, quality=95)
+    prog = encode_jpeg_progressive(px, quality=95)
     assets = spark.createDataFrame(
-        [("j", "image", data, 8, 8, 0)],
+        [("j", "image", data, 8, 8, 0), ("p", "image", prog, 8, 8, 0)],
         "asset_id string, modality string, content binary, width int, height int, duration_ms int",
     )
-    rows = decode_assets(assets, kernel=stdlib_kernel).collect()
-    assert abs(rows[0]["feature"] - 1.0) < 0.02
+    rows = {r["asset_id"]: r for r in decode_assets(assets, kernel=stdlib_kernel).collect()}
+    assert abs(rows["j"]["feature"] - 1.0) < 0.02
+    # progressive streams ride the same magic dispatch and decode equal
+    assert rows["p"]["feature"] == rows["j"]["feature"]

@@ -8,11 +8,18 @@ un-zigzag, float64 IDCT, chroma upsampling, YCbCr→RGB — plus the matching
 encoder used as the deterministic fixture generator (and a real encoder in
 its own right: standard Annex-K tables, quality scaling, 4:4:4 / 4:2:0).
 
-Scope (documented honestly): baseline DCT (SOF0) with 8-bit precision,
-≤2x2 sampling factors, and a SINGLE interleaved scan covering all frame
-components — what cameras/exports produce as "baseline JPEG".
-Progressive (SOF2), arithmetic coding, 12-bit, hierarchical modes, and
-multi-scan baseline (ns < ncomp) raise NotImplementedError.
+Scope (documented honestly): baseline DCT (SOF0/SOF1) and PROGRESSIVE
+(SOF2) with 8-bit precision and ≤2x2 sampling factors — single
+interleaved scans decode on the original fast path; progressive streams
+(spectral selection, successive approximation with the full DC/AC
+refinement algorithms, EOB runs, per-scan restarts) and multi-scan
+sequential baselines accumulate coefficients per scan and reconstruct at
+EOI (T.81 Annex G; the control shapes follow the public libjpeg
+jdphuff.c/jcphuff.c semantics, no code copied).  The matching
+`encode_jpeg_progressive` / `encode_jpeg_multiscan` writers produce the
+same quantized coefficients as `encode_jpeg`, so cross-mode decodes are
+pixel-identical — the defining equality test.  Arithmetic coding,
+12-bit, and hierarchical modes raise NotImplementedError.
 
 Numerics: encode/decode use the same float64 DCT-II basis matrix, so the
 loss is quantization only; a quality-95 4:4:4 round trip reconstructs
@@ -418,6 +425,7 @@ def decode_jpeg(content: bytes) -> dict:
     huff: dict[tuple[int, int], dict] = {}
     frame = None
     restart_interval = 0
+    coefs = None  # progressive / multi-scan accumulation state
     while pos < len(content):
         if content[pos] != 0xFF:
             pos += 1
@@ -452,7 +460,7 @@ def decode_jpeg(content: bytes) -> dict:
                 vals = list(payload[p + 17 : p + 17 + n])
                 huff[(cls, tid)] = _decode_table(bits, vals)
                 p += 17 + n
-        elif marker == 0xC0 or marker == 0xC1:  # baseline / ext sequential
+        elif marker in (0xC0, 0xC1, 0xC2):  # baseline / ext seq / progressive
             prec = payload[0]
             if prec != 8:
                 raise NotImplementedError(f"{prec}-bit precision")
@@ -462,29 +470,53 @@ def decode_jpeg(content: bytes) -> dict:
             for i in range(ncomp):
                 cid, hv, tq = payload[6 + 3 * i : 9 + 3 * i]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
-            frame = {"h": h, "w": w, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            frame = {"h": h, "w": w, "comps": comps,
+                     "progressive": marker == 0xC2}
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(f"JPEG SOF{marker - 0xC0} mode")
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", payload, 0)
-        elif marker == 0xDA:  # SOS: decode the scan, then we're done
+        elif marker == 0xDA:  # SOS
             if frame is None:
                 raise ValueError("SOS before SOF")
             ns = payload[0]
-            if ns != len(frame["comps"]):
-                # Spec-legal but rare: a baseline frame split into multiple
-                # sequential scans (ns < ncomp).  _decode_scan assumes ONE
-                # interleaved scan covering every frame component — gate
-                # cleanly instead of a raw KeyError mid-decode.
-                raise NotImplementedError("multi-scan baseline JPEG")
-            scan_tabs = {}
+            if not frame.get("progressive") and ns == len(frame["comps"]):
+                # baseline single interleaved scan: the original fast path
+                scan_tabs = {}
+                for i in range(ns):
+                    cs, td_ta = payload[1 + 2 * i : 3 + 2 * i]
+                    scan_tabs[cs] = (td_ta >> 4, td_ta & 0xF)
+                return _decode_scan(
+                    content, pos, frame, qts, huff, scan_tabs, restart_interval
+                )
+            # progressive, or sequential split into per-component scans:
+            # accumulate coefficients scan by scan, reconstruct at EOI
+            layout, _mr, _mc = _comp_layout(frame)
+            if max(c["h"] for c in layout) > 2 or max(c["v"] for c in layout) > 2:
+                raise NotImplementedError("sampling factors > 2")
+            if coefs is None:
+                coefs = [
+                    np.zeros((c["pbh"], c["pbw"], 64), dtype=np.int64)
+                    for c in layout
+                ]
+            id_to_ci = {c["id"]: i for i, c in enumerate(frame["comps"])}
+            scomps = []
             for i in range(ns):
                 cs, td_ta = payload[1 + 2 * i : 3 + 2 * i]
-                scan_tabs[cs] = (td_ta >> 4, td_ta & 0xF)
-            return _decode_scan(
-                content, pos, frame, qts, huff, scan_tabs, restart_interval
+                if cs not in id_to_ci:
+                    raise ValueError(f"scan component {cs} not in frame")
+                scomps.append((id_to_ci[cs], td_ta >> 4, td_ta & 0xF))
+            ss_, se_, ahal = payload[1 + 2 * ns : 4 + 2 * ns]
+            scan = {
+                "comps": scomps, "ss": ss_, "se": se_,
+                "ah": ahal >> 4, "al": ahal & 0xF,
+            }
+            pos = _decode_scan_coefs(
+                content, pos, frame, huff, scan, coefs, restart_interval
             )
+    if coefs is not None:
+        return _reconstruct_from_coefs(frame, qts, coefs)
     raise ValueError("JPEG missing SOS scan")
 
 
@@ -546,7 +578,13 @@ def _decode_scan(data, pos, frame, qts, huff, scan_tabs, restart_interval):
             except _MarkerHit as mh:
                 raise ValueError(f"marker {mh.marker:#x} inside scan") from None
             mcu_count += 1
-    # upsample chroma to luma grid, crop, convert
+    return _assemble(h, w, comps, hmax, vmax, planes)
+
+
+def _assemble(h, w, comps, hmax, vmax, planes):
+    """Upsample chroma to the luma grid, crop to display size, convert —
+    shared by the baseline fast path and the coefficient-accumulating
+    progressive/multi-scan path."""
     y = planes[0][:h, :w]
     if len(comps) == 1:
         grey = np.clip(y, 0, 255).astype(np.uint8)
@@ -565,3 +603,643 @@ def _decode_scan(data, pos, frame, qts, huff, scan_tabs, restart_interval):
         "pixels": rgb,
         "feature": float(np.clip(y, 0, 255).mean() / 255.0),
     }
+
+
+# --- progressive + multi-scan sequential (T.81 Annex G / A.2) -----------------
+#
+# Coefficient-accumulating path: every scan decodes into per-component
+# (block_row, block_col, 64) zigzag coefficient arrays; reconstruction
+# (dequantize + IDCT + upsample) runs once at EOI.  Spectral selection,
+# successive approximation (DC and the full AC correction-bit algorithm),
+# EOB runs, restarts, and non-interleaved component scans follow T.81
+# Annex G with the same control shapes as libjpeg's jdphuff.c — public
+# spec + public reference decoder semantics, no code copied.
+
+
+def _comp_layout(frame):
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcu_cols = -(-frame["w"] // (8 * hmax))
+    mcu_rows = -(-frame["h"] // (8 * vmax))
+    out = []
+    for c in comps:
+        cw = (frame["w"] * c["h"] + hmax - 1) // hmax  # A.1.1 comp dims
+        ch = (frame["h"] * c["v"] + vmax - 1) // vmax
+        out.append(
+            dict(
+                c,
+                bw=(cw + 7) // 8,          # ceil block dims (non-interleaved)
+                bh=(ch + 7) // 8,
+                pbw=mcu_cols * c["h"],     # MCU-padded grid (interleaved)
+                pbh=mcu_rows * c["v"],
+            )
+        )
+    return out, mcu_rows, mcu_cols
+
+
+def _decode_scan_coefs(data, pos, frame, huff, scan, coefs, restart_interval):
+    """Decode ONE scan's entropy segment into `coefs`; returns the stream
+    position just past the scan data.  `scan` = {"comps": [(ci, td, ta)],
+    "ss", "se", "ah", "al"}."""
+    ss, se, ah, al = scan["ss"], scan["se"], scan["ah"], scan["al"]
+    layout, mcu_rows, mcu_cols = _comp_layout(frame)
+    progressive = bool(frame.get("progressive"))
+    r = _BitReader(data, pos)
+    preds = {ci: 0 for ci, _, _ in scan["comps"]}
+    eobrun = 0
+    p1, m1 = (1 << al), -(1 << al)
+
+    def corr(zz, k):
+        # refinement correction bit for an already-nonzero coefficient
+        if r.bit() and (int(zz[k]) & p1) == 0:
+            zz[k] += p1 if zz[k] >= 0 else m1
+
+    def dc_first(ci, by, bx, td):
+        t = _huff_decode(r, huff[(0, td)])
+        diff = _extend(r.bits(t), t) if t else 0
+        preds[ci] += diff
+        coefs[ci][by, bx, 0] = preds[ci] << al
+
+    def dc_refine(ci, by, bx):
+        if r.bit():
+            coefs[ci][by, bx, 0] |= p1
+
+    def ac_first(ci, by, bx, ta):
+        nonlocal eobrun
+        if eobrun > 0:
+            eobrun -= 1
+            return
+        zz = coefs[ci][by, bx]
+        k = ss
+        while k <= se:
+            rs = _huff_decode(r, huff[(1, ta)])
+            rr, t = rs >> 4, rs & 15
+            if t == 0:
+                if rr == 15:  # ZRL
+                    k += 16
+                    continue
+                eobrun = (1 << rr) + (r.bits(rr) if rr else 0) - 1
+                break
+            k += rr
+            if k > se:
+                raise ValueError("AC index overflow")
+            zz[k] = _extend(r.bits(t), t) << al
+            k += 1
+
+    def ac_refine(ci, by, bx, ta):
+        nonlocal eobrun
+        zz = coefs[ci][by, bx]
+        k = ss
+        if eobrun == 0:
+            while k <= se:
+                rs = _huff_decode(r, huff[(1, ta)])
+                rr, t = rs >> 4, rs & 15
+                newval = 0
+                if t:
+                    if t != 1:
+                        raise ValueError("refinement magnitude != 1")
+                    newval = p1 if r.bit() else m1
+                elif rr != 15:
+                    eobrun = (1 << rr) + (r.bits(rr) if rr else 0)
+                    break  # EOB region handled below; eobrun covers this block
+                # advance over `rr` zero-HISTORY positions (16 for ZRL),
+                # appending correction bits to nonzero ones passed over
+                while k <= se:
+                    if zz[k] != 0:
+                        corr(zz, k)
+                    else:
+                        if rr == 0:
+                            break
+                        rr -= 1
+                    k += 1
+                if newval and k <= se:
+                    zz[k] = newval
+                k += 1
+        if eobrun > 0:
+            while k <= se:
+                if zz[k] != 0:
+                    corr(zz, k)
+                k += 1
+            eobrun -= 1
+
+    def seq_block(ci, by, bx, td, ta):
+        # sequential DC+AC (multi-scan baseline; Ah=Al=0, Ss=0, Se=63)
+        zz = coefs[ci][by, bx]
+        t = _huff_decode(r, huff[(0, td)])
+        diff = _extend(r.bits(t), t) if t else 0
+        preds[ci] += diff
+        zz[0] = preds[ci]
+        k = 1
+        while k <= 63:
+            rs = _huff_decode(r, huff[(1, ta)])
+            if rs == 0x00:
+                break
+            if rs == 0xF0:
+                k += 16
+                continue
+            k += rs >> 4
+            t = rs & 15
+            if k > 63:
+                raise ValueError("AC index overflow")
+            zz[k] = _extend(r.bits(t), t)
+            k += 1
+
+    def block(ci, by, bx, td, ta):
+        if not progressive:
+            seq_block(ci, by, bx, td, ta)
+        elif ss == 0:
+            if se != 0:
+                raise ValueError("progressive DC scan with Se != 0")
+            if ah == 0:
+                dc_first(ci, by, bx, td)
+            else:
+                dc_refine(ci, by, bx)
+        else:
+            if ah == 0:
+                ac_first(ci, by, bx, ta)
+            else:
+                ac_refine(ci, by, bx, ta)
+
+    unit = 0
+
+    def maybe_restart():
+        nonlocal eobrun, unit
+        if restart_interval and unit and unit % restart_interval == 0:
+            m = r.align_to_marker()
+            if not (0xFFD0 <= m <= 0xFFD7):
+                raise ValueError(f"expected RST marker, got {m:#x}")
+            for ci in preds:
+                preds[ci] = 0
+            eobrun = 0
+        unit += 1
+
+    try:
+        if len(scan["comps"]) > 1:  # interleaved: MCU order, padded grid
+            if progressive and ss != 0:
+                raise ValueError("progressive AC scan must be non-interleaved")
+            for my in range(mcu_rows):
+                for mx in range(mcu_cols):
+                    maybe_restart()
+                    for ci, td, ta in scan["comps"]:
+                        c = layout[ci]
+                        for by in range(c["v"]):
+                            for bx in range(c["h"]):
+                                block(
+                                    ci, my * c["v"] + by, mx * c["h"] + bx,
+                                    td, ta,
+                                )
+        else:  # non-interleaved: block raster over the comp's ceil dims
+            ci, td, ta = scan["comps"][0]
+            c = layout[ci]
+            for by in range(c["bh"]):
+                for bx in range(c["bw"]):
+                    maybe_restart()
+                    block(ci, by, bx, td, ta)
+    except _MarkerHit as mh:
+        raise ValueError(f"marker {mh.marker:#x} inside scan") from None
+    return r.pos
+
+
+def _reconstruct_from_coefs(frame, qts, coefs):
+    layout, _mr, _mc = _comp_layout(frame)
+    hmax = max(c["h"] for c in layout)
+    vmax = max(c["v"] for c in layout)
+    planes = []
+    for ci, c in enumerate(layout):
+        arr = coefs[ci]
+        qt = qts[c["tq"]]
+        plane = np.zeros((c["pbh"] * 8, c["pbw"] * 8))
+        for by in range(c["pbh"]):
+            for bx in range(c["pbw"]):
+                coef = (arr[by, bx][_UNZIGZAG].reshape(8, 8) * qt).astype(
+                    np.float64
+                )
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    _D.T @ coef @ _D + 128.0
+                )
+        planes.append(plane)
+    return _assemble(
+        frame["h"], frame["w"], frame["comps"], hmax, vmax, planes
+    )
+
+
+# --- progressive encoder (fixture generator + real SOF2 writer) ---------------
+#
+# Progressive entropy coding needs EOBn symbols (run-length EOBs) that the
+# Annex-K baseline AC tables do not contain.  The standard tables use the
+# 16-bit code space completely (Kraft sum 65535 of 65536, the last unit
+# being the reserved all-ones code), so symbols cannot simply be appended:
+# these specs demote ONE symbol from code length 10 to 11 (freeing 32
+# Kraft units) and then add four EOBn symbols (runs up to 31) at length
+# 16 — still canonical, still read by the generic DHT machinery, and the
+# demoted symbol costs one extra bit on the rare occasions it appears.
+
+_EOBN_SYMS = [0x10, 0x20, 0x30, 0x40]
+
+
+def _extend_ac_spec(spec):
+    bits, vals = list(spec[0]), list(spec[1])
+    idx = sum(bits[:10]) - 1  # last length-10 symbol
+    sym = vals.pop(idx)
+    bits[9] -= 1
+    vals.insert(sum(bits[:11]), sym)  # re-insert at the end of length 11
+    bits[10] += 1
+    bits[15] += len(_EOBN_SYMS)
+    vals.extend(_EOBN_SYMS)
+    kraft = sum(n * 2 ** (16 - l) for l, n in zip(range(1, 17), bits))
+    assert kraft <= 65535, "extended AC table overflows the code space"
+    return bits, vals
+
+
+_AC_PROG_LUM = _extend_ac_spec(_AC_LUM)
+_AC_PROG_CHR = _extend_ac_spec(_AC_CHR)
+_MAX_EOBRUN = 31  # (1 << 4) + 15: the largest run the added symbols encode
+
+
+def _coef_arrays(pixels, quality, subsample, grayscale):
+    """Quantized zigzag coefficient arrays per component over the
+    MCU-padded grid — the shared front half of every encoder mode."""
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w = px.shape[:2]
+    if subsample not in ("444", "420"):
+        raise ValueError(f"subsample {subsample}")
+    ycc = _rgb_to_ycbcr(px)
+    qt_l = _quality_scale(_STD_LUM_Q, quality)
+    qt_c = _quality_scale(_STD_CHR_Q, quality)
+    hs, vs = (2, 2) if subsample == "420" and not grayscale else (1, 1)
+    y = _pad_to(ycc[..., 0], 8 * hs)
+    planes = [y]
+    if not grayscale:
+        cb_full = _pad_to(ycc[..., 1], 8 * hs)
+        cr_full = _pad_to(ycc[..., 2], 8 * hs)
+        if hs == 2:
+            planes.append(
+                cb_full.reshape(cb_full.shape[0] // 2, 2, -1, 2).mean(axis=(1, 3))
+            )
+            planes.append(
+                cr_full.reshape(cr_full.shape[0] // 2, 2, -1, 2).mean(axis=(1, 3))
+            )
+        else:
+            planes.extend([cb_full, cr_full])
+    arrs = []
+    for pi, plane in enumerate(planes):
+        qt = qt_l if pi == 0 else qt_c
+        bh, bw = plane.shape[0] // 8, plane.shape[1] // 8
+        arr = np.zeros((bh, bw, 64), dtype=np.int64)
+        for by in range(bh):
+            for bx in range(bw):
+                block = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                coef = _D @ (block - 128.0) @ _D.T
+                arr[by, bx] = np.round(coef / qt).astype(np.int64).flatten()[_ZIGZAG]
+        arrs.append(arr)
+    return h, w, (hs, vs), (qt_l, qt_c), arrs
+
+
+def _encode_scan_entropy(
+    frame, arrs, scan, dc_codes, ac_codes, restart_interval
+):
+    """Entropy-code ONE scan (progressive DC/AC first/refine, or full
+    sequential) — the encoder mirror of _decode_scan_coefs."""
+    ss, se, ah, al = scan["ss"], scan["se"], scan["ah"], scan["al"]
+    layout, mcu_rows, mcu_cols = _comp_layout(frame)
+    progressive = bool(frame.get("progressive"))
+    out = bytearray()
+    wtr = _BitWriter()
+    preds = {c[0]: 0 for c in scan["comps"]}
+    eobrun = 0
+    eob_bits: list[int] = []  # corrections buffered under the open EOB run
+    p1 = 1 << al
+
+    def ac_for(ci):
+        return ac_codes[0 if ci == 0 else 1]
+
+    def dc_for(ci):
+        return dc_codes[0 if ci == 0 else 1]
+
+    def emit_eobrun(ac):
+        nonlocal eobrun
+        if eobrun > 0:
+            nbits = eobrun.bit_length() - 1
+            code, ln = ac[nbits << 4]
+            wtr.write(code, ln)
+            if nbits:
+                wtr.write(eobrun - (1 << nbits), nbits)
+            for b in eob_bits:
+                wtr.write(b, 1)
+            eob_bits.clear()
+            eobrun = 0
+
+    def dc_first(ci, by, bx):
+        v = int(arrs[ci][by, bx, 0]) >> al  # arithmetic point transform
+        diff = v - preds[ci]
+        preds[ci] = v
+        t = _category(diff)
+        code, ln = dc_for(ci)[t]
+        wtr.write(code, ln)
+        if t:
+            wtr.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+
+    def dc_refine(ci, by, bx):
+        wtr.write((int(arrs[ci][by, bx, 0]) >> al) & 1, 1)
+
+    def ac_first(ci, by, bx):
+        nonlocal eobrun
+        ac = ac_for(ci)
+        zz = arrs[ci][by, bx]
+        run = 0
+        wrote = False
+        for k in range(ss, se + 1):
+            v = int(zz[k])
+            v = (abs(v) >> al) * (1 if v >= 0 else -1)  # magnitude shift
+            if v == 0:
+                run += 1
+                continue
+            emit_eobrun(ac)
+            while run > 15:
+                code, ln = ac[0xF0]
+                wtr.write(code, ln)
+                run -= 16
+            t = _category(v)
+            code, ln = ac[(run << 4) | t]
+            wtr.write(code, ln)
+            wtr.write(v if v >= 0 else v + (1 << t) - 1, t)
+            run = 0
+            wrote = True
+        if run > 0 or not wrote:
+            eobrun += 1
+            if eobrun == _MAX_EOBRUN:
+                emit_eobrun(ac)
+
+    def ac_refine(ci, by, bx):
+        nonlocal eobrun
+        ac = ac_for(ci)
+        zz = arrs[ci][by, bx]
+        shifted = []
+        eob = ss - 1
+        for k in range(ss, se + 1):
+            v = int(zz[k])
+            a = abs(v) >> al
+            shifted.append((a, v >= 0))
+            if a == 1:
+                eob = k
+        run = 0
+        run_bits: list[int] = []  # corrections since the last emitted code
+        for k in range(ss, se + 1):
+            a, nonneg = shifted[k - ss]
+            if a == 0:
+                run += 1
+                continue
+            # ZRL flush BEFORE buffering this position's bit: the ordering
+            # invariant (T.81 G.1.2.3 / libjpeg) that every buffered
+            # correction has at most 15 preceding zero-history positions,
+            # so the decoder's 16-zero ZRL advance always reaches it.
+            # Runs that can fold into the EOB (k > eob) are not flushed.
+            while run > 15 and k <= eob:
+                emit_eobrun(ac)
+                code, ln = ac[0xF0]
+                wtr.write(code, ln)
+                run -= 16
+                for b in run_bits:
+                    wtr.write(b, 1)
+                run_bits.clear()
+            if a > 1:  # history coefficient: buffer its correction bit
+                run_bits.append(a & 1)
+                continue
+            # newly significant (a == 1)
+            emit_eobrun(ac)
+            code, ln = ac[(run << 4) | 1]
+            wtr.write(code, ln)
+            wtr.write(1 if nonneg else 0, 1)
+            for b in run_bits:
+                wtr.write(b, 1)
+            run_bits.clear()
+            run = 0
+        if run > 0 or run_bits:
+            eobrun += 1
+            eob_bits.extend(run_bits)
+            if eobrun == _MAX_EOBRUN:
+                emit_eobrun(ac)
+
+    def seq_block(ci, by, bx):
+        nonlocal preds
+        zz = arrs[ci][by, bx]
+        dc = int(zz[0])
+        diff = dc - preds[ci]
+        preds[ci] = dc
+        t = _category(diff)
+        code, ln = dc_for(ci)[t]
+        wtr.write(code, ln)
+        if t:
+            wtr.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+        ac = ac_for(ci)
+        run = 0
+        last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
+        for k in range(1, 64):
+            v = int(zz[k])
+            if k > last_nz:
+                break
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = ac[0xF0]
+                wtr.write(code, ln)
+                run -= 16
+            t = _category(v)
+            code, ln = ac[(run << 4) | t]
+            wtr.write(code, ln)
+            wtr.write(v if v >= 0 else v + (1 << t) - 1, t)
+            run = 0
+        if last_nz < 63:
+            code, ln = ac[0x00]
+            wtr.write(code, ln)
+
+    def block(ci, by, bx):
+        if not progressive:
+            seq_block(ci, by, bx)
+        elif ss == 0:
+            (dc_first if ah == 0 else dc_refine)(ci, by, bx)
+        else:
+            (ac_first if ah == 0 else ac_refine)(ci, by, bx)
+
+    unit = 0
+    rst = 0
+
+    scan_ac = ac_codes[0 if scan["comps"][0][0] == 0 else 1]
+
+    def maybe_restart():
+        nonlocal unit, rst, wtr, eobrun
+        if restart_interval and unit and unit % restart_interval == 0:
+            emit_eobrun(scan_ac)
+            out.extend(wtr.flush())
+            out.extend(bytes([0xFF, 0xD0 + rst]))
+            rst = (rst + 1) % 8
+            wtr = _BitWriter()
+            for ci in preds:
+                preds[ci] = 0
+        unit += 1
+
+    if len(scan["comps"]) > 1:
+        for my in range(mcu_rows):
+            for mx in range(mcu_cols):
+                maybe_restart()
+                for ci, *_ in scan["comps"]:
+                    c = layout[ci]
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            block(ci, my * c["v"] + by, mx * c["h"] + bx)
+    else:
+        ci = scan["comps"][0][0]
+        c = layout[ci]
+        for by in range(c["bh"]):
+            for bx in range(c["bw"]):
+                maybe_restart()
+                block(ci, by, bx)
+    emit_eobrun(scan_ac)
+    out.extend(wtr.flush())
+    return bytes(out)
+
+
+_DEFAULT_PROG_SCANS_COLOR = [
+    ([0, 1, 2], 0, 0, 0, 1),   # DC first, point transform 1
+    ([0], 1, 5, 0, 2),         # luma low band, coarse
+    ([2], 1, 63, 0, 1),        # chroma full band
+    ([1], 1, 63, 0, 1),
+    ([0], 6, 63, 0, 2),        # luma high band, coarse
+    ([0, 1, 2], 0, 0, 1, 0),   # DC refinement
+    ([0], 1, 63, 2, 1),        # luma refinement pass 1
+    ([2], 1, 63, 1, 0),        # final refinements
+    ([1], 1, 63, 1, 0),
+    ([0], 1, 63, 1, 0),
+]
+_DEFAULT_PROG_SCANS_GRAY = [
+    ([0], 0, 0, 0, 1),
+    ([0], 1, 63, 0, 2),
+    ([0], 0, 0, 1, 0),
+    ([0], 1, 63, 2, 1),
+    ([0], 1, 63, 1, 0),
+]
+
+
+def _scan_jpeg(
+    pixels,
+    quality,
+    subsample,
+    grayscale,
+    scans,
+    progressive,
+    restart_interval,
+):
+    h, w, (hs, vs), (qt_l, qt_c), arrs = _coef_arrays(
+        pixels, quality, subsample, grayscale
+    )
+    ncomp = 1 if grayscale else 3
+    comps = [{"id": 1, "h": hs, "v": vs, "tq": 0}]
+    if not grayscale:
+        comps += [
+            {"id": 2, "h": 1, "v": 1, "tq": 1},
+            {"id": 3, "h": 1, "v": 1, "tq": 1},
+        ]
+    frame = {"h": h, "w": w, "comps": comps, "progressive": progressive}
+
+    ac_specs = (
+        (_AC_PROG_LUM, _AC_PROG_CHR) if progressive else (_AC_LUM, _AC_CHR)
+    )
+    dc_codes = (_canonical_codes(*_DC_LUM), _canonical_codes(*_DC_CHR))
+    ac_codes = (
+        _canonical_codes(*ac_specs[0]),
+        _canonical_codes(*ac_specs[1]),
+    )
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    def dqt(tid: int, qt) -> bytes:
+        return seg(
+            0xFFDB, bytes([tid]) + bytes(qt.flatten()[_ZIGZAG].astype(np.uint8))
+        )
+
+    def dht(cls: int, tid: int, spec) -> bytes:
+        bits, vals = spec
+        return seg(0xFFC4, bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals))
+
+    app0 = seg(
+        0xFFE0, b"JFIF\x00\x01\x01\x00" + struct.pack(">HH", 1, 1) + b"\x00\x00"
+    )
+    tables = dqt(0, qt_l) + dht(0, 0, _DC_LUM) + dht(1, 0, ac_specs[0])
+    if not grayscale:
+        tables += dqt(1, qt_c) + dht(0, 1, _DC_CHR) + dht(1, 1, ac_specs[1])
+    sof_comps = bytes([ncomp]) + b"".join(
+        bytes([c["id"], (c["h"] << 4) | c["v"], c["tq"]]) for c in comps
+    )
+    sof = seg(
+        0xFFC2 if progressive else 0xFFC0,
+        bytes([8]) + struct.pack(">HH", h, w) + sof_comps,
+    )
+    dri = (
+        seg(0xFFDD, struct.pack(">H", restart_interval))
+        if restart_interval
+        else b""
+    )
+    out = bytearray(b"\xff\xd8" + app0 + tables + dri + sof)
+    for comp_ids, ss, se, ah, al in scans:
+        scan = {
+            "comps": [(ci, 0 if ci == 0 else 1, 0 if ci == 0 else 1)
+                      for ci in comp_ids],
+            "ss": ss, "se": se, "ah": ah, "al": al,
+        }
+        sos_comps = bytes([len(comp_ids)]) + b"".join(
+            bytes([comps[ci]["id"],
+                   ((0 if ci == 0 else 1) << 4) | (0 if ci == 0 else 1)])
+            for ci in comp_ids
+        )
+        out += seg(0xFFDA, sos_comps + bytes([ss, se, (ah << 4) | al]))
+        out += _encode_scan_entropy(
+            frame, arrs, scan, dc_codes, ac_codes, restart_interval
+        )
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def encode_jpeg_progressive(
+    pixels,
+    quality: int = 90,
+    subsample: str = "444",
+    grayscale: bool = False,
+    scans=None,
+    restart_interval: int = 0,
+) -> bytes:
+    """Progressive (SOF2) JFIF encoder: spectral selection + successive
+    approximation over the same quantized coefficients `encode_jpeg`
+    produces, so ``decode_jpeg(encode_jpeg_progressive(px)) ==
+    decode_jpeg(encode_jpeg(px))`` pixel-for-pixel (the defining test).
+    ``scans`` is a list of (comp_indices, Ss, Se, Ah, Al); the default
+    plan is the libjpeg-style DC-coarse → bands → refinements sequence.
+    A PREFIX of the default plan is also valid output — fewer scans just
+    decode to a coarser image (the progressive contract)."""
+    if scans is None:
+        scans = (
+            _DEFAULT_PROG_SCANS_GRAY if grayscale else _DEFAULT_PROG_SCANS_COLOR
+        )
+    return _scan_jpeg(
+        pixels, quality, subsample, grayscale, scans, True, restart_interval
+    )
+
+
+def encode_jpeg_multiscan(
+    pixels,
+    quality: int = 90,
+    subsample: str = "444",
+    grayscale: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
+    """Sequential baseline (SOF0) split into one NON-interleaved scan per
+    component (spec-legal, rare in the wild — the exact layout the r14
+    advisor's multi-scan gate was about).  Decodes identically to the
+    single-scan interleaved baseline stream."""
+    ncomp = 1 if grayscale else 3
+    scans = [([ci], 0, 63, 0, 0) for ci in range(ncomp)]
+    return _scan_jpeg(
+        pixels, quality, subsample, grayscale, scans, False, restart_interval
+    )

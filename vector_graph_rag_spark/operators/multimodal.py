@@ -327,8 +327,10 @@ def stdlib_kernel(modality: str, content: bytes) -> dict:
     'BM' → 24-bit or 8-bit-palette BMP, '\\x89PNG' → 8-bit grey/RGB/RGBA
     or 1/2/4/8-bit palette PNG (zlib inflate + scanline unfilter + PLTE
     LUT), both with mean-BT.601-luminance features; '\\xff\\xd8\\xff' →
-    baseline JPEG (full entropy + IDCT decode, operators/jpeg.py;
-    progressive/12-bit still raise); 'GIF8xa' → GIF first frame (LZW +
+    baseline AND progressive JPEG (full entropy + IDCT decode incl.
+    spectral selection / successive approximation / multi-scan
+    sequential, operators/jpeg.py; arithmetic-coded/12-bit still
+    raise); 'GIF8xa' → GIF first frame (LZW +
     de-interlace); 'RIFF…WAVE' → PCM WAV (RMS-amplitude feature); 'ftyp'
     at offset 4 → MP4/ISO-BMFF metadata (moov box walk: duration/fps/
     dimensions/keyframes, operators/mp4.py — the mdat PIXEL payload still
