@@ -236,3 +236,37 @@ def test_jpeg_through_spark_kernel(spark):
     assert abs(rows["j"]["feature"] - 1.0) < 0.02
     # progressive streams ride the same magic dispatch and decode equal
     assert rows["p"]["feature"] == rows["j"]["feature"]
+
+
+def test_16bit_quant_tables_decode():
+    """r16: DQT with Pq=1 (16-bit big-endian entries, B.2.4.1) decodes —
+    previously a NotImplementedError gate.  A baseline stream whose DQTs
+    are rewritten to 16-bit with identical values must decode to the
+    exact same pixels."""
+    import struct
+
+    rs = np.random.RandomState(2)
+    im = rs.randint(0, 256, (16, 16, 3), np.uint8)
+    s = encode_jpeg(im, quality=85)
+    base = decode_jpeg(s)
+    out = bytearray()
+    pos = 0
+    while pos < len(s):
+        if s[pos] == 0xFF and pos + 1 < len(s) and s[pos + 1] == 0xDB:
+            (ln,) = struct.unpack_from(">H", s, pos + 2)
+            payload = s[pos + 4 : pos + 2 + ln]
+            new_payload = bytearray()
+            p = 0
+            while p < len(payload):
+                new_payload += bytes([0x10 | (payload[p] & 0xF)])
+                new_payload += b"".join(
+                    struct.pack(">H", v) for v in payload[p + 1 : p + 65]
+                )
+                p += 65
+            out += bytes([0xFF, 0xDB])
+            out += struct.pack(">H", len(new_payload) + 2) + new_payload
+            pos += 2 + ln
+        else:
+            out.append(s[pos])
+            pos += 1
+    assert (decode_jpeg(bytes(out))["pixels"] == base["pixels"]).all()

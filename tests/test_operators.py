@@ -1144,3 +1144,73 @@ def test_pil_path_feature_parity_when_pillow_present():
     from vector_graph_rag_spark.operators.jpeg import decode_jpeg
 
     assert abs(mm._pil_decode_image(jpg)["feature"] - decode_jpeg(jpg)["feature"]) < 2 / 255.0
+
+
+def test_wav_all_integer_pcm_widths_decode():
+    """r16: sample widths 1/2/3/4 all decode (previously only 16-bit) —
+    the same sine encoded at each width yields the SAME normalized RMS
+    feature (within the coarser widths' quantization), with `samples`
+    staying in the width's raw integer scale."""
+    import io
+    import math
+    import struct
+    import wave
+
+    from vector_graph_rag_spark.operators.multimodal import decode_wav
+
+    sig = [math.sin(2 * math.pi * 440 * t / 8000) for t in range(800)]
+    feats = {}
+    for width in (1, 2, 3, 4):
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(width)
+            w.setframerate(8000)
+            if width == 1:
+                frames = bytes(int(round(s * 127)) + 128 for s in sig)
+            elif width == 2:
+                frames = b"".join(
+                    struct.pack("<h", int(round(s * 32767))) for s in sig
+                )
+            elif width == 3:
+                frames = b"".join(
+                    int(round(s * (2**23 - 1))).to_bytes(3, "little", signed=True)
+                    for s in sig
+                )
+            else:
+                frames = b"".join(
+                    struct.pack("<i", int(round(s * (2**31 - 1)))) for s in sig
+                )
+            w.writeframes(frames)
+        d = decode_wav(buf.getvalue())
+        assert d["sample_rate"] == 8000 and d["duration_ms"] == 100
+        feats[width] = d["feature"]
+        # raw-scale samples: peak near the width's full scale
+        peak = max(abs(x) for x in d["samples"])
+        full = {1: 127, 2: 32767, 3: 2**23 - 1, 4: 2**31 - 1}[width]
+        assert 0.9 < peak / full <= 1.0
+    assert max(feats.values()) - min(feats.values()) < 0.01  # ~1/sqrt(2) all
+
+
+def test_bmp_os2_core_header_decodes():
+    """r16: BITMAPCOREHEADER (OS/2 1.x, 12-byte header, 16-bit dims)
+    24-bit BMPs decode — previously a PIL gate."""
+    import struct
+
+    import numpy as np
+
+    from vector_graph_rag_spark.operators.multimodal import decode_bmp
+
+    w_, h_ = 5, 3
+    px = np.arange(w_ * h_ * 3, dtype=np.uint8).reshape(h_, w_, 3)
+    row_size = (w_ * 3 + 3) & ~3
+    data = bytearray()
+    for y in range(h_ - 1, -1, -1):  # bottom-up storage
+        row = px[y].tobytes()
+        data += row + b"\x00" * (row_size - len(row))
+    offset = 14 + 12
+    hdr = struct.pack("<2sIHHI", b"BM", offset + len(data), 0, 0, offset)
+    core = struct.pack("<IHHHH", 12, w_, h_, 1, 24)
+    d = decode_bmp(bytes(hdr + core + data))
+    assert (d["width"], d["height"]) == (w_, h_)
+    assert (d["pixels"] == px).all()

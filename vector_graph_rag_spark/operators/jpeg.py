@@ -442,15 +442,22 @@ def decode_jpeg(content: bytes) -> dict:
         (seglen,) = struct.unpack_from(">H", content, pos)
         payload = content[pos + 2 : pos + seglen]
         pos += seglen
-        if marker == 0xDB:  # DQT: one or more tables
+        if marker == 0xDB:  # DQT: one or more tables, 8- or 16-bit (Pq)
             p = 0
             while p < len(payload):
                 pq, tid = payload[p] >> 4, payload[p] & 0xF
-                if pq != 0:
-                    raise NotImplementedError("16-bit quant tables")
-                tbl = np.frombuffer(payload, np.uint8, 64, p + 1).astype(np.int32)
+                if pq not in (0, 1):
+                    raise ValueError(f"DQT precision {pq}")
+                if pq:  # 16-bit big-endian entries (B.2.4.1)
+                    tbl = np.frombuffer(payload, ">u2", 64, p + 1).astype(
+                        np.int32
+                    )
+                else:
+                    tbl = np.frombuffer(payload, np.uint8, 64, p + 1).astype(
+                        np.int32
+                    )
                 qts[tid] = tbl[_UNZIGZAG].reshape(8, 8)
-                p += 65
+                p += 1 + 64 * (2 if pq else 1)
         elif marker == 0xC4:  # DHT: one or more tables
             p = 0
             while p < len(payload):

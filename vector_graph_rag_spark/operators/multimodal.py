@@ -158,8 +158,9 @@ def encode_bmp(width: int, height: int, pixels) -> bytes:
 
 
 def decode_bmp(content: bytes) -> dict:
-    """Parse an uncompressed BMP — 24-bit truecolor or 8-bit color-table
-    (palette) — header via struct, pixel rows via a vectorized numpy view
+    """Parse an uncompressed BMP — 24-bit truecolor (BITMAPINFOHEADER or
+    the OS/2 1.x BITMAPCOREHEADER, r16) or 8-bit color-table (palette)
+    — header via struct, pixel rows via a vectorized numpy view
     (strided over the 4-byte row padding); 8-bit rows map through the
     BGRX color table as a LUT.  Returns width/height and mean BT.601
     luminance in [0, 1] as the feature."""
@@ -168,10 +169,18 @@ def decode_bmp(content: bytes) -> dict:
     if content[:2] != b"BM":
         raise ValueError("not a BMP stream")
     data_offset = struct.unpack_from("<I", content, 10)[0]
-    hdr_size, width, height = struct.unpack_from("<Iii", content, 14)
-    if hdr_size < 40:  # BITMAPCOREHEADER: 16-bit dims at different offsets
-        raise NotImplementedError(f"BMP header size {hdr_size} (OS/2 core) needs PIL")
-    planes, bpp, compression = struct.unpack_from("<HHI", content, 26)
+    hdr_size = struct.unpack_from("<I", content, 14)[0]
+    if hdr_size == 12:  # BITMAPCOREHEADER (OS/2 1.x): 16-bit dims (r16)
+        width, height, _planes, bpp = struct.unpack_from("<HHHH", content, 18)
+        if bpp != 24:
+            raise NotImplementedError(f"OS/2 core BMP bpp={bpp} needs PIL")
+        compression = 0  # core bitmaps: no compression field, bottom-up
+    elif hdr_size < 40:
+        raise NotImplementedError(f"BMP header size {hdr_size} needs PIL")
+    else:
+        _w, height = struct.unpack_from("<ii", content, 18)
+        width = _w
+        _planes, bpp, compression = struct.unpack_from("<HHI", content, 26)
     if bpp not in (8, 24) or compression != 0:
         raise NotImplementedError(f"BMP bpp={bpp} compression={compression} needs PIL")
     flipped = height > 0  # positive height = bottom-up storage
@@ -260,7 +269,13 @@ def encode_wav(sample_rate: int, samples) -> bytes:
 
 def decode_wav(content: bytes) -> dict:
     """Parse a PCM WAV via the stdlib wave module + numpy: channel/rate/
-    duration metadata and RMS amplitude in [0, 1] as the feature."""
+    duration metadata and RMS amplitude in [0, 1] as the feature.
+    Sample widths 1 (unsigned 8-bit), 2 (16-bit), 3 (24-bit), and
+    4 (32-bit) decode — all the integer PCM layouts WAV files carry
+    (r16; previously only 16-bit).  `samples` stays in the width's raw
+    integer scale (8-bit re-centered to signed, the PCM convention); the
+    RMS feature normalizes by the width's full scale so the same signal
+    produces the same feature at any width."""
     import io
     import wave
 
@@ -272,10 +287,24 @@ def decode_wav(content: bytes) -> dict:
         width = w.getsampwidth()
         channels = w.getnchannels()
         frames = w.readframes(n)
-    if width != 2:
+    if width == 1:  # unsigned 8-bit: re-center around 0
+        samples = np.frombuffer(frames, dtype=np.uint8).astype(np.float64) - 128.0
+        full = 128.0
+    elif width == 2:
+        samples = np.frombuffer(frames, dtype="<i2").astype(np.float64)
+        full = 32768.0
+    elif width == 3:  # 24-bit little-endian: sign-extend via int32 shift
+        raw = np.frombuffer(frames, dtype=np.uint8)
+        raw = raw[: (len(raw) // 3) * 3].reshape(-1, 3).astype(np.uint32)
+        u = raw[:, 0] | (raw[:, 1] << 8) | (raw[:, 2] << 16)
+        samples = (u.astype(np.int32) << 8 >> 8).astype(np.float64)
+        full = float(1 << 23)
+    elif width == 4:
+        samples = np.frombuffer(frames, dtype="<i4").astype(np.float64)
+        full = float(1 << 31)
+    else:
         raise NotImplementedError(f"WAV sample width {width} needs torchaudio")
-    samples = np.frombuffer(frames, dtype="<i2").astype(np.float64)
-    rms = float(np.sqrt((samples**2).mean()) / 32768.0) if len(samples) else 0.0
+    rms = float(np.sqrt((samples**2).mean()) / full) if len(samples) else 0.0
     return {
         "sample_rate": int(rate),
         "channels": int(channels),
