@@ -850,3 +850,91 @@ def test_pdf_malformed_cmap_and_objstm_degrade_not_crash():
     for i, o in enumerate(objs, start=1):
         out += b"%d 0 obj\n" % i + o + b"\nendobj\n"
     assert extract_pdf_text(bytes(out)) == "still works"
+
+
+def _make_truetype_cmap4(uni_to_gid: dict) -> bytes:
+    """Minimal sfnt containing ONE table: a format-4 'cmap' (3,1) whose
+    segments map each codepoint to its glyph id — the fixture for the
+    no-ToUnicode fallback."""
+    import struct
+
+    items = sorted(uni_to_gid.items())
+    segs = [(u, u, (g - u) & 0xFFFF) for u, g in items] + [(0xFFFF, 0xFFFF, 1)]
+    n = len(segs)
+    sub = struct.pack(
+        ">HHHHHHH", 4, 16 + 8 * n + 2, 0, 2 * n, 0, 0, 0
+    )
+    sub += struct.pack(f">{n}H", *[e for _s, e, _d in segs])
+    sub += b"\x00\x00"  # reservedPad
+    sub += struct.pack(f">{n}H", *[s for s, _e, _d in segs])
+    sub += struct.pack(f">{n}H", *[d for _s, _e, d in segs])
+    sub += struct.pack(f">{n}H", *([0] * n))  # idRangeOffset
+    cmap = struct.pack(">HH", 0, 1) + struct.pack(">HHI", 3, 1, 12) + sub
+    header = struct.pack(">IHHHH", 0x00010000, 1, 0, 0, 0)
+    record = struct.pack(">4sIII", b"cmap", 0, 28, len(cmap))
+    return header + record + cmap
+
+
+def _make_no_tounicode_cid_pdf(text: str, cid_of, font_extra: bytes,
+                               extra_objs: list) -> bytes:
+    hexstr = "".join(f"{cid_of(ch):04X}" for ch in text)
+    stream = f"BT /F9 12 Tf 72 720 Td <{hexstr}> Tj ET".encode()
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R "
+        b"/Resources << /Font << /F9 5 0 R >> >> >>",
+        b"<< /Length %d >>\nstream\n%s\nendstream" % (len(stream), stream),
+        b"<< /Type /Font /Subtype /Type0 /Encoding /Identity-H "
+        b"/DescendantFonts [6 0 R] >>",
+        b"<< /Type /Font /Subtype /CIDFontType2 /FontDescriptor 7 0 R "
+        + font_extra + b" >>",
+        b"<< /Type /FontDescriptor /FontFile2 8 0 R >>",
+        *extra_objs,
+    ]
+    out = bytearray(b"%PDF-1.4\n")
+    for i, o in enumerate(objs, start=1):
+        out += b"%d 0 obj\n" % i + o + b"\nendobj\n"
+    out += b"trailer\n<< /Size %d /Root 1 0 R >>\n" % (len(objs) + 1)
+    return bytes(out)
+
+
+def test_pdf_no_tounicode_cid_via_embedded_truetype_cmap():
+    """r16: a Type0/CIDFontType2 font WITHOUT /ToUnicode — previously the
+    documented garbled-output limit — now decodes by reversing the
+    embedded TrueType's own cmap table (unicode→GID inverted, composed
+    with CIDToGIDMap), the pdfminer/PyMuPDF recovery path.  Covers both
+    the /Identity default (CID == GID) and the 2-byte-per-CID stream
+    form of /CIDToGIDMap."""
+    from vector_graph_rag_spark.sources.loaders import extract_pdf_text
+
+    text = "NoToUni works"
+    gid_of = {ch: 0x30 + i for i, ch in enumerate(sorted(set(text)))}
+    font = _make_truetype_cmap4({ord(ch): g for ch, g in gid_of.items()})
+    font_obj = b"<< /Length %d >>\nstream\n%s\nendstream" % (len(font), font)
+
+    # Identity CIDToGIDMap: show-string CIDs ARE the glyph ids
+    pdf = _make_no_tounicode_cid_pdf(
+        text, lambda ch: gid_of[ch], b"/CIDToGIDMap /Identity", [font_obj]
+    )
+    assert extract_pdf_text(pdf) == text
+
+    # Stream CIDToGIDMap: cid = gid - 7, mapped through a 2-byte stream
+    max_cid = max(gid_of.values()) - 7
+    c2g = bytearray()
+    for cid in range(max_cid + 1):
+        g = cid + 7
+        c2g += bytes([(g >> 8) & 0xFF, g & 0xFF])
+    c2g_obj = b"<< /Length %d >>\nstream\n%s\nendstream" % (len(c2g), bytes(c2g))
+    pdf2 = _make_no_tounicode_cid_pdf(
+        text, lambda ch: gid_of[ch] - 7, b"/CIDToGIDMap 9 0 R",
+        [font_obj, c2g_obj],
+    )
+    assert extract_pdf_text(pdf2) == text
+
+    # a corrupt font program degrades to the old behavior, never a crash
+    bad_font_obj = b"<< /Length 9 >>\nstream\nnot a ttf\nendstream"
+    pdf3 = _make_no_tounicode_cid_pdf(
+        text, lambda ch: gid_of[ch], b"/CIDToGIDMap /Identity", [bad_font_obj]
+    )
+    assert isinstance(extract_pdf_text(pdf3), str)

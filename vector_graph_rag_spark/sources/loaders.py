@@ -501,6 +501,81 @@ def _parse_tounicode_cmap(
     return cmap, ranges
 
 
+def _truetype_gid_to_unicode(font: bytes) -> dict[int, str]:
+    """Reverse the embedded TrueType's 'cmap' table (OpenType spec, public)
+    to glyph-id → Unicode char.  Supports the two encodings real PDFs
+    embed: format 4 (segment mapping, Windows BMP) and format 12
+    (segmented coverage, full Unicode).  First (lowest-codepoint) wins on
+    glyphs reachable from several codepoints.  Returns {} for anything
+    unparseable — callers treat that as "no fallback available"."""
+    import struct as _st
+
+    try:
+        num_tables = _st.unpack_from(">H", font, 4)[0]
+        cmap_off = None
+        for i in range(num_tables):
+            tag, _chk, off, _ln = _st.unpack_from(">4sIII", font, 12 + 16 * i)
+            if tag == b"cmap":
+                cmap_off = off
+                break
+        if cmap_off is None:
+            return {}
+        n_enc = _st.unpack_from(">H", font, cmap_off + 2)[0]
+        subtables = []
+        for i in range(n_enc):
+            pid, eid, off = _st.unpack_from(">HHI", font, cmap_off + 4 + 8 * i)
+            subtables.append((pid, eid, cmap_off + off))
+        # preference: (3,10)/(0,4+) format 12 > (3,1)/(0,3) format 4
+        def pref(t):
+            pid, eid, _ = t
+            return {(3, 10): 0, (0, 4): 1, (0, 6): 1, (3, 1): 2, (0, 3): 3}.get(
+                (pid, eid), 9
+            )
+
+        uni_to_gid: dict[int, int] = {}
+        for pid, eid, off in sorted(subtables, key=pref):
+            fmt = _st.unpack_from(">H", font, off)[0]
+            if fmt == 12:
+                n_groups = _st.unpack_from(">I", font, off + 12)[0]
+                for g in range(n_groups):
+                    start, end, sgid = _st.unpack_from(
+                        ">III", font, off + 16 + 12 * g
+                    )
+                    for u in range(start, min(end, start + 0xFFFF) + 1):
+                        uni_to_gid.setdefault(u, sgid + (u - start))
+                break
+            if fmt == 4:
+                seg_x2 = _st.unpack_from(">H", font, off + 6)[0]
+                segs = seg_x2 // 2
+                ends = _st.unpack_from(f">{segs}H", font, off + 14)
+                starts = _st.unpack_from(f">{segs}H", font, off + 16 + seg_x2)
+                deltas = _st.unpack_from(f">{segs}h", font, off + 16 + 2 * seg_x2)
+                ro_base = off + 16 + 3 * seg_x2
+                ros = _st.unpack_from(f">{segs}H", font, ro_base)
+                for i in range(segs):
+                    if starts[i] == 0xFFFF:
+                        continue
+                    for u in range(starts[i], ends[i] + 1):
+                        if ros[i] == 0:
+                            gid = (u + deltas[i]) & 0xFFFF
+                        else:
+                            addr = ro_base + 2 * i + ros[i] + 2 * (u - starts[i])
+                            if addr + 2 > len(font):
+                                continue
+                            gid = _st.unpack_from(">H", font, addr)[0]
+                            if gid:
+                                gid = (gid + deltas[i]) & 0xFFFF
+                        if gid:
+                            uni_to_gid.setdefault(u, gid)
+                break
+        gid_to_uni: dict[int, str] = {}
+        for u in sorted(uni_to_gid):
+            gid_to_uni.setdefault(uni_to_gid[u], chr(u))
+        return gid_to_uni
+    except (_st.error, IndexError, ValueError):
+        return {}
+
+
 def _pdf_font_cmaps(
     content: bytes,
 ) -> dict[bytes, tuple[dict[int, str], list[tuple[int, int, int]]]]:
@@ -583,6 +658,15 @@ def _pdf_font_cmaps(
                     continue
                 tm = re.search(rb"/ToUnicode\s+(\d+)\s+\d+\s+R", body)
                 if not tm:
+                    # No-ToUnicode CID fallback (r16): reverse the embedded
+                    # TrueType's own cmap table — unicode→GID inverted to
+                    # GID→unicode, composed with CIDToGIDMap (Identity or
+                    # the 2-byte-per-CID stream).  This is what pdfminer/
+                    # PyMuPDF do for the same files; it recovers text from
+                    # the common "subsetted font, no ToUnicode" exports.
+                    parsed = _cid_font_fallback_cmap(body, objs, _stream_of)
+                    if parsed and parsed[0]:
+                        cmaps[name] = parsed
                     continue
                 tnum = int(tm.group(1))
                 if tnum not in cmap_cache:
@@ -597,6 +681,57 @@ def _pdf_font_cmaps(
                 if parsed and parsed[0]:
                     cmaps[name] = parsed
     return cmaps
+
+
+def _cid_font_fallback_cmap(font_body, objs, stream_of):
+    """Type0 font WITHOUT /ToUnicode → (code→text, ranges) via the
+    embedded font program: /DescendantFonts → /FontDescriptor →
+    /FontFile2 (TrueType), whose 'cmap' table inverts to GID→Unicode;
+    CIDs map to GIDs through /CIDToGIDMap (the /Identity default, or the
+    big-endian 2-byte-per-CID stream form).  Returns None when any link
+    is missing — the raw-path behavior is then unchanged."""
+    import re
+
+    dm = re.search(rb"/DescendantFonts\s*\[\s*(\d+)\s+\d+\s+R", font_body)
+    desc = objs.get(int(dm.group(1))) if dm else None
+    if desc is None:
+        # inline descendant dict: use the font body itself as the search
+        # space (rare writers inline the CIDFont)
+        desc = font_body if b"/FontDescriptor" in font_body else None
+    if desc is None:
+        return None
+    fd = re.search(rb"/FontDescriptor\s+(\d+)\s+\d+\s+R", desc)
+    fdesc = objs.get(int(fd.group(1))) if fd else None
+    if fdesc is None:
+        return None
+    ff = re.search(rb"/FontFile2\s+(\d+)\s+\d+\s+R", fdesc)
+    fbody = objs.get(int(ff.group(1))) if ff else None
+    fdata = stream_of(fbody) if fbody is not None else None
+    if not fdata:
+        return None
+    gid_to_uni = _truetype_gid_to_unicode(fdata)
+    if not gid_to_uni:
+        return None
+    # CIDToGIDMap: /Identity (default) or a stream of 2-byte GIDs per CID
+    cid2gid = None
+    cg = re.search(rb"/CIDToGIDMap\s+(\d+)\s+\d+\s+R", desc)
+    if cg:
+        cbody = objs.get(int(cg.group(1)))
+        cdata = stream_of(cbody) if cbody is not None else None
+        if cdata:
+            cid2gid = {
+                cid: (cdata[2 * cid] << 8) | cdata[2 * cid + 1]
+                for cid in range(len(cdata) // 2)
+            }
+    if cid2gid is None:
+        cmap = {gid: uni for gid, uni in gid_to_uni.items()}  # CID == GID
+    else:
+        cmap = {
+            cid: gid_to_uni[gid]
+            for cid, gid in cid2gid.items()
+            if gid in gid_to_uni
+        }
+    return cmap, [(2, 0x0000, 0xFFFF)]
 
 
 def _apply_cmap(
@@ -649,9 +784,12 @@ def extract_pdf_text(content: bytes) -> str:
     /ToUnicode CMap decode through it (bfchar + bfrange, both forms),
     keyed by the /Fx … Tf font selection; objects packed in object
     streams (/Type /ObjStm, PDF 1.5+ compressed xref layout) are expanded
-    into the object graph first.  Known limit of the fallback (markitdown
-    takes priority when present): CID text WITHOUT a ToUnicode CMap comes
-    out garbled."""
+    into the object graph first.  CID fonts WITHOUT a ToUnicode CMap
+    recover through the embedded TrueType's own cmap table (r16 —
+    GID→Unicode inversion composed with CIDToGIDMap).  Known limit of
+    the fallback (markitdown takes priority when present): CID text with
+    neither a ToUnicode CMap nor an embedded TrueType cmap — a
+    subsetted CFF-only font, essentially — comes out garbled."""
     import re
     import zlib
 
@@ -666,11 +804,16 @@ def extract_pdf_text(content: bytes) -> str:
     _num_re = re.compile(rb"^[+-]?(\d+\.?\d*|\.\d+)$")
 
     # CID/Type0 support: only pay the object-graph walk when the file
-    # declares a ToUnicode CMap at all — or carries object streams, whose
-    # compressed members may hide the /ToUnicode reference.
+    # declares a ToUnicode CMap or a Type0 font (whose embedded TrueType
+    # is the no-ToUnicode fallback, r16) — or carries object streams,
+    # whose compressed members may hide either reference.
     font_cmaps = (
         _pdf_font_cmaps(content)
-        if (b"/ToUnicode" in content or b"/ObjStm" in content)
+        if (
+            b"/ToUnicode" in content
+            or b"/DescendantFonts" in content
+            or b"/ObjStm" in content
+        )
         else {}
     )
 
