@@ -270,3 +270,43 @@ def test_16bit_quant_tables_decode():
             out.append(s[pos])
             pos += 1
     assert (decode_jpeg(bytes(out))["pixels"] == base["pixels"]).all()
+
+
+def test_corrupt_streams_raise_valueerror_only():
+    """Hostile-input contract (r16 fuzz pass — 4000 seeded mutations,
+    zero hangs): corrupt JPEG bytes raise ValueError uniformly (internal
+    struct/index/key/overflow errors are normalized), while
+    NotImplementedError stays a capability gate.  A seeded slice of the
+    fuzz corpus runs here as the regression."""
+    import random
+
+    from vector_graph_rag_spark.operators.jpeg import (
+        encode_jpeg_multiscan,
+        encode_jpeg_progressive,
+    )
+
+    rs = np.random.RandomState(1)
+    px = rs.randint(0, 256, (24, 32, 3), dtype=np.uint8)
+    streams = [
+        encode_jpeg(px, quality=80),
+        encode_jpeg_progressive(px, quality=80),
+        encode_jpeg_progressive(px, quality=80, subsample="420"),
+        encode_jpeg_multiscan(px, quality=80),
+    ]
+    rng = random.Random(7)
+    for _ in range(400):
+        s = bytearray(rng.choice(streams))
+        op = rng.random()
+        if op < 0.4:
+            i = rng.randrange(len(s))
+            s[i] = rng.randrange(256)
+        elif op < 0.7:
+            s = s[: rng.randrange(2, len(s))]
+        else:
+            for _ in range(rng.randrange(1, 8)):
+                i = rng.randrange(len(s))
+                s[i] = rng.randrange(256)
+        try:
+            decode_jpeg(bytes(s))
+        except (ValueError, NotImplementedError):
+            pass  # the contract: data error or capability gate, only

