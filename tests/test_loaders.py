@@ -938,3 +938,40 @@ def test_pdf_no_tounicode_cid_via_embedded_truetype_cmap():
         text, lambda ch: gid_of[ch], b"/CIDToGIDMap /Identity", [bad_font_obj]
     )
     assert isinstance(extract_pdf_text(pdf3), str)
+
+
+def test_pdf_extractor_corrupt_streams_never_raise():
+    """extract_pdf_text's contract is graceful degradation: ANY byte
+    corruption yields a (possibly empty/partial) string, never an
+    exception (r16 fuzz pass — 5000 seeded mutations over simple, CID,
+    and no-ToUnicode-TrueType fixtures; the one hole found was non-hex
+    garbage inside <…> hex show-strings escaping bytes.fromhex)."""
+    import random
+
+    from vector_graph_rag_spark.sources.loaders import extract_pdf_text
+
+    text = "Fuzz target text"
+    gid_of = {ch: 0x30 + i for i, ch in enumerate(sorted(set(text)))}
+    font = _make_truetype_cmap4({ord(ch): g for ch, g in gid_of.items()})
+    font_obj = b"<< /Length %d >>\nstream\n%s\nendstream" % (len(font), font)
+    fixtures = [
+        _make_cid_pdf("Hello CID world"),
+        _make_no_tounicode_cid_pdf(
+            text, lambda ch: gid_of[ch], b"/CIDToGIDMap /Identity", [font_obj]
+        ),
+        _make_pdf(["plain text line", "another line"]),
+    ]
+    rng = random.Random(99)
+    for _ in range(400):
+        s = bytearray(rng.choice(fixtures))
+        op = rng.random()
+        if op < 0.4:
+            i = rng.randrange(len(s))
+            s[i] = rng.randrange(256)
+        elif op < 0.7:
+            s = s[: rng.randrange(2, len(s))]
+        else:
+            for _ in range(rng.randrange(1, 10)):
+                i = rng.randrange(len(s))
+                s[i] = rng.randrange(256)
+        assert isinstance(extract_pdf_text(bytes(s)), str)

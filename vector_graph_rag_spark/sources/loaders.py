@@ -796,10 +796,13 @@ def extract_pdf_text(content: bytes) -> str:
     texts: list[str] = []
 
     def _hex_decode(h: bytes) -> str:
-        h = bytes(c for c in h if not chr(c).isspace())
+        # keep hex digits ONLY (r16 fuzz: corrupt bytes inside <…> strings
+        # previously escaped as a raw fromhex ValueError; the spec's
+        # whitespace-skip generalizes to dropping any non-hex garbage)
+        h = bytes(c for c in h if chr(c) in "0123456789abcdefABCDEF")
         if len(h) % 2:  # odd digit count: implicit trailing 0 (§7.3.4.3)
             h += b"0"
-        return bytes.fromhex(h.decode("ascii", "ignore")).decode("latin-1")
+        return bytes.fromhex(h.decode("ascii")).decode("latin-1")
 
     _num_re = re.compile(rb"^[+-]?(\d+\.?\d*|\.\d+)$")
 
