@@ -147,6 +147,14 @@ HEADLINE = [
     "multimodal_codec_features",
     "cluster_capped_sample",
     "curriculum_order",
+    # round-17 additions: the activated r15-staged quartet (read-at-version
+    # time travel, per-dim drift registers, IVF-PQ tombstone DELETE,
+    # ColBERT MaxSim late interaction); retirees stay benched from the
+    # retired registry for cross-round comparability.
+    "versioned_time_travel",
+    "embedding_drift_registers",
+    "ann_index_tombstone_delete",
+    "colbert_maxsim_topk",
 ]
 
 
@@ -206,10 +214,15 @@ def main() -> None:
     # bm25_index_topk joined the set in r16: its committed r15 row read
     # 1.57x its floor with no disposition (r15 verdict, Next #5) — the
     # same uniform-high early-session signature as the other two.
+    # corpus_stats_registers / cm_frequency_registers joined in r17: their
+    # committed r16 rows read 1.45x/1.22x vs r15 purely from box state while
+    # the same-session v2 run cleared both <=1.14x (r16 verdict, Next #4).
     for _wob in (
         "bpe_train_merges",
         "contamination_ngram_overlap",
         "bm25_index_topk",
+        "corpus_stats_registers",
+        "cm_frequency_registers",
     ):
         EXTRA_ITERS.setdefault(_wob, max(ITERATIONS, 4))
     PROBE_ITERS = max(ITERATIONS, 4)

@@ -940,6 +940,75 @@ def test_pdf_no_tounicode_cid_via_embedded_truetype_cmap():
     assert isinstance(extract_pdf_text(pdf3), str)
 
 
+def test_pdf_simple_truetype_not_hijacked_by_cid_fallback():
+    """r17 (r16 ADVICE, high): a SIMPLE (non-Type0) TrueType font without
+    /ToUnicode must NOT trigger the CID fallback, even when the file also
+    carries an /ObjStm token (any PDF 1.5+) that opens the object-graph
+    walk: its show-strings are 1-byte codes, and consuming them pairwise
+    as bogus CIDs drops the text ("Hello World" came out "d").  The
+    fallback now requires a real Type0/CID declaration — /DescendantFonts
+    or an inline /Subtype /CIDFontType2 — so simple fonts stay on the raw
+    latin-1 path."""
+    from vector_graph_rag_spark.sources.loaders import extract_pdf_text
+
+    text = "Hello World"
+    font = _make_truetype_cmap4(
+        {ord(ch): 0x30 + i for i, ch in enumerate(sorted(set(text)))}
+    )
+    stream = b"BT /F9 12 Tf 72 720 Td (Hello World) Tj ET"
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R "
+        b"/Resources << /Font << /F9 5 0 R >> >> >>",
+        b"<< /Length %d >>\nstream\n%s\nendstream" % (len(stream), stream),
+        # simple TrueType: /FontDescriptor present, NO DescendantFonts,
+        # NO ToUnicode — the ADVICE repro shape
+        b"<< /Type /Font /Subtype /TrueType /BaseFont /F1 "
+        b"/FontDescriptor 6 0 R >>",
+        b"<< /Type /FontDescriptor /FontFile2 7 0 R >>",
+        b"<< /Length %d >>\nstream\n%s\nendstream" % (len(font), font),
+        # an empty-but-valid object stream: its mere presence opens the
+        # CID object-graph walk
+        b"<< /Type /ObjStm /N 0 /First 0 /Length 0 >>\nstream\n\nendstream",
+    ]
+    out = bytearray(b"%PDF-1.5\n")
+    for i, o in enumerate(objs, start=1):
+        out += b"%d 0 obj\n" % i + o + b"\nendobj\n"
+    out += b"trailer\n<< /Size %d /Root 1 0 R >>\n" % (len(objs) + 1)
+    assert extract_pdf_text(bytes(out)) == text
+
+
+def test_truetype_cmap_hostile_segment_flood_bounded():
+    """r17 (r16 ADVICE, low): a hostile font declaring thousands of
+    overlapping 0..0xFFFF format-4 segments must not cost billions of
+    iterations — the reverse-cmap walk carries a global work budget and
+    bails once the BMP-sized map is full.  The call must return (quickly)
+    rather than hang; correctness of the prefix it keeps is still pinned
+    by the first-binding rule."""
+    import struct
+    import time
+
+    from vector_graph_rag_spark.sources.loaders import _truetype_gid_to_unicode
+
+    # 4000 segments, each spanning the full BMP
+    n = 4000
+    segs = [(0, 0xFFFE, 1)] * (n - 1) + [(0xFFFF, 0xFFFF, 1)]
+    sub = struct.pack(">HHHHHHH", 4, 16 + 8 * n + 2, 0, 2 * n, 0, 0, 0)
+    sub += struct.pack(f">{n}H", *[e for _s, e, _d in segs])
+    sub += b"\x00\x00"
+    sub += struct.pack(f">{n}H", *[s for s, _e, _d in segs])
+    sub += struct.pack(f">{n}H", *[d for _s, _e, d in segs])
+    sub += struct.pack(f">{n}H", *([0] * n))
+    cmap = struct.pack(">HH", 0, 1) + struct.pack(">HHI", 3, 1, 12) + sub
+    header = struct.pack(">IHHHH", 0x00010000, 1, 0, 0, 0)
+    record = struct.pack(">4sIII", b"cmap", 0, 28, len(cmap))
+    t0 = time.monotonic()
+    out = _truetype_gid_to_unicode(header + record + cmap)
+    assert time.monotonic() - t0 < 10.0, "segment flood not bounded"
+    assert isinstance(out, dict)
+
+
 def test_pdf_extractor_corrupt_streams_never_raise():
     """extract_pdf_text's contract is graceful degradation: ANY byte
     corruption yields a (possibly empty/partial) string, never an

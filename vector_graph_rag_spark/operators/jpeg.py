@@ -1208,14 +1208,21 @@ def _scan_jpeg(
     )
     out = bytearray(b"\xff\xd8" + app0 + tables + dri + sof)
     for comp_ids, ss, se, ah, al in scans:
+        # T.81 §B.2.3: in a progressive DC scan (Ss=0) the AC table
+        # selector Ta shall be 0 — no AC table is used, and strict
+        # decoders reject a nonzero selector there (r16 ADVICE).
+        dc_only = progressive and ss == 0
         scan = {
-            "comps": [(ci, 0 if ci == 0 else 1, 0 if ci == 0 else 1)
+            "comps": [(ci,
+                       0 if ci == 0 else 1,
+                       0 if (dc_only or ci == 0) else 1)
                       for ci in comp_ids],
             "ss": ss, "se": se, "ah": ah, "al": al,
         }
         sos_comps = bytes([len(comp_ids)]) + b"".join(
             bytes([comps[ci]["id"],
-                   ((0 if ci == 0 else 1) << 4) | (0 if ci == 0 else 1)])
+                   ((0 if ci == 0 else 1) << 4)
+                   | (0 if (dc_only or ci == 0) else 1)])
             for ci in comp_ids
         )
         out += seg(0xFFDA, sos_comps + bytes([ss, se, (ah << 4) | al]))

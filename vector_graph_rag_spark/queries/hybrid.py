@@ -109,6 +109,7 @@ def _rank_topk(
 @register(
     "hybrid_rrf_topk",
     oracle=_RRF_SQL,
+    retired=True,  # r17 swap: gate moved to colbert_maxsim_topk (multi-signal ranking fusion family); RRF stays exercised via hybrid_weighted_topk + /search API tests
     description="hybrid retrieval: RRF(k=60) fusion of BM25 and cosine rankings (Milvus RRFRanker analogue)",
 )
 def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -372,7 +372,6 @@ SELECT CAST(2 AS INT) AS version, doc_id, md5(text) AS text_hash FROM v2"""
 @register(
     "versioned_time_travel",
     oracle=_VTRAVEL_SQL,
-    retired=True,  # STAGED for a round-17 swap (r15 staging)
     description=(
         "versioned-store time travel: commit v1, MERGE the deterministic "
         "v2 mutation, then read BOTH versions — v1 read AFTER v2 exists — "
@@ -760,6 +759,7 @@ FROM b GROUP BY 1, 2"""
 @register(
     "corpus_quantiles_registers",
     oracle=_QR_SQL,
+    retired=True,  # r17 swap: gate moved to embedding_drift_registers (register-contract family); quantile kernel stays benched + locally hash-gated
     description=(
         "incremental HDR quantile registers: 3 shards merged by SUM vs the "
         "oracle's single binning pass — pure-integer buckets, merged == "
@@ -1589,6 +1589,7 @@ def ann_index_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ann_index_streamed",
     oracle=_ivfpq_sql(),
+    retired=True,  # r17 swap: gate moved to ann_index_tombstone_delete (persistent IVF-PQ family); streaming path stays pinned by test_vector_index + probe-only BENCH row
     description=(
         "Structured-Streaming vector ingestion (the Milvus growing-segment "
         "story): the corpus replayed as a parquet file stream through "
@@ -1707,7 +1708,8 @@ def ann_index_compacted_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                 emb.filter(F.col("vec_id") % 3 == b), cent, books, sharded, b
             )
         n = compact_index(spark, sharded, compacted)
-        assert n == 3
+        if n != 3:  # not assert: must survive python -O (r16 ADVICE)
+            raise ValueError(f"compaction folded {n} batches, expected 3")
         return search_index(
             spark, compacted, queries, cent, books, k=_PQ_TOPK, nprobe=2
         ).localCheckpoint(eager=True)
@@ -1761,7 +1763,6 @@ FROM stats a JOIN stats b ON a.dim = b.dim AND a.half = 0 AND b.half = 1"""
 @register(
     "embedding_drift_registers",
     oracle=_DRIFT_SQL,
-    retired=True,  # STAGED for a round-17 swap (r15 staging)
     description=(
         "embedding-distribution drift monitor: per-dimension moment "
         "registers (count/sum/sum-sq as quantized DECIMAL sums) built per "
@@ -1845,7 +1846,6 @@ def embedding_drift_registers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ann_index_tombstone_delete",
     oracle=_ivfpq_sql(vecs_predicate="vec_id % 7 <> 0"),
-    retired=True,  # STAGED for a round-17 swap (r15 staging)
     description=(
         "vector-index DELETE maintenance (the Milvus delta-segment story): "
         "tombstone shards mark vec_id%7=0 deleted WITHOUT touching sealed "
@@ -1972,7 +1972,9 @@ def ann_index_spend_readd_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # in-place fold: physical tombstone removal, source-shard drop,
         # spend — the nightly maintenance night, replayed under the gate
-        assert compact_index(spark, index, index, compacted_id=3) == 3
+        n_folded = compact_index(spark, index, index, compacted_id=3)
+        if n_folded != 3:  # not assert: must survive python -O (r16 ADVICE)
+            raise ValueError(f"fold consumed {n_folded} batches, expected 3")
         # the takedown target comes back legitimately: re-add the even
         # multiples of 7 as a fresh post-compaction batch
         append_to_index(

@@ -46,6 +46,7 @@ FROM carried WHERE tag = 1
 @register(
     "events_asof_last_purchase",
     oracle=_ASOF_SQL,
+    retired=True,  # r17 swap: gate moved to versioned_time_travel (point-in-time-state family); as-of kernel stays active via events_range_join_15m + timeseries unit battery
     description="as-of join (merge_asof / ASOF JOIN semantics): each click carries the latest prior purchase value, one window shuffle",
 )
 def events_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -532,6 +532,12 @@ def _truetype_gid_to_unicode(font: bytes) -> dict[int, str]:
                 (pid, eid), 9
             )
 
+        # Global work budget: a hostile font can declare thousands of
+        # overlapping 0..0xFFFF segments; without a bound that is billions
+        # of Python iterations (r16 ADVICE CPU-exhaustion vector).  A
+        # legitimate BMP cmap maps ≤0x10000 codepoints, so cap both the
+        # map size and the total codepoints visited.
+        budget = 1 << 18
         uni_to_gid: dict[int, int] = {}
         for pid, eid, off in sorted(subtables, key=pref):
             fmt = _st.unpack_from(">H", font, off)[0]
@@ -543,6 +549,9 @@ def _truetype_gid_to_unicode(font: bytes) -> dict[int, str]:
                     )
                     for u in range(start, min(end, start + 0xFFFF) + 1):
                         uni_to_gid.setdefault(u, sgid + (u - start))
+                    budget -= min(end, start + 0xFFFF) + 1 - start
+                    if budget <= 0 or len(uni_to_gid) >= 0x10000:
+                        break
                 break
             if fmt == 4:
                 seg_x2 = _st.unpack_from(">H", font, off + 6)[0]
@@ -567,6 +576,9 @@ def _truetype_gid_to_unicode(font: bytes) -> dict[int, str]:
                                 gid = (gid + deltas[i]) & 0xFFFF
                         if gid:
                             uni_to_gid.setdefault(u, gid)
+                    budget -= ends[i] + 1 - starts[i]
+                    if budget <= 0 or len(uni_to_gid) >= 0x10000:
+                        break
                 break
         gid_to_uni: dict[int, str] = {}
         for u in sorted(uni_to_gid):
@@ -695,9 +707,14 @@ def _cid_font_fallback_cmap(font_body, objs, stream_of):
     dm = re.search(rb"/DescendantFonts\s*\[\s*(\d+)\s+\d+\s+R", font_body)
     desc = objs.get(int(dm.group(1))) if dm else None
     if desc is None:
-        # inline descendant dict: use the font body itself as the search
-        # space (rare writers inline the CIDFont)
-        desc = font_body if b"/FontDescriptor" in font_body else None
+        # Inline descendant dict (rare writers inline the CIDFont): ONLY a
+        # body that itself declares a CID-font subtype qualifies.  A simple
+        # (non-Type0) TrueType font also carries /FontDescriptor but its
+        # show-strings use 1-byte codes — consuming them pairwise as CIDs
+        # destroys the text (r16 ADVICE: "Hello World" → "d").  Those fonts
+        # must stay on the raw latin-1 path.
+        if re.search(rb"/Subtype\s*/CIDFontType[02]\b", font_body):
+            desc = font_body
     if desc is None:
         return None
     fd = re.search(rb"/FontDescriptor\s+(\d+)\s+\d+\s+R", desc)
