@@ -45,6 +45,62 @@ def double_array_lit(vals) -> Column:
     return F.expr(f"array({body})")
 
 
+def _render_cell(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, str):
+        s = v.replace("\\", "\\\\").replace("'", "\\'")
+        return f"'{s}'"
+    if isinstance(v, float):
+        return f"CAST('{v!r}' AS DOUBLE)"
+    if isinstance(v, int):
+        return str(v)
+    if isinstance(v, (list, tuple)):
+        return "array(" + ",".join(_render_cell(x) for x in v) + ")"
+    raise TypeError(f"inline_rows: unsupported cell type {type(v)!r}")
+
+
+def inline_rows(spark, rows, schema: str):
+    """A small driver-side row set as a PURE-JVM literal plan: one
+    ``explode(CAST(array(named_struct(...)) AS array<struct<...>>))`` over
+    a single-partition ``range(1)``.
+
+    ``spark.createDataFrame(<python list>)`` backs the frame with a
+    pickled Python RDD split across ``defaultParallelism`` partitions —
+    every action over it (and every BROADCAST REBUILD that re-executes its
+    lineage, e.g. each hop of an iterative expansion) launches 32 tasks
+    that each round-trip a Python worker: measured 0.372s vs 0.054s per
+    noop action for a 5-row seed frame at local[32] (guide §4: eliminate
+    the Python boundary — here the frame CONSTRUCTION was the boundary).
+    The literal form is one foldable expression: no Python workers, no
+    tasks beyond the 1-split range, and the rows are identical.
+
+    ``schema`` is the same DDL string ``createDataFrame`` took, so call
+    sites swap 1:1.  Empty ``rows`` falls back to ``createDataFrame``
+    (schema-only, no per-row cost to avoid)."""
+    rows = list(rows)
+    if not rows:
+        return spark.createDataFrame([], schema)
+    from pyspark.sql.types import StructType
+
+    st = StructType.fromDDL(schema)
+    names = [f.name for f in st.fields]
+    body = ",".join(
+        "named_struct("
+        + ",".join(f"'{n}', {_render_cell(v)}" for n, v in zip(names, row))
+        + ")"
+        for row in rows
+    )
+    arr = f"CAST(array({body}) AS array<{st.simpleString()}>)"
+    return (
+        spark.range(0, 1, 1, 1)
+        .select(F.explode(F.expr(arr)).alias("__r"))
+        .select("__r.*")
+    )
+
+
 def int_double_map_lit(d: dict, key_type: str = "int") -> Column:
     """A map<int, double> literal as one JVM-parsed ``map_from_arrays``
     expression (``F.create_map(*[F.lit…])`` is 2 py4j calls per entry —

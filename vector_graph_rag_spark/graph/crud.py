@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from vector_graph_rag_spark.functions.literals import inline_rows
 from vector_graph_rag_spark.graph.builder import GraphTables
 
 
@@ -44,7 +45,7 @@ def delete_passages(g: GraphTables, passage_ids) -> GraphTables:
     passage_ids arrays; keep the nodes themselves."""
     doomed = _id_list(passage_ids)
     spark = g.passages.sparkSession
-    doomed_df = spark.createDataFrame([(i,) for i in doomed], "passage_id string")
+    doomed_df = inline_rows(spark, [(i,) for i in doomed], "passage_id string")
     return GraphTables(
         entities=g.entities.withColumn("passage_ids", _strip("passage_ids", doomed)),
         relations=g.relations.withColumn("passage_ids", _strip("passage_ids", doomed)),
@@ -63,7 +64,7 @@ def delete_relations(g: GraphTables, relation_ids) -> GraphTables:
     their edges; strip ids from entities'/passages' relation_ids arrays."""
     doomed = _id_list(relation_ids)
     spark = g.relations.sparkSession
-    doomed_df = spark.createDataFrame([(i,) for i in doomed], "relation_id string")
+    doomed_df = inline_rows(spark, [(i,) for i in doomed], "relation_id string")
     return GraphTables(
         entities=g.entities.withColumn("relation_ids", _strip("relation_ids", doomed)),
         relations=g.relations.join(
@@ -84,7 +85,7 @@ def delete_entities(g: GraphTables, entity_ids) -> GraphTables:
     entity→relation edges; strip ids from passages' entity_ids arrays."""
     doomed = _id_list(entity_ids)
     spark = g.entities.sparkSession
-    doomed_df = spark.createDataFrame([(i,) for i in doomed], "entity_id string")
+    doomed_df = inline_rows(spark, [(i,) for i in doomed], "entity_id string")
     return GraphTables(
         entities=g.entities.join(
             doomed_df.withColumnRenamed("entity_id", "id"), "id", "left_anti"

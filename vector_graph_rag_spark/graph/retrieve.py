@@ -21,7 +21,9 @@ from vector_graph_rag_spark.graph.expand import expand_subgraph
 def seed_frontier_from_names(spark, names: list[str]) -> DataFrame:
     """Entity-name strings → (entity_id) frontier via the deterministic
     normalized-name hash (the mock-NER path, extractor.py:324-375)."""
-    return spark.createDataFrame([(s,) for s in names], "name string").select(
+    from vector_graph_rag_spark.functions.literals import inline_rows
+
+    return inline_rows(spark, [(s,) for s in names], "name string").select(
         entity_id("name").alias("entity_id")
     )
 

@@ -125,8 +125,10 @@ def with_bloom(df: DataFrame, bloom: dict, alias: str = "__bloom") -> DataFrame:
     constant-cost BroadcastNestedLoop of a single row; call once, then test
     any number of columns with :func:`might_contain`."""
     spark = df.sparkSession
-    arr = spark.createDataFrame(
-        [(bloom["words"],)], f"{alias} array<bigint>"
+    from vector_graph_rag_spark.functions.literals import inline_rows
+
+    arr = inline_rows(
+        spark, [(bloom["words"],)], f"{alias} array<bigint>"
     )
     return df.crossJoin(F.broadcast(arr))
 

@@ -395,7 +395,10 @@ def bpe_encode_ids(
     """
     vocab = model["vocab"]
     spark = docs.sparkSession
-    vmap = spark.createDataFrame(
+    from vector_graph_rag_spark.functions.literals import inline_rows
+
+    vmap = inline_rows(
+        spark,
         [(p, i) for i, p in enumerate(vocab)] or [("", -1)],
         "piece string, pid int",
     )

@@ -53,16 +53,21 @@ def components_to_convergence(
     The production shape the fixed-round declared query (`entity_components_k4`)
     documents: per round, one shuffle join + partial-aggregated MIN, then a
     driver-side convergence check (count of changed labels — a single small
-    aggregate over the |nodes|-row label frame).  Labels are eagerly
-    ``localCheckpoint``-ed every round so plan depth and lineage stay
-    constant no matter how many rounds the diameter demands (the same
-    bounded-lineage treatment as ``ppr_to_convergence``).
+    aggregate over the |nodes|-row label frame).  Labels are LAZILY
+    ``localCheckpoint``-ed every round and materialized by the convergence
+    count itself, so each round is exactly ONE job (the r17 fusion: the
+    former eager-checkpoint-then-count shape paid two jobs per round for
+    the same work — guide §1.2, job-count overhead dominates label-graph
+    sized rounds) while plan depth and lineage still stay constant no
+    matter how many rounds the diameter demands.
 
     Returns (labels(id, comp), rounds_run).  Raises if ``max_rounds`` is hit
     before convergence — rounds needed equal the largest component's
     min-label eccentricity, far below 50 for any real corpus graph.
     """
-    labels = nodes.select("id", F.col("id").alias("comp")).localCheckpoint(eager=True)
+    labels = nodes.select("id", F.col("id").alias("comp")).localCheckpoint(
+        eager=False
+    )
     for rnd in range(1, max_rounds + 1):
         nbr_min = (
             edges.join(
@@ -78,7 +83,9 @@ def components_to_convergence(
             F.least("comp", F.coalesce("min_nbr", "comp")).alias("comp"),
             (F.coalesce("min_nbr", "comp") < F.col("comp")).alias("changed"),
         )
-        nxt = nxt.localCheckpoint(eager=True)
+        # lazy checkpoint + count = ONE job that both materializes the
+        # round's labels (lineage cut) and returns the convergence signal
+        nxt = nxt.localCheckpoint(eager=False)
         n_changed = nxt.filter("changed").count()
         labels = nxt.drop("changed")
         if n_changed == 0:

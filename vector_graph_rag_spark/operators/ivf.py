@@ -147,7 +147,10 @@ def ivf_search(
     cells = sorted({r["centroid_id"] for r in probe_rows})
 
     index = spark.read.parquet(index_path).filter(F.col("cell_id").isin(cells))
-    pairs = spark.createDataFrame(
+    from vector_graph_rag_spark.functions.literals import inline_rows
+
+    pairs = inline_rows(
+        spark,
         [(r[query_id], r["centroid_id"]) for r in probe_rows],
         f"{query_id} bigint, cell_id bigint",
     )

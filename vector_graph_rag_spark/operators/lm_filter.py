@@ -283,7 +283,9 @@ def perplexity_buckets(
     )
     if not boundary:
         return main
-    bmap = spark.createDataFrame(boundary, "h double, base long")
+    from vector_graph_rag_spark.functions.literals import inline_rows
+
+    bmap = inline_rows(spark, boundary, "h double, base long")
     w = Window.partitionBy("h").orderBy("doc_id")
     bd = (
         scored.join(F.broadcast(bmap), "h")

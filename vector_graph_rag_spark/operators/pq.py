@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from vector_graph_rag_spark.functions.literals import int_array_lit
+from vector_graph_rag_spark.functions.literals import inline_rows, int_array_lit
 
 # Geometry mirrors the embeddings table (dim 64) and the k-means query's
 # scale discipline; a deployment tunes M/K at index-build time.
@@ -49,15 +49,22 @@ Codebooks = list[list[tuple[int, list[int]]]]
 
 
 def quantize_embeddings(
-    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    keep: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(id, qv array<long>) — the integer-exact vector surface every PQ
-    step operates on (round(x*1000) after an exact float->double widen)."""
+    """(id, qv array<long>[, *keep]) — the integer-exact vector surface
+    every PQ step operates on (round(x*1000) after an exact float->double
+    widen).  ``keep`` carries extra columns through unchanged (the
+    single-pass index writers thread ``cell_id`` along instead of
+    re-deriving it and joining — guide §2.4)."""
     return df.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("vec_id"),
         F.transform(
             vec_col, lambda x: F.round(x.cast("double") * PQ_SCALE).cast("long")
         ).alias("qv"),
+        *[F.col(c) for c in keep],
     )
 
 
@@ -77,9 +84,11 @@ def _codebook_literals(codebooks: Codebooks):
     return cmat, cids
 
 
-def encode_pq(q: DataFrame, codebooks: Codebooks) -> DataFrame:
-    """(vec_id, qv, codes array<int>) — codes[m] = argmin-L2^2 code id of
-    subvector m against codebook m, ties to the lowest code id.
+def encode_pq(
+    q: DataFrame, codebooks: Codebooks, keep: tuple[str, ...] = ()
+) -> DataFrame:
+    """(vec_id, qv, codes array<int>[, *keep]) — codes[m] = argmin-L2^2
+    code id of subvector m against codebook m, ties to the lowest code id.
 
     Row-local against the broadcast codebook literal: per subvector the
     distance vector is computed once and let-bound (``transform(array(d),
@@ -111,10 +120,17 @@ def encode_pq(q: DataFrame, codebooks: Codebooks) -> DataFrame:
             ),
         )[0],
     )
-    return q.select("vec_id", "qv", codes.alias("codes"))
+    return q.select(
+        "vec_id", "qv", codes.alias("codes"), *[F.col(c) for c in keep]
+    )
 
 
-def encode_pq_np(q: DataFrame, codebooks: Codebooks) -> DataFrame:
+def encode_pq_np(
+    q: DataFrame,
+    codebooks: Codebooks,
+    passthrough: tuple[str, ...] = (),
+    emit_qv: bool = True,
+) -> DataFrame:
     """Numpy twin of :func:`encode_pq` (Arrow-batched ``mapInPandas``, the
     sanctioned pandas scale path) — BIT-EXACT by construction: quantized
     components are |x| <= PQ_SCALE, so every int64 product (<= 10^6·SUB)
@@ -127,7 +143,14 @@ def encode_pq_np(q: DataFrame, codebooks: Codebooks) -> DataFrame:
     Used by the streaming ingest path (vector_index.append_to_index),
     where per-batch encoding is the dominant 100x-smoke cost (n·M·K·SUB
     interpreted ops in the HOF form); the one-shot registered queries keep
-    the JVM form their plans pin."""
+    the JVM form their plans pin.
+
+    ``passthrough`` columns ride the Arrow batches unchanged (the
+    single-pass index writer threads ``cell_id`` through instead of
+    joining a second derivation of the batch — guide §2.4); ``emit_qv=
+    False`` drops the quantized vectors from the RETURN batches when the
+    caller only needs codes, halving the Python->JVM Arrow bytes
+    (guide §4.1: control how many columns cross the boundary)."""
     import numpy as np
     import pandas as pd
 
@@ -152,16 +175,22 @@ def encode_pq_np(q: DataFrame, codebooks: Codebooks) -> DataFrame:
                     + np.einsum("ij,ij->i", C, C)[None, :]
                 )
                 codes[:, m] = ids[m][np.argmin(D, axis=1)]
-            yield pd.DataFrame(
-                {
-                    "vec_id": pdf["vec_id"],
-                    "qv": pdf["qv"],
-                    "codes": [[int(c) for c in row] for row in codes],
-                }
-            )
+            out = {"vec_id": pdf["vec_id"]}
+            if emit_qv:
+                out["qv"] = pdf["qv"]
+            out["codes"] = [[int(c) for c in row] for row in codes]
+            for c in passthrough:
+                out[c] = pdf[c]
+            yield pd.DataFrame(out)
 
-    return q.select("vec_id", "qv").mapInPandas(
-        _enc, "vec_id long, qv array<bigint>, codes array<int>"
+    schema_parts = ["vec_id long"]
+    if emit_qv:
+        schema_parts.append("qv array<bigint>")
+    schema_parts.append("codes array<int>")
+    for c in passthrough:
+        schema_parts.append(f"{c} {q.schema[c].dataType.simpleString()}")
+    return q.select("vec_id", "qv", *passthrough).mapInPandas(
+        _enc, ", ".join(schema_parts)
     )
 
 
@@ -378,14 +407,27 @@ def write_ivfpq_index(
     O(corpus/nlist · nprobe / 64) of the brute-force read."""
     from vector_graph_rag_spark.operators.ivf import assign_cells
 
-    q = quantize_embeddings(corpus, id_col=corpus_id, vec_col=corpus_vec)
-    enc = encode_pq(q, codebooks).select("vec_id", "codes")
+    # SINGLE PASS (guide §2.4): cell assignment and PQ encoding are both
+    # row-local expressions against broadcast literals, so they compose in
+    # one projection over one corpus scan — the former two-derivation form
+    # (assign one side, encode the other, equi-join on vec_id) scanned the
+    # corpus twice and paid a corpus-sized join exchange purely to re-unite
+    # columns it had itself split apart.  Row content is identical: both
+    # expressions are per-row functions of the same vector.
     assigned = assign_cells(
-        corpus.select(corpus_id, corpus_vec),
+        corpus.select(corpus_id, corpus_vec).filter(
+            F.col(corpus_vec).isNotNull()
+        ),
         centroids,
         corpus_id=corpus_id,
         corpus_vec=corpus_vec,
-    ).select(F.col(corpus_id).alias("vec_id"), "cell_id")
+    )
+    q = quantize_embeddings(
+        assigned, id_col=corpus_id, vec_col=corpus_vec, keep=("cell_id",)
+    )
+    enc = encode_pq(q, codebooks, keep=("cell_id",)).select(
+        "vec_id", "codes", "cell_id"
+    )
     # Salted repartition BEFORE partitionBy: a task-local write fans out to
     # (upstream tasks x cells) files — at 1000 executors x 10k cells that's
     # a file-count explosion whose listing cost lands on every probe.
@@ -393,8 +435,7 @@ def write_ivfpq_index(
     # (skew-safe: a hot cell still splits across 4 writers) for one shuffle
     # of the CODE table — 1/64th-scale bytes, the cheap side.
     (
-        assigned.join(enc, "vec_id")
-        .repartition(F.col("cell_id"), F.pmod(F.hash("vec_id"), F.lit(4)))
+        enc.repartition(F.col("cell_id"), F.pmod(F.hash("vec_id"), F.lit(4)))
         .write.mode("overwrite")
         .partitionBy("cell_id")
         .parquet(path)
@@ -421,7 +462,7 @@ def ivfpq_search(
 
     from vector_graph_rag_spark.functions.vector import cosine
 
-    w_probe = Window.partitionBy(query_id).orderBy(
+    w_probe = Window.partitionBy("vec_id").orderBy(
         F.desc("__cs"), F.asc("centroid_id")
     )
     # Probes MUST be derived from the same query set adc_score will see:
@@ -429,22 +470,34 @@ def ivfpq_search(
     # the raw frame would still earn nprobe probe rows (row_number orders
     # null cosines), and adc_score's array_position(qids, query_id) = 0
     # would then raise ELEMENT_AT_BY_INDEX_ZERO at execution — one bad
-    # query failing the whole search job (ADVICE r9).  Filter here so a
-    # vectorless query is skipped, not fatal.
-    probes = (
-        queries.filter(F.col(query_vec).isNotNull())
+    # query failing the whole search job (ADVICE r9).  quantize_embeddings
+    # applies that filter here.  ONE bounded collect (|queries| x nprobe
+    # rows) carries both the probe pairs and the quantized query vectors —
+    # the former two-collect form launched two driver jobs per search for
+    # the same tiny data (guide §5).
+    probed = (
+        quantize_embeddings(
+            queries, id_col=query_id, vec_col=query_vec, keep=(query_vec,)
+        )
         .crossJoin(F.broadcast(centroids))
         .withColumn("__cs", F.round(cosine(query_vec, "cvec"), 6))
         .withColumn("__rk", F.row_number().over(w_probe))
         .filter(F.col("__rk") <= nprobe)
-        .select(query_id, "centroid_id")
+        .select("vec_id", "centroid_id", "qv")
+        .collect()
     )
-    probe_rows = probes.collect()  # bounded: |queries| x nprobe
-    cells = sorted({r["centroid_id"] for r in probe_rows})
-    qv = quantize_embeddings(queries, id_col=query_id, vec_col=query_vec)
-    qvecs = [(int(r["vec_id"]), list(r["qv"])) for r in qv.collect()]
+    probed.sort(key=lambda r: (r["vec_id"], r["centroid_id"]))
+    probe_rows = [
+        {query_id: r["vec_id"], "centroid_id": r["centroid_id"]} for r in probed
+    ]
+    cells = sorted({r["centroid_id"] for r in probed})
+    seen: dict[int, list[int]] = {}
+    for r in probed:
+        seen.setdefault(int(r["vec_id"]), list(r["qv"]))
+    qvecs = sorted(seen.items())
     index = spark.read.parquet(index_path).filter(F.col("cell_id").isin(cells))
-    pairs = spark.createDataFrame(
+    pairs = inline_rows(
+        spark,
         [(r[query_id], r["centroid_id"]) for r in probe_rows],
         f"{query_id} bigint, cell_id bigint",
     )

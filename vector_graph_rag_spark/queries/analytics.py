@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from vector_graph_rag_spark.functions.literals import inline_rows
 from vector_graph_rag_spark.queries import register
 from vector_graph_rag_spark.queries.sql_common import TRIPS_CTE
 from vector_graph_rag_spark.sources.tables import load_table
@@ -179,7 +180,8 @@ def rerank_line_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("claimed_id"),
         "text",
     ).unionByName(
-        top5.sparkSession.createDataFrame(
+        inline_rows(
+            top5.sparkSession,
             [(6, "hallucinated-6", "no such relation text zzz")],
             "line_no int, claimed_id string, text string",
         )

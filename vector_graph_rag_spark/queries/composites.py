@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 
 from vector_graph_rag_spark.functions.embedding import mock_embedding, mock_embedding_sql
 from vector_graph_rag_spark.functions.hashing import hash60, hash60_sql
+from vector_graph_rag_spark.functions.literals import inline_rows
 from vector_graph_rag_spark.functions.vector import cosine
 from vector_graph_rag_spark.operators.retrieval import retrieve_with_backfill
 from vector_graph_rag_spark.operators.topk import (
@@ -426,7 +427,7 @@ QUALIFY rank <= 3
 def naive_rag_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     pe = d.select("doc_id", mock_embedding("text", _EMBED_DIM).alias("pv"))
-    q = spark.createDataFrame(_NAIVE_QUESTIONS, "question_id string, question string")
+    q = inline_rows(spark, _NAIVE_QUESTIONS, "question_id string, question string")
     qe = q.select(
         "question_id", mock_embedding("question", _EMBED_DIM).alias("qv")
     )
@@ -529,7 +530,7 @@ def eval_recall_harness(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vector_graph_rag_spark.functions.text import entity_id as eid
 
     g = _graph(spark, sf_dir)
-    q = spark.createDataFrame([(s,) for s in SEED_NAMES], "question string")
+    q = inline_rows(spark, [(s,) for s in SEED_NAMES], "question string")
     qe = q.select(
         "question",
         eid("question").alias("entity_id"),
@@ -576,7 +577,7 @@ def eval_recall_harness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("naive").alias("method"), "question", "passage_id")
     )
     tops = graph_top.unionByName(naive_top)
-    methods = spark.createDataFrame([("graph",), ("naive",)], "method string")
+    methods = inline_rows(spark, [("graph",), ("naive",)], "method string")
     per_q = (
         F.broadcast(methods)
         .crossJoin(gold)

@@ -839,7 +839,9 @@ def train_ivf_centroids(
         _KM_CENTROID_CACHE[key] = _train_centroids(q, nlist, _KM_DIM, updates=updates)
     cents = _KM_CENTROID_CACHE[key]
     rows = [(cid, [v / _KM_SCALE for v in vec]) for cid, vec in cents]
-    return spark.createDataFrame(rows, "centroid_id int, cvec array<double>")
+    from vector_graph_rag_spark.functions.literals import inline_rows
+
+    return inline_rows(spark, rows, "centroid_id int, cvec array<double>")
 
 
 def semdedup_keep_list(

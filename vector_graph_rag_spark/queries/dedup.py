@@ -655,7 +655,13 @@ def neardup_cc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pairs = _neardup_edges(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents").select(F.col("doc_id").alias("id"))
-    labels = docs.select("id", F.col("id").alias("comp")).localCheckpoint(eager=True)
+    # lazy checkpoints throughout the batch loop: each is materialized by
+    # its first consumer's job and reused after (identical lineage-cut
+    # guarantee), saving one dedicated materialization job per batch —
+    # measured 5.2 -> 4.6s warm-min at sf0.1 with row-identical output
+    labels = docs.select("id", F.col("id").alias("comp")).localCheckpoint(
+        eager=False
+    )
     for b in range(3):
         eb = pairs.filter(F.col("doc_a") % 3 == b).select(
             F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
@@ -678,7 +684,7 @@ def neardup_cc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "comp",
             )
             .select("id", F.col("newc").alias("comp"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     return labels.select(
         F.col("id").alias("doc_id"),

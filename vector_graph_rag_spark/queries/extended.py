@@ -260,7 +260,10 @@ def ner_cache_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vector_graph_rag_spark.queries.graphrag import _graph
 
     g = _graph(spark, sf_dir)
-    cache = spark.createDataFrame(
+    from vector_graph_rag_spark.functions.literals import inline_rows
+
+    cache = inline_rows(
+        spark,
         [(q, e) for q, ents in _NER_FIXTURE for e in ents],
         "question string, entity string",
     )

@@ -60,8 +60,10 @@ def _graph(spark: SparkSession, sf_dir: str):
 def _seed_entities(spark: SparkSession) -> DataFrame:
     from vector_graph_rag_spark.functions.text import entity_id
 
-    return spark.createDataFrame(
-        [(s,) for s in SEED_NAMES], "name string"
+    from vector_graph_rag_spark.functions.literals import inline_rows
+
+    return inline_rows(
+        spark, [(s,) for s in SEED_NAMES], "name string"
     ).select(entity_id("name").alias("entity_id"))
 
 
@@ -352,7 +354,9 @@ def entity_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vector_graph_rag_spark.functions.text import entity_id as eid
 
     g = _graph(spark, sf_dir)
-    seed = spark.createDataFrame([("data",)], "name string").select(
+    from vector_graph_rag_spark.functions.literals import inline_rows
+
+    seed = inline_rows(spark, [("data",)], "name string").select(
         eid("name").alias("entity_id")
     )
     rels = g.entity_relation.join(F.broadcast(seed), "entity_id").select("relation_id").distinct()
@@ -401,7 +405,9 @@ def recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     retrieved = d.select(
         "lang", F.col("doc_id").cast("string").alias("doc_id"), F.col("n_chars")
     ).withColumn("rk", F.row_number().over(w))
-    ks = spark.createDataFrame([(1,), (5,), (10,), (20,)], "k int")
+    from vector_graph_rag_spark.functions.literals import inline_rows
+
+    ks = inline_rows(spark, [(1,), (5,), (10,), (20,)], "k int")
     hits = (
         retrieved.crossJoin(F.broadcast(ks))
         .join(

@@ -32,6 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from vector_graph_rag_spark.functions.literals import inline_rows
 from vector_graph_rag_spark.functions.vector import cosine
 from vector_graph_rag_spark.queries import register
 from vector_graph_rag_spark.queries.ranking import (
@@ -117,8 +118,8 @@ def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     c = emb.select("vec_id", F.col("embedding").alias("v"))
-    qv = spark.createDataFrame(
-        [(qid, vid) for qid, _, vid in _HYBRID_QUERIES], "query_id string, qvec_id long"
+    qv = inline_rows(
+        spark, [(qid, vid) for qid, _, vid in _HYBRID_QUERIES], "query_id string, qvec_id long"
     )
     q = F.broadcast(
         qv.join(c, c.vec_id == qv.qvec_id).select("query_id", F.col("v").alias("qvec"))
@@ -447,7 +448,8 @@ def hybrid_weighted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     c = emb.select("vec_id", F.col("embedding").alias("v"))
-    qv = spark.createDataFrame(
+    qv = inline_rows(
+        spark,
         [(qid, vid) for qid, _, vid in _HYBRID_QUERIES],
         "query_id string, qvec_id long",
     )

@@ -469,8 +469,10 @@ def binary_auc_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     auc, n_pos, n_neg = binary_auc_with_counts(
         scored, "cross_entropy", "y", round_to=6
     )
-    return spark.createDataFrame(
-        [(n_pos, n_neg, auc)], "n_pos long, n_neg long, auc double"
+    from vector_graph_rag_spark.functions.literals import inline_rows
+
+    return inline_rows(
+        spark, [(n_pos, n_neg, auc)], "n_pos long, n_neg long, auc double"
     )
 
 

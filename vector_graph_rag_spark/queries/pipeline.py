@@ -48,6 +48,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from vector_graph_rag_spark.functions.hashing import hash60_sql, hash60b_sql
+from vector_graph_rag_spark.functions.literals import inline_rows
 from vector_graph_rag_spark.queries import register
 from vector_graph_rag_spark.queries.curation import _GRAMS5_CTE
 from vector_graph_rag_spark.queries.lmfilter import _LM_CE_SQL, _TOKS_CTE
@@ -159,8 +160,8 @@ def bpe_train_merges_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             zip(model["merges"], model["merge_counts"])
         )
     ]
-    return spark.createDataFrame(
-        rows, "merge_idx long, a string, b string, n long"
+    return inline_rows(
+        spark, rows, "merge_idx long, a string, b string, n long"
     )
 
 
@@ -717,7 +718,8 @@ def expectations_validate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     results = X.validate(d, checks)
     # ≤6 result rows -> a bounded driver-side frame (the gate's natural
     # output shape; validate() itself is the allowlisted single collect)
-    return spark.createDataFrame(
+    return inline_rows(
+        spark,
         [(r.name, r.ok, r.observed) for r in results],
         "name string, ok boolean, observed string",
     )
@@ -1190,8 +1192,8 @@ def source_temperature_mix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = min(counts[s] // u[s] for s in counts)
     quota = {s: u[s] * b for s in counts}
     quota_df = F.broadcast(
-        spark.createDataFrame(
-            sorted(quota.items()), "source string, quota long"
+        inline_rows(
+            spark, sorted(quota.items()), "source string, quota long"
         )
     )
     from pyspark.sql import Window

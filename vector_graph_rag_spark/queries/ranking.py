@@ -133,7 +133,10 @@ def _bm25_from_stats(
         F.count(F.lit(1)).alias("n_docs"),
         (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
     )
-    qterms = spark.createDataFrame(
+    from vector_graph_rag_spark.functions.literals import inline_rows
+
+    qterms = inline_rows(
+        spark,
         [(qid, t) for qid, terms in fixture for t in terms],
         "query_id string, tok string",
     )

@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from vector_graph_rag_spark.functions.hashing import hash60, hash60_sql
+from vector_graph_rag_spark.functions.literals import inline_rows
 from vector_graph_rag_spark.queries import register
 from vector_graph_rag_spark.sources.tables import load_table
 
@@ -168,8 +169,8 @@ def rebalance_source_mix(d: DataFrame, weights: dict[str, float]) -> DataFrame:
     quota = {s: int(frac[s] * T) for s in sources}
 
     quota_df = F.broadcast(
-        d.sparkSession.createDataFrame(
-            [(s, n) for s, n in quota.items()], "source string, quota long"
+        inline_rows(
+            d.sparkSession, [(s, n) for s, n in quota.items()], "source string, quota long"
         )
     )
     h = hash60(F.concat(F.lit("mix:"), F.col("doc_id").cast("string")))

@@ -12,6 +12,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from vector_graph_rag_spark.functions.hashing import hash60, hash60_sql
+from vector_graph_rag_spark.functions.literals import inline_rows
 from vector_graph_rag_spark.functions.text import tokens
 from vector_graph_rag_spark.queries import register
 from vector_graph_rag_spark.queries.dedup import _SHINGLES_CTE, _shingles_df
@@ -174,7 +175,8 @@ FROM documents d LEFT JOIN ranked r ON d.doc_id = r.doc_id AND r.rk = 1
 @register("lang_id_heuristic", oracle=_LANGID_SQL, description="function-word language-ID heuristic")
 def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    lex = spark.createDataFrame(
+    lex = inline_rows(
+        spark,
         [(lang, pri, w) for lang, pri, words in _LEXICON for w in words],
         "lang string, pri int, word string",
     )
@@ -323,7 +325,8 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
 
     # lang flag (lang_id_heuristic kernel)
-    lex = spark.createDataFrame(
+    lex = inline_rows(
+        spark,
         [(lang, pri, w) for lang, pri, words in _LEXICON for w in words],
         "lang string, pri int, word string",
     )

@@ -353,8 +353,10 @@ def corpus_quantiles(
                     lo, hi = qbucket_bounds(qb)
                     rows.append((c, float(q), lo, hi, n))
                     break
-    return spark.createDataFrame(
-        rows, "col string, q double, lo long, hi long, n_rows long"
+    from vector_graph_rag_spark.functions.literals import inline_rows
+
+    return inline_rows(
+        spark, rows, "col string, q double, lo long, hi long, n_rows long"
     )
 
 

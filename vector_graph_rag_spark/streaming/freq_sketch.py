@@ -170,6 +170,8 @@ def corpus_heavy_hitters(
             key=lambda t: (-t[2], t[0]),
         )[:top]
         rows.extend((c, v, lo, up) for v, lo, up in ranked)
-    return spark.createDataFrame(
-        rows, "col string, value string, cnt_lower long, cm_upper long"
+    from vector_graph_rag_spark.functions.literals import inline_rows
+
+    return inline_rows(
+        spark, rows, "col string, value string, cnt_lower long, cm_upper long"
     )

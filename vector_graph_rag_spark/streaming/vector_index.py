@@ -106,16 +106,29 @@ def append_to_index(
     # encoding is the dominant cost of the ingest path at the 100x smoke
     # (the HOF form's n·M·K·SUB interpreted ops); codes are provably
     # identical, so shards stay byte-compatible with the literal form.
-    q = quantize_embeddings(batch, id_col=corpus_id, vec_col=corpus_vec)
-    enc = encode_pq_np(q, codebooks).select("vec_id", "codes")
+    #
+    # SINGLE PASS (guide §2.4): cell assignment (row-local JVM argmax
+    # against the broadcast centroid literal) runs first and rides the
+    # Arrow encode as a passthrough column — the former two-derivation
+    # form (encode one side, assign the other, equi-join on vec_id)
+    # scanned the batch twice and paid a batch-sized join exchange to
+    # re-unite columns split from the same rows.  emit_qv=False keeps the
+    # quantized vectors out of the Python->JVM return batches (guide
+    # §4.1) — the shard write needs only (vec_id, codes, cell_id).
     assigned = assign_cells(
-        batch.select(corpus_id, corpus_vec),
+        batch.select(corpus_id, corpus_vec).filter(
+            F.col(corpus_vec).isNotNull()
+        ),
         centroids,
         corpus_id=corpus_id,
         corpus_vec=corpus_vec,
-    ).select(F.col(corpus_id).alias("vec_id"), "cell_id")
+    )
+    q = quantize_embeddings(
+        assigned, id_col=corpus_id, vec_col=corpus_vec, keep=("cell_id",)
+    )
+    enc = encode_pq_np(q, codebooks, passthrough=("cell_id",), emit_qv=False)
     (
-        assigned.join(enc, "vec_id")
+        enc.select("vec_id", "codes", "cell_id")
         .repartition(F.col("cell_id"), F.pmod(F.hash("vec_id"), F.lit(4)))
         .write.mode("overwrite")
         .partitionBy("cell_id")
@@ -203,20 +216,33 @@ def search_index(
             [], f"{query_id} long, vec_id long, adc_dist long, rank int"
         )
     queries = queries.filter(F.col(query_vec).isNotNull())
-    w_probe = Window.partitionBy(query_id).orderBy(
+    w_probe = Window.partitionBy("vec_id").orderBy(
         F.desc("__cs"), F.asc("centroid_id")
     )
-    probes = (
-        queries.crossJoin(F.broadcast(centroids))
+    # ONE bounded collect (|queries| x nprobe rows) carries both the probe
+    # pairs and the quantized query vectors — the former two-collect form
+    # launched two driver jobs per search for the same tiny data (guide
+    # §5: driver round-trips are per-job overhead, not per-byte).
+    probed = (
+        quantize_embeddings(
+            queries, id_col=query_id, vec_col=query_vec, keep=(query_vec,)
+        )
+        .crossJoin(F.broadcast(centroids))
         .withColumn("__cs", F.round(cosine(query_vec, "cvec"), 6))
         .withColumn("__rk", F.row_number().over(w_probe))
         .filter(F.col("__rk") <= nprobe)
-        .select(query_id, "centroid_id")
+        .select("vec_id", "centroid_id", "qv")
+        .collect()
     )
-    probe_rows = probes.collect()  # bounded: |queries| x nprobe
-    cells = sorted({r["centroid_id"] for r in probe_rows})
-    qv = quantize_embeddings(queries, id_col=query_id, vec_col=query_vec)
-    qvecs = [(int(r["vec_id"]), list(r["qv"])) for r in qv.collect()]
+    probed.sort(key=lambda r: (r["vec_id"], r["centroid_id"]))
+    probe_rows = [
+        {query_id: r["vec_id"], "centroid_id": r["centroid_id"]} for r in probed
+    ]
+    cells = sorted({r["centroid_id"] for r in probed})
+    seen: dict[int, list[int]] = {}
+    for r in probed:
+        seen.setdefault(int(r["vec_id"]), list(r["qv"]))
+    qvecs = sorted(seen.items())
     index = (
         spark.read.option("basePath", index_dir)
         .parquet(*[os.path.join(index_dir, f"batch={i}") for i in ids])
@@ -226,7 +252,10 @@ def search_index(
         tombs = read_tombstones(spark, index_dir)
         if tombs is not None:
             index = index.join(tombs, "vec_id", "left_anti")
-    pairs = spark.createDataFrame(
+    from vector_graph_rag_spark.functions.literals import inline_rows
+
+    pairs = inline_rows(
+        spark,
         [(r[query_id], r["centroid_id"]) for r in probe_rows],
         f"{query_id} bigint, cell_id bigint",
     )
