@@ -228,7 +228,9 @@ def train_bpe(
     syms = word_counts(docs, text_col).select(
         "w", "cnt", _chars_with_eow(F.col("w")).alias("syms")
     )
-    syms = syms.localCheckpoint(eager=True)
+    # LAZY checkpoint (r17): the first round's pair-count collect
+    # materializes it — lineage cut identical, one fewer job (guide §1.2).
+    syms = syms.localCheckpoint(eager=False)
 
     B = max(1, int(batch_argmax))
     merges: list[tuple[str, str]] = []
@@ -282,10 +284,13 @@ def train_bpe(
         )
         applied += 1
         if applied % _CHECKPOINT_EVERY == 0:
-            syms = syms.localCheckpoint(eager=True)
+            # lazy: the next round's pair-count collect materializes it
+            syms = syms.localCheckpoint(eager=False)
 
     word_pieces = syms.select("w", "cnt", F.col("syms").alias("pieces"))
-    word_pieces = word_pieces.localCheckpoint(eager=True)
+    # lazy: the vocab collect below materializes it; later consumers
+    # (callers reading word_pieces from the returned dict) reuse the cache
+    word_pieces = word_pieces.localCheckpoint(eager=False)
     vocab_rows = (
         word_pieces.select(F.explode("pieces").alias("s")).distinct().collect()
     )

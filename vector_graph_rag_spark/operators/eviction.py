@@ -40,7 +40,9 @@ def apply_eviction(
     the backfill composite's 4.1s at sf0.1).  The set is frontier-sized —
     bounded by the eviction threshold's input, never corpus-sized.
     """
-    candidate_relations = candidate_relations.localCheckpoint(eager=True)
+    # lazy (r17): the branch count below materializes it — same lineage
+    # cut and single execution of the expansion DAG, one fewer job
+    candidate_relations = candidate_relations.localCheckpoint(eager=False)
     n = candidate_relations.count()
     if n <= threshold:
         # No eviction: all candidates, sorted lexicographically by id

@@ -142,8 +142,20 @@ def label_propagation_communities(
     Scale shape: per round one map-side-combined groupBy((node, label))
     count, one max-per-node aggregation, one tie-breaking min — all plain
     aggregations (window-free), each shuffle keyed on node id.
+
+    Lineage: ``labels`` is referenced TWICE per round (the neighbor-count
+    join and the final coalesce join) and ``cnt`` twice (max + pick), so
+    an unbounded loop doubles the physical plan per round — measured 278
+    Exchange nodes in the rounds=3 declared query's plan (r17,
+    plans/r17/entity_lpa_communities_k3_before.txt).  A LAZY
+    ``localCheckpoint`` per round truncates the plan to one round's
+    operators while deferring materialization to the first consuming job
+    (guide §2.4/§5: duplicated subtrees re-execute; cut them, but don't
+    pay a dedicated job per round for it).
     """
-    labels = nodes.select("id", F.col("id").alias("comm"))
+    labels = nodes.select("id", F.col("id").alias("comm")).localCheckpoint(
+        eager=False
+    )
     for _ in range(rounds):
         cnt = (
             edges.join(
@@ -160,7 +172,9 @@ def label_propagation_communities(
             .groupBy("id")
             .agg(F.min("lab").alias("new_lab"))
         )
-        labels = labels.join(pick, "id", "left").select(
-            "id", F.coalesce("new_lab", "comm").alias("comm")
+        labels = (
+            labels.join(pick, "id", "left")
+            .select("id", F.coalesce("new_lab", "comm").alias("comm"))
+            .localCheckpoint(eager=False)
         )
     return labels

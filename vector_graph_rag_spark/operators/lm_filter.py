@@ -229,7 +229,9 @@ def perplexity_buckets(
     CE pipeline per pass).  One narrow row per document, the same
     multi-pass pattern as the PPR/CC iterative kernels.
     """
-    scores = scores.localCheckpoint(eager=True)
+    # lazy (r17): the histogram collect right below materializes it —
+    # same lineage cut, one fewer job
+    scores = scores.localCheckpoint(eager=False)
     hi_cut = 1.0 - tail_frac
     h = F.round("cross_entropy", round_to)
     hist = scores.groupBy(h.alias("h")).agg(F.count("*").alias("cnt")).collect()
@@ -404,7 +406,8 @@ def dsir_importance_weights(
     feats = (
         _hashed_features(docs, text_col, n_buckets, portable=portable_hash)
         .join(labeled, "doc_id")
-        .localCheckpoint(eager=True)
+        # lazy (r17): the totals collect below materializes it
+        .localCheckpoint(eager=False)
     )
     dist = feats.groupBy("bucket").agg(
         F.sum(F.when(F.col(is_target), 1).otherwise(0)).alias("c_t"),
@@ -606,7 +609,8 @@ def train_quality_classifier(
                 F.array(sentinel),
             ).alias("fs"),
         )
-        .localCheckpoint(eager=True)
+        # lazy (r17): the n_docs count below materializes it
+        .localCheckpoint(eager=False)
     )
     n_docs = doc_feats.count()
     if n_docs == 0:

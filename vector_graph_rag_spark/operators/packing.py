@@ -85,7 +85,8 @@ def pack_fixed_blocks(
         with_len.repartitionByRange(n_parts, "doc_id")
         .withColumn("pid", F.spark_partition_id())
         .withColumn("local_end", F.sum("L").over(w))  # prefix incl. this row
-        .localCheckpoint(eager=True)
+        # lazy (r17): the totals collect below materializes it
+        .localCheckpoint(eager=False)
     )
     totals = {
         r["pid"]: r["tot"]

@@ -825,7 +825,7 @@ def _ppr_ranks(
     for i in range(k):
         ranks = _ppr_round_step(flagged, edges, outdeg, ranks, ns, is_seed)
         if checkpoint_after is not None and i >= checkpoint_after:
-            ranks = ranks.localCheckpoint(eager=True)
+            ranks = ranks.localCheckpoint(eager=False)
     return ranks
 
 
@@ -836,9 +836,12 @@ def _ppr_setup(spark: SparkSession, g):
     All three frames are round-invariant and referenced by EVERY power
     iteration (edges twice per round: contribution join + out-degree
     derivation), and Spark re-executes duplicated subtrees — so each is
-    eagerly materialized once.  They are graph-sized, not corpus-sized
-    (distinct edge pairs, one row per node); measured 5.0 -> 2.8s warm for
-    the k=8 query at sf0.1."""
+    localCheckpoint-ed once (measured 5.0 -> 2.8s warm for the k=8 query
+    at sf0.1 when this materialization landed in r8).  LAZY since r17:
+    the checkpoint still truncates the plan and dedupes the subtree, but
+    materialization happens inside the first consuming job instead of a
+    dedicated job per frame — 3 fewer jobs per PPR query for identical
+    rows (guide §1.2: job-count overhead)."""
     from vector_graph_rag_spark.queries.graphrag import _seed_entities
 
     edges = (
@@ -846,7 +849,7 @@ def _ppr_setup(spark: SparkSession, g):
             F.col("src_entity_id").alias("a"), F.col("dst_entity_id").alias("b")
         )
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     nodes = g.entities.select("id")
     seeds = _seed_entities(spark).withColumnRenamed("entity_id", "id")
@@ -855,11 +858,11 @@ def _ppr_setup(spark: SparkSession, g):
     is_seed = F.col("sid").isNotNull()
     flagged = nodes.join(
         F.broadcast(snodes.select(F.col("id"), F.lit(1).alias("sid"))), "id", "left"
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     outdeg = (
         edges.groupBy(F.col("a").alias("id"))
         .agg(F.count(F.lit(1)).alias("out_deg"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     return flagged, edges, outdeg, ns, is_seed
 
@@ -912,19 +915,20 @@ def ppr_to_convergence(
     DuckDB oracle can unroll an identical chain).
 
     Returns ``(ranks, rounds_run)``.  Each round's rank vector (|entities|
-    rows — tiny next to the edge table) is eagerly localCheckpoint-ed, so
-    plan depth stays constant no matter how many rounds convergence takes,
-    and the per-round driver work is ONE scalar aggregate: ``max(|Δrank|)``
-    over the id-aligned old/new vectors.  At 1000-executor scale the edge
+    rows — tiny next to the edge table) is LAZILY localCheckpoint-ed and
+    materialized by the round's own ``max(|Δrank|)`` aggregate — one job
+    per round doing both the lineage cut and the convergence check (the
+    r17 fusion; the eager form paid two) — so plan depth stays constant
+    no matter how many rounds convergence takes.  At 1000-executor scale the edge
     table never moves — every round reuses its partitioning; only the small
     rank vector shuffles.
     """
     flagged, edges, outdeg, ns, is_seed = _ppr_setup(spark, g)
-    ranks = _ppr_init(flagged, ns, is_seed).localCheckpoint(eager=True)
+    ranks = _ppr_init(flagged, ns, is_seed).localCheckpoint(eager=False)
     rounds = 0
     for _ in range(max_rounds):
         nxt = _ppr_round_step(flagged, edges, outdeg, ranks, ns, is_seed)
-        nxt = nxt.localCheckpoint(eager=True)
+        nxt = nxt.localCheckpoint(eager=False)
         rounds += 1
         delta = (
             ranks.withColumnRenamed("rank", "prev")

@@ -543,7 +543,11 @@ def eval_recall_harness(spark: SparkSession, sf_dir: str) -> DataFrame:
     erp = (
         g.entity_relation.join(g.relation_passage, "relation_id")
         .select("entity_id", "relation_id", "passage_id")
-        .localCheckpoint(eager=True)
+        # lazy (r17): both consumers sit in the ONE final returned DAG —
+        # the first stage that touches the RDD materializes it and the
+        # other branch reads the cache, so the join still runs once with
+        # no dedicated materialization job
+        .localCheckpoint(eager=False)
     )
     ep = erp.select("entity_id", "passage_id").distinct()
     gold = F.broadcast(qe.select("question", "entity_id")).join(ep, "entity_id").select(

@@ -1090,7 +1090,9 @@ def knn_graph_incell(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned = (
         _kmeans_assignments(spark, sf_dir, k=k, numpy_assign=True)
         .select("vec_id", F.col("cluster").alias("cell_id"))
-        .localCheckpoint(eager=True)
+        # lazy (r17): first consuming action materializes it; all later
+        # consumers read the cache — one fewer job, same single execution
+        .localCheckpoint(eager=False)
     )
     # ceil(occ / CAP) sub-splits per cell; the split table is cell-count
     # sized (~sqrt(n) rows) — broadcast, never a corpus shuffle.
@@ -1187,7 +1189,10 @@ def knn_graph_mutual(spark: SparkSession, sf_dir: str) -> DataFrame:
     column is kept from the a-side edge; the b-side score is the SAME
     cosine by symmetry (pinned by the oracle, which makes no such
     shortcut)."""
-    knn = knn_graph_incell(spark, sf_dir).localCheckpoint(eager=True)
+    # lazy (r17): both the a-side and the left-semi b-side live in the one
+    # returned DAG — the kNN kernel runs once into the cache with no
+    # dedicated materialization job ahead of the action
+    knn = knn_graph_incell(spark, sf_dir).localCheckpoint(eager=False)
     a = knn.select(
         F.col("vec_id").alias("vec_a"),
         F.col("nbr_id").alias("vec_b"),

@@ -169,17 +169,25 @@ FROM cand c JOIN sig a ON a.doc_id = c.doc_a JOIN sig b ON b.doc_id = c.doc_b
 
 
 def _bands_df(sig: DataFrame) -> DataFrame:
-    """(doc_id, band, band_key) — md5 of each band's signature slice."""
-    bands = None
+    """(doc_id, band, band_key) — md5 of each band's signature slice.
+
+    ONE scan + row-local explode of the 4 band structs (r17) instead of a
+    4-way union of projections: the union form re-scanned the signature
+    frame once per band — 8 scans when both join sides reference the band
+    table (guide §2.4: duplicated subtrees).  Row set identical."""
+    entries = []
     for b in range(N_BANDS):
         key = F.md5(
             F.concat_ws(
                 ",", *[F.col(f"m{b * ROWS_PER_BAND + r}").cast("string") for r in range(ROWS_PER_BAND)]
             )
         )
-        part = sig.select("doc_id", F.lit(b).alias("band"), key.alias("band_key"))
-        bands = part if bands is None else bands.unionByName(part)
-    return bands
+        entries.append(
+            F.struct(F.lit(b).alias("band"), key.alias("band_key"))
+        )
+    return sig.select(
+        "doc_id", F.explode(F.array(*entries)).alias("__e")
+    ).select("doc_id", "__e.band", "__e.band_key")
 
 
 @register(
@@ -521,7 +529,9 @@ def _neardup_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         minhash_lsh_pairs(spark, sf_dir)
         .filter(F.col("est_jaccard") >= _NEARDUP_THRESHOLD_EQ / N_MINHASH)
-        .localCheckpoint(eager=True)
+        # lazy (r17): the CC loop's first convergence action materializes
+        # it — the banding pipeline still runs exactly once into the cache
+        .localCheckpoint(eager=False)
     )
 
 
@@ -886,8 +896,11 @@ def remove_shared_spans(
     inherently operates on (Lee et al. materialize full suffix arrays).
     """
     L = span_tokens
+    # lazy (r17): every consumer (span explode below, final mask) sits in
+    # the one returned DAG — the tokenize pass runs once into the cache
+    # with no dedicated materialization job
     t = d.select("doc_id", tokens("text").alias("toks")).localCheckpoint(
-        eager=True
+        eager=False
     )
     span_arr = F.when(
         F.size("toks") >= L,
@@ -896,9 +909,10 @@ def remove_shared_spans(
             f" i -> md5(concat_ws(' ', slice(toks, i+1, {L}))))"
         ),
     ).otherwise(F.array().cast("array<string>"))
+    # lazy: repeated-set agg + semi-join both live in the final DAG too
     spans = t.select(
         "doc_id", F.posexplode(span_arr).alias("pos", "h")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
 
     repeated = (
         spans.groupBy("h")

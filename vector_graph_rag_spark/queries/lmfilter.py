@@ -434,9 +434,11 @@ def quality_classifier_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # train set == score set, so the tokenize+hash feature pass AND the
     # per-doc grouping shuffle are each paid once and shared by both
     # phases (r8: grouped_features replaces the second groupBy + rescan)
+    # lazy (r17): the trainer's first driver action materializes it; the
+    # scoring pass reuses the cache — feature pass still paid exactly once
     grouped = group_doc_features(
         _doc_features(d.select("doc_id", "text"), "text", 512, portable=True)
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     model = train_quality_classifier(
         labeled, "hq", n_buckets=512, iters=2, portable_hash=True,
         quantized=True, grouped_features=grouped,

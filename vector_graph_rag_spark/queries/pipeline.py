@@ -238,7 +238,9 @@ def bloom_membership_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # collect on the member side, then the probe aggregation) — without
     # materialization the tokenize+shingle pass re-executes per action
     # (measured 1.6s -> 0.9s warm at sf0.1)
-    gram_stream = _grams5_df(spark, sf_dir).localCheckpoint(eager=True)
+    # lazy (r17): build_bloom's item-count action materializes it; the bit
+    # collect and probe read the cache — tokenize+shingle still paid once
+    gram_stream = _grams5_df(spark, sf_dir).localCheckpoint(eager=False)
     members = (
         gram_stream.join(
             d.filter(F.col("source") == "src0").select("doc_id"), "doc_id"
@@ -1116,7 +1118,10 @@ def ann_pq_adc_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # of InferFiltersFromGenerate's size()/isnotnull() pushdown, which
     # would otherwise re-inline the full argmin encoding into a pushed
     # filter and evaluate it 3x per row (measured 4.0 -> 0.6s at sf0.1).
-    enc = encode_pq(q, books).localCheckpoint(eager=True)
+    # lazy (r17): the LogicalRDD barrier blocks the pushdown identically;
+    # the encode runs inside the consuming action's job instead of a
+    # dedicated one
+    enc = encode_pq(q, books).localCheckpoint(eager=False)
     return adc_topk(enc, queries, books, k=_PQ_TOPK)
 
 
@@ -1485,8 +1490,10 @@ def ann_ivfpq_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(
             [], "query_id long, vec_id long, adc_dist long, rank int"
         )
+    # lazy (r17): consumed only by the final scoring DAG — the barrier
+    # still isolates the encode from filter pushdown, one fewer job
     enc = encode_pq(q, books).select("vec_id", "codes").localCheckpoint(
-        eager=True
+        eager=False
     )
     cent = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cvec")

@@ -317,7 +317,11 @@ class VersionedCorpus:
         materialization that chain would re-execute per action.  Delta
         size, not corpus size.
         """
-        updates = updates.localCheckpoint(eager=True)
+        # lazy (r17): the dup-guard collect below is the first of the four
+        # consuming actions and materializes it (Spark completes a lazy
+        # local checkpoint at the end of the first job that touches the
+        # RDD, even a partial executeTake) — all before any file is written
+        updates = updates.localCheckpoint(eager=False)
         dup = (
             updates.groupBy(key)
             .agg(F.count("*").alias("c"))

@@ -102,8 +102,10 @@ def batch_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 def _bands_of(sig: DataFrame) -> DataFrame:
     """(doc_id, band, band_key) — md5 of each band's signature slice
-    (same key text as queries/dedup._bands_df)."""
-    bands = None
+    (same key text as queries/dedup._bands_df).  ONE scan + row-local
+    explode of the 4 band structs (r17) instead of a 4-way union that
+    re-scanned the signature frame per band (guide §2.4)."""
+    entries = []
     for b in range(N_BANDS):
         key = F.md5(
             F.concat_ws(
@@ -114,9 +116,12 @@ def _bands_of(sig: DataFrame) -> DataFrame:
                 ],
             )
         )
-        part = sig.select("doc_id", F.lit(b).alias("band"), key.alias("band_key"))
-        bands = part if bands is None else bands.unionByName(part)
-    return bands
+        entries.append(
+            F.struct(F.lit(b).alias("band"), key.alias("band_key"))
+        )
+    return sig.select(
+        "doc_id", F.explode(F.array(*entries)).alias("__e")
+    ).select("doc_id", "__e.band", "__e.band_key")
 
 
 def _est_jaccard(a: str, b: str):
