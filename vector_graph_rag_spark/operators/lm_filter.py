@@ -530,6 +530,37 @@ def group_doc_features(feats: DataFrame) -> DataFrame:
     )
 
 
+def grouped_doc_features(
+    docs: DataFrame, text_col: str, n_buckets: int, portable: bool = False
+) -> DataFrame:
+    """Fused ``group_doc_features(_doc_features(...))`` (r17, guide §2.4):
+    the two-step form paid a (doc_id, bucket) count Exchange, a doc-total
+    Exchange, a doc_id join to attach the total, then the grouping
+    Exchange — FOUR shuffle boundaries of the same stream.  Here the
+    (doc_id, bucket) counts group straight to one row per doc carrying
+    both the (bucket, c) list and the total, and the length normalization
+    ``x = c / tot`` becomes a row-local transform — TWO Exchanges, with
+    the identical double division per element."""
+    counts = (
+        _hashed_features(docs, text_col, n_buckets, portable=portable)
+        .groupBy("doc_id", "bucket")
+        .agg(F.count("*").alias("c"))
+    )
+    return counts.groupBy("doc_id").agg(
+        F.collect_list(F.struct("bucket", "c")).alias("cs"),
+        F.sum("c").alias("tot"),
+    ).select(
+        "doc_id",
+        F.transform(
+            "cs",
+            lambda s: F.struct(
+                s["bucket"].alias("bucket"),
+                (s["c"] / F.col("tot")).alias("x"),
+            ),
+        ).alias("fs"),
+    )
+
+
 def train_quality_classifier(
     docs: DataFrame,
     label: str,
@@ -569,16 +600,13 @@ def train_quality_classifier(
     """
     if grouped_features is not None:
         grouped = grouped_features
+    elif features is not None:
+        grouped = group_doc_features(features)
     else:
-        feats = (
-            features
-            if features is not None
-            else _doc_features(
-                docs.select("doc_id", text_col), text_col, n_buckets,
-                portable=portable_hash,
-            )
+        grouped = grouped_doc_features(
+            docs.select("doc_id", text_col), text_col, n_buckets,
+            portable=portable_hash,
         )
-        grouped = group_doc_features(feats)
     labels = docs.select(
         "doc_id", F.col(label).cast("double").alias("y")
     ).filter(F.col("y").isNotNull())
@@ -680,18 +708,15 @@ def quality_scores(
     the tokenize+hash pass twice (the registered query does)."""
     if grouped_features is not None:
         grouped = grouped_features
+    elif features is not None:
+        grouped = group_doc_features(features)
     else:
-        feats = (
-            features
-            if features is not None
-            else _doc_features(
-                docs.select("doc_id", model["text_col"]),
-                model["text_col"],
-                model["n_buckets"],
-                portable=model.get("portable_hash", False),
-            )
+        grouped = grouped_doc_features(
+            docs.select("doc_id", model["text_col"]),
+            model["text_col"],
+            model["n_buckets"],
+            portable=model.get("portable_hash", False),
         )
-        grouped = group_doc_features(feats)
     wmap = _weight_map(model["weights"])
     m = _rowlocal_margin(
         "fs", wmap, model.get("quantized", False)

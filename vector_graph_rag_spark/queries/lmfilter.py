@@ -423,8 +423,7 @@ def dsir_select_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def quality_classifier_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vector_graph_rag_spark.operators.lm_filter import (
-        _doc_features,
-        group_doc_features,
+        grouped_doc_features,
         quality_scores,
         train_quality_classifier,
     )
@@ -435,9 +434,10 @@ def quality_classifier_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-doc grouping shuffle are each paid once and shared by both
     # phases (r8: grouped_features replaces the second groupBy + rescan)
     # lazy (r17): the trainer's first driver action materializes it; the
-    # scoring pass reuses the cache — feature pass still paid exactly once
-    grouped = group_doc_features(
-        _doc_features(d.select("doc_id", "text"), "text", 512, portable=True)
+    # scoring pass reuses the cache — feature pass still paid exactly once.
+    # grouped_doc_features is the fused 2-Exchange form (was 4).
+    grouped = grouped_doc_features(
+        d.select("doc_id", "text"), "text", 512, portable=True
     ).localCheckpoint(eager=False)
     model = train_quality_classifier(
         labeled, "hq", n_buckets=512, iters=2, portable_hash=True,

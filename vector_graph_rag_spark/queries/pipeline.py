@@ -47,6 +47,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from vector_graph_rag_spark.functions.concurrency import run_overlapped
 from vector_graph_rag_spark.functions.hashing import hash60_sql, hash60b_sql
 from vector_graph_rag_spark.functions.literals import inline_rows
 from vector_graph_rag_spark.queries import register
@@ -443,8 +444,17 @@ def lm_counts_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     trusted = d.filter(F.col("source") == "src0")
     state = tempfile.mkdtemp(prefix="vgr_lmstate_")
     try:
-        write_batch_counts(trusted.filter(F.col("doc_id") % 2 == 0), state, 0)
-        write_batch_counts(trusted.filter(F.col("doc_id") % 2 == 1), state, 1)
+        # independent shard writes (disjoint batch dirs) overlapped, §2.6
+        run_overlapped(
+            [
+                lambda: write_batch_counts(
+                    trusted.filter(F.col("doc_id") % 2 == 0), state, 0
+                ),
+                lambda: write_batch_counts(
+                    trusted.filter(F.col("doc_id") % 2 == 1), state, 1
+                ),
+            ]
+        )
         model = lm_from_counts(spark, state)
         return lm_cross_entropy(d, model, quantized=True).localCheckpoint(
             eager=True
@@ -527,10 +537,17 @@ def corpus_stats_registers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select(*_HLL_COLS)
     state = tempfile.mkdtemp(prefix="vgr_hllstate_")
     try:
-        for b in range(3):
-            write_batch_stats(
-                d.filter(F.col("doc_id") % 3 == b), state, b, _HLL_COLS
-            )
+        # independent shard writes overlapped (guide §2.6)
+        run_overlapped(
+            [
+                (
+                    lambda b=b: write_batch_stats(
+                        d.filter(F.col("doc_id") % 3 == b), state, b, _HLL_COLS
+                    )
+                )
+                for b in range(3)
+            ]
+        )
         shards = spark.read.parquet(state)
         regs = (
             shards.filter(F.col("bucket") >= 0)
@@ -778,10 +795,17 @@ def corpus_quantiles_registers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select(*_QR_COLS)
     state = tempfile.mkdtemp(prefix="vgr_qrstate_")
     try:
-        for b in range(3):
-            write_batch_quantiles(
-                d.filter(F.col("doc_id") % 3 == b), state, b, _QR_COLS
-            )
+        # independent shard writes overlapped (guide §2.6)
+        run_overlapped(
+            [
+                (
+                    lambda b=b: write_batch_quantiles(
+                        d.filter(F.col("doc_id") % 3 == b), state, b, _QR_COLS
+                    )
+                )
+                for b in range(3)
+            ]
+        )
         return (
             spark.read.parquet(state)
             .groupBy("col", "qb")
@@ -844,10 +868,17 @@ def cm_frequency_registers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select("doc_id", *_CM_COLS)
     state = tempfile.mkdtemp(prefix="vgr_cmstate_")
     try:
-        for b in range(3):
-            write_batch_freq(
-                d.filter(F.col("doc_id") % 3 == b), state, b, _CM_COLS
-            )
+        # independent shard writes overlapped (guide §2.6)
+        run_overlapped(
+            [
+                (
+                    lambda b=b: write_batch_freq(
+                        d.filter(F.col("doc_id") % 3 == b), state, b, _CM_COLS
+                    )
+                )
+                for b in range(3)
+            ]
+        )
         return (
             spark.read.parquet(state)
             .filter(F.col("kind") == "cm")
@@ -1581,10 +1612,23 @@ def ann_index_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))
     index = tempfile.mkdtemp(prefix="vgr_annindex_")
     try:
-        for b in range(3):
-            append_to_index(
-                emb.filter(F.col("vec_id") % 3 == b), cent, books, index, b
-            )
+        # the three nightly appends are independent (disjoint batch=<id>
+        # dirs, no probe between them) — overlapped per guide §2.6 so each
+        # write's committer/straggler tail back-fills with the next batch
+        run_overlapped(
+            [
+                (
+                    lambda b=b: append_to_index(
+                        emb.filter(F.col("vec_id") % 3 == b),
+                        cent,
+                        books,
+                        index,
+                        b,
+                    )
+                )
+                for b in range(3)
+            ]
+        )
         return search_index(
             spark, index, queries, cent, books, k=_PQ_TOPK, nprobe=2
         ).localCheckpoint(eager=True)
@@ -1712,10 +1756,22 @@ def ann_index_compacted_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         sharded = os.path.join(root, "sharded")
         compacted = os.path.join(root, "compacted")
-        for b in range(3):
-            append_to_index(
-                emb.filter(F.col("vec_id") % 3 == b), cent, books, sharded, b
-            )
+        # independent appends overlapped (guide §2.6); the compaction
+        # barrier below starts only after all three landed
+        run_overlapped(
+            [
+                (
+                    lambda b=b: append_to_index(
+                        emb.filter(F.col("vec_id") % 3 == b),
+                        cent,
+                        books,
+                        sharded,
+                        b,
+                    )
+                )
+                for b in range(3)
+            ]
+        )
         n = compact_index(spark, sharded, compacted)
         if n != 3:  # not assert: must survive python -O (r16 ADVICE)
             raise ValueError(f"compaction folded {n} batches, expected 3")
@@ -1897,19 +1953,41 @@ def ann_index_tombstone_delete_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))
     index = tempfile.mkdtemp(prefix="vgr_anntomb_")
     try:
-        for b in range(3):
-            append_to_index(
-                emb.filter(F.col("vec_id") % 3 == b), cent, books, index, b
-            )
+        # independent appends overlapped (guide §2.6)
+        run_overlapped(
+            [
+                (
+                    lambda b=b: append_to_index(
+                        emb.filter(F.col("vec_id") % 3 == b),
+                        cent,
+                        books,
+                        index,
+                        b,
+                    )
+                )
+                for b in range(3)
+            ]
+        )
         # two delete batches split by parity of vec_id//7, then batch 0
-        # REPLAYED — idempotence under at-least-once delivery
+        # REPLAYED — idempotence under at-least-once delivery.  The two
+        # first tombstone writes are independent (distinct batch ids) and
+        # overlap; the REPLAY of id 0 must observe the first write of id 0,
+        # so it stays behind the barrier.
         dels = emb.filter(F.col("vec_id") % 7 == 0).select("vec_id")
-        for tb in range(2):
-            append_tombstones(
-                dels.filter((F.col("vec_id") / 7).cast("long") % 2 == tb),
-                index,
-                tb,
-            )
+        run_overlapped(
+            [
+                (
+                    lambda tb=tb: append_tombstones(
+                        dels.filter(
+                            (F.col("vec_id") / 7).cast("long") % 2 == tb
+                        ),
+                        index,
+                        tb,
+                    )
+                )
+                for tb in range(2)
+            ]
+        )
         append_tombstones(
             dels.filter((F.col("vec_id") / 7).cast("long") % 2 == 0), index, 0
         )
@@ -1972,10 +2050,21 @@ def ann_index_spend_readd_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))
     index = tempfile.mkdtemp(prefix="vgr_spendre_")
     try:
-        for b in range(3):
-            append_to_index(
-                emb.filter(F.col("vec_id") % 3 == b), cent, books, index, b
-            )
+        # independent appends overlapped (guide §2.6)
+        run_overlapped(
+            [
+                (
+                    lambda b=b: append_to_index(
+                        emb.filter(F.col("vec_id") % 3 == b),
+                        cent,
+                        books,
+                        index,
+                        b,
+                    )
+                )
+                for b in range(3)
+            ]
+        )
         append_tombstones(
             emb.filter(F.col("vec_id") % 7 == 0).select("vec_id"), index, 0
         )

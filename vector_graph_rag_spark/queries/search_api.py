@@ -28,6 +28,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from vector_graph_rag_spark.functions.concurrency import run_overlapped
 from vector_graph_rag_spark.functions.text import tokens
 from vector_graph_rag_spark.functions.vector import cosine
 from vector_graph_rag_spark.queries import register
@@ -724,10 +725,20 @@ def term_index_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     index = tempfile.mkdtemp(prefix="vgr_terms_inc_")
     try:
-        for b in (0, 1, 2, 1):  # 3 nightly appends + one exactly-once replay
-            append_term_batch(
-                d.filter(F.col("doc_id") % 3 == b), index, batch_id=b
-            )
+        # 3 independent nightly appends overlapped (guide §2.6: disjoint
+        # batch dirs); the exactly-once REPLAY of batch 1 must observe its
+        # first write, so it runs after the barrier
+        run_overlapped(
+            [
+                (
+                    lambda b=b: append_term_batch(
+                        d.filter(F.col("doc_id") % 3 == b), index, batch_id=b
+                    )
+                )
+                for b in range(3)
+            ]
+        )
+        append_term_batch(d.filter(F.col("doc_id") % 3 == 1), index, batch_id=1)
         return search_term_index(
             spark, index, queries, k=_SPARSE_TOPK
         ).localCheckpoint(eager=True)
@@ -773,10 +784,17 @@ def term_index_compacted_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         sharded = os.path.join(root, "sharded")
         compacted = os.path.join(root, "compacted")
-        for b in range(3):
-            append_term_batch(
-                d.filter(F.col("doc_id") % 3 == b), sharded, batch_id=b
-            )
+        # independent appends overlapped (guide §2.6); compaction barriers
+        run_overlapped(
+            [
+                (
+                    lambda b=b: append_term_batch(
+                        d.filter(F.col("doc_id") % 3 == b), sharded, batch_id=b
+                    )
+                )
+                for b in range(3)
+            ]
+        )
         n = compact_term_index(spark, sharded, compacted)
         assert n == 3
         return search_term_index(
@@ -904,30 +922,81 @@ def maxsim_topk(
     ),
 )
 def colbert_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Late interaction at 100 TB: the doc token-vector table is a
-    row-local explode (bounded x8, no exchange), the query side is a
-    broadcast literal (|queries| x 3 token vectors), so the scoring join
-    is map-side; the ONLY shuffles are the two bounded aggregations —
-    (query, doc, qpos) max with map-side partial agg, then (query, doc)
-    sum over <= 3 rows — and the final per-query top-k window over
-    |queries| partitions.  Token count caps bound the explosion factor
-    exactly like multimodal_frame_sample's <= 16-frame cap."""
+    """Late interaction at 100 TB, ROW-LOCAL form (r17): the doc's <=8
+    token vectors stay an ARRAY on the doc row (no explode), the query
+    side is 3 broadcast rows each carrying its <=3 (qpos, qv) token
+    structs, and the ENTIRE MaxSim — per-qpos max over doc tokens, then
+    the order-free DECIMAL(18,6) sum — folds row-locally on the
+    docs x |queries| crossJoin output.  The r16 shape exploded to
+    docs x 8 x 9 scoring rows and paid TWO aggregation Exchanges
+    ((query, doc, qpos) max + (query, doc) sum) before the top-k window;
+    now the only Exchange left is the final per-query window over
+    docs x |queries| narrow rows (plans/r17/colbert_maxsim_topk_
+    {before,after}.txt: 3 -> 1 Exchange).  Arithmetic identical:
+    dot = round(sum x*y, 6); per-qpos max; sum as DECIMAL(18,6) cast
+    double — the max-then-DECIMAL-sum determinism contract, now as
+    array_max + an exact decimal fold.  The exhaustive-kernel
+    ``maxsim_topk`` stays unchanged for pooled/rerank callers whose
+    doc side arrives as token ROWS (the prefiltered stage-2 shape)."""
     from vector_graph_rag_spark.functions.embedding import mock_embedding
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     toks8 = F.slice(F.split("text", " "), 1, _MAXSIM_DOC_TOKS)
-    dv = d.select(
-        "doc_id", F.explode(toks8).alias("tok")
-    ).select("doc_id", mock_embedding("tok").alias("v"))
-
-    toks3 = F.slice(F.split("text", " "), 1, _MAXSIM_Q_TOKS)
-    qv = (
-        d.filter(F.col("doc_id").isin(*_MAXSIM_QUERY_DOCS))
-        .select(F.col("doc_id").alias("query_id"), F.posexplode(toks3).alias("qpos", "tok"))
-        .select("query_id", "qpos", mock_embedding("tok").alias("qv"))
+    # filter matches the exploded form exactly: explode drops null-text
+    # docs (null token array), and ONLY those — ''-text still yields one
+    # [''] token whose mock embedding is the zero vector
+    docs = d.filter(F.col("text").isNotNull()).select(
+        "doc_id",
+        F.transform(toks8, lambda t: mock_embedding(t)).alias("dvs"),
     )
 
-    return maxsim_topk(dv, qv, _MAXSIM_K)
+    toks3 = F.slice(F.split("text", " "), 1, _MAXSIM_Q_TOKS)
+    qarr = (
+        d.filter(F.col("doc_id").isin(*_MAXSIM_QUERY_DOCS))
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.posexplode(toks3).alias("qpos", "tok"),
+        )
+        .select("query_id", "qpos", mock_embedding("tok").alias("qv"))
+        .groupBy("query_id")
+        .agg(F.sort_array(F.collect_list(F.struct("qpos", "qv"))).alias("qts"))
+    )
+
+    def _dot(v, qv):
+        return F.round(
+            F.aggregate(
+                F.zip_with(v, qv, lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        )
+
+    # per query token: max dot against the doc's token vectors (row-local)
+    mvals = F.transform(
+        "qts",
+        lambda q: F.array_max(
+            F.transform(F.col("dvs"), lambda v: _dot(v, q["qv"]))
+        ),
+    )
+    # order-free exact sum: same DECIMAL(18,6) term arithmetic as the
+    # kernel's groupBy sum (bounded |sum| <= 3, so the (28,6) accumulator
+    # is exact)
+    maxsim = F.aggregate(
+        mvals,
+        F.lit(0).cast("decimal(28,6)"),
+        lambda acc, m: (acc + m.cast("decimal(18,6)")).cast("decimal(28,6)"),
+    ).cast("double")
+
+    scored = docs.crossJoin(F.broadcast(qarr)).select(
+        "query_id", "doc_id", maxsim.alias("maxsim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("maxsim"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _MAXSIM_K)
+        .select("query_id", "doc_id", "maxsim", "rank")
+    )
 
 
 # --- ANN-prefiltered MaxSim (staged r16, for a round-18 swap) -----------------
@@ -1293,19 +1362,35 @@ def term_index_tombstone_delete_q(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     index = tempfile.mkdtemp(prefix="vgr_termtomb_")
     try:
-        for b in range(3):
-            append_term_batch(
-                d.filter(F.col("doc_id") % 3 == b), index, batch_id=b
-            )
+        # independent appends overlapped (guide §2.6)
+        run_overlapped(
+            [
+                (
+                    lambda b=b: append_term_batch(
+                        d.filter(F.col("doc_id") % 3 == b), index, batch_id=b
+                    )
+                )
+                for b in range(3)
+            ]
+        )
         dels = d.filter(F.col("doc_id") % 7 == 3).select("doc_id")
         # two delete shards split by parity of doc_id//7, shard 0 REPLAYED
-        # — idempotence under at-least-once delivery
-        for tb in range(2):
-            append_doc_tombstones(
-                dels.filter((F.col("doc_id") / 7).cast("long") % 2 == tb),
-                index,
-                tb,
-            )
+        # — idempotence under at-least-once delivery; the replay runs
+        # after the barrier so it observes shard 0's first write
+        run_overlapped(
+            [
+                (
+                    lambda tb=tb: append_doc_tombstones(
+                        dels.filter(
+                            (F.col("doc_id") / 7).cast("long") % 2 == tb
+                        ),
+                        index,
+                        tb,
+                    )
+                )
+                for tb in range(2)
+            ]
+        )
         append_doc_tombstones(
             dels.filter((F.col("doc_id") / 7).cast("long") % 2 == 0), index, 0
         )

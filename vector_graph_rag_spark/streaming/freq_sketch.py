@@ -89,11 +89,16 @@ def write_batch_freq(
             F.col("cnt").cast("long").alias("cnt"),
         )
         occurrences = batch_df.filter(s.isNotNull()).select(s.alias("value"))
-        n_rows = occurrences.count()  # bounded action: one count per shard
+        # the >rows/m threshold rides the write plan as a broadcast 1-row
+        # aggregate (r17) — the former per-column driver count() launched
+        # a separate scan job per column per shard (guide §5: the driver
+        # should do almost no data work)
+        tot = occurrences.agg(F.count("*").alias("__n_rows"))
         hh = (
             occurrences.groupBy("value")
             .agg(F.count("*").alias("cnt"))
-            .filter(F.col("cnt") * HH_M > F.lit(n_rows))
+            .crossJoin(F.broadcast(tot))
+            .filter(F.col("cnt") * HH_M > F.col("__n_rows"))
             .select(
                 F.lit(c).alias("col"),
                 F.lit("hh").alias("kind"),
