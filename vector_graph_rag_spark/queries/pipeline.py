@@ -921,36 +921,57 @@ def dedup_index_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         self_pairs,
     )
 
+    from vector_graph_rag_spark.functions.concurrency import run_overlapped
+
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     state = tempfile.mkdtemp(prefix="vgr_dindex_")
     try:
+        # r17 restructure (guide §2.6): the three batch SIGNATURE passes
+        # (the dominant cost — each a corpus-third minhash) are mutually
+        # independent and run overlapped.  The appends stay SEQUENTIAL:
+        # they share the one bucketed bands table (concurrent
+        # saveAsTable/DDL on a single catalog entry is not a supported
+        # overlap), but each now reads its already-materialized sig
+        # checkpoint, so the sequential leg is write-cost only.
+        # Equivalence with the sequential nightly interleave (sig0,
+        # probe0, append0, sig1, ...) is preserved by pinning each
+        # probe's index view EXPLICITLY to the batches that preceded it
+        # in that order (ids=[0..b-1], the probe_index pin): the pair set
+        # is identical because appends never mutate earlier batches'
+        # files (overwrite-idempotence only fires on REPLAYED ids, which
+        # this flow has none of).  Sigs stay eager: three consumers each
+        # (probe, self-pairs, append) across separate jobs.
+        sigs = run_overlapped(
+            [
+                (
+                    lambda b=b: batch_signatures(
+                        docs.filter(F.col("doc_id") % 3 == b)
+                    ).localCheckpoint(eager=True)
+                )
+                for b in range(3)
+            ]
+        )
+        for b in range(3):
+            append_to_index(sigs[b], state, b)
         parts = []
         for b in range(3):
-            # sig stays eager: three consumers (probe, self-pairs, append)
-            # plus the append's write must land before the NEXT iteration's
-            # probe lists the index.  The probes themselves are lazy —
-            # probe_index pins its index view to the batch ids present at
-            # call time (explicit batch IN (...) pruning + per-batch sig
-            # paths), so later appends cannot leak into an earlier probe
-            # and all six pair subtrees execute in the ONE consuming job.
-            sig = batch_signatures(
-                docs.filter(F.col("doc_id") % 3 == b)
-            ).localCheckpoint(eager=True)
-            parts.append(
-                probe_index(spark, state, sig).select(
-                    F.least("index_doc_id", "new_doc_id").alias("doc_a"),
-                    F.greatest("index_doc_id", "new_doc_id").alias("doc_b"),
-                    "est_jaccard",
+            if b > 0:  # b=0 probes an empty index — contributes no rows
+                parts.append(
+                    probe_index(
+                        spark, state, sigs[b], ids=list(range(b))
+                    ).select(
+                        F.least("index_doc_id", "new_doc_id").alias("doc_a"),
+                        F.greatest("index_doc_id", "new_doc_id").alias("doc_b"),
+                        "est_jaccard",
+                    )
                 )
-            )
-            parts.append(self_pairs(sig))
-            append_to_index(sig, state, b)
+            parts.append(self_pairs(sigs[b]))
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
         # one eager materialization of the WHOLE union before the temp
-        # state dir is removed (the finally below) — the six subtrees run
-        # as one job against the pinned index views
+        # state dir is removed (the finally below) — the five pair
+        # subtrees run as one job against the pinned index views
         return out.localCheckpoint(eager=True)
     finally:
         drop_index(spark, state)
@@ -1693,10 +1714,17 @@ def ann_index_streamed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         staged = _os.path.join(root, "staged")
         flat = _os.path.join(root, "in")
         _os.makedirs(flat)
-        for b in range(3):
-            emb.filter(F.col("vec_id") % 3 == b).coalesce(1).write.parquet(
-                _os.path.join(staged, f"f{b}")
-            )
+        # independent staging writes overlapped (guide §2.6)
+        run_overlapped(
+            [
+                (
+                    lambda b=b: emb.filter(F.col("vec_id") % 3 == b)
+                    .coalesce(1)
+                    .write.parquet(_os.path.join(staged, f"f{b}"))
+                )
+                for b in range(3)
+            ]
+        )
         for i, f in enumerate(
             sorted(_glob.glob(_os.path.join(staged, "*", "*.parquet")))
         ):

@@ -242,6 +242,7 @@ def append_to_index(
 def probe_index(
     spark: SparkSession, state_dir: str, sig: DataFrame,
     bucket_cap: int | None = None,
+    ids: list[int] | None = None,
 ) -> DataFrame:
     """(index_doc_id, new_doc_id, est_jaccard) — every banded collision
     between the probe batch and ALL indexed shards.  The batch side rides
@@ -273,8 +274,16 @@ def probe_index(
     and rewrites that batch's band partition and sigs files (the
     idempotence contract), so an outstanding lazy probe pinned to the old
     files would hit missing-file failures or stale data — materialize
-    outstanding probes before replaying a batch id (ADVICE r9)."""
-    ids = list_batch_ids(spark, state_dir)
+    outstanding probes before replaying a batch id (ADVICE r9).
+
+    ``ids`` (r17): explicit batch-id pin overriding the FS listing — for
+    callers that append several batches UP FRONT (overlapped independent
+    writes, guide §2.6) and then probe each batch against exactly the
+    batches that would have preceded it in the sequential nightly order.
+    Semantics are identical to calling with the listing at that point in
+    a sequential flow."""
+    if ids is None:
+        ids = list_batch_ids(spark, state_dir)
     if not ids:
         return sig.sparkSession.createDataFrame(
             [], "index_doc_id long, new_doc_id long, est_jaccard double"
