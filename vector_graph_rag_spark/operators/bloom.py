@@ -82,9 +82,12 @@ def build_bloom(
         raise ValueError(f"k must be >= 1 (got {k})")
     if n_bits % _WORD_BITS:
         raise ValueError("n_bits must be a multiple of 64")
+    # lazy checkpoint (r17): the count below and the words collect are two
+    # separate actions over the same distinct subtree — without the cut the
+    # whole hash+distinct pipeline executed twice (guide §2.4)
     items = df.select(
         hash60(F.col(col)).alias("g1"), hash60b(F.col(col)).alias("g2")
-    ).distinct()
+    ).distinct().localCheckpoint(eager=False)
     n_items = items.count()
     base = F.col("g1") % F.lit(n_bits)
     step = (F.col("g2") % F.lit(n_bits // 2)) * F.lit(2) + F.lit(1)
