@@ -95,13 +95,23 @@ def train_bigram_lm(
     mass.  Two shuffles total (one count per order), both map-side combined;
     model tables are vocab-sized.
     """
-    uni_counts = _unigrams(docs, text_col).groupBy("tok").agg(
-        F.count("*").alias("c_uni")
+    # lazy checkpoints (r17): uni_counts feeds the totals collect AND the
+    # p_uni projection; bi feeds the context agg AND the join side — the
+    # full corpus tokenize+count pipeline executed twice per table without
+    # the cut (nothing dedupes repeated subtrees at runtime).  The totals
+    # collect below materializes uni_counts; the model consumer's first
+    # action materializes bi.
+    uni_counts = (
+        _unigrams(docs, text_col)
+        .groupBy("tok")
+        .agg(F.count("*").alias("c_uni"))
+        .localCheckpoint(eager=False)
     )
     bi = (
         _bigrams(docs, text_col)
         .groupBy("prev", "tok")
         .agg(F.count("*").alias("c_bi"))
+        .localCheckpoint(eager=False)
     )
     # context totals: BOS contexts come from the bigram table itself so the
     # BOS pseudo-token needs no unigram row

@@ -273,7 +273,17 @@ QUALIFY rk <= 100
     ),
 )
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh_all = _shingles_df(spark, sf_dir).select("doc_id", "shingle").distinct()
+    # lazy checkpoint (r17): the distinct-shingle stream feeds THREE plan
+    # instances (the hot-cap agg, sizes, pair-gen) — the printed physical
+    # plan shows 6 parquet scans with no ReusedExchange, so the tokenize+
+    # shingle+distinct pipeline re-executed per consumer; one cached
+    # execution instead (materialized inside the final job, no barrier)
+    sh_all = (
+        _shingles_df(spark, sf_dir)
+        .select("doc_id", "shingle")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     # Hot-shingle cap via map-side-combined agg + broadcast ANTI-join against
     # the (tiny at any scale) hot set — the previous Window.partitionBy count
     # shuffled the full wide rows just to compute per-shingle df.  Shingles
@@ -740,7 +750,9 @@ FROM cand c JOIN sig a ON a.doc_id = c.doc_a JOIN sig b ON b.doc_id = c.doc_b
 )
 def minhash_lsh_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = _minhash_wide_df(spark, sf_dir)
-    bands = _bands_df(sig)
+    # lazy checkpoint (r17): hot-count + both join sides reference the
+    # band stream — same repeated-subtree fix as dedup_incremental
+    bands = _bands_df(sig).localCheckpoint(eager=False)
     # Hot-bucket cap via map-side-combined agg + broadcast anti-join (buckets
     # above the cap are few by definition) — same shape as the ngram hot-
     # shingle cap; the band rows are never shuffled just to count buckets.
@@ -830,7 +842,11 @@ GROUP BY incoming_doc_id
 )
 def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = _minhash_wide_df(spark, sf_dir)
-    bands = _bands_df(sig)
+    # lazy checkpoint (r17): the band stream feeds THREE plan instances
+    # (incoming, the hot-bucket count, the corpus side) and nothing
+    # dedupes the repeated minhash pipeline at runtime (the
+    # ngram_jaccard_pairs finding) — one cached execution instead
+    bands = _bands_df(sig).localCheckpoint(eager=False)
     incoming = bands.filter(F.col("doc_id") % 10 == 0).alias("i")
     corpus_all = bands.filter(F.col("doc_id") % 10 != 0)
     # Corpus-side hot-bucket cap: map-side-combined count, few survivors by

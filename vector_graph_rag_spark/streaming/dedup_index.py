@@ -220,23 +220,34 @@ def append_to_index(
     resurface on the next append and double-count the batch)."""
     spark = sig.sparkSession
     base = os.path.join(state_dir, f"batch={batch_id}")
-    sig.write.mode("overwrite").parquet(os.path.join(base, "sigs"))
     tbl = _ensure_bands_table(spark, state_dir)
     part_dir = os.path.join(_index_loc(state_dir), "bands", f"batch={batch_id}")
     fs, hpath = _hadoop_fs(spark, part_dir)
     if fs.exists(hpath):
         fs.delete(hpath, True)
         spark.sql(f"ALTER TABLE {tbl} DROP IF EXISTS PARTITION (batch={batch_id})")
-    (
-        _bands_of(sig)
-        .withColumn("batch", F.lit(batch_id).cast("int"))
-        .write.mode("append")
-        .format("parquet")
-        .partitionBy("batch")
-        .bucketBy(BAND_BUCKETS, "band_key")
-        .sortBy("band_key")
-        .saveAsTable(tbl)
-    )
+
+    def _write_sigs() -> None:
+        sig.write.mode("overwrite").parquet(os.path.join(base, "sigs"))
+
+    def _write_bands() -> None:
+        (
+            _bands_of(sig)
+            .withColumn("batch", F.lit(batch_id).cast("int"))
+            .write.mode("append")
+            .format("parquet")
+            .partitionBy("batch")
+            .bucketBy(BAND_BUCKETS, "band_key")
+            .sortBy("band_key")
+            .saveAsTable(tbl)
+        )
+
+    # the two durable writes of one append are independent (different
+    # outputs, both reading the caller's materialized sig) — overlapped
+    # per guide §2.6; the DDL above stays on the caller thread
+    from vector_graph_rag_spark.functions.concurrency import run_overlapped
+
+    run_overlapped([_write_sigs, _write_bands], max_workers=2)
 
 
 def probe_index(

@@ -96,15 +96,23 @@ def stream_lm_counts(
 def lm_from_counts(spark: SparkSession, state_dir: str, alpha: float = 0.1) -> dict:
     """Aggregate the shard tree into the exact ``train_bigram_lm`` model
     dict — same tables, same smoothing arithmetic, bit-identical scores."""
+    # lazy checkpoints (r17): uni_counts feeds the totals collect AND the
+    # p_uni projection; bi feeds the context agg AND the join side — each
+    # shard aggregation executed twice without the cut (the
+    # ngram_jaccard_pairs repeated-subtree finding).  The totals collect
+    # below (still inside this call, before any scratch cleanup)
+    # materializes uni_counts; the caller's first action materializes bi.
     uni_counts = (
         spark.read.parquet(os.path.join(state_dir, "uni"))
         .groupBy("tok")
         .agg(F.sum("c_uni").alias("c_uni"))
+        .localCheckpoint(eager=False)
     )
     bi = (
         spark.read.parquet(os.path.join(state_dir, "bi"))
         .groupBy("prev", "tok")
         .agg(F.sum("c_bi").alias("c_bi"))
+        .localCheckpoint(eager=False)
     )
     ctx = bi.groupBy("prev").agg(F.sum("c_bi").alias("c_prev"))
     bi = bi.join(ctx, "prev")
