@@ -928,31 +928,35 @@ def dedup_index_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         # r17 restructure (guide §2.6): the three batch SIGNATURE passes
         # (the dominant cost — each a corpus-third minhash) are mutually
-        # independent and run overlapped.  The appends stay SEQUENTIAL:
-        # they share the one bucketed bands table (concurrent
-        # saveAsTable/DDL on a single catalog entry is not a supported
-        # overlap), but each now reads its already-materialized sig
-        # checkpoint, so the sequential leg is write-cost only.
+        # independent and run overlapped.  r18: the three APPENDS overlap
+        # too — append_to_index now stages each batch's band rows through
+        # a per-batch bucketed write and registers the partition with
+        # metadata-only DDL under a lock, so concurrent appends of
+        # distinct batch ids no longer serialize on the shared table's
+        # write path (the r17 residual; VERDICT r17 Next #1).
         # Equivalence with the sequential nightly interleave (sig0,
         # probe0, append0, sig1, ...) is preserved by pinning each
         # probe's index view EXPLICITLY to the batches that preceded it
         # in that order (ids=[0..b-1], the probe_index pin): the pair set
-        # is identical because appends never mutate earlier batches'
+        # is identical because appends never mutate other batches'
         # files (overwrite-idempotence only fires on REPLAYED ids, which
         # this flow has none of).  Sigs stay eager: three consumers each
         # (probe, self-pairs, append) across separate jobs.
+        # pipeline, not barrier: batch b's append depends only on batch
+        # b's OWN signature, so each thread chains sig -> append and the
+        # fastest batch's append back-fills while the slowest batch is
+        # still signaturing (a sig/append barrier would idle the box on
+        # the straggler twice).
+        def _sig_and_append(b: int) -> DataFrame:
+            s = batch_signatures(
+                docs.filter(F.col("doc_id") % 3 == b)
+            ).localCheckpoint(eager=True)
+            append_to_index(s, state, b)
+            return s
+
         sigs = run_overlapped(
-            [
-                (
-                    lambda b=b: batch_signatures(
-                        docs.filter(F.col("doc_id") % 3 == b)
-                    ).localCheckpoint(eager=True)
-                )
-                for b in range(3)
-            ]
+            [(lambda b=b: _sig_and_append(b)) for b in range(3)]
         )
-        for b in range(3):
-            append_to_index(sigs[b], state, b)
         parts = []
         for b in range(3):
             if b > 0:  # b=0 probes an empty index — contributes no rows

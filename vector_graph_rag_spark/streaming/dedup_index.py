@@ -55,6 +55,7 @@ behaves identically to a local one.
 from __future__ import annotations
 
 import os
+import threading
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -160,6 +161,16 @@ def _hadoop_fs(spark: SparkSession, path: str):
     return hpath.getFileSystem(spark._jsc.hadoopConfiguration()), hpath
 
 
+# Serializes this module's catalog DDL (table create, partition add/drop)
+# so concurrent appends of DIFFERENT batch ids can overlap their DATA
+# writes (guide §2.6) while the metadata ops — cheap, driver-local —
+# stay atomic.  The r17 layout funneled every append's band rows through
+# one shared ``saveAsTable`` (an unsupported concurrent write), which
+# serialized the whole append leg; the staged per-batch write below keeps
+# only the DDL under the lock.
+_DDL_LOCK = threading.Lock()
+
+
 def list_batch_ids(spark: SparkSession, state_dir: str) -> list[int]:
     """Batch ids present in the index, via the Hadoop FileSystem API —
     works identically for local dirs and object-store URIs (a local-only
@@ -185,21 +196,23 @@ def _ensure_bands_table(spark: SparkSession, state_dir: str) -> str:
     the durable contract, so a fresh session re-creates the entry and
     recovers partitions from the directory tree."""
     tbl = _bands_table_name(state_dir)
-    if not spark.catalog.tableExists(tbl):
-        loc = os.path.join(_index_loc(state_dir), "bands")
-        spark.sql(
-            f"CREATE TABLE {tbl} "
-            "(doc_id BIGINT, band INT, band_key STRING, batch INT) "
-            "USING PARQUET PARTITIONED BY (batch) "
-            f"CLUSTERED BY (band_key) SORTED BY (band_key ASC) "
-            f"INTO {BAND_BUCKETS} BUCKETS "
-            f"LOCATION '{loc}'"
-        )
-        # adopt partitions written by earlier sessions; a brand-new index
-        # has no bands dir yet and RECOVER would throw on the missing path
-        fs, hpath = _hadoop_fs(spark, loc)
-        if fs.exists(hpath):
-            spark.sql(f"ALTER TABLE {tbl} RECOVER PARTITIONS")
+    with _DDL_LOCK:
+        if not spark.catalog.tableExists(tbl):
+            loc = os.path.join(_index_loc(state_dir), "bands")
+            spark.sql(
+                f"CREATE TABLE {tbl} "
+                "(doc_id BIGINT, band INT, band_key STRING, batch INT) "
+                "USING PARQUET PARTITIONED BY (batch) "
+                f"CLUSTERED BY (band_key) SORTED BY (band_key ASC) "
+                f"INTO {BAND_BUCKETS} BUCKETS "
+                f"LOCATION '{loc}'"
+            )
+            # adopt partitions written by earlier sessions; a brand-new
+            # index has no bands dir yet and RECOVER would throw on the
+            # missing path
+            fs, hpath = _hadoop_fs(spark, loc)
+            if fs.exists(hpath):
+                spark.sql(f"ALTER TABLE {tbl} RECOVER PARTITIONS")
     return tbl
 
 
@@ -214,10 +227,24 @@ def append_to_index(
     sig: DataFrame, state_dir: str, batch_id: int
 ) -> None:
     """Persist one batch's signatures + band keys — overwrite-idempotent
-    per batch id.  Bands append to the bucketed table; a replayed batch
-    physically deletes its partition directory first (external-table
-    ``DROP PARTITION`` is metadata-only — without the delete, stale files
-    resurface on the next append and double-count the batch)."""
+    per batch id.  A replayed batch physically deletes its partition
+    directory first (external-table ``DROP PARTITION`` is metadata-only —
+    without the delete, stale files resurface on the next append and
+    double-count the batch).
+
+    The band rows land as a STAGED per-batch bucketed write (r18, guide
+    §2.6): a throwaway session-local staging table with the SAME bucket
+    spec (``CLUSTERED BY (band_key) INTO BAND_BUCKETS BUCKETS``, same
+    Murmur3 hash on the same column type) writes the bucket-named parquet
+    files directly into the main table's ``batch=<id>`` partition
+    directory, then the partition is registered with ``ADD PARTITION``
+    (metadata-only, under the module DDL lock).  The probe-side table —
+    and therefore the probe plan, including the Exchange-free bucketed
+    hot-bucket aggregation — is byte-identical to the r17 shared
+    ``saveAsTable`` layout; what changes is that appends of DIFFERENT
+    batch ids no longer serialize on one catalog entry's write path, so
+    nightly multi-batch flows overlap them (``dedup_index_incremental``:
+    the former top bench row)."""
     spark = sig.sparkSession
     base = os.path.join(state_dir, f"batch={batch_id}")
     tbl = _ensure_bands_table(spark, state_dir)
@@ -225,26 +252,38 @@ def append_to_index(
     fs, hpath = _hadoop_fs(spark, part_dir)
     if fs.exists(hpath):
         fs.delete(hpath, True)
-        spark.sql(f"ALTER TABLE {tbl} DROP IF EXISTS PARTITION (batch={batch_id})")
+        with _DDL_LOCK:
+            spark.sql(
+                f"ALTER TABLE {tbl} DROP IF EXISTS PARTITION (batch={batch_id})"
+            )
 
     def _write_sigs() -> None:
         sig.write.mode("overwrite").parquet(os.path.join(base, "sigs"))
 
     def _write_bands() -> None:
+        stg = f"{tbl}_stg_{batch_id}"
+        with _DDL_LOCK:
+            spark.sql(f"DROP TABLE IF EXISTS {stg}")
         (
             _bands_of(sig)
-            .withColumn("batch", F.lit(batch_id).cast("int"))
-            .write.mode("append")
+            .write.mode("overwrite")
             .format("parquet")
-            .partitionBy("batch")
+            .option("path", part_dir)
             .bucketBy(BAND_BUCKETS, "band_key")
             .sortBy("band_key")
-            .saveAsTable(tbl)
+            .saveAsTable(stg)
         )
+        with _DDL_LOCK:
+            # external staging table: dropping the entry leaves the files
+            spark.sql(f"DROP TABLE IF EXISTS {stg}")
+            spark.sql(
+                f"ALTER TABLE {tbl} ADD IF NOT EXISTS "
+                f"PARTITION (batch={batch_id}) LOCATION '{part_dir}'"
+            )
 
     # the two durable writes of one append are independent (different
     # outputs, both reading the caller's materialized sig) — overlapped
-    # per guide §2.6; the DDL above stays on the caller thread
+    # per guide §2.6; DDL stays under the module lock
     from vector_graph_rag_spark.functions.concurrency import run_overlapped
 
     run_overlapped([_write_sigs, _write_bands], max_workers=2)
