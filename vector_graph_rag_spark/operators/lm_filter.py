@@ -492,39 +492,54 @@ def _sum_maybe_quantized(term, quantized: bool):
     return F.sum(term)
 
 
-def _weight_map(w: dict[int, float]) -> Column:
-    """The weight vector as a broadcast-literal MAP expression (n_buckets
-    entries — classifier weights are driver state by design).  Built as
-    ONE JVM-parsed literal: per-entry ``F.lit`` construction cost ~1s of
-    py4j driver time per 512-bucket map, per iteration (functions/
-    literals.py)."""
-    from vector_graph_rag_spark.functions.literals import int_double_map_lit
+def _weight_lookup(w: dict[int, float], n_buckets: int):
+    """bucket-column -> weight Column, against the weight vector as a
+    DENSE broadcast-literal ARRAY (length ``n_buckets``, missing buckets
+    0.0), one JVM-parsed literal (functions/literals.py).  The r17 form
+    was a MAP literal — ``GetMapValue`` on a literal map is a LINEAR scan
+    of all entries per lookup (512 comparisons per feature element;
+    measured as the entire gap between the iter-1 and iter-2 gradient
+    jobs), where ``element_at`` on the dense array is O(1).  Values are
+    the identical doubles (`repr` round-trip), buckets are
+    ``pmod``-bounded in [0, n_buckets), and the sentinel bucket −1 (and
+    the old map's missing-key NULL) resolves to the same 0.0 — so every
+    margin term multiplies the same operands and the fold stays
+    bit-identical."""
+    from vector_graph_rag_spark.functions.literals import double_array_lit
 
-    return int_double_map_lit(w or {0: 0.0})
+    warr = double_array_lit([w.get(i, 0.0) for i in range(n_buckets)])
+
+    def look(bucket) -> Column:
+        return F.when(
+            bucket >= 0, F.element_at(warr, bucket.cast("int") + 1)
+        ).otherwise(F.lit(0.0))
+
+    return look
 
 
-def _rowlocal_margin(fs_col: str, wmap: Column, quantized: bool) -> Column:
+def _rowlocal_margin(
+    fs_col: str, w: dict[int, float], n_buckets: int, quantized: bool
+) -> Column:
     """sum(x * w[bucket]) over a per-doc (bucket, x) struct array — the
-    margin as a ROW-LOCAL fold against the broadcast weight map, no join
-    and no shuffle.  The quantized form keeps the exact DECIMAL(18,6)
-    term arithmetic of :func:`_sum_maybe_quantized`, whose sums are
-    add-order-independent — so the fold is bit-identical to the previous
-    groupBy formulation (verified exactly at sf0.1)."""
+    margin as a ROW-LOCAL fold against the broadcast weight vector, no
+    join and no shuffle.  The quantized form keeps the exact
+    DECIMAL(18,6) term arithmetic of :func:`_sum_maybe_quantized`, whose
+    sums are add-order-independent — so the fold is bit-identical to the
+    previous groupBy formulation (verified exactly at sf0.1)."""
+    look = _weight_lookup(w, n_buckets)
     if quantized:
         return F.aggregate(
             fs_col,
             F.lit(0).cast("decimal(18,6)"),
             lambda acc, f: (
                 acc
-                + F.round(
-                    f["x"] * F.coalesce(wmap[f["bucket"]], F.lit(0.0)), 6
-                ).cast("decimal(18,6)")
+                + F.round(f["x"] * look(f["bucket"]), 6).cast("decimal(18,6)")
             ).cast("decimal(18,6)"),
         ).cast("double")
     return F.aggregate(
         fs_col,
         F.lit(0.0),
-        lambda acc, f: acc + f["x"] * F.coalesce(wmap[f["bucket"]], F.lit(0.0)),
+        lambda acc, f: acc + f["x"] * look(f["bucket"]),
     )
 
 
@@ -647,12 +662,27 @@ def train_quality_classifier(
                 F.array(sentinel),
             ).alias("fs"),
         )
-        # lazy (r17): the n_docs count below materializes it
+        # CPU-bound loop frame: AQE's byte-based coalescing folds the
+        # (KB-sized) joined frame to ONE partition, serializing every
+        # gradient pass's explode+fold on a single core (measured: grad
+        # passes 0.52+0.85s at 1 partition vs 0.23+0.33s at par//4 on 32
+        # cores).  Pin the checkpoint's layout to a cluster-derived count
+        # instead — the per-element fold work, not the bytes, is the cost
+        # (guide §2).  Gradient sums are exact DECIMAL (quantized) /
+        # 1e-6-pinned partial aggregation (float), so layout cannot
+        # change results.
+        .repartition(max(2, docs.sparkSession.sparkContext.defaultParallelism // 4))
+        # lazy (r17): the first iteration's gradient collect materializes
+        # it (r18: the former dedicated n_docs count() job is gone —
+        # every labeled doc carries exactly one bucket −1 sentinel row,
+        # so n_docs falls out of the same gradient aggregation)
         .localCheckpoint(eager=False)
     )
-    n_docs = doc_feats.count()
-    if n_docs == 0:
-        raise ValueError("train_quality_classifier: no labeled documents")
+    n_docs = 0  # learned from the first gradient collect's sentinel count
+    if iters <= 0:
+        n_docs = doc_feats.count()
+        if n_docs == 0:
+            raise ValueError("train_quality_classifier: no labeled documents")
     w: dict[int, float] = {}
     bias = 0.0
     for _ in range(iters):
@@ -663,7 +693,7 @@ def train_quality_classifier(
         if not w:
             m = F.lit(0.0)
         else:
-            m = _rowlocal_margin("fs", _weight_map(w), quantized)
+            m = _rowlocal_margin("fs", w, n_buckets, quantized)
         resid = doc_feats.select(
             "fs",
             (
@@ -677,10 +707,21 @@ def train_quality_classifier(
             .agg(
                 _sum_maybe_quantized(
                     F.col("f.x") * F.col("r"), quantized
-                ).alias("g")
+                ).alias("g"),
+                F.count(F.lit(1)).alias("n"),
             )
             .collect()
         )
+        if not n_docs:
+            # the sentinel bucket rides every labeled doc exactly once,
+            # so its group count IS n_docs — no separate count() job
+            n_docs = next(
+                (int(row["n"]) for row in grad_rows if row["bucket"] == -1), 0
+            )
+            if n_docs == 0:
+                raise ValueError(
+                    "train_quality_classifier: no labeled documents"
+                )
         grad_b = 0.0
         for row in grad_rows:
             b = row["bucket"]
@@ -727,9 +768,11 @@ def quality_scores(
             model["n_buckets"],
             portable=model.get("portable_hash", False),
         )
-    wmap = _weight_map(model["weights"])
     m = _rowlocal_margin(
-        "fs", wmap, model.get("quantized", False)
+        "fs",
+        model["weights"],
+        model["n_buckets"],
+        model.get("quantized", False),
     )
     return (
         grouped.select(
