@@ -46,14 +46,15 @@ def min_label_propagation(
 
 
 def components_to_convergence(
-    nodes: DataFrame, edges: DataFrame, max_rounds: int = 50
+    nodes: DataFrame | None, edges: DataFrame, max_rounds: int = 50,
+    active_only: bool = False,
 ) -> tuple[DataFrame, int]:
     """Exact connected components: min-label propagation to the fixpoint.
 
     The production shape the fixed-round declared query (`entity_components_k4`)
     documents: per round, one shuffle join + partial-aggregated MIN, then a
     driver-side convergence check (count of changed labels — a single small
-    aggregate over the |nodes|-row label frame).  Labels are LAZILY
+    aggregate over the label frame).  Labels are LAZILY
     ``localCheckpoint``-ed every round and materialized by the convergence
     count itself, so each round is exactly ONE job (the r17 fusion: the
     former eager-checkpoint-then-count shape paid two jobs per round for
@@ -61,11 +62,39 @@ def components_to_convergence(
     sized rounds) while plan depth and lineage still stay constant no
     matter how many rounds the diameter demands.
 
+    r18 (guide §2: shuffle fewer bytes): the loop runs on the ACTIVE
+    subgraph only — nodes with at least one incident edge.  An isolated
+    node's label can never change (min-label updates flow only across
+    edges), so looping it through every round's three shuffles is pure
+    waste that scales with |nodes|, not |endpoints|; at 100 TB a nightly
+    contracted batch touches a tiny fraction of the standing label table.
+    With ``active_only=False`` (default) isolated nodes are unioned back
+    as identity labels — the returned frame is row-identical to the r17
+    form.  ``active_only=True`` omits them, so a caller that left-joins
+    the result onto its standing table (coalescing missing comps to the
+    node id) never shuffles a corpus-sized identity mapping at all.
+    ``nodes=None`` makes the edge-endpoint set itself the node universe
+    (implies active-only output) — callers whose endpoints are known to
+    lie inside their node set skip shipping a node frame entirely.
+
     Returns (labels(id, comp), rounds_run).  Raises if ``max_rounds`` is hit
     before convergence — rounds needed equal the largest component's
     min-label eccentricity, far below 50 for any real corpus graph.
     """
-    labels = nodes.select("id", F.col("id").alias("comp")).localCheckpoint(
+    # The edge frame is consumed once per round plus once for the
+    # endpoint set — for contracted batch graphs it is itself a join
+    # subtree against the standing labels, so without a lineage cut that
+    # subtree re-executes every round (measured: the whole local delta of
+    # the endpoint restriction).  Lazy checkpoint: materialized by the
+    # first round's convergence count, reused after (guide §2.4).
+    edges = edges.localCheckpoint(eager=False)
+    endpoints = (
+        edges.select(F.col("a").alias("id"))
+        .union(edges.select(F.col("b").alias("id")))
+        .distinct()
+    )
+    active = endpoints if nodes is None else nodes.join(endpoints, "id", "semi")
+    labels = active.select("id", F.col("id").alias("comp")).localCheckpoint(
         eager=False
     )
     for rnd in range(1, max_rounds + 1):
@@ -89,6 +118,12 @@ def components_to_convergence(
         n_changed = nxt.filter("changed").count()
         labels = nxt.drop("changed")
         if n_changed == 0:
+            if not active_only and nodes is not None:
+                labels = labels.unionByName(
+                    nodes.join(endpoints, "id", "anti").select(
+                        "id", F.col("id").alias("comp")
+                    )
+                )
             return labels, rnd
     raise RuntimeError(f"components did not converge within {max_rounds} rounds")
 

@@ -587,9 +587,16 @@ def neardup_clusters_converged(
 
     pairs = _neardup_edges(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents").select(F.col("doc_id").alias("id"))
-    labels, rounds = components_to_convergence(
-        docs,
+    # r18: loop on the active (endpoint) subgraph only and left-join the
+    # tiny relabel map back onto the doc universe — isolated docs coalesce
+    # to their own id, row-identical to the full-node-set r17 form.
+    sub, rounds = components_to_convergence(
+        None,
         undirect(pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))),
+        active_only=True,
+    )
+    labels = docs.join(sub, "id", "left").select(
+        "id", F.coalesce("comp", "id").alias("comp")
     )
     return (
         labels.select(
@@ -696,14 +703,24 @@ def neardup_cc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("ca").alias("a"), F.col("cb").alias("b"))
             .filter(F.col("a") != F.col("b"))
         )
-        lbl_nodes = labels.select(F.col("comp").alias("id")).distinct()
-        sub, _rounds = components_to_convergence(lbl_nodes, undirect(ce))
+        # r18: the contracted batch graph's node universe is its own edge
+        # endpoints (each ⊆ the standing labels' comp values by
+        # construction) — nodes=None skips the per-batch corpus-sized
+        # distinct over the label table, the CC loop iterates endpoint-
+        # sized frames only, and the label update left-joins the TINY
+        # active relabel map (broadcastable; isolated comps coalesce to
+        # themselves, exactly the identity rows the inner-join form
+        # carried through a corpus×corpus shuffle).
+        sub, _rounds = components_to_convergence(
+            None, undirect(ce), active_only=True
+        )
         labels = (
             labels.join(
                 sub.select(F.col("id").alias("comp"), F.col("comp").alias("newc")),
                 "comp",
+                "left",
             )
-            .select("id", F.col("newc").alias("comp"))
+            .select("id", F.coalesce("newc", "comp").alias("comp"))
             .localCheckpoint(eager=False)
         )
     return labels.select(
