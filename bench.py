@@ -436,25 +436,34 @@ def main() -> None:
     load_end = _load_sentinel()
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_sec",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "iterations": ITERATIONS,
-                "timing": "min",
-                "action": ACTION,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "load_start": load_start,
-                "load_end": load_end,
-                "started_utc": round(started_utc, 1),
-                "ended_utc": round(time.time(), 1),
-                "settled_extra_iters": settled_extra,
-            }
-        )
-    )
+    result = {
+        "metric": "headline_queries_total_sec",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "iterations": ITERATIONS,
+        "timing": "min",
+        "action": ACTION,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "load_start": load_start,
+        "load_end": load_end,
+        "started_utc": round(started_utc, 1),
+        "ended_utc": round(time.time(), 1),
+        "settled_extra_iters": settled_extra,
+    }
+    print(json.dumps(result))
+    # Also persist the full result beside the stdout line: the driver
+    # stores only a tail fragment of bench stdout, which truncated the
+    # r16 JSON and voided the r16->r17 per-query comparison.  A tracked
+    # file survives intact.  SPARK_GRAFT_BENCH_JSON overrides the path;
+    # set it empty to skip (stdout contract unchanged either way).
+    out_path = os.environ.get("SPARK_GRAFT_BENCH_JSON", "BENCH_LOCAL.json")
+    if out_path:
+        try:
+            with open(out_path, "w") as fh:
+                json.dump(result, fh, indent=1)
+        except OSError as exc:
+            print(f"# bench json not written: {exc}", file=sys.stderr)
     spark.stop()
 
 

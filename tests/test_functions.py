@@ -299,3 +299,70 @@ def test_literal_helpers_roundtrip_doubles_bit_exactly(spark):
     assert {k: struct.pack("<d", x) for k, x in m.items()} == {
         k: struct.pack("<d", x) for k, x in d.items()
     }
+
+
+def test_inline_rows_hostile_strings_and_width(spark):
+    """ADVICE r17 hardening: (a) quote/backslash/newline payloads render
+    through inline_rows identically to createDataFrame under BOTH values
+    of spark.sql.parser.escapedStringLiterals; (b) a row wider than the
+    schema raises instead of silently dropping trailing cells."""
+    import pytest as _pytest
+
+    from vector_graph_rag_spark.functions.literals import inline_rows
+
+    payloads = [
+        ("it's", 1),
+        ("back\\slash", 2),
+        ("new\nline", 3),
+        ("tab\t'quoted'\\mix\n", 4),
+        ("", 5),
+        (None, 6),
+    ]
+    schema = "s string, n int"
+    expected = [tuple(r) for r in spark.createDataFrame(payloads, schema).collect()]
+
+    conf_key = "spark.sql.parser.escapedStringLiterals"
+    original = spark.conf.get(conf_key, "false")
+    try:
+        for mode in ("false", "true"):
+            spark.conf.set(conf_key, mode)
+            got = [tuple(r) for r in inline_rows(spark, payloads, schema).collect()]
+            assert sorted(got, key=str) == sorted(expected, key=str), mode
+    finally:
+        spark.conf.set(conf_key, original)
+
+    with _pytest.raises(ValueError, match="row 1 has 3 cells"):
+        inline_rows(spark, [("ok", 1), ("too", 2, "wide")], schema)
+
+
+def test_run_overlapped_cancels_pending_on_failure():
+    """ADVICE r17 hardening: when a task fails, queued-but-unstarted
+    callables must NOT run after run_overlapped re-raises."""
+    import threading
+    import time as _time
+
+    import pytest as _pytest
+
+    from vector_graph_rag_spark.functions.concurrency import run_overlapped
+
+    ran = []
+    gate = threading.Event()
+
+    def slow_ok():
+        gate.wait(5)
+        ran.append("ok")
+
+    def fail():
+        ran.append("fail")
+        gate.set()
+        raise RuntimeError("boom")
+
+    def never():
+        ran.append("never")
+
+    # max_workers=2: slow_ok + fail start, `never` stays queued; fail's
+    # exception must cancel it before the pool drains the queue.
+    with _pytest.raises(RuntimeError, match="boom"):
+        run_overlapped([slow_ok, fail, never], max_workers=2)
+    _time.sleep(0.1)
+    assert "never" not in ran and ran.count("fail") == 1

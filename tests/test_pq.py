@@ -276,6 +276,41 @@ def test_ivfpq_search_skips_null_embedding_query(spark, tmp_path):
     assert not any(r[0] == 999999 for r in rows)
 
 
+def test_ivfpq_search_empty_centroids_returns_empty(spark, tmp_path):
+    """ADVICE r17: non-empty queries against an EMPTY centroid table must
+    return the empty result frame, not fail analysis — the r17 one-collect
+    probe planning derives query vectors from probe rows, of which an
+    empty centroid cross join yields none."""
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_SMOKE
+    from vector_graph_rag_spark.operators.pq import (
+        ivfpq_search,
+        train_pq_codebooks,
+        write_ivfpq_index,
+    )
+    from vector_graph_rag_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    q = quantize_embeddings(emb)
+    books = train_pq_codebooks(q, updates=1)
+    cent = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cvec")
+    )
+    path = str(tmp_path / "ivfpq_index")
+    write_ivfpq_index(emb.select("vec_id", "embedding"), cent, books, path)
+
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    empty_cent = cent.filter(F.lit(False))
+    out = ivfpq_search(spark, path, queries, empty_cent, books, k=5, nprobe=2)
+    assert out.collect() == []
+    assert [f.name for f in out.schema.fields] == [
+        "query_id", "vec_id", "adc_dist", "rank",
+    ]
+
+
 def test_ivf_search_skips_null_embedding_query(spark, tmp_path):
     """Same contract for the raw-vector IVF index: a vectorless query is
     skipped instead of surfacing arbitrary rows with NULL scores."""

@@ -38,10 +38,31 @@ def run_overlapped(
     failure cannot leave a write racing the caller's cleanup."""
     if len(fns) <= 1:
         return [fn() for fn in fns]
+    import threading
     from concurrent.futures import ThreadPoolExecutor
 
     from pyspark import inheritable_thread_target
 
+    # A queued-but-unstarted write must not run once any task has failed
+    # (ADVICE r17: with len(fns) > max_workers a freed worker dequeues the
+    # next callable the instant it finishes, beating any Future.cancel()
+    # race) — each wrapper checks the abort flag before starting its fn.
+    failed = threading.Event()
+
+    def _guard(fn):
+        def run():
+            if failed.is_set():
+                return None
+            try:
+                return fn()
+            except BaseException:
+                failed.set()
+                raise
+
+        return run
+
     with ThreadPoolExecutor(max_workers=min(max_workers, len(fns))) as pool:
-        futures = [pool.submit(inheritable_thread_target(fn)) for fn in fns]
+        futures = [
+            pool.submit(inheritable_thread_target(_guard(fn))) for fn in fns
+        ]
         return [f.result() for f in futures]

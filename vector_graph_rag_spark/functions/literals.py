@@ -51,8 +51,17 @@ def _render_cell(v) -> str:
     if isinstance(v, bool):
         return "TRUE" if v else "FALSE"
     if isinstance(v, str):
-        s = v.replace("\\", "\\\\").replace("'", "\\'")
-        return f"'{s}'"
+        # Parser-hostile payloads (quotes, backslashes, control chars)
+        # ride a hex round-trip: decode(unhex(...)) is a deterministic
+        # foldable expression — Catalyst constant-folds it to the exact
+        # string Literal — and its meaning does not depend on
+        # spark.sql.parser.escapedStringLiterals, under which quote/
+        # backslash ESCAPES parse differently (ADVICE r17: the old
+        # backslash-escape form silently diverged with the conf ON).
+        if "'" in v or "\\" in v or any(ord(c) < 32 for c in v):
+            hx = v.encode("utf-8").hex()
+            return f"decode(unhex('{hx}'), 'UTF-8')"
+        return f"'{v}'"
     if isinstance(v, float):
         return f"CAST('{v!r}' AS DOUBLE)"
     if isinstance(v, int):
@@ -87,6 +96,12 @@ def inline_rows(spark, rows, schema: str):
 
     st = StructType.fromDDL(schema)
     names = [f.name for f in st.fields]
+    for i, row in enumerate(rows):
+        if len(row) != len(names):
+            raise ValueError(
+                f"inline_rows: row {i} has {len(row)} cells, schema has "
+                f"{len(names)} fields (createDataFrame would have raised)"
+            )
     body = ",".join(
         "named_struct("
         + ",".join(f"'{n}', {_render_cell(v)}" for n, v in zip(names, row))

@@ -234,6 +234,14 @@ def search_index(
         .select("vec_id", "centroid_id", "qv")
         .collect()
     )
+    if not probed:
+        # non-empty queries against an EMPTY centroid table: the one-pass
+        # collect yields no probe rows AND no query vectors, and adc_score
+        # over empty literal arrays fails analysis — the two-collect r16
+        # form returned the empty result instead (ADVICE r17)
+        return spark.createDataFrame(
+            [], f"{query_id} long, vec_id long, adc_dist long, rank int"
+        )
     probed.sort(key=lambda r: (r["vec_id"], r["centroid_id"]))
     probe_rows = [
         {query_id: r["vec_id"], "centroid_id": r["centroid_id"]} for r in probed
