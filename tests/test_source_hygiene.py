@@ -35,7 +35,7 @@ ALLOWED_DRIVER_MATERIALIZATION = {
     ("graph/expand.py", "_collect_tagged", "collect"): "opt-in history mode only; ONE tagged-union action per expansion step over frontier-sized (eviction-bounded) id lists — r12 fold of the former per-list collects",
     ("operators/bloom.py", "build_bloom", "collect"): "packed bitset words: n_bits/64 longs (128 KiB at default), never items",
     ("operators/bpe.py", "train_bpe", "collect"): "argmax pair (limit(1)) per merge + final vocab list (vocab-sized)",
-    ("operators/ivf.py", "assign_cells", "collect"): "the bounded centroid table (nlist rows by module contract)",
+    ("operators/ivf.py", "collect_centroids", "collect"): "the bounded centroid table (nlist rows by module contract; shared across an append loop's assign_cells calls)",
     ("operators/ivf.py", "ivf_search", "collect"): "|queries| x nprobe probe-cell ids",
     ("queries/search_api.py", "maxsim_prefiltered_topk_q", "collect"): "<= |queries| x 3 distinct query-token cell ids driving partition pruning (ivf_search pattern)",
     ("queries/search_api.py", "assign_token_cells", "collect"): "the bounded centroid table (ncent rows by module contract; the ivf.assign_cells pattern)",

@@ -22,9 +22,26 @@ from pyspark.sql import functions as F
 from vector_graph_rag_spark.functions.vector import cosine
 
 
+def collect_centroids(
+    centroids: DataFrame,
+    centroid_id: str = "centroid_id",
+    centroid_vec: str = "cvec",
+) -> list:
+    """The bounded centroid table (nlist rows — module contract) as
+    driver rows, for callers that feed the SAME centroids to several
+    ``assign_cells`` invocations (batch-append loops, one per micro-batch
+    or nightly shard): collecting once here instead of once per append
+    removes a full scan job from every append (measured ~0.2-0.3s per
+    append at sf0.1, x3 appends x4 ann_index bench rows)."""
+    return sorted(
+        centroids.select(centroid_id, centroid_vec).collect(),
+        key=lambda r: r[centroid_id],
+    )
+
+
 def assign_cells(
     corpus: DataFrame,
-    centroids: DataFrame,
+    centroids: DataFrame | list,
     corpus_id: str = "vec_id",
     corpus_vec: str = "embedding",
     centroid_id: str = "centroid_id",
@@ -44,9 +61,10 @@ def assign_cells(
     nlist-factor-free shuffle; see write_ivf_index).  Sort order (incl.
     NaN-greatest and all-null → lowest id) matches Spark's column ordering,
     so results are row-identical."""
-    rows = sorted(
-        centroids.select(centroid_id, centroid_vec).collect(),
-        key=lambda r: r[centroid_id],
+    rows = (
+        sorted(centroids, key=lambda r: r[centroid_id])
+        if isinstance(centroids, list)
+        else collect_centroids(centroids, centroid_id, centroid_vec)
     )
     if not rows:
         return corpus.limit(0).withColumn("cell_id", F.lit(None).cast("bigint"))

@@ -1615,6 +1615,7 @@ def ann_index_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells' code files across every batch — search cost independent of how
     many appends built the index (tests/test_vector_index.py pins the
     sharding-equivalence, replay, and pruning contracts)."""
+    from vector_graph_rag_spark.operators.ivf import collect_centroids
     from vector_graph_rag_spark.streaming.vector_index import (
         append_to_index,
         search_index,
@@ -1636,6 +1637,9 @@ def ann_index_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vec_id") >= 100) & (F.col("vec_id") < 105)
     ).select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))
     index = tempfile.mkdtemp(prefix="vgr_annindex_")
+    # one bounded centroid collect shared by every append in the loop
+    # (ivf.collect_centroids): the per-append scan job is gone
+    cent_rows = collect_centroids(cent)
     try:
         # the three nightly appends are independent (disjoint batch=<id>
         # dirs, no probe between them) — overlapped per guide §2.6 so each
@@ -1645,7 +1649,7 @@ def ann_index_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (
                     lambda b=b: append_to_index(
                         emb.filter(F.col("vec_id") % 3 == b),
-                        cent,
+                        cent_rows,
                         books,
                         index,
                         b,
@@ -1763,6 +1767,7 @@ def ann_index_compacted_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     the probe result is row-identical, which is exactly what the hash
     gate checks.  Publish-then-swap: the sharded source stays intact
     until the compacted tree is verified."""
+    from vector_graph_rag_spark.operators.ivf import collect_centroids
     from vector_graph_rag_spark.streaming.vector_index import (
         append_to_index,
         compact_index,
@@ -1785,6 +1790,9 @@ def ann_index_compacted_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vec_id") >= 100) & (F.col("vec_id") < 105)
     ).select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))
     root = tempfile.mkdtemp(prefix="vgr_anncmp_")
+    # one bounded centroid collect shared by every append in the loop
+    # (ivf.collect_centroids): the per-append scan job is gone
+    cent_rows = collect_centroids(cent)
     try:
         sharded = os.path.join(root, "sharded")
         compacted = os.path.join(root, "compacted")
@@ -1795,7 +1803,7 @@ def ann_index_compacted_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (
                     lambda b=b: append_to_index(
                         emb.filter(F.col("vec_id") % 3 == b),
-                        cent,
+                        cent_rows,
                         books,
                         sharded,
                         b,
@@ -1962,6 +1970,7 @@ def ann_index_tombstone_delete_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-k slots (survivors move up), which is exactly what the
     surviving-corpus oracle demands — an exclusion AFTER ranking would
     hash-mismatch."""
+    from vector_graph_rag_spark.operators.ivf import collect_centroids
     from vector_graph_rag_spark.streaming.vector_index import (
         append_to_index,
         append_tombstones,
@@ -1984,6 +1993,9 @@ def ann_index_tombstone_delete_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vec_id") >= 100) & (F.col("vec_id") < 105)
     ).select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))
     index = tempfile.mkdtemp(prefix="vgr_anntomb_")
+    # one bounded centroid collect shared by every append in the loop
+    # (ivf.collect_centroids): the per-append scan job is gone
+    cent_rows = collect_centroids(cent)
     try:
         # independent appends overlapped (guide §2.6)
         run_overlapped(
@@ -1991,7 +2003,7 @@ def ann_index_tombstone_delete_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (
                     lambda b=b: append_to_index(
                         emb.filter(F.col("vec_id") % 3 == b),
-                        cent,
+                        cent_rows,
                         books,
                         index,
                         b,
@@ -2058,6 +2070,7 @@ def ann_index_spend_readd_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     The in-place compaction follows the crash-safe ordering
     vector_index.compact_index pins: compacted shard lands, source
     shards drop, tombstones spend LAST."""
+    from vector_graph_rag_spark.operators.ivf import collect_centroids
     from vector_graph_rag_spark.streaming.vector_index import (
         append_to_index,
         append_tombstones,
@@ -2081,6 +2094,9 @@ def ann_index_spend_readd_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vec_id") >= 100) & (F.col("vec_id") < 105)
     ).select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))
     index = tempfile.mkdtemp(prefix="vgr_spendre_")
+    # one bounded centroid collect shared by every append in the loop
+    # (ivf.collect_centroids): the per-append scan job is gone
+    cent_rows = collect_centroids(cent)
     try:
         # independent appends overlapped (guide §2.6)
         run_overlapped(
@@ -2088,7 +2104,7 @@ def ann_index_spend_readd_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (
                     lambda b=b: append_to_index(
                         emb.filter(F.col("vec_id") % 3 == b),
-                        cent,
+                        cent_rows,
                         books,
                         index,
                         b,
@@ -2108,7 +2124,7 @@ def ann_index_spend_readd_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the takedown target comes back legitimately: re-add the even
         # multiples of 7 as a fresh post-compaction batch
         append_to_index(
-            emb.filter(F.col("vec_id") % 14 == 0), cent, books, index, 4
+            emb.filter(F.col("vec_id") % 14 == 0), cent_rows, books, index, 4
         )
         return search_index(
             spark, index, queries, cent, books, k=_PQ_TOPK, nprobe=2

@@ -72,7 +72,7 @@ def list_batch_ids(spark: SparkSession, index_dir: str) -> list[int]:
 
 def append_to_index(
     batch: DataFrame,
-    centroids: DataFrame,
+    centroids: DataFrame | list,
     codebooks: Codebooks,
     index_dir: str,
     batch_id: int,
@@ -83,7 +83,10 @@ def append_to_index(
     its shard.  Row-local work only (JVM centroid literals for the cell
     assignment, the bit-exact numpy twin for the PQ encode); the single
     shuffle is the salted cell repartition bounding files-per-cell (same
-    rationale as ``pq.write_ivfpq_index``)."""
+    rationale as ``pq.write_ivfpq_index``).  ``centroids`` may be the
+    pre-collected row list (``ivf.collect_centroids``) — batch-append
+    loops pass it so the bounded centroid scan job runs once per loop,
+    not once per append."""
     from vector_graph_rag_spark.operators.ivf import assign_cells
 
     spark = batch.sparkSession
@@ -301,6 +304,13 @@ def stream_index_vectors(
     micro-batches processed.  Bounded run (``availableNow``) for tests /
     backfills; a live pipeline drops the trigger and keeps the
     checkpointLocation."""
+    from vector_graph_rag_spark.operators.ivf import collect_centroids
+
+    # one bounded centroid collect for the whole run — not one scan job
+    # per micro-batch inside foreachBatch (measured: ~0.25s of each
+    # micro-batch's fixed cost at sf0.1 was this repeated collect)
+    if not isinstance(centroids, list):
+        centroids = collect_centroids(centroids)
     n_batches = [0]
 
     def _append(batch_df, batch_id: int) -> None:
