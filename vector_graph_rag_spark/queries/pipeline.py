@@ -1997,7 +1997,15 @@ def ann_index_tombstone_delete_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (ivf.collect_centroids): the per-append scan job is gone
     cent_rows = collect_centroids(cent)
     try:
-        # independent appends overlapped (guide §2.6)
+        # ONE overlapped group (guide §2.6, r18): the three code appends
+        # (batch=<id> dirs) and the two first tombstone writes
+        # (tombstones/batch=<id> dirs) are all mutually independent —
+        # disjoint directories, no read between them — so the former
+        # two-barrier sequence (appends, then tombstones) is merged and
+        # the tiny tombstone writes back-fill the append tail.  The
+        # REPLAY of tombstone id 0 must observe the first write of id 0,
+        # so it alone stays behind the barrier.
+        dels = emb.filter(F.col("vec_id") % 7 == 0).select("vec_id")
         run_overlapped(
             [
                 (
@@ -2011,15 +2019,7 @@ def ann_index_tombstone_delete_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
                 for b in range(3)
             ]
-        )
-        # two delete batches split by parity of vec_id//7, then batch 0
-        # REPLAYED — idempotence under at-least-once delivery.  The two
-        # first tombstone writes are independent (distinct batch ids) and
-        # overlap; the REPLAY of id 0 must observe the first write of id 0,
-        # so it stays behind the barrier.
-        dels = emb.filter(F.col("vec_id") % 7 == 0).select("vec_id")
-        run_overlapped(
-            [
+            + [
                 (
                     lambda tb=tb: append_tombstones(
                         dels.filter(
@@ -2098,7 +2098,10 @@ def ann_index_spend_readd_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (ivf.collect_centroids): the per-append scan job is gone
     cent_rows = collect_centroids(cent)
     try:
-        # independent appends overlapped (guide §2.6)
+        # appends AND the tombstone write are mutually independent
+        # (disjoint batch=/tombstones/ dirs) — one overlapped group
+        # (guide §2.6, r18); the in-place fold below is the barrier that
+        # must observe all four.
         run_overlapped(
             [
                 (
@@ -2112,9 +2115,13 @@ def ann_index_spend_readd_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
                 for b in range(3)
             ]
-        )
-        append_tombstones(
-            emb.filter(F.col("vec_id") % 7 == 0).select("vec_id"), index, 0
+            + [
+                lambda: append_tombstones(
+                    emb.filter(F.col("vec_id") % 7 == 0).select("vec_id"),
+                    index,
+                    0,
+                )
+            ]
         )
         # in-place fold: physical tombstone removal, source-shard drop,
         # spend — the nightly maintenance night, replayed under the gate
