@@ -1391,7 +1391,14 @@ def term_index_tombstone_delete_q(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     index = tempfile.mkdtemp(prefix="vgr_termtomb_")
     try:
-        # independent appends overlapped (guide §2.6)
+        # ONE overlapped group (guide §2.6, r18): the three posting
+        # appends (batch=<id>) and the two first tombstone shards
+        # (tombstones/batch=<id>) are mutually independent — disjoint
+        # dirs, no read between them — so the former two-barrier sequence
+        # is merged and the tiny tombstone writes back-fill the append
+        # tail.  The REPLAY of shard 0 must observe shard 0's first
+        # write, so it alone stays behind the barrier.
+        dels = d.filter(F.col("doc_id") % 7 == 3).select("doc_id")
         run_overlapped(
             [
                 (
@@ -1401,13 +1408,7 @@ def term_index_tombstone_delete_q(spark: SparkSession, sf_dir: str) -> DataFrame
                 )
                 for b in range(3)
             ]
-        )
-        dels = d.filter(F.col("doc_id") % 7 == 3).select("doc_id")
-        # two delete shards split by parity of doc_id//7, shard 0 REPLAYED
-        # — idempotence under at-least-once delivery; the replay runs
-        # after the barrier so it observes shard 0's first write
-        run_overlapped(
-            [
+            + [
                 (
                     lambda tb=tb: append_doc_tombstones(
                         dels.filter(

@@ -43,18 +43,27 @@ def write_batch_counts(
     batch_df: DataFrame, state_dir: str, batch_id: int, text_col: str = "text"
 ) -> None:
     """Count one micro-batch and overwrite its shard — idempotent per
-    batch id (exposed for tests and backfills; the stream calls this)."""
+    batch id (exposed for tests and backfills; the stream calls this).
+    The unigram and bigram count writes land in DISJOINT dirs with no
+    read between them — overlapped (guide §2.6, r18) so the second
+    count's scan back-fills the first write's committer tail."""
+    from vector_graph_rag_spark.functions.concurrency import run_overlapped
+
     uni = _unigrams(batch_df, text_col).groupBy("tok").agg(
         F.count("*").alias("c_uni")
     )
     bi = _bigrams(batch_df, text_col).groupBy("prev", "tok").agg(
         F.count("*").alias("c_bi")
     )
-    uni.write.mode("overwrite").parquet(
-        os.path.join(state_dir, "uni", f"batch={batch_id}")
-    )
-    bi.write.mode("overwrite").parquet(
-        os.path.join(state_dir, "bi", f"batch={batch_id}")
+    run_overlapped(
+        [
+            lambda: uni.write.mode("overwrite").parquet(
+                os.path.join(state_dir, "uni", f"batch={batch_id}")
+            ),
+            lambda: bi.write.mode("overwrite").parquet(
+                os.path.join(state_dir, "bi", f"batch={batch_id}")
+            ),
+        ]
     )
 
 
