@@ -436,9 +436,18 @@ def quality_classifier_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # lazy (r17): the trainer's first driver action materializes it; the
     # scoring pass reuses the cache — feature pass still paid exactly once.
     # grouped_doc_features is the fused 2-Exchange form (was 4).
-    grouped = grouped_doc_features(
-        d.select("doc_id", "text"), "text", 512, portable=True
-    ).localCheckpoint(eager=False)
+    # r18: repartitioned like the trainer's doc_feats frame (operators/
+    # lm_filter) — AQE's byte-based coalescing folds the KB-sized grouped
+    # frame to ONE partition, serializing the scoring pass's CPU-bound
+    # margin fold on a single core; scores are row-local, so layout
+    # cannot change results.
+    grouped = (
+        grouped_doc_features(
+            d.select("doc_id", "text"), "text", 512, portable=True
+        )
+        .repartition(max(2, spark.sparkContext.defaultParallelism // 4))
+        .localCheckpoint(eager=False)
+    )
     model = train_quality_classifier(
         labeled, "hq", n_buckets=512, iters=2, portable_hash=True,
         quantized=True, grouped_features=grouped,
