@@ -57,7 +57,13 @@ shingles AS (
 
 
 def _shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, pos, shingle) — 3-token shingles, JVM-side array ops only."""
+    """(doc_id, pos, shingle) — 3-token shingles, JVM-side array ops only.
+
+    NO under-parallel scan guard (r18, measured): the shingle pass read
+    0.806s plain vs 0.771s repartitioned (neutral) and the minhash
+    signature pass 0.615 vs 0.814 (the exchange ships the full text for
+    map work too cheap to buy it back) — unlike the span-md5 pass in
+    ``remove_shared_spans``, which keeps its guard."""
     d = load_table(spark, sf_dir, "documents")
     t = d.select("doc_id", tokens("text").alias("toks"))
     shingle_arr = F.when(
@@ -929,6 +935,19 @@ def remove_shared_spans(
     inherently operates on (Lee et al. materialize full suffix arrays).
     """
     L = span_tokens
+    # under-parallel scan guard (functions/partitioning, r18): the per-span
+    # md5 over L-token concats is this operator's dominant map cost and
+    # serializes on a one-file corpus's single scan task — interleaved A/B
+    # 1.89s -> 1.17s warm at sf0.1.  Counts / sorted mark lists / row-local
+    # masking are all exact, so layout cannot change results; a multi-file
+    # corpus skips the exchange.  (The cheap-map text passes — bigram LM,
+    # feature hashing, 3-token shingles — measured NEUTRAL-to-worse under
+    # the same guard and deliberately do not carry it.)
+    from vector_graph_rag_spark.functions.partitioning import (
+        ensure_parallel_scan,
+    )
+
+    d = ensure_parallel_scan(d)
     # lazy (r17): every consumer (span explode below, final mask) sits in
     # the one returned DAG — the tokenize pass runs once into the cache
     # with no dedicated materialization job

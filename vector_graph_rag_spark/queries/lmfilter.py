@@ -335,6 +335,12 @@ SELECT doc_id, change, old_hash, new_hash FROM c WHERE change IS NOT NULL"""
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NO under-parallel scan guard here (r18, measured): the lm family's
+    # map work (split + bigram hash + count) is too cheap to buy back the
+    # full-text exchange — interleaved A/B read 1.61s plain vs 1.78s
+    # repartitioned for the cross-entropy path, and the hashing pass was
+    # neutral.  remove_shared_spans (10-token span md5, the one genuinely
+    # md5-heavy consumer) guards its own input in the operator instead.
     return load_table(spark, sf_dir, "documents").select("doc_id", "text", "source")
 
 

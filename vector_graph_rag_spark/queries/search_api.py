@@ -939,8 +939,17 @@ def colbert_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``maxsim_topk`` stays unchanged for pooled/rerank callers whose
     doc side arrives as token ROWS (the prefiltered stage-2 shape)."""
     from vector_graph_rag_spark.functions.embedding import mock_embedding
+    from vector_graph_rag_spark.functions.partitioning import (
+        ensure_parallel_scan,
+    )
 
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # under-parallel scan guard: per-token mock embeddings + the MaxSim
+    # fold are the row's whole cost and serialize on a one-file corpus's
+    # single scan task; scores are row-local + exact DECIMAL, layout
+    # cannot change results
+    d = ensure_parallel_scan(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     toks8 = F.slice(F.split("text", " "), 1, _MAXSIM_DOC_TOKS)
     # filter matches the exploded form exactly: explode drops null-text
     # docs (null token array), and ONLY those — ''-text still yields one
