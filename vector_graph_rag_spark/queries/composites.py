@@ -222,7 +222,13 @@ FROM embedded
     description="deterministic hash-mock embedding, L2-normalized (embeddings.py:206-323 stand-in)",
 )
 def mock_embed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    from vector_graph_rag_spark.functions.partitioning import (
+        ensure_parallel_scan,
+    )
+
+    # under-parallel scan guard: full-text embedding map pass (see
+    # eval_recall_harness)
+    d = ensure_parallel_scan(load_table(spark, sf_dir, "documents"))
     return (
         d.select("doc_id", mock_embedding("text", _EMBED_DIM).alias("emb"))
         .select("doc_id", F.posexplode("emb").alias("dim_idx", "val"))
@@ -425,7 +431,13 @@ QUALIFY rank <= 3
     description="naive RAG standalone: embed question + passages (mock), cosine top-3 (rag.py:562-585)",
 )
 def naive_rag_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    from vector_graph_rag_spark.functions.partitioning import (
+        ensure_parallel_scan,
+    )
+
+    # under-parallel scan guard: full-text embedding map pass (see
+    # eval_recall_harness)
+    d = ensure_parallel_scan(load_table(spark, sf_dir, "documents"))
     pe = d.select("doc_id", mock_embedding("text", _EMBED_DIM).alias("pv"))
     q = inline_rows(spark, _NAIVE_QUESTIONS, "question_id string, question string")
     qe = q.select(
@@ -565,7 +577,16 @@ def eval_recall_harness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= _HARNESS_K)
         .select(F.lit("graph").alias("method"), "question", "passage_id")
     )
-    d = load_table(spark, sf_dir, "documents")
+    # under-parallel scan guard (functions/partitioning, r18): the naive
+    # leg's full-text mock embedding is the heaviest map pass of this row
+    # (interleaved A/B on the leg: 3.64 -> 1.51s) and serializes on a
+    # one-file corpus's single scan task; scores are row-local + rounded,
+    # layout cannot change results
+    from vector_graph_rag_spark.functions.partitioning import (
+        ensure_parallel_scan,
+    )
+
+    d = ensure_parallel_scan(load_table(spark, sf_dir, "documents"))
     naive_scored = (
         d.select(
             F.col("doc_id").cast("string").alias("passage_id"),
